@@ -1,38 +1,69 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline at sf0.001 (smoke).
+``queries()`` — one entry per implemented operator from SURVEY.md §2
+(registry lives in ``pulfa_sausage_factory_spark/queries.py``).
+``oracle_sql()`` — matching DuckDB ANSI SQL for the correctness gate.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pulfa_sausage_factory_spark import queries as _registry  # noqa: E402
+from pulfa_sausage_factory_spark.io import load_table  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY.md §7 M0): the reference's dao-selection
+    pipeline transposed onto the driver tables — compound predicate with a
+    following-sibling existential window (F1/W5), preceding-sibling ordinal
+    (W2), group-collect document assembly (A1), and a broadcast-dimension
+    join (J1) — scan→filter→window→agg→join through Catalyst.
+    """
+    from pyspark.sql import functions as F
+
+    from pulfa_sausage_factory_spark.operators import relational
+
+    sf_dir = "/root/testdata/sf0.001"
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    w = relational.sibling_window("l_orderkey", order_col="l_linenumber")
+    candidates = (
+        li.withColumn(
+            "has_r_after", relational.has_following(w, F.col("l_returnflag") == "R")
+        )
+        .filter((F.col("l_returnflag") == "N") & ~F.col("has_r_after"))
+        .withColumn("pdf_idx", relational.ordinal(w, zero_based=True))
+    )
+    pages = relational.group_collect(
+        candidates.withColumn(
+            "_m", F.format_string("%08d:%d", "pdf_idx", "l_partkey")
+        ),
+        ["l_orderkey"],
+        F.col("_m"),
+    )
+    return (
+        pages.join(orders, pages.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.size("members").alias("n_pages"),
+            F.array_join("members", "|").alias("members"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry.all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry.all_oracle_sql()

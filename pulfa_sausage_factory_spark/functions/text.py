@@ -1,0 +1,78 @@
+"""Text-analysis column helpers (SURVEY.md §2.l X4; A2/A3 word counting).
+
+All JVM-side built-ins — tokenization is ``split``, counting is ``size``/
+``aggregate``; no Python in the hot path. These run per-row, so they scale
+linearly and shuffle nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram-free language-ID heuristic
+#: (X4). Deterministic and oracle-expressible (the same lists are inlined in
+#: the DuckDB oracle SQL).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "une", "du"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "im", "ein"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (A2's ``wc -w``; orient_image.sh:55-60)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_count(col: Column | str) -> Column:
+    """A2 — word count of a text column."""
+    return F.size(tokens(col))
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(F.col(col) if isinstance(col, str) else col)
+
+
+def punct_count(col: Column | str) -> Column:
+    """X4 quality signal — count of non-alphanumeric, non-space chars."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9\s]", ""))
+
+
+def distinct_token_ratio(col: Column | str) -> Column:
+    """X4 quality signal — unique tokens / total tokens (repetition proxy)."""
+    t = tokens(col)
+    return F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double")
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang`` (language-ID signal)."""
+    t = tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(t, lambda w: F.array_contains(sw, F.lower(w))))
+
+
+def langid_expr(col: Column | str) -> Column:
+    """X4 — heuristic language ID: argmax over per-language stopword hits,
+    ties broken by language code order (deterministic)."""
+    scored = F.array(
+        *[
+            F.struct(stopword_hits(col, lang).alias("hits"), F.lit(lang).alias("lang"))
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    # array_max on struct compares field-by-field: (hits, lang) — max hits,
+    # then lexicographically-last lang; invert lang for deterministic
+    # first-lang tie-break by sorting on (hits desc, lang asc) via sort_array.
+    best = F.sort_array(scored, asc=False)[0]
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def rolling_fingerprint(col: Column | str, prefix_words: int = 8) -> Column:
+    """X4 — document fingerprint: md5 of the first N normalized tokens.
+    md5 (not xxhash) so a DuckDB oracle can reproduce it exactly."""
+    t = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    return F.md5(F.array_join(F.slice(t, 1, prefix_words), " "))

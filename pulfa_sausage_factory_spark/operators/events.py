@@ -1,0 +1,91 @@
+"""Event-time operators over the ``events`` table (SURVEY.md §2.j extension,
+X5, X7): tumbling windows, sessionization, JSON access, approx aggregates.
+
+Batch formulations here; ``streaming/`` holds the Structured Streaming
+equivalents (watermark + ``F.window``/``F.session_window``). The batch
+sessionization below (lag-gap + running sum) produces the same sessions as
+``F.session_window`` for gap-based sessions, and is exactly expressible in
+ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window aggregate (F.window is epoch-aligned, so
+    ``date_trunc('hour')`` reproduces the 1-hour case in the oracle)."""
+    return (
+        events.groupBy(
+            F.window("ts", width).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal-exact sum cast back to double: bit-identical across
+            # engines regardless of accumulation order (oracle parity)
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user: a new session starts when the gap
+    from the previous event exceeds ``gap_minutes``. Returns one row per
+    session with bounds and counts.
+
+    Scale: one shuffle on ``user_id``; per-user state is a sorted pass
+    (window functions), so skewed users are the only hotspot — at 100 TB
+    those get salted pre-aggregation or the Structured Streaming
+    ``session_window`` path which spills state to the state store.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-precision gap (unix_timestamp truncates to seconds)
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    with_start = events.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0),
+    ).withColumn("session_no", F.sum("is_new").over(w))
+    return (
+        with_start.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def json_props(events: DataFrame) -> DataFrame:
+    """X5 — semi-structured access: extract ``$.k`` from the JSON ``props``
+    column and aggregate. ``get_json_object`` is JVM-side (Jackson), no UDF."""
+    return (
+        events.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def approx_profile(events: DataFrame) -> DataFrame:
+    """X7 — approximate distinct/quantiles per event_type. HLL++ and
+    KLL-style sketches are mergeable → partial aggregation, one shuffle of
+    sketch bytes, never of raw values. (Approx values are engine-specific,
+    so the driver records a rows-only check for this one.)"""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("value_quantiles"),
+    )

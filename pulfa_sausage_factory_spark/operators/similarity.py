@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (SURVEY.md §2.l X3).
+
+Two paths:
+- ``knn_bruteforce`` — exact cosine top-k of a (small, broadcast) query set
+  against the full corpus. The corpus side streams: one narrow pass, per-query
+  top-k via window, no global sort. This is the correctness baseline.
+- ``knn_lsh`` — random-hyperplane LSH bucketing: corpus and queries hash to
+  sign-bit buckets; only same-bucket candidates score. At 100 TB this is the
+  scale path (candidate count output-sensitive); recall is tunable via number
+  of tables/bits. Hyperplanes are derived deterministically from a seed.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pulfa_sausage_factory_spark.functions.vectors import as_double_array, cosine
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is expected small → broadcast nested-loop join; the corpus is
+    scanned once. Ties broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python, no numpy
+    RNG state dependency): xorshift-ish LCG → N(0,1) via Box-Muller."""
+    state = seed or 1
+    def rnd() -> float:
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return ((state >> 11) + 1) / float(1 << 53)
+    planes = []
+    for _ in range(bits):
+        v = []
+        for _ in range((dim + 1) // 2):
+            u1, u2 = rnd(), rnd()
+            r = math.sqrt(-2.0 * math.log(u1))
+            v.extend([r * math.cos(2 * math.pi * u2), r * math.sin(2 * math.pi * u2)])
+        planes.append(v[:dim])
+    return planes
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane (sign) LSH bucket join.
+
+    Each vector maps to a ``bits``-bit bucket (sign of dot with each
+    hyperplane, folded JVM-side — no UDF). Queries probe only their bucket;
+    at scale, multi-probe or multiple tables raise recall. Shuffle is a plain
+    equi-join on the bucket key.
+    """
+    planes = _hyperplanes(dim, bits, seed)
+
+    def bucket(vec):
+        bit_cols = []
+        for i, p in enumerate(planes):
+            plane = F.array(*[F.lit(x) for x in p])
+            d = F.aggregate(
+                F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit_cols.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        b = F.lit(0)
+        for c in bit_cols:
+            b = b + c
+        return b
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cv"),
+    ).withColumn("bucket", bucket(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("qv"),
+    ).withColumn("bucket", bucket(F.col("qv")))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,944 @@
+"""Query registry — the driver contract surface (SURVEY.md §2 inventory).
+
+Each entry: name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Oracle SQL is DuckDB-runnable ANSI SQL over the same parquet tables. Column
+names/aliases match exactly (the driver sorts columns by name before value
+hashing).
+
+Float-determinism policy: any multi-row float aggregation goes through
+``dsum`` — cast to decimal (exact, order-independent sum) then cast the final
+value back to double. Per-row double arithmetic is IEEE-deterministic across
+engines as long as both evaluate the same operation tree, so projections stay
+double. Sequential array folds (dot products) match DuckDB's ``list_sum``
+order and are rounded to 6 decimals in both engines as a safety margin.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pulfa_sausage_factory_spark.functions import scalars, text
+from pulfa_sausage_factory_spark.io import load_table
+from pulfa_sausage_factory_spark.operators import dedup, events, relational, similarity
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def dsum(col, scale: int = 4):
+    """Decimal-exact sum of a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# F1/W5 — compound predicate + following-sibling existential window
+# (reference: dao candidate filter, bin/main.py:133-140)
+# ---------------------------------------------------------------------------
+@register(
+    "f1_window_existential",
+    """
+    WITH flagged AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             COALESCE(MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS has_r_after
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber
+    FROM flagged
+    WHERE l_returnflag = 'N' AND has_r_after = 0
+    """,
+)
+def f1_window_existential(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is non-unique in the driver data; the extra
+    # columns make the sibling order total → deterministic across engines
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    return (
+        li.withColumn(
+            "has_r_after", relational.has_following(w, F.col("l_returnflag") == "R")
+        )
+        .filter((F.col("l_returnflag") == "N") & ~F.col("has_r_after"))
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — preceding-sibling ordinal (pdf_idx, bin/main.py:161-165)
+# ---------------------------------------------------------------------------
+@register(
+    "w2_sibling_ordinal",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1
+             AS pdf_idx
+    FROM lineitem WHERE l_returnflag = 'N'
+    """,
+)
+def w2_sibling_ordinal(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "N")
+    w = relational.sibling_window("l_orderkey", order_col="l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        relational.ordinal(w, zero_based=True).alias("pdf_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/P5 — page numbering with %08d names (bin/main.py:268-281)
+# ---------------------------------------------------------------------------
+@register(
+    "w1_page_numbering",
+    """
+    SELECT l_orderkey, l_linenumber,
+           printf('%08d', ROW_NUMBER() OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber)) AS page_label
+    FROM lineitem
+    """,
+)
+def w1_page_numbering(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = relational.sibling_window("l_orderkey", order_col="l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        scalars.zero_pad8(relational.ordinal(w)).alias("page_label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3/A4 — offset renumbering after existing-count (bin/pulfarize.rb:59-77)
+# ---------------------------------------------------------------------------
+@register(
+    "w3_offset_renumber",
+    """
+    WITH existing AS (
+      SELECT l_orderkey, COUNT(*) AS n FROM lineitem
+      WHERE l_linestatus = 'F' GROUP BY l_orderkey)
+    SELECT w.l_orderkey, w.l_linenumber,
+           ROW_NUMBER() OVER (PARTITION BY w.l_orderkey ORDER BY w.l_linenumber)
+             + COALESCE(e.n, 0) AS new_number
+    FROM lineitem w LEFT JOIN existing e ON w.l_orderkey = e.l_orderkey
+    WHERE w.l_linestatus = 'O'
+    """,
+)
+def w3_offset_renumber(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    work = li.filter(F.col("l_linestatus") == "O")
+    existing = li.filter(F.col("l_linestatus") == "F")
+    return relational.offset_renumber(
+        work, existing, ["l_orderkey"], "l_linenumber"
+    ).select("l_orderkey", "l_linenumber", "new_number")
+
+
+# ---------------------------------------------------------------------------
+# A1 — group-collect with deterministic member order (bin/dao.py:173-189)
+# ---------------------------------------------------------------------------
+@register(
+    "a1_group_collect",
+    """
+    SELECT l_orderkey,
+           COUNT(*) AS n_members,
+           STRING_AGG(printf('%03d:%d', l_linenumber, l_partkey), '|'
+                      ORDER BY printf('%03d:%d', l_linenumber, l_partkey)) AS members
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def a1_group_collect(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    member = F.format_string("%03d:%d", "l_linenumber", "l_partkey")
+    grouped = relational.group_collect(
+        li.withColumn("_m", member), ["l_orderkey"], F.col("_m")
+    )
+    return grouped.select(
+        "l_orderkey",
+        F.size("members").alias("n_members"),
+        F.array_join("members", "|").alias("members"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — first-match equi-join, XPath [1] semantics (bin/main.py:491-493)
+# ---------------------------------------------------------------------------
+@register(
+    "j1_first_match_join",
+    """
+    WITH first_line AS (
+      SELECT * FROM (
+        SELECT l_orderkey, l_partkey, l_suppkey,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey,
+                          l_quantity, l_extendedprice) rn
+        FROM lineitem) WHERE rn = 1)
+    SELECT o.o_orderkey, o.o_orderstatus, f.l_partkey, f.l_suppkey
+    FROM orders o JOIN first_line f ON o.o_orderkey = f.l_orderkey
+    """,
+)
+def j1_first_match_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = relational.first_match_join(
+        orders,
+        li.select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice",
+        ),
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        right_order=[
+            "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice",
+        ],
+    )
+    return joined.select("o_orderkey", "o_orderstatus", "l_partkey", "l_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# J5 — anti-join idempotency guard (skip-if-exists, bin/main.py:184,...)
+# ---------------------------------------------------------------------------
+@register(
+    "j5_anti_join",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j5_anti_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return relational.anti_join_existing(cust, orders, ["c_custkey"]).select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — semi-join (process only if prerequisite exists,
+# bin/publish-mets-only.rb:65)
+# ---------------------------------------------------------------------------
+@register(
+    "j6_semi_join",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def j6_semi_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return relational.semi_join_existing(cust, urgent, ["c_custkey"]).select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — master↔deliverable pairing as full-outer co-group (bin/dao.py:160-178)
+# ---------------------------------------------------------------------------
+@register(
+    "j4_cogroup_pairing",
+    """
+    WITH masters AS (
+      SELECT l_partkey, COUNT(*) AS n_master FROM lineitem
+      WHERE l_linestatus = 'F' GROUP BY l_partkey),
+    delivs AS (
+      SELECT l_partkey, COUNT(*) AS n_deliverable FROM lineitem
+      WHERE l_linestatus = 'O' GROUP BY l_partkey)
+    SELECT COALESCE(m.l_partkey, d.l_partkey) AS l_partkey,
+           COALESCE(m.n_master, 0) AS n_master,
+           COALESCE(d.n_deliverable, 0) AS n_deliverable
+    FROM masters m FULL JOIN delivs d ON m.l_partkey = d.l_partkey
+    """,
+)
+def j4_cogroup_pairing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    masters = (
+        li.filter(F.col("l_linestatus") == "F")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_master"))
+    )
+    delivs = (
+        li.filter(F.col("l_linestatus") == "O")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_deliverable"))
+    )
+    return (
+        masters.withColumnRenamed("l_partkey", "mk")
+        .join(
+            delivs.withColumnRenamed("l_partkey", "dk"),
+            F.col("mk") == F.col("dk"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("mk", "dk").alias("l_partkey"),
+            F.coalesce("n_master", F.lit(0)).alias("n_master"),
+            F.coalesce("n_deliverable", F.lit(0)).alias("n_deliverable"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O2 — per-group bottom-k (bin/orient_image.sh:63-65)
+# ---------------------------------------------------------------------------
+@register(
+    "o2_topk_per_group",
+    """
+    SELECT l_orderkey, l_linenumber, rk FROM (
+      SELECT l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice, l_linenumber) AS rk
+      FROM lineitem) WHERE rk <= 2
+    """,
+)
+def o2_topk_per_group(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.top_k_per_group(
+        li, ["l_orderkey"], [F.col("l_extendedprice"), F.col("l_linenumber")], 2
+    ).select("l_orderkey", "l_linenumber", "rk")
+
+
+# ---------------------------------------------------------------------------
+# O3 — argmin winner per group (bin/orient_image.sh:76-78)
+# ---------------------------------------------------------------------------
+@register(
+    "o3_argmin",
+    """
+    SELECT l_orderkey, l_linenumber AS winner_linenumber FROM (
+      SELECT l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice, l_linenumber) AS rk
+      FROM lineitem) WHERE rk = 1
+    """,
+)
+def o3_argmin(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.argmin_per_group(
+        li, ["l_orderkey"], [F.col("l_extendedprice"), F.col("l_linenumber")]
+    ).select("l_orderkey", F.col("l_linenumber").alias("winner_linenumber"))
+
+
+# ---------------------------------------------------------------------------
+# O2+O3+A2 — the full orientation-vote pipeline shape
+# (bottom-2 by wc then argmin by misspellings, bin/orient_image.sh:55-78)
+# ---------------------------------------------------------------------------
+@register(
+    "o23_orientation_vote",
+    """
+    WITH bottom2 AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_quantity, l_linenumber,
+                                           l_extendedprice) AS rk
+        FROM lineitem) WHERE rk <= 2)
+    SELECT l_orderkey, l_linenumber AS winner_linenumber FROM (
+      SELECT l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice, l_linenumber) AS rk
+      FROM bottom2) WHERE rk = 1
+    """,
+)
+def o23_orientation_vote(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    bottom2 = relational.top_k_per_group(
+        li,
+        ["l_orderkey"],
+        [F.col("l_quantity"), F.col("l_linenumber"), F.col("l_extendedprice")],
+        2,
+    ).drop("rk")
+    return relational.argmin_per_group(
+        bottom2, ["l_orderkey"], [F.col("l_extendedprice"), F.col("l_linenumber")]
+    ).select("l_orderkey", F.col("l_linenumber").alias("winner_linenumber"))
+
+
+# ---------------------------------------------------------------------------
+# F4/P10 — status-code dispatch (bin/main.py:495-538)
+# ---------------------------------------------------------------------------
+@register(
+    "f4_status_dispatch",
+    """
+    SELECT CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+                              ELSE 'pending' END AS category,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_totalprice
+    FROM orders GROUP BY 1
+    """,
+)
+def f4_status_dispatch(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cat = (
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("pending")
+    )
+    return (
+        orders.groupBy(cat.alias("category"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — regex URL-shape predicate (bin/makepdf.rb:45-49)
+# ---------------------------------------------------------------------------
+@register(
+    "f5_regex_filter",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE regexp_matches(text, 'window (scan|merge)')
+    """,
+)
+def f5_regex_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").rlike("window (scan|merge)")).select(
+        "doc_id", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7 — integrity all-parts gate (bin/main.py:508-517,548-552)
+# ---------------------------------------------------------------------------
+@register(
+    "f7_integrity_check",
+    """
+    SELECT l_orderkey, BOOL_AND(l_discount <= 0.05) AS intact
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def f7_integrity_check(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = relational.integrity_check(li, ["l_orderkey"], F.col("l_discount") <= 0.05)
+    return out.select("l_orderkey", "intact")
+
+
+# ---------------------------------------------------------------------------
+# P1-P8 — scalar expression surface in one projection (SURVEY §2.b)
+# ---------------------------------------------------------------------------
+@register(
+    "p_scalar_surface",
+    """
+    SELECT p_partkey,
+           TRIM(regexp_replace(p_name, '\\s+', ' ', 'g')) AS norm_name,
+           concat_ws(', ', p_name, p_brand) AS title,
+           replace(p_name, ' ', '/') AS id_path,
+           printf('%08d', p_partkey) AS padded,
+           CASE p_size % 3 WHEN 0 THEN '.pbm' WHEN 1 THEN '.pgm'
+                           ELSE '.ppm' END AS ext,
+           CASE p_size % 3 WHEN 0 THEN 1 WHEN 1 THEN 8 ELSE 24 END AS img_bits,
+           CAST(FLOOR(p_retailprice / 100) * 100 AS INT) AS floor100,
+           CASE WHEN p_size * 40 < 96 THEN 0
+                ELSE CAST(FLOOR(LOG2((p_size * 40) / 96.0)) + 1 AS INT)
+           END AS jp2_levels
+    FROM part
+    """,
+)
+def p_scalar_surface(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    ext = (
+        F.when(F.col("p_size") % 3 == 0, ".pbm")
+        .when(F.col("p_size") % 3 == 1, ".pgm")
+        .otherwise(".ppm")
+    )
+    return part.select(
+        "p_partkey",
+        scalars.normalize_whitespace("p_name").alias("norm_name"),
+        scalars.title_concat("p_name", "p_brand").alias("title"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("/")).alias("id_path"),
+        scalars.zero_pad8("p_partkey").alias("padded"),
+        ext.alias("ext"),
+        scalars.ext_to_bits(ext).alias("img_bits"),
+        scalars.floor_to_100("p_retailprice").alias("floor100"),
+        scalars.jp2_levels(F.col("p_size") * 40).alias("jp2_levels"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P12/date surface — timestamp formatting + month bucketing
+# ---------------------------------------------------------------------------
+@register(
+    "date_ops",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_totalprice
+    FROM orders GROUP BY 1
+    """,
+)
+def date_ops(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Headline aggregation — TPC-H Q1 shape (pricing summary)
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,8))), 4) AS DOUBLE)
+             AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    price_dec = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc_price = price_dec * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+    charge = price_dec * (
+        (F.lit(1.0) - F.col("l_discount")) * (F.lit(1.0) + F.col("l_tax"))
+    ).cast("decimal(18,8)")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        F.round(F.sum(disc_price), 4).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(charge), 4).cast("double").alias("sum_charge"),
+        (dsum("l_quantity") / n).alias("avg_qty"),
+        (dsum("l_extendedprice") / n).alias("avg_price"),
+        (dsum("l_discount") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join+agg+topk — TPC-H Q3 shape (shipping priority)
+# ---------------------------------------------------------------------------
+@register(
+    "q3_top_revenue",
+    """
+    WITH rev AS (
+      SELECT l.l_orderkey,
+             CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
+             o.o_orderdate, o.o_orderpriority
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-03-15'
+        AND l.l_shipdate > TIMESTAMP '1998-03-15'
+      GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority)
+    SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey) AS rk
+      FROM rev) WHERE rk <= 10
+    """,
+)
+def q3_top_revenue(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Star-schema multi-join — TPC-H Q5 shape (broadcastable dims)
+# ---------------------------------------------------------------------------
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1 — exact dedup (md5 digest + first-id wins)
+# ---------------------------------------------------------------------------
+@register(
+    "x1_exact_dedup",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def x1_exact_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# X2 — n-gram-shingle Jaccard similarity pairs (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+@register(
+    "x2_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id, str_split(lower(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT id, UNNEST(list_distinct(
+        [array_to_string(t[i:i+2], ' ')
+         FOR i IN range(1, greatest(len(t) - 2, 0) + 1)])) AS shingle
+      FROM toks),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2
+    """,
+)
+def x2_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+
+
+# X2 scale path — MinHash LSH (xxhash64-based; no SQL oracle → rows-only)
+@register("x2b_minhash_lsh", None)
+def x2b_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.2)
+
+
+# X2 — SimHash fingerprints (xxhash64-based; rows-only)
+@register("x2c_simhash", None)
+def x2c_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash64(docs)
+
+
+# ---------------------------------------------------------------------------
+# X3 — exact brute-force cosine top-k similarity search
+# ---------------------------------------------------------------------------
+@register(
+    "x3_knn_bruteforce",
+    """
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS cos
+      FROM vecs c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, rk, ROUND(cos, 6) AS cos FROM (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored) WHERE rk <= 10
+    """,
+)
+def x3_knn_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.knn_bruteforce(emb, queries, k=10)
+
+
+# X3 scale path — random-hyperplane LSH ANN (rows-only)
+@register("x3b_knn_lsh", None)
+def x3b_knn_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.knn_lsh(emb, queries, k=10)
+
+
+# ---------------------------------------------------------------------------
+# X4 — per-document text statistics
+# ---------------------------------------------------------------------------
+@register(
+    "x4a_doc_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, n_chars, str_split(lower(text), ' ') AS t FROM documents)
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           n_chars,
+           CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_ratio,
+           md5(array_to_string(t[1:8], ' ')) AS fingerprint
+    FROM toks
+    """,
+)
+def x4a_doc_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        "n_chars",
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias(
+            "distinct_ratio"
+        ),
+        F.md5(F.array_join(F.slice(t, 1, 8), " ")).alias("fingerprint"),
+    )
+
+
+@register(
+    "x4b_corpus_stats",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           SUM(len(str_split(text, ' '))) AS total_tokens
+    FROM documents GROUP BY lang, source
+    """,
+)
+def x4b_corpus_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+    )
+
+
+@register(
+    "x4c_langid",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, str_split(lower(text), ' ') AS t FROM documents),
+    hits AS (
+      SELECT doc_id, lang,
+        len(list_filter(t, w -> list_contains({text.STOPWORDS['de']!r}, w))) AS h_de,
+        len(list_filter(t, w -> list_contains({text.STOPWORDS['en']!r}, w))) AS h_en,
+        len(list_filter(t, w -> list_contains({text.STOPWORDS['es']!r}, w))) AS h_es,
+        len(list_filter(t, w -> list_contains({text.STOPWORDS['fr']!r}, w))) AS h_fr
+      FROM toks)
+    SELECT doc_id, lang,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+                WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+                WHEN h_fr >= h_de THEN 'fr'
+                ELSE 'de' END AS pred_lang
+    FROM hits
+    """,
+)
+def x4c_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    # priority on ties: en > es > fr > de (matches the oracle's CASE order)
+    prio = {"en": 4, "es": 3, "fr": 2, "de": 1}
+    scored = F.array(
+        *[
+            F.struct(
+                text.stopword_hits("text", lang).alias("hits"),
+                F.lit(prio[lang]).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in text.STOPWORDS
+        ]
+    )
+    best = F.sort_array(scored, asc=False)[0]
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(best["hits"] > 0, best["lang"]).otherwise("und").alias("pred_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5 — semi-structured JSON access on events.props
+# ---------------------------------------------------------------------------
+@register(
+    "x5_json_props",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def x5_json_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return events.json_props(ev)
+
+
+# ---------------------------------------------------------------------------
+# X6 — multimodal/binary column plumbing (metadata over opaque bytes)
+# ---------------------------------------------------------------------------
+@register(
+    "x6_multimodal_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS digest,
+           'text/plain' AS mime
+    FROM documents
+    """,
+)
+def x6_multimodal_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).alias("byte_len"),
+        F.md5(F.col("text")).alias("digest"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X7 — distinct counting (exact, oracled) + sketches (rows-only)
+# ---------------------------------------------------------------------------
+@register(
+    "x7_distinct_exact",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def x7_distinct_exact(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("x7_approx_profile", None)
+def x7_approx_profile(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return events.approx_profile(ev)
+
+
+# ---------------------------------------------------------------------------
+# T — event-time windows (tumbling) + gap sessionization (batch forms)
+# ---------------------------------------------------------------------------
+@register(
+    "t_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def t_tumbling_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return events.tumbling_counts(ev, "1 hour")
+
+
+@register(
+    "t_sessionize",
+    """
+    WITH gapped AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS session_no
+      FROM gapped)
+    SELECT user_id, session_no,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def t_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return events.sessionize(ev, gap_minutes=30)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def all_oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

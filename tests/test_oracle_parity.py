@@ -1,0 +1,95 @@
+"""Mirror of the driver's correctness gate: run every registered query in
+Spark AND its DuckDB oracle SQL on the same parquet tables, compare
+row-count, schema width, and an order-insensitive value multiset.
+
+Runs at sf0.001 for speed (the driver runs sf0.01).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from pulfa_sausage_factory_spark.io import TABLE_NAMES
+from pulfa_sausage_factory_spark.queries import QUERIES
+
+ORACLED = sorted(name for name, (_, sql) in QUERIES.items() if sql is not None)
+ROWS_ONLY = sorted(name for name, (_, sql) in QUERIES.items() if sql is None)
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style stabilization: repr of float is exact round-trip
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v)
+    return str(v)
+
+
+def _multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_parity(spark, sf_dir, name):
+    fn, sql = QUERIES[name]
+    sdf = fn(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(sf_dir)
+    res = con.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    sm = _multiset(spark_rows, spark_cols)
+    dm = _multiset(duck_rows, duck_cols)
+    if sm != dm:
+        diff = [(a, b) for a, b in zip(sm, dm) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    fn, _ = QUERIES[name]
+    df = fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+def test_registry_consistency():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 25
