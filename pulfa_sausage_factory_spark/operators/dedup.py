@@ -38,7 +38,7 @@ def exact_dedup(
 
 
 def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+    r"""Distinct word n-gram shingles per document: (id, shingle).
 
     Plain single-space split (the corpus delimiter contract, and what the
     DuckDB oracle's ``str_split(lower(text), ' ')`` does) — the regex

@@ -1,0 +1,352 @@
+"""EP1 — the reference's primary entry point (``python main.py <ead.xml>``,
+bin/main.py:649-711) as a chain of checkpointed DataFrame stages.
+
+Reference stage → engine stage (all SURVEY.md §3 EP1):
+
+1. get_pdfs      → parse EADs (S1) + candidate filter (F1/W2/W5) + title
+                   projections (P1-P3) + fetch (S4, pluggable fetcher UDF)
+2. extract pages → U1 UDTF explode (pluggable extractor)
+3. bitmaps→tiff  → page numbering (W1/P5), bit depth (P6), resize target
+                   (P7), encode stub (U2), idempotent write (S12)
+4. tiff→jp2      → level count (P8), encode stub (U3), idempotent write
+5. mets          → metadata (S8/U9) + group-collect (A1/J4) + METS render
+                   (S9/S10/P11/W4), idempotent write
+6. finalize      → (folded into the idempotent writes: deterministic final
+                   paths from the start — the copy-then-move dance exists in
+                   the reference because its stages wrote to scratch roots)
+7. update_ead    → J1 join + P10 rewrite + F7 integrity gate + S11 save
+
+Between stages the frame checkpoints to parquet (T3) — the engine's version
+of the reference's serialize→clear→slurp restartability: rerunning any
+stage re-reads the previous checkpoint, and all file writes are idempotent
+(T4), so a rerun is a no-op.
+
+External tools (HTTP, pdfimages, convert, kdu) are pluggable callables with
+deterministic fallbacks — the Spark plumbing is the artifact under test
+(SURVEY.md §2.i).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pulfa_sausage_factory_spark.functions import scalars, subprocess_udf
+from pulfa_sausage_factory_spark.sinks import idempotent
+from pulfa_sausage_factory_spark.sources import listing, report_codec, xml_codec
+
+
+def _fake_fetch(url: str) -> tuple[int, bytes]:
+    """Deterministic stand-in for ``requests.get`` (bin/main.py:172-196):
+    status derives from the URL hash; body is URL-derived bytes."""
+    h = hashlib.sha1(url.encode()).digest()
+    status = [200, 200, 200, 401, 404][h[0] % 5]
+    return status, (b"%PDF-" + h * 8 if status == 200 else b"")
+
+
+@dataclass
+class EadPipelineConfig:
+    """C2 — the engine's main.conf (etc/main.conf): directory roots + tool
+    hooks as parameters instead of INI keys."""
+
+    work_dir: str
+    fetcher: Callable[[str], tuple[int, bytes]] = _fake_fetch
+    extractor: Callable[[bytes], list[bytes]] = field(
+        default=subprocess_udf._fake_pdfimages
+    )
+    created: str = "2012-01-01T00:00:00Z"  # pinned nondeterminism (SURVEY §5)
+
+    def stage_dir(self, name: str) -> str:
+        return os.path.join(self.work_dir, "checkpoints", name)
+
+    def out_dir(self, name: str) -> str:
+        return os.path.join(self.work_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Stage 1 — get_pdfs
+# ---------------------------------------------------------------------------
+
+def stage1_get_pdfs(spark: SparkSession, eads_root: str, cfg: EadPipelineConfig) -> DataFrame:
+    files = listing.list_files(spark, eads_root, glob="*.xml", with_content=True)
+    daos = xml_codec.parse_ead_daos(files)
+    cands = xml_codec.candidate_daos(daos)
+
+    # P4 — id→path derivations: host_c_id from the component id, local pdf
+    # path with _idx suffix when pdf_idx > 0 (bin/main.py:178-180)
+    cands = cands.withColumn(
+        "pdf_local_path",
+        F.concat(
+            F.lit(cfg.out_dir("pdfs") + "/"),
+            scalars.id_to_path(F.col("c_id")),
+            scalars.idx_suffix(F.lit(""), F.col("pdf_idx")),
+            F.lit(".pdf"),
+        ),
+    )
+
+    fetcher = cfg.fetcher
+    fetch_schema = T.StructType(
+        [
+            T.StructField("href", T.StringType()),
+            T.StructField("pdf_resp_status", T.IntegerType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # S4 — HTTP source as an Arrow-batched UDF; one fetch per distinct href
+        for pdf in batches:
+            rows = []
+            for href in pdf["href"]:
+                status, body = fetcher(href)
+                rows.append(
+                    {"href": href, "pdf_resp_status": status, "content": body}
+                )
+            yield pd.DataFrame(rows, columns=["href", "pdf_resp_status", "content"])
+
+    fetched = cands.select("href").distinct().mapInPandas(fetch, fetch_schema)
+    report = cands.join(fetched, "href")
+
+    # persist downloaded bodies idempotently (skip-if-exists, F3/J5)
+    ok = report.filter(F.col("pdf_resp_status") == 200)
+    idempotent.write_files(
+        ok.select(F.col("pdf_local_path").alias("out_path"), F.col("content").alias("payload"))
+    )
+    out = report.select(
+        F.col("href").alias("src_url"),
+        F.col("ead_id"),
+        F.col("c_id").alias("host_c_id"),
+        "pdf_title",
+        "pdf_idx",
+        "pdf_resp_status",
+        "pdf_local_path",
+    )
+    return report_codec.checkpoint_parquet(out, cfg.stage_dir("s1_report"))
+
+
+# ---------------------------------------------------------------------------
+# Stage 2 — extract page bitmaps (U1)
+# ---------------------------------------------------------------------------
+
+def stage2_extract_pages(spark: SparkSession, cfg: EadPipelineConfig) -> DataFrame:
+    report = spark.read.parquet(cfg.stage_dir("s1_report"))
+    ok = report.filter(F.col("pdf_resp_status") == 200)
+    pdf_files = listing.list_files(
+        spark, cfg.out_dir("pdfs"), glob="*.pdf", recursive=True, with_content=True
+    )
+    docs = ok.join(
+        pdf_files.select(F.col("path"), F.col("content")),
+        F.col("path") == F.concat(F.lit("file:"), F.col("pdf_local_path")),
+    ).select(
+        F.concat_ws("#", "host_c_id", "pdf_idx").alias("doc_key"), "content"
+    )
+    pages = subprocess_udf.explode_pdf_pages(docs, extractor=cfg.extractor)
+    return report_codec.checkpoint_parquet(pages, cfg.stage_dir("s2_pages"))
+
+
+# ---------------------------------------------------------------------------
+# Stage 3+4 — pages → "tiff" → "jp2" (W1/P5/P6/P7/P8, U2/U3 stubs, S12)
+# ---------------------------------------------------------------------------
+
+def stage34_encode(spark: SparkSession, cfg: EadPipelineConfig) -> DataFrame:
+    pages = spark.read.parquet(cfg.stage_dir("s2_pages"))
+    w = Window.partitionBy("doc_key").orderBy("page_no")
+    sized = (
+        pages.withColumn("page_label", scalars.zero_pad8(F.row_number().over(w)))
+        .withColumn("img_bits", scalars.ext_to_bits(F.lit(".ppm")))
+        .withColumn("long_side", (F.length("page_bytes") % 4000) + 200)
+        .withColumn("resize_to", scalars.floor_to_100("long_side"))
+        .withColumn("jp2_levels", scalars.jp2_levels("resize_to"))
+    )
+    tiff_path = F.concat(
+        F.lit(cfg.out_dir("tiffs") + "/"),
+        F.replace("doc_key", F.lit("#"), F.lit("/")),
+        F.lit("/"),
+        "page_label",
+        F.lit(".tif"),
+    )
+    jp2_path = F.concat(
+        F.lit(cfg.out_dir("jp2s") + "/"),
+        F.replace("doc_key", F.lit("#"), F.lit("/")),
+        F.lit("/"),
+        "page_label",
+        F.lit(".jp2"),
+    )
+    encoded = sized.select(
+        "doc_key",
+        "page_no",
+        "page_label",
+        "img_bits",
+        "resize_to",
+        "jp2_levels",
+        tiff_path.alias("tiff_path"),
+        jp2_path.alias("jp2_path"),
+        F.col("page_bytes").alias("tiff_bytes"),  # U2 stub: identity encode
+        F.col("page_bytes").alias("jp2_bytes"),  # U3 stub: identity encode
+    )
+    idempotent.write_files(
+        encoded.select(F.col("tiff_path").alias("out_path"), F.col("tiff_bytes").alias("payload"))
+    )
+    idempotent.write_files(
+        encoded.select(F.col("jp2_path").alias("out_path"), F.col("jp2_bytes").alias("payload"))
+    )
+    return report_codec.checkpoint_parquet(
+        encoded.drop("tiff_bytes", "jp2_bytes"), cfg.stage_dir("s34_encoded")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 5 — metadata + group-collect + METS render (S8/A1/S9/S10)
+# ---------------------------------------------------------------------------
+
+def stage5_mets(spark: SparkSession, cfg: EadPipelineConfig) -> DataFrame:
+    tiffs = listing.list_files(
+        spark, cfg.out_dir("tiffs"), glob="*.tif", recursive=True, with_content=True
+    )
+    jp2s = listing.list_files(
+        spark, cfg.out_dir("jp2s"), glob="*.jp2", recursive=True, with_content=True
+    )
+    reps = tiffs.unionByName(jp2s)  # J4 — union of per-use sources
+    meta = subprocess_udf.extract_binary_meta(reps)
+
+    # P9 — abs_name/cannonical/use/urn derivations (bin/dao.py:46-83)
+    rel = F.regexp_replace(
+        "path", F.lit(f"^file:{cfg.work_dir}/(tiffs|jp2s)/"), F.lit("")
+    )
+    abs_name = F.regexp_replace(rel, F.lit(r"\.[a-z0-9]+$"), F.lit(""))
+    use = scalars.use_from_path(F.col("path"))
+    derived = meta.select(
+        abs_name.alias("abs_name"),
+        rel.alias("cannonical"),
+        use.alias("use"),
+        scalars.urn_for(use, rel).alias("urn"),
+        F.col("meta.sha1").alias("checksum"),
+        F.col("meta.byte_len").cast("string").alias("size"),
+        F.col("meta.mime").alias("mimetype"),
+        F.lit(None).cast("string").alias("width"),
+        F.lit(None).cast("string").alias("height"),
+        F.lit("part").alias("wholepart"),
+        F.substring_index(abs_name, "/", 2).alias("objid"),
+    )
+
+    # A1 — two-level group-collect: reps per page, pages per object
+    members = (
+        derived.groupBy("objid", "abs_name", "wholepart")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "use", "cannonical", "urn", "checksum", "size",
+                        "mimetype", "width", "height",
+                    )
+                )
+            ).alias("reps")
+        )
+        .groupBy("objid")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("abs_name", "wholepart", "reps"))
+            ).alias("members")
+        )
+        .withColumn("label", F.lit(None).cast("string"))
+    )
+    mets = xml_codec.render_mets_column(members, cfg.created)
+    mets_path = F.concat(
+        F.lit(cfg.out_dir("mets") + "/"),
+        F.replace("objid", F.lit("/"), F.lit("_")),
+        F.lit(".mets"),
+    )
+    out = mets.select("objid", mets_path.alias("mets_path"), "mets_xml")
+    idempotent.write_files(
+        out.select(F.col("mets_path").alias("out_path"), F.col("mets_xml").alias("payload"))
+    )
+    return report_codec.checkpoint_parquet(
+        out.drop("mets_xml"), cfg.stage_dir("s5_mets")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 7 — update EADs (J1/P10/F7/S11)
+# ---------------------------------------------------------------------------
+
+def stage7_update_eads(spark: SparkSession, eads_root: str, cfg: EadPipelineConfig) -> DataFrame:
+    report = spark.read.parquet(cfg.stage_dir("s1_report"))
+    mets = spark.read.parquet(cfg.stage_dir("s5_mets"))
+    encoded = spark.read.parquet(cfg.stage_dir("s34_encoded"))
+
+    # F7 — integrity: every 200-status pdf must have pages, tiffs+jp2s
+    # written, and a METS file (bin/main.py:508-517)
+    page_counts = encoded.groupBy("doc_key").agg(F.count(F.lit(1)).alias("n_pages"))
+    with_counts = (
+        report.withColumn(
+            "doc_key", F.concat_ws("#", "host_c_id", "pdf_idx")
+        )
+        .join(page_counts, "doc_key", "left")
+        .withColumn(
+            "objid", scalars.id_to_path(F.col("host_c_id"))
+        )
+        .join(mets.select("objid", "mets_path"), "objid", "left")
+        .withColumn(
+            "intact",
+            (F.col("pdf_resp_status") == 200)
+            & F.col("n_pages").isNotNull()
+            & F.col("mets_path").isNotNull(),
+        )
+        .withColumn(
+            "mets_uri",
+            F.concat(F.lit("mets://"), F.replace("objid", F.lit("/"), F.lit("_"))),
+        )
+    )
+
+    eads = (
+        listing.list_files(spark, eads_root, glob="*.xml", with_content=True)
+        .select(F.col("path"), F.col("content").cast("string").alias("xml"))
+    )
+    # re-derive ead_id per file so the join key matches the report
+    ead_ids = xml_codec.parse_ead_daos(
+        eads.selectExpr("path", "cast(xml as binary) as content")
+    ).select("ead_id").distinct()
+    eads_keyed = eads.crossJoin(F.broadcast(ead_ids)).filter(
+        F.col("xml").contains(F.concat(F.lit("<eadid>"), F.col("ead_id")))
+    )
+
+    updated = xml_codec.update_eads(
+        eads_keyed.select("ead_id", "xml"),
+        with_counts.select(
+            "ead_id", "src_url", "pdf_resp_status", "mets_uri", "intact"
+        ),
+    )
+    out_path = F.concat(
+        F.lit(cfg.out_dir("eads_updated") + "/"), F.col("ead_id"), F.lit(".xml")
+    )
+    result = updated.select("ead_id", out_path.alias("out_path"), "xml")
+    idempotent.write_files(
+        result.select("out_path", F.col("xml").alias("payload")), overwrite=True
+    )
+    return report_codec.checkpoint_parquet(
+        result.drop("xml"), cfg.stage_dir("s7_eads")
+    )
+
+
+def run_pipeline(spark: SparkSession, eads_root: str, cfg: EadPipelineConfig) -> dict:
+    """EP1 end-to-end. Returns stage row counts (the run-report the
+    reference logged, as data — C3)."""
+    s1 = stage1_get_pdfs(spark, eads_root, cfg)
+    s2 = stage2_extract_pages(spark, cfg)
+    s34 = stage34_encode(spark, cfg)
+    s5 = stage5_mets(spark, cfg)
+    s7 = stage7_update_eads(spark, eads_root, cfg)
+    return {
+        "s1_report": s1.count(),
+        "s2_pages": s2.count(),
+        "s34_encoded": s34.count(),
+        "s5_mets": s5.count(),
+        "s7_eads": s7.count(),
+    }

@@ -936,6 +936,75 @@ def t_sessionize(spark, sf_dir):
     return events.sessionize(ev, gap_minutes=30)
 
 
+# ---------------------------------------------------------------------------
+# S2/S3 — %%-report codec round-trip through the engine (stringly degradation
+# is the documented reference semantic, bin/main.py:63-119)
+# ---------------------------------------------------------------------------
+@register(
+    "s2_report_roundtrip",
+    """
+    SELECT CAST(o_custkey AS VARCHAR) AS o_custkey,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+           CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+           o_orderpriority,
+           o_orderstatus,
+           CAST(o_totalprice AS VARCHAR) AS o_totalprice
+    FROM orders
+    """,
+)
+def s2_report_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from pulfa_sausage_factory_spark.sources import report_codec
+
+    orders = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="pulfa_report_")
+    report_codec.serialize_report(orders, path)
+    return report_codec.slurp_report(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# A2/A3 — word count + dictionary miss count (orient_image.sh:55-74)
+# ---------------------------------------------------------------------------
+_A3_DICT = sorted(
+    {w for ws in text.STOPWORDS.values() for w in ws}
+    | {"scan", "sort", "merge", "join", "order", "batch", "stream", "spark",
+       "window", "table", "hash", "key", "part", "small", "fast", "dup", "the"}
+)
+
+
+@register(
+    "a2_word_count",
+    """
+    SELECT doc_id, len(str_split(text, ' ')) AS wc FROM documents
+    """,
+)
+def a2_word_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.size(F.split("text", " ")).alias("wc"))
+
+
+@register(
+    "a3_misspelled_count",
+    f"""
+    SELECT doc_id,
+           len(list_filter(str_split(lower(text), ' '),
+                           w -> NOT list_contains({_A3_DICT!r}, w))) AS misspelled
+    FROM documents
+    """,
+)
+def a3_misspelled_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    dict_arr = F.array(*[F.lit(w) for w in _A3_DICT])
+    toks = F.split(F.lower(F.col("text")), " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda w: ~F.array_contains(dict_arr, w))).alias(
+            "misspelled"
+        ),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 

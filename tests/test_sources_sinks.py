@@ -1,0 +1,134 @@
+"""M2 — sources/sinks: %%-report codec, directory listing, SQLite queue,
+idempotent file sinks (SURVEY.md S2/S3/S6/S7/S12/T1/T4)."""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pulfa_sausage_factory_spark.io import load_table
+from pulfa_sausage_factory_spark.sinks import idempotent
+from pulfa_sausage_factory_spark.sources import listing, report_codec, sqlite_queue
+
+
+def test_report_roundtrip(spark, sf_dir, tmp_path):
+    """S2/S3: write orders as a %%-report, slurp it back; every value
+    round-trips stringly (the documented reference degradation)."""
+    orders = load_table(spark, sf_dir, "orders").limit(200)
+    path = str(tmp_path / "report")
+    header = report_codec.serialize_report(orders, path)
+    assert header == sorted(orders.columns)
+
+    back = report_codec.slurp_report(spark, path)
+    assert back.columns == sorted(orders.columns)
+    assert back.count() == orders.count()
+
+    # values: compare against the same stringification done in-engine
+    want = sorted(
+        "|".join(str(v) for v in row)
+        for row in orders.select(
+            *[F.col(c).cast("string") for c in sorted(orders.columns)]
+        ).collect()
+    )
+    got = sorted("|".join(str(v) for v in row) for row in back.collect())
+    assert want == got
+
+    # recast restores the typed schema
+    schema = T.StructType(
+        [T.StructField("o_orderkey", T.LongType()), T.StructField("o_totalprice", T.DoubleType())]
+    )
+    typed = report_codec.recast(back, schema)
+    assert dict(typed.dtypes) == {"o_orderkey": "bigint", "o_totalprice": "double"}
+
+
+def test_listing_glob_hidden_sort(spark, tmp_path):
+    """S6: glob filter, hidden-file exclusion, path ordering."""
+    root = tmp_path / "pages"
+    root.mkdir()
+    for name in ["00000002.tif", "00000001.tif", ".hidden.tif", "notes.txt"]:
+        (root / name).write_bytes(b"x" * 10)
+    df = listing.list_files(spark, str(root), glob="*.tif")
+    paths = [os.path.basename(r.path) for r in df.collect()]
+    assert paths == ["00000001.tif", "00000002.tif"]  # sorted, no hidden, no .txt
+
+
+def test_listing_modified_after(spark, tmp_path):
+    """T1: mtime watermark pruning (find -newer .last_run)."""
+    root = tmp_path / "eads"
+    root.mkdir()
+    (root / "old.xml").write_text("<a/>")
+    old_mtime = time.time() - 3600
+    os.utime(root / "old.xml", (old_mtime, old_mtime))
+    (root / "new.xml").write_text("<b/>")
+    cutoff = time.strftime("%Y-%m-%dT%H:%M:%S", time.localtime(time.time() - 600))
+    df = listing.list_files(spark, str(root), glob="*.xml", modified_after=cutoff)
+    assert [os.path.basename(r.path) for r in df.collect()] == ["new.xml"]
+
+
+def test_sqlite_queue(spark, tmp_path):
+    """S7: ImageDirs work-queue scan with the Note=' ' pending filter."""
+    db = str(tmp_path / "q.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE ImageDirs (dir TEXT, url TEXT, Note TEXT)")
+    con.executemany(
+        "INSERT INTO ImageDirs VALUES (?,?,?)",
+        [
+            ("/in/a", "http://findingaids.princeton.edu/collections/AC044/c0001", " "),
+            ("/in/b", "http://findingaids.princeton.edu/collections/AC044/c0002", "done"),
+            ("/in/c", "http://other.example.com/x", " "),
+        ],
+    )
+    con.commit()
+    con.close()
+    pend = sqlite_queue.pending_work(spark, db)
+    assert pend.count() == 2
+    # F5 — URL-shape predicate on top of the queue (bin/makepdf.rb:45-49)
+    matched = pend.filter(
+        F.col("url").rlike(r"^http://findingaids\.princeton\.edu/collections/.*")
+    )
+    assert matched.count() == 1
+
+
+def test_idempotent_write_and_rerun(spark, tmp_path):
+    """S12/T4: writing twice produces identical state; existing outputs are
+    never clobbered (the metamorphic rerun-is-a-noop property)."""
+    dest = tmp_path / "out"
+    dest.mkdir()
+    rows = [(str(dest / f"f{i}.txt"), f"payload-{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, ["out_path", "payload"])
+    idempotent.write_files(df)
+    first = {p.name: p.read_text() for p in dest.glob("*.txt")}
+    assert len(first) == 5
+
+    # mutate one output; rerun must NOT overwrite it
+    (dest / "f0.txt").write_text("externally-changed")
+    idempotent.write_files(df)
+    assert (dest / "f0.txt").read_text() == "externally-changed"
+
+    # skip_existing prunes all rows already produced
+    remaining = idempotent.skip_existing(df, str(dest))
+    assert remaining.count() == 0
+
+
+def test_finalize_move(spark, tmp_path):
+    """S12 finalize: copy-then-delete, never overwrite (bin/main.py:543-588)."""
+    src = tmp_path / "stage"
+    dst = tmp_path / "final"
+    src.mkdir()
+    dst.mkdir()
+    (src / "a.tif").write_bytes(b"A")
+    (src / "b.tif").write_bytes(b"B")
+    (dst / "b.tif").write_bytes(b"KEEP")  # pre-existing final: must survive
+    df = spark.createDataFrame(
+        [(str(src / n), str(dst / n)) for n in ("a.tif", "b.tif")],
+        ["src_path", "dest_path"],
+    )
+    idempotent.finalize_move(df)
+    assert (dst / "a.tif").read_bytes() == b"A"
+    assert not (src / "a.tif").exists()  # moved
+    assert (dst / "b.tif").read_bytes() == b"KEEP"  # never overwritten
+    assert (src / "b.tif").exists()  # source kept when dest existed
