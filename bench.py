@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue",
     "q5_local_supplier_volume",
+    "q6_revenue_change",
+    "q10_returned_items",
     "w1_page_numbering",
     "a1_group_collect",
     "x1_exact_dedup",
@@ -37,6 +39,7 @@ BENCH_QUERIES = [
     "x3_knn_bruteforce",
     "t_sessionize",
     "t_tumbling_window",
+    "t_sliding_window",
 ]
 
 

@@ -76,3 +76,19 @@ def rolling_fingerprint(col: Column | str, prefix_words: int = 8) -> Column:
     md5 (not xxhash) so a DuckDB oracle can reproduce it exactly."""
     t = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
     return F.md5(F.array_join(F.slice(t, 1, prefix_words), " "))
+
+
+def rolling_hash(col: Column | str, mod: int = 2_147_483_648, base: int = 31) -> Column:
+    """X4 — full-document rolling polynomial hash over character codes:
+    ``h = fold(h*base + code(c)) % mod``. Stays JVM-side (one ``aggregate``
+    fold, no UDF); ``mod`` = 2^31 keeps every intermediate < 2^36, safely
+    inside a long under ANSI mode. Character codes via ``ascii`` match
+    DuckDB's ``ord`` on the corpus (single-codepoint semantics), so a
+    ``list_reduce`` oracle reproduces the value exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + x) % mod,
+    )

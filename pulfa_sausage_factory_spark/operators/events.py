@@ -37,6 +37,30 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_counts(
+    events: DataFrame, size: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding (hopping) event-time window aggregate via ``F.window(ts,
+    size, slide)``. Each event lands in ``size/slide`` overlapping windows —
+    Spark expands that fan-out JVM-side before the partial aggregation, so
+    the shuffle carries pre-combined per-(window, type) rows, not raw events.
+    Epoch-aligned like the tumbling case, so an oracle can reproduce the
+    window starts arithmetically."""
+    return (
+        events.groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization per user: a new session starts when the gap
     from the previous event exceeds ``gap_minutes``. Returns one row per

@@ -123,3 +123,97 @@ def knn_lsh(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "rk", F.round("cos", 6).alias("cos"))
     )
+
+
+def embedding_neardup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """X2 (embedding variant) — near-duplicate pairs by cosine similarity.
+
+    Pairs are generated inside blocks (``block_col``) instead of a full
+    cross join: at scale the blocking key is an LSH bucket / IVF cell /
+    upstream cluster id, which bounds the candidate count to
+    sum(block_size²) — the same output-sensitive shape as ``knn_lsh``.
+    With ``block_col=None`` it degrades to the exact all-pairs baseline
+    (oracle-checkable, test scales only).
+    """
+    sel = [F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")]
+    if block_col is not None:
+        sel.append(F.col(block_col).alias("blk"))
+    vecs = corpus.select(*sel)
+    a, b = vecs.alias("a"), vecs.alias("b")
+    joined = a.join(b, "blk") if block_col is not None else a.crossJoin(b)
+    return (
+        joined.filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("cos", cosine(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 (IVF variant) — inverted-file ANN: coarse-quantize the corpus into
+    ``n_cells`` cells, search only the ``n_probe`` cells nearest each query.
+
+    Centroids here are the first ``n_cells`` corpus vectors by id — a
+    deterministic stand-in for k-means-trained centroids (training is an
+    offline job at scale; the serving plan below is identical either way):
+
+      1. broadcast centroids; assign every corpus vector to its max-cosine
+         cell (window argmin over the small fan-out join);
+      2. assign each query to its ``n_probe`` best cells the same way;
+      3. equi-join on cell id → exact cosine only within probed cells
+         → per-query top-k window.
+
+    The only all-pairs work is vs. centroids (|data| × n_cells); the
+    candidate join is output-sensitive. Recall < 1 by construction —
+    ``knn_bruteforce`` is the exactness baseline.
+    """
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell_id"), as_double_array(vec_col).alias("cent"))
+    )
+
+    def assign(df: DataFrame, out_id: str, top: int) -> DataFrame:
+        scored = (
+            df.select(F.col(id_col).alias(out_id), as_double_array(vec_col).alias("v"))
+            .crossJoin(F.broadcast(centroids))
+            .withColumn("cell_cos", cosine(F.col("v"), F.col("cent")))
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("cell_cos").desc(), F.col("cell_id"))
+        return (
+            scored.withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= top)
+            .select(out_id, "v", "cell_id")
+        )
+
+    c = assign(corpus, "neighbor_id", 1).withColumnRenamed("v", "cv")
+    q = assign(queries, "query_id", n_probe).withColumnRenamed("v", "qv")
+    scored = (
+        c.join(F.broadcast(q), "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", F.round("cos", 6).alias("cos"))
+    )

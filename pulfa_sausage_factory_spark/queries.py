@@ -1005,6 +1005,199 @@ def a3_misspelled_count(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Scan-dominant filter+agg — TPC-H Q6 shape (all predicates pushed to parquet)
+# ---------------------------------------------------------------------------
+@register(
+    "q6_revenue_change",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_change(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * F.col("l_discount").cast("decimal(18,4)")
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Returned-item customer ranking — TPC-H Q10 shape (join + group + top-k)
+# ---------------------------------------------------------------------------
+@register(
+    "q10_returned_items",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment,
+             CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY 1, 2, 3, 4)
+    SELECT c_custkey, c_name, revenue, c_acctbal, c_mktsegment FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rk
+      FROM rev) WHERE rk <= 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T — sliding (hopping) event-time windows: size 1h, slide 30m → every event
+# lands in exactly 2 epoch-aligned windows; oracle expands arithmetically
+# ---------------------------------------------------------------------------
+@register(
+    "t_sliding_window",
+    """
+    WITH expanded AS (
+      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                            - k * 1800000000) AS window_start,
+             event_type, value
+      FROM events CROSS JOIN (VALUES (0), (1)) AS probe(k))
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def t_sliding_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return events.sliding_counts(ev, size="1 hour", slide="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# X2 (embedding variant) — cosine near-dup pairs inside label blocks
+# ---------------------------------------------------------------------------
+@register(
+    "x2d_embedding_neardup",
+    """
+    WITH vecs AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+      FROM vecs a JOIN vecs b ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, ROUND(cos, 6) AS cos
+    FROM pairs WHERE cos >= 0.25
+    """,
+)
+def x2d_embedding_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup(emb, threshold=0.25, block_col="label")
+
+
+# ---------------------------------------------------------------------------
+# X3 (IVF variant) — inverted-file ANN, deterministic coarse centroids
+# ---------------------------------------------------------------------------
+@register(
+    "x3c_knn_ivf",
+    """
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cell_id, v AS cent FROM vecs ORDER BY vec_id LIMIT 16),
+    scored AS (
+      SELECT vecs.vec_id, vecs.v, cents.cell_id,
+             list_sum(list_transform(range(1, 65), i -> vecs.v[i] * cents.cent[i]))
+               / (sqrt(list_sum(list_transform(vecs.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(cents.cent, x -> x * x)))) AS cell_cos
+      FROM vecs CROSS JOIN cents),
+    asg_c AS (
+      SELECT vec_id AS neighbor_id, v AS cv, cell_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cell_cos DESC, cell_id) AS crk
+        FROM scored) WHERE crk <= 1),
+    asg_q AS (
+      SELECT vec_id AS query_id, v AS qv, cell_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cell_cos DESC, cell_id) AS crk
+        FROM scored WHERE vec_id < 5) WHERE crk <= 2),
+    cand AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i]))
+               / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS cos
+      FROM asg_c c JOIN asg_q q USING (cell_id)
+      WHERE c.neighbor_id <> q.query_id)
+    SELECT query_id, neighbor_id, rk, ROUND(cos, 6) AS cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cand) WHERE rk <= 10
+    """,
+)
+def x3c_knn_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.knn_ivf(emb, queries, k=10, n_cells=16, n_probe=2)
+
+
+# ---------------------------------------------------------------------------
+# X4 — full-document rolling polynomial hash fingerprint
+# ---------------------------------------------------------------------------
+@register(
+    "x4d_rolling_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(str_split(text, ''),
+                                         c -> CAST(ord(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483648) AS fp
+    FROM documents
+    """,
+)
+def x4d_rolling_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.rolling_hash("text").alias("fp"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 
