@@ -1,0 +1,243 @@
+"""Multimodal binary-column operators (SURVEY.md §2.l X6).
+
+Images/audio/video are opaque ``binary`` columns plus typed metadata
+structs — the reference's per-file metadata surface (bin/dao.py:86-100,
+pyexiv2 dims + MIME + SHA-1) generalized to Arrow-batched operators.
+
+What is REAL here and what is STUBBED:
+
+- Header parsing (``sniff_image_meta``) is real: PNG/JPEG/GIF dimensions
+  and MIME are decoded from the container bytes in pure Python — the same
+  metadata pyexiv2 provided in the reference (bin/dao.py:93-98).
+- Full pixel decode and resampling need an image library that is not in
+  this container. ``resize_image`` uses Pillow when importable and
+  otherwise a clearly-marked deterministic fake (output metadata is exact,
+  pixel bytes are a content hash). ``sample_frames`` and ``featurize``
+  likewise produce deterministic content-derived stand-ins.
+- The Spark-side plumbing — schemas, ``mapInPandas`` batch iteration,
+  UDTF-shaped explode (one video row → N frame rows), partition sizing —
+  is real and is the part that carries to a 100 TB cluster: each stage is
+  a narrow Arrow-batched pass with no shuffle; parallelism follows source
+  partitioning (binaryFile / parquet splits).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("sha1", T.StringType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_sha1", T.StringType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_sha1", T.StringType()),
+        T.StructField("real_decode", T.BooleanType()),
+    ]
+)
+
+
+def png_bytes(width: int, height: int) -> bytes:
+    """Minimal structurally-valid PNG prefix (magic + IHDR) for the given
+    dimensions — enough container to exercise the real header parser in
+    tests and oracle queries without an encoder library."""
+    ihdr = struct.pack(">II", width, height) + bytes([8, 2, 0, 0, 0])
+    return b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+
+
+def sniff_image_meta(blob: bytes) -> tuple[str, int | None, int | None]:
+    """REAL pure-Python container parsing: (mime, width, height) from PNG
+    IHDR, JPEG SOFn segment scan, or GIF logical screen descriptor; unknown
+    containers → ('application/octet-stream', None, None)."""
+    if blob[:8] == b"\x89PNG\r\n\x1a\n" and len(blob) >= 24:
+        w, h = struct.unpack(">II", blob[16:24])
+        return "image/png", w, h
+    if blob[:3] == b"GIF" and len(blob) >= 10:
+        w, h = struct.unpack("<HH", blob[6:10])
+        return "image/gif", w, h
+    if blob[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(blob):
+            if blob[i] != 0xFF:
+                break
+            marker = blob[i + 1]
+            seg_len = struct.unpack(">H", blob[i + 2 : i + 4])[0]
+            # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", blob[i + 5 : i + 9])
+                return "image/jpeg", w, h
+            i += 2 + seg_len
+        return "image/jpeg", None, None
+    return "application/octet-stream", None, None
+
+
+def decode_image_meta(
+    df: DataFrame, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """Binary column → typed image metadata via ``mapInPandas``. One narrow
+    Arrow pass, no shuffle; the per-blob work is the real header parse."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(blob)
+                mime, w, h = sniff_image_meta(b)
+                rows.append(
+                    (int(i), mime, w, h, len(b), hashlib.sha1(b).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "mime", "width", "height", "byte_len", "sha1"]
+            )
+
+    return df.select(F.col(id_col).alias(id_col), content_col).mapInPandas(
+        batches, IMAGE_META_SCHEMA
+    )
+
+
+def resize_image(
+    df: DataFrame,
+    target: int = 256,
+    content_col: str = "content",
+    id_col: str = "id",
+) -> DataFrame:
+    """U2-shaped resize (ImageMagick ``convert -resize``, bin/main.py:309-322).
+
+    With Pillow importable the decode+resample is real; otherwise a
+    DETERMINISTIC FAKE: output dims follow the reference's aspect-preserving
+    rule exactly (long side → ``target``), pixel bytes are replaced by a
+    content hash, and ``real_decode=false`` marks the rows."""
+    try:  # pragma: no cover - Pillow absent in this container
+        from PIL import Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in it:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(blob)
+                if has_pil:  # pragma: no cover
+                    from PIL import Image
+
+                    im = Image.open(io.BytesIO(b))
+                    w0, h0 = im.size
+                else:
+                    _, w0, h0 = sniff_image_meta(b)
+                    if w0 is None:
+                        rows.append((int(i), None, None, None, False))
+                        continue
+                scale = target / max(w0, h0)
+                # half-up (not Python banker's round): floor(x+0.5) is
+                # reproducible in ANSI SQL for the oracle
+                w1 = max(1, int(w0 * scale + 0.5))
+                h1 = max(1, int(h0 * scale + 0.5))
+                if has_pil:  # pragma: no cover
+                    out = io.BytesIO()
+                    im.resize((w1, h1)).save(out, format=im.format or "PNG")
+                    digest = hashlib.sha1(out.getvalue()).hexdigest()
+                else:
+                    digest = hashlib.sha1(b + struct.pack(">II", w1, h1)).hexdigest()
+                rows.append((int(i), w1, h1, digest, has_pil))
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "resized_sha1", "real_decode"]
+            )
+
+    return df.select(F.col(id_col).alias(id_col), content_col).mapInPandas(
+        batches, RESIZE_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    max_frames: int = 8,
+    content_col: str = "content",
+    id_col: str = "id",
+) -> DataFrame:
+    """UDTF-shaped frame sampling: one video row → ceil(n_frames/every_n)
+    frame rows (U1's explode pattern, bin/main.py:237-249, applied to
+    video). Real ffmpeg/pyav decode is STUBBED with a deterministic fake:
+    frame count and frame bytes derive from the content hash, so results
+    are stable across retries — the property Spark task re-execution
+    requires of any side-effect-free UDTF."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(blob)
+                h = hashlib.sha1(b).digest()
+                n_frames = (h[0] % max_frames) + 1
+                for fno in range(0, n_frames, every_n):
+                    fb = hashlib.sha1(b + struct.pack(">I", fno)).digest() * 2
+                    rows.append(
+                        (int(i), fno, hashlib.sha1(fb).hexdigest(), fb)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["id", "frame_no", "frame_sha1", "frame_bytes"]
+            )
+
+    return df.select(F.col(id_col).alias(id_col), content_col).mapInPandas(
+        batches, FRAME_SCHEMA
+    )
+
+
+def featurize(
+    df: DataFrame, dim: int = 8, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """Batch "model inference" shape: binary column → ``array<float>``
+    feature vector via ``mapInPandas``. The model is a DETERMINISTIC FAKE
+    (md5-digest bytes scaled to [0,1]) but the batch contract — Arrow in,
+    fixed-width float vectors out, no shuffle — is exactly what a real
+    encoder (CLIP-style) needs; swap the body for a model call."""
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, feats = [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                digest = hashlib.md5(bytes(blob)).digest()
+                ids.append(int(i))
+                feats.append([round(b / 255.0, 6) for b in digest[:dim]])
+            yield pd.DataFrame({"id": ids, "features": feats})
+
+    return df.select(F.col(id_col).alias(id_col), content_col).mapInPandas(
+        batches, schema
+    )

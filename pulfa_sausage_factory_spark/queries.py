@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 
 from pulfa_sausage_factory_spark.functions import scalars, text
 from pulfa_sausage_factory_spark.io import load_table
-from pulfa_sausage_factory_spark.operators import dedup, events, relational, similarity
+from pulfa_sausage_factory_spark.operators import (
+    dedup,
+    events,
+    multimodal,
+    relational,
+    similarity,
+)
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
@@ -1196,6 +1202,98 @@ def x3c_knn_ivf(spark, sf_dir):
 def x4d_rolling_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", text.rolling_hash("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# X6 — multimodal binary-column plumbing: a structurally-valid PNG is built
+# per document JVM-side (magic + IHDR with width=n_chars, height=doc_id%240+1),
+# then decoded back by the REAL pure-python header parser in mapInPandas.
+# The oracle recomputes the expected metadata relationally.
+# ---------------------------------------------------------------------------
+def _png_content(width_col, height_col):
+    import struct as _s
+
+    be4 = lambda c: F.unhex(F.lpad(F.hex(c.cast("long")), 8, "0"))  # noqa: E731
+    return F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + b"IHDR"),
+        be4(width_col),
+        be4(height_col),
+        F.lit(bytes([8, 2, 0, 0, 0])),
+    )
+
+
+@register(
+    "x6b_image_decode",
+    """
+    SELECT doc_id, 'image/png' AS mime, n_chars AS width,
+           doc_id % 240 + 1 AS height, 29 AS byte_len
+    FROM documents
+    """,
+)
+def x6b_image_decode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    imgs = docs.select(
+        F.col("doc_id").alias("id"),
+        _png_content(F.col("n_chars"), F.col("doc_id") % 240 + 1).alias("content"),
+    )
+    meta = multimodal.decode_image_meta(imgs)
+    return meta.select(
+        F.col("id").alias("doc_id"),
+        "mime",
+        "width",
+        F.col("height").cast("long").alias("height"),
+        F.col("byte_len").cast("int").alias("byte_len"),
+    )
+
+
+@register(
+    "x6f_image_resize",
+    """
+    WITH dims AS (
+      SELECT doc_id, n_chars AS w0, doc_id % 240 + 1 AS h0 FROM documents)
+    SELECT doc_id,
+           GREATEST(1, CAST(FLOOR(w0 * (256.0 / GREATEST(w0, h0)) + 0.5) AS INT)) AS width,
+           GREATEST(1, CAST(FLOOR(h0 * (256.0 / GREATEST(w0, h0)) + 0.5) AS INT)) AS height
+    FROM dims
+    """,
+)
+def x6f_image_resize(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    imgs = docs.select(
+        F.col("doc_id").alias("id"),
+        _png_content(F.col("n_chars"), F.col("doc_id") % 240 + 1).alias("content"),
+    )
+    resized = multimodal.resize_image(imgs, target=256)
+    return resized.select(F.col("id").alias("doc_id"), "width", "height")
+
+
+@register(
+    "x6e_featurize",
+    """
+    SELECT doc_id,
+           list_transform(range(1, 9),
+             i -> round(CAST(('0x' || substr(md5(text), (i-1)*2+1, 2)) AS INTEGER)
+                        / 255.0, 6)) AS features
+    FROM documents
+    """,
+)
+def x6e_featurize(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("content")
+    )
+    feats = multimodal.featurize(blobs, dim=8)
+    return feats.select(F.col("id").alias("doc_id"), "features")
+
+
+# X6 — video frame sampling (UDTF explode; sha1-derived fake frames → rows-only)
+@register("x6c_frame_sample", None)
+def x6c_frame_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    vids = docs.select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("content")
+    )
+    return multimodal.sample_frames(vids, every_n=2).drop("frame_bytes")
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

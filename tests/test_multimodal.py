@@ -1,0 +1,95 @@
+"""X6 multimodal plumbing: real header parsing, mapInPandas schemas/batch
+shapes, UDTF explode determinism (SURVEY.md §2.l X6; reference metadata
+surface bin/dao.py:86-100)."""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import functions as F
+
+from pulfa_sausage_factory_spark.operators import multimodal as mm
+
+
+def _jpeg_bytes(width: int, height: int) -> bytes:
+    # SOI + minimal SOF0 segment carrying the dimensions
+    sof = struct.pack(">HBHHB", 8 + 3, 8, height, width, 1) + bytes([1, 0x11, 0])
+    return b"\xff\xd8" + b"\xff\xc0" + sof
+
+
+def _gif_bytes(width: int, height: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", width, height)
+
+
+def test_sniff_parses_real_containers():
+    assert mm.sniff_image_meta(mm.png_bytes(640, 480)) == ("image/png", 640, 480)
+    assert mm.sniff_image_meta(_jpeg_bytes(123, 77)) == ("image/jpeg", 123, 77)
+    assert mm.sniff_image_meta(_gif_bytes(31, 17)) == ("image/gif", 31, 17)
+    assert mm.sniff_image_meta(b"not an image at all") == (
+        "application/octet-stream",
+        None,
+        None,
+    )
+
+
+def test_decode_image_meta_schema_and_values(spark):
+    rows = [(1, mm.png_bytes(100, 50)), (2, _gif_bytes(8, 9)), (3, b"junk")]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = mm.decode_image_meta(df).orderBy("id").collect()
+    assert [f.name for f in mm.IMAGE_META_SCHEMA.fields] == [
+        "id", "mime", "width", "height", "byte_len", "sha1",
+    ]
+    assert (out[0].mime, out[0].width, out[0].height) == ("image/png", 100, 50)
+    assert (out[1].mime, out[1].width, out[1].height) == ("image/gif", 8, 9)
+    assert out[2].mime == "application/octet-stream" and out[2].width is None
+    assert out[0].byte_len == len(mm.png_bytes(100, 50))
+    assert len(out[0].sha1) == 40
+
+
+def test_resize_aspect_rule(spark):
+    # long side → 256, half-up rounding (the reference's convert -resize
+    # aspect-preserving shape, bin/main.py:302-312)
+    df = spark.createDataFrame(
+        [(1, mm.png_bytes(512, 128)), (2, mm.png_bytes(100, 400)), (3, b"junk")],
+        "id long, content binary",
+    )
+    out = {r.id: r for r in mm.resize_image(df, target=256).collect()}
+    assert (out[1].width, out[1].height) == (256, 64)
+    assert (out[2].width, out[2].height) == (64, 256)
+    assert out[3].width is None  # unparseable → null dims, not a crash
+    assert out[1].real_decode is False  # Pillow absent here: fake documented
+
+
+def test_sample_frames_udtf_shape(spark):
+    df = spark.createDataFrame([(7, b"video-bytes")], "id long, content binary")
+    a = mm.sample_frames(df, every_n=1).collect()
+    b = mm.sample_frames(df, every_n=1).collect()
+    assert a == b  # deterministic across re-execution (task-retry safe)
+    assert len(a) >= 1 and a[0].frame_no == 0
+    assert [r.frame_no for r in a] == list(range(len(a)))
+    # every_n=2 samples every other frame of the same decoded sequence
+    half = mm.sample_frames(df, every_n=2).collect()
+    assert [r.frame_no for r in half] == [r.frame_no for r in a][::2]
+
+
+def test_featurize_batch_shape(spark):
+    df = spark.createDataFrame(
+        [(i, b"blob-%d" % i) for i in range(10)], "id long, content binary"
+    )
+    out = mm.featurize(df, dim=8)
+    assert out.schema["features"].dataType.simpleString() == "array<double>"
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(len(r.features) == 8 for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r.features)
+
+
+def test_png_builder_matches_spark_expression(spark, sf_dir):
+    # the JVM-built PNG (queries.py _png_content) and the python builder
+    # produce identical bytes — the decode query's premise
+    from pulfa_sausage_factory_spark.queries import _png_content
+
+    df = spark.createDataFrame([(300, 41)], "w int, h int").select(
+        _png_content(F.col("w"), F.col("h")).alias("content")
+    )
+    assert bytes(df.first().content) == mm.png_bytes(300, 41)
