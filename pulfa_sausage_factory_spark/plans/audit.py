@@ -1,0 +1,68 @@
+"""Physical-plan audit helpers (SURVEY.md §4).
+
+The reference hand-rolled its physical tricks (predicate-in-the-scan,
+skip-guards, stage checkpoints); here Catalyst supplies them — these
+helpers make that VERIFIABLE instead of assumed. Tests assert that the
+plans the engine ships are the plans a 100 TB deployment needs: filters
+reaching the parquet scan, dimension joins broadcast, projections pruned
+to the columns actually read, and no accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def explain_formatted(df: DataFrame) -> str:
+    """The string form of ``df.explain("formatted")``."""
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+def assert_pushed_filter(df: DataFrame, *needles: str) -> None:
+    """Every ``needle`` (usually a column name) must appear inside a
+    ``PushedFilters: [...]`` entry of some scan in the plan."""
+    plan = explain_formatted(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, f"no PushedFilters in plan:\n{plan}"
+    blob = " ".join(pushed)
+    for needle in needles:
+        assert needle in blob, (
+            f"filter on {needle!r} not pushed to scan; PushedFilters={blob}"
+        )
+
+
+def assert_read_schema_pruned(
+    df: DataFrame, max_cols: int, table_hint: str | None = None
+) -> None:
+    """The widest parquet ``ReadSchema`` in the plan must read at most
+    ``max_cols`` columns — column pruning reached the scan."""
+    plan = explain_formatted(df)
+    schemas = [
+        ln.split("ReadSchema:", 1)[1]
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln and (table_hint is None or table_hint in ln)
+    ]
+    assert schemas, f"no ReadSchema in plan:\n{plan}"
+    widths = [s.count(":") for s in schemas]
+    assert max(widths) <= max_cols, (
+        f"scan reads {max(widths)} cols (> {max_cols}): {schemas}"
+    )
+
+
+def assert_broadcast_join(df: DataFrame, at_least: int = 1) -> None:
+    """Plan must contain >= ``at_least`` broadcast joins (dimension sides
+    shipped to executors instead of shuffling the fact table)."""
+    plan = explain_formatted(df)
+    n = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+    assert n >= at_least, f"expected >= {at_least} broadcast joins, found {n}:\n{plan}"
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    """No CartesianProduct in the physical plan (broadcast nested-loop of a
+    deliberately-broadcast tiny side is allowed; a shuffled cartesian of two
+    big sides is the scale killer this guards against)."""
+    plan = explain_formatted(df)
+    assert "CartesianProduct" not in plan, f"cartesian product in plan:\n{plan}"

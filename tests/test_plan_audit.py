@@ -1,0 +1,48 @@
+"""§4 — the physical plans the engine ships are the plans 100 TB needs:
+pushdown, pruning, broadcast dims, no accidental cartesians."""
+
+from __future__ import annotations
+
+import pytest
+
+from pulfa_sausage_factory_spark import plans
+from pulfa_sausage_factory_spark.queries import QUERIES
+
+#: query → (pushed-filter needles, max scan width)
+PUSHDOWN_CASES = {
+    "q6_revenue_change": (("l_shipdate", "l_discount", "l_quantity"), 4),
+    "q3_top_revenue": (("c_mktsegment",), 11),
+    "f5_regex_filter": ((), 3),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PUSHDOWN_CASES))
+def test_filters_pushed_and_columns_pruned(spark, sf_dir, name):
+    needles, max_cols = PUSHDOWN_CASES[name]
+    df = QUERIES[name][0](spark, sf_dir)
+    if needles:
+        plans.assert_pushed_filter(df, *needles)
+    plans.assert_read_schema_pruned(df, max_cols)
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    # q5: region/nation/supplier are far below the broadcast threshold —
+    # the fact table must never shuffle for them
+    df = QUERIES["q5_local_supplier_volume"][0](spark, sf_dir)
+    plans.assert_broadcast_join(df, at_least=2)
+
+
+def test_knn_broadcasts_query_side(spark, sf_dir):
+    # brute-force knn is corpus-stream × broadcast(queries): the corpus
+    # side must not shuffle
+    df = QUERIES["x3_knn_bruteforce"][0](spark, sf_dir)
+    plans.assert_broadcast_join(df, at_least=1)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "q5_local_supplier_volume", "x2_ngram_jaccard",
+     "x2b_minhash_lsh", "t_sessionize"],
+)
+def test_no_accidental_cartesian(spark, sf_dir, name):
+    plans.assert_no_cartesian(QUERIES[name][0](spark, sf_dir))

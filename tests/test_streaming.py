@@ -94,3 +94,76 @@ def test_streaming_sessions_match_batch_sessionize(spark, sf_dir, tmp_path):
         for r in ev_ops.sessionize(ev, gap_minutes=30).collect()
     )
     assert got == want
+
+
+def test_stateful_running_user_stats(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: cumulative per-user totals across two
+    micro-batches equal the batch groupBy over the union — state carries
+    between batches."""
+    from pulfa_sausage_factory_spark.streaming import stateful
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    staged = str(tmp_path / "ev_two_files")
+    # two parquet files → file-source processes them as discovery order;
+    # with availableNow both arrive, but per-key state still accumulates
+    ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(staged)
+    ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(staged)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(staged).schema
+    ).option("maxFilesPerTrigger", 1).parquet(staged)
+    out = stateful.running_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends a row per touched batch; the final update per user
+    # (max n_events) is the lifetime total
+    final = {}
+    for r in spark.sql("select * from running_stats").collect():
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, round(r.sum_value, 4))
+    want = {
+        r.user_id: (r.n_events, round(r.sum_value, 4))
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert {u: v[0] for u, v in final.items()} == {u: v[0] for u, v in want.items()}
+
+
+def test_stateful_streaming_dedup_first_seen(spark, tmp_path):
+    """applyInPandasWithState dedup: each key emitted once (first batch it
+    appears in), duplicates only counted."""
+    from pulfa_sausage_factory_spark.streaming import stateful
+    import datetime
+
+    rows = [
+        (datetime.datetime(2024, 1, 1, h, 0, 0), "k%d" % (i % 3))
+        for i, h in enumerate(range(10))
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    staged = str(tmp_path / "dedup_in")
+    df.coalesce(1).write.parquet(staged)
+
+    stream = spark.readStream.schema(df.schema).parquet(staged)
+    out = stateful.streaming_dedup(stream, key_col="event_type", ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from dedup_test").collect()
+    # 3 distinct keys → exactly 3 first-seen emissions; 10 rows - 3 = 7 suppressed
+    assert len(got) == 3
+    assert sum(r.n_suppressed for r in got) == 7
