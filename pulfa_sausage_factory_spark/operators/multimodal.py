@@ -47,7 +47,7 @@ FRAME_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType()),
         T.StructField("frame_no", T.IntegerType()),
-        T.StructField("frame_sha1", T.StringType()),
+        T.StructField("frame_digest", T.StringType()),
         T.StructField("frame_bytes", T.BinaryType()),
     ]
 )
@@ -188,24 +188,23 @@ def sample_frames(
     """UDTF-shaped frame sampling: one video row → ceil(n_frames/every_n)
     frame rows (U1's explode pattern, bin/main.py:237-249, applied to
     video). Real ffmpeg/pyav decode is STUBBED with a deterministic fake:
-    frame count and frame bytes derive from the content hash, so results
-    are stable across retries — the property Spark task re-execution
-    requires of any side-effect-free UDTF."""
+    frame count and frame digests derive from md5 over the content's hex
+    form (ASCII-safe → an ANSI-SQL oracle reproduces them), so results are
+    stable across retries — the property Spark task re-execution requires
+    of any side-effect-free UDTF."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for i, blob in zip(pdf[id_col], pdf[content_col]):
-                b = bytes(blob)
-                h = hashlib.sha1(b).digest()
-                n_frames = (h[0] % max_frames) + 1
+                hx = bytes(blob).hex()
+                seed = hashlib.md5(hx.encode("ascii")).hexdigest()
+                n_frames = (int(seed[:2], 16) % max_frames) + 1
                 for fno in range(0, n_frames, every_n):
-                    fb = hashlib.sha1(b + struct.pack(">I", fno)).digest() * 2
-                    rows.append(
-                        (int(i), fno, hashlib.sha1(fb).hexdigest(), fb)
-                    )
+                    digest = hashlib.md5(f"{hx}:{fno}".encode("ascii")).hexdigest()
+                    rows.append((int(i), fno, digest, bytes.fromhex(digest) * 2))
             yield pd.DataFrame(
-                rows, columns=["id", "frame_no", "frame_sha1", "frame_bytes"]
+                rows, columns=["id", "frame_no", "frame_digest", "frame_bytes"]
             )
 
     return df.select(F.col(id_col).alias(id_col), content_col).mapInPandas(

@@ -733,8 +733,45 @@ def x3_knn_bruteforce(spark, sf_dir):
     return similarity.knn_bruteforce(emb, queries, k=10)
 
 
-# X3 scale path — random-hyperplane LSH ANN (rows-only)
-@register("x3b_knn_lsh", None)
+# X3 scale path — random-hyperplane LSH ANN. The hyperplanes are
+# deterministic doubles (seeded LCG + Box-Muller), so the oracle inlines
+# them as literals and reproduces bucketing + probe + top-k exactly.
+def _x3b_oracle() -> str:
+    from pulfa_sausage_factory_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim=64, bits=8)
+    rows = ",\n      ".join(
+        f"({1 << i}, [{', '.join(repr(x) for x in p)}])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    planes(bitval, p) AS (VALUES
+      {rows}),
+    buckets AS (
+      SELECT vec_id,
+             SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+                        i -> v[i] * p[i])) >= 0 THEN bitval ELSE 0 END) AS bucket
+      FROM vecs CROSS JOIN planes GROUP BY vec_id),
+    bv AS (SELECT vecs.vec_id, vecs.v, buckets.bucket
+           FROM vecs JOIN buckets USING (vec_id)),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS cos
+      FROM bv c JOIN bv q ON c.bucket = q.bucket
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, rk, ROUND(cos, 6) AS cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cand) WHERE rk <= 10
+    """
+
+
+@register("x3b_knn_lsh", _x3b_oracle())
 def x3b_knn_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -1286,14 +1323,34 @@ def x6e_featurize(spark, sf_dir):
     return feats.select(F.col("id").alias("doc_id"), "features")
 
 
-# X6 — video frame sampling (UDTF explode; sha1-derived fake frames → rows-only)
-@register("x6c_frame_sample", None)
+# X6 — video frame sampling (UDTF explode: one row → ceil(n/2) frame rows);
+# the deterministic fake decode is md5-over-hex, so the oracle re-derives
+# frame counts AND digests relationally
+@register(
+    "x6c_frame_sample",
+    """
+    WITH base AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+    n AS (
+      SELECT doc_id, hx,
+             CAST(('0x' || substr(md5(hx), 1, 2)) AS INTEGER) % 8 + 1 AS n_frames
+      FROM base),
+    exploded AS (
+      SELECT doc_id, hx, unnest(range(0, n_frames, 2)) AS frame_no FROM n)
+    SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+           md5(hx || ':' || frame_no) AS frame_digest
+    FROM exploded
+    """,
+)
 def x6c_frame_sample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     vids = docs.select(
         F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("content")
     )
-    return multimodal.sample_frames(vids, every_n=2).drop("frame_bytes")
+    frames = multimodal.sample_frames(vids, every_n=2)
+    return frames.select(
+        F.col("id").alias("doc_id"), "frame_no", "frame_digest"
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
