@@ -5,3 +5,4 @@ from pulfa_sausage_factory_spark.plans.audit import (  # noqa: F401
     assert_read_schema_pruned,
     explain_formatted,
 )
+from pulfa_sausage_factory_spark.plans.audit import assert_no_exchange  # noqa: F401,E402

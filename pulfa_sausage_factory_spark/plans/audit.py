@@ -66,3 +66,10 @@ def assert_no_cartesian(df: DataFrame) -> None:
     big sides is the scale killer this guards against)."""
     plan = explain_formatted(df)
     assert "CartesianProduct" not in plan, f"cartesian product in plan:\n{plan}"
+
+
+def assert_no_exchange(df: DataFrame) -> None:
+    """No Exchange (shuffle) anywhere in the physical plan — the co-located
+    bucketed-join property: the shuffle was paid at write time, not now."""
+    plan = explain_formatted(df)
+    assert "Exchange" not in plan, f"plan shuffles:\n{plan}"

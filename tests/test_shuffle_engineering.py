@@ -1,0 +1,69 @@
+"""Bucketed co-located joins + skew salting: the shuffle-minimization
+tools a 100 TB deployment leans on, verified against plans and plain-join
+results at test scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulfa_sausage_factory_spark import plans
+from pulfa_sausage_factory_spark.functions import skew
+from pulfa_sausage_factory_spark.io import load_table
+from pulfa_sausage_factory_spark.sinks import bucketed
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    try:
+        bucketed.write_bucketed(orders, "b_orders", "o_orderkey", 8, "o_orderkey")
+        bucketed.write_bucketed(li, "b_lineitem", "l_orderkey", 8, "l_orderkey")
+        joined = bucketed.colocated_join(
+            spark,
+            "b_lineitem",
+            "b_orders",
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            force_merge=True,
+        )
+        # same bucket count + bucket key = join key → zipped per-bucket
+        # sort-merge, zero Exchange in the plan
+        plans.assert_no_exchange(joined)
+        # and it's still the right answer
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_matches_plain_join(spark):
+    # hot key: 90% of the big side is key 1
+    big = spark.range(10_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (20, "cold"), (30, "cold")], "k bigint, tag string"
+    )
+    got = skew.salted_join(big, small, on="k", salt=8)
+    want = big.join(small, "k")
+    assert got.count() == want.count()
+    assert sorted(r.payload for r in got.filter(F.col("tag") == "cold").collect()) == \
+           sorted(r.payload for r in want.filter(F.col("tag") == "cold").collect())
+
+
+def test_two_phase_agg_matches_groupby(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r.event_type: (r.n, round(r.sum_value, 4))
+        for r in skew.two_phase_agg(ev, "event_type", "value").collect()
+    }
+    want = {
+        r.event_type: (r.n, round(r.s, 4))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
