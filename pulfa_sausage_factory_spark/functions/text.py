@@ -92,3 +92,35 @@ def rolling_hash(col: Column | str, mod: int = 2_147_483_648, base: int = 31) ->
         F.lit(0).cast("long"),
         lambda acc, x: (acc * base + x) % mod,
     )
+
+
+#: BPE-ish pre-tokenization pattern (GPT-2 family shape, simplified to the
+#: RE2-compatible subset so the DuckDB oracle runs the identical regex:
+#: no lookahead): word runs, digit runs, punctuation runs, each optionally
+#: absorbing one leading space.
+BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """X4 — BPE-style pre-tokens of the lowercased text (the token-count
+    basis an LLM-data pipeline budgets by)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_PATTERN), 0)
+
+
+def quality_score(col: Column | str) -> Column:
+    """X4 — composite document quality in [0,1]: length band + low
+    punctuation density + word-length sanity. Deterministic closed form
+    (each factor a bounded ratio), reproducible in ANSI SQL."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_words = F.size(F.split(F.trim(c), r"\s+"))
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    len_factor = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_factor = F.lit(1.0) - F.least(
+        n_punct.cast("double") / F.greatest(n_words, F.lit(1)).cast("double"),
+        F.lit(1.0),
+    )
+    avg_word = n_chars.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    word_factor = F.when((avg_word >= 3.0) & (avg_word <= 12.0), 1.0).otherwise(0.5)
+    return F.round((len_factor + punct_factor + word_factor) / F.lit(3.0), 6)

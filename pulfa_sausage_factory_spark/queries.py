@@ -1353,6 +1353,58 @@ def x6c_frame_sample(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# X4 — BPE-ish token counting (the LLM-pipeline budgeting basis) and a
+# composite quality score; both bit-identical in DuckDB
+# ---------------------------------------------------------------------------
+@register(
+    "x4e_bpe_token_count",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+'))
+             AS n_bpe_tokens,
+           len(list_distinct(
+             regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+')))
+             AS n_distinct_bpe
+    FROM documents
+    """,
+)
+def x4e_bpe_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.bpe_tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+    )
+
+
+@register(
+    "x4f_quality_score",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+             length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+               AS n_punct
+      FROM documents)
+    SELECT doc_id,
+           ROUND((LEAST(n_chars / 500.0, 1.0)
+                  + (1.0 - LEAST(CAST(n_punct AS DOUBLE)
+                                 / CAST(GREATEST(n_words, 1) AS DOUBLE), 1.0))
+                  + CASE WHEN CAST(n_chars AS DOUBLE)
+                              / CAST(GREATEST(n_words, 1) AS DOUBLE)
+                              BETWEEN 3.0 AND 12.0
+                         THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
+    FROM m
+    """,
+)
+def x4f_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score("text").alias("quality"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 

@@ -93,3 +93,74 @@ def test_label_or_default(spark):
     df = spark.createDataFrame([("x",), ("",), (None,)], ["title"])
     got = [r.y for r in df.select(scalars.label_or_default("title").alias("y")).collect()]
     assert got == ["x", "[No title]", "[No title]"]
+
+
+def test_rolling_hash_matches_python_reference(spark):
+    """X4d: the JVM fold equals the obvious python loop, char for char."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pulfa_sausage_factory_spark.functions.text import rolling_hash
+
+    samples = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=80))
+    def collect(s):
+        samples.append(s)
+
+    collect()
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, s string")
+    got = {r.i: r.h for r in df.select("i", rolling_hash("s").alias("h")).collect()}
+
+    def ref(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % 2_147_483_648
+        return h
+
+    for i, s in enumerate(samples):
+        assert got[i] == ref(s), repr(s)
+
+
+def test_sniff_never_raises_on_arbitrary_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pulfa_sausage_factory_spark.operators.multimodal import sniff_image_meta
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=64))
+    def check(b):
+        mime, w, h = sniff_image_meta(b)
+        assert isinstance(mime, str)
+
+    check()
+
+
+def test_bpe_tokens_partition_single_spaced_text(spark):
+    """The RE2-safe BPE pattern tiles single-spaced text exactly: token
+    concatenation reconstructs the lowercased input (no char lost)."""
+    from pulfa_sausage_factory_spark.functions.text import bpe_tokens
+
+    rows = [
+        ("Hello world, 42 times!",),
+        ("a1b2c3 -- mixed: runs&runs",),
+        ("singleword",),
+    ]
+    df = spark.createDataFrame(rows, ["t"])
+    out = df.select(F.array_join(bpe_tokens("t"), "").alias("j"), F.lower("t").alias("l")).collect()
+    for r in out:
+        assert r.j == r.l
+
+
+def test_quality_score_bounded(spark, sf_dir):
+    from pulfa_sausage_factory_spark.functions.text import quality_score
+    from pulfa_sausage_factory_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    mm = docs.select(
+        F.min(quality_score("text")).alias("lo"),
+        F.max(quality_score("text")).alias("hi"),
+    ).first()
+    assert 0.0 <= mm.lo <= mm.hi <= 1.0
