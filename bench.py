@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "q5_local_supplier_volume",
     "q6_revenue_change",
     "q10_returned_items",
+    "j7_asof_enrich",
     "w1_page_numbering",
     "a1_group_collect",
     "x1_exact_dedup",

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pulfa_sausage_factory_spark.functions import scalars, text
 from pulfa_sausage_factory_spark.io import load_table
 from pulfa_sausage_factory_spark.operators import (
+    asof,
     dedup,
     events,
     multimodal,
@@ -1403,6 +1404,41 @@ def x4e_bpe_token_count(spark, sf_dir):
 def x4f_quality_score(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# As-of join — event enrichment with the customer's latest order as of the
+# event time; oracle = DuckDB's native ASOF JOIN over the same deduped side
+# ---------------------------------------------------------------------------
+@register(
+    "j7_asof_enrich",
+    """
+    WITH r AS (
+      SELECT * FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1)
+    SELECT e.event_id, e.user_id, e.event_type,
+           r.o_orderkey, r.o_totalprice
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def j7_asof_enrich(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    out = asof.asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+    return out.select("event_id", "user_id", "event_type", "o_orderkey", "o_totalprice")
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
