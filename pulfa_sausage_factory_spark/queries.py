@@ -1441,6 +1441,35 @@ def j7_asof_enrich(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type", "o_orderkey", "o_totalprice")
 
 
+# ---------------------------------------------------------------------------
+# Hierarchical aggregation — ROLLUP (absent from the reference, §2.d cites
+# the absence; part of the analytic extension surface). Catalyst expands
+# rollup into one Expand + single aggregation — no per-level rescans.
+# ---------------------------------------------------------------------------
+@register(
+    "a6_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS lvl
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a6_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("lvl"),
+        )
+        .select("l_returnflag", "l_linestatus", "n", "sum_qty", "lvl")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 
