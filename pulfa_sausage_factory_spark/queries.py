@@ -27,6 +27,7 @@ from pulfa_sausage_factory_spark.operators import (
     dedup,
     events,
     multimodal,
+    rangejoin,
     relational,
     similarity,
 )
@@ -1467,6 +1468,42 @@ def a6_rollup(spark, sf_dir):
             (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("lvl"),
         )
         .select("l_returnflag", "l_linestatus", "n", "sum_qty", "lvl")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8 — binned range join: lineitem ship dates falling inside 30-day windows
+# after each of the first 20 orders; equi-join on bin ids, never a cartesian
+# ---------------------------------------------------------------------------
+@register(
+    "j8_range_join",
+    """
+    WITH iv AS (
+      SELECT o_orderkey, o_orderdate AS s,
+             o_orderdate + INTERVAL 30 DAY AS e
+      FROM orders WHERE o_orderkey < 20)
+    SELECT iv.o_orderkey, l.l_orderkey, l.l_linenumber, l.l_partkey,
+           l.l_suppkey, l.l_shipdate
+    FROM iv JOIN lineitem l
+      ON l.l_shipdate >= iv.s AND l.l_shipdate < iv.e
+    """,
+)
+def j8_range_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    iv = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 20)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("s"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("e"),
+        )
+    )
+    bin_seconds = 30 * 86400
+    assert rangejoin.interval_width_ok(iv, "s", "e", bin_seconds)
+    out = rangejoin.point_in_interval_join(li, iv, "l_shipdate", "s", "e", bin_seconds)
+    return out.select(
+        "o_orderkey", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_shipdate"
     )
 
 

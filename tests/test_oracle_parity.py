@@ -93,3 +93,32 @@ def test_registry_consistency():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 25
+
+
+def test_approx_sketches_within_tolerance(spark, sf_dir):
+    """x7_approx_profile is rows-only for the driver (sketch values are
+    implementation-specific) — but the sketches must still be NEAR the
+    exact answers: HLL++ distinct within 5%, quantiles inside the value
+    range and ordered."""
+    from pulfa_sausage_factory_spark.io import load_table
+    from pulfa_sausage_factory_spark.operators import events as ev_ops
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    approx = {r.event_type: r for r in ev_ops.approx_profile(ev).collect()}
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a.approx_users - e.n_users) <= max(1, 0.05 * e.n_users), et
+        q50, q95, q99 = a.value_quantiles
+        assert e.lo <= q50 <= q95 <= q99 <= e.hi, et
