@@ -167,3 +167,31 @@ def test_stateful_streaming_dedup_first_seen(spark, tmp_path):
     # 3 distinct keys → exactly 3 first-seen emissions; 10 rows - 3 = 7 suppressed
     assert len(got) == 3
     assert sum(r.n_suppressed for r in got) == 7
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming hopping windows produce the same (window, type, count)
+    rows as the batch sliding operator."""
+    ev = load_table(spark, sf_dir, "events")
+    staged = str(tmp_path / "events_sliding")
+    ev.write.parquet(staged)
+
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    agg = windows.sliding(stream, "1 hour", "30 minutes", watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in spark.sql("select * from sliding_test").collect()
+    }
+    want = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in ev_ops.sliding_counts(ev, "1 hour", "30 minutes").collect()
+    }
+    assert got == want
