@@ -270,3 +270,62 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     sim.__annotations__ = {"text": pd.Series, "return": pd.Series}
     sim_udf = F.pandas_udf(sim, "long")
     return df.select(F.col(id_col).alias("id"), sim_udf(text_col).alias("simhash"))
+
+
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """X1/X2 follow-through — connected-component clustering of near-dup
+    pairs: every document in a component maps to the component's minimum id
+    (the canonical survivor an LLM-data pipeline keeps).
+
+    Iterative min-label propagation: each round joins every vertex's label
+    with its neighbors' labels and keeps the minimum; converges in
+    O(diameter) rounds. The driver loop only orchestrates — data never
+    leaves the cluster; each round is one join + one aggregation, and the
+    loop exits via a distributed short-circuit (count of changed labels).
+    This is the standard scalable formulation (GraphX/GraphFrames use the
+    same shape); near-dup components are shallow in practice, so rounds
+    stay single-digit.
+
+    ``pairs``: (id_a, id_b [, ...]) undirected edges. Returns
+    (doc_id, canonical_id) for every vertex appearing in an edge.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("canonical_id"))

@@ -1507,6 +1507,41 @@ def j8_range_join(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# X1b — near-dup connected components: every doc in a component maps to the
+# minimum id (the canonical survivor). Spark: distributed min-label
+# propagation; oracle: recursive-CTE transitive closure over the SAME pair
+# set the x2 oracle defines.
+# ---------------------------------------------------------------------------
+def _x1b_oracle() -> str:
+    pair_sql = QUERIES["x2_ngram_jaccard"][1]
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({pair_sql})
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, MIN(dst) AS canonical_id FROM reach GROUP BY src
+    """
+
+
+@register("x1b_dedup_clusters", _x1b_oracle())
+def x1b_dedup_clusters(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return dedup.dedup_clusters(pairs)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 
