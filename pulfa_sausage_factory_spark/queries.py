@@ -1542,6 +1542,35 @@ def x1b_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(pairs)
 
 
+# ---------------------------------------------------------------------------
+# X4g — winnowing fingerprints (exploded to an inverted index shape)
+# ---------------------------------------------------------------------------
+@register(
+    "x4g_winnow_fingerprints",
+    """
+    WITH codes AS (
+      SELECT doc_id,
+             list_transform(str_split(text, ''),
+                            c -> CAST(ord(c) AS BIGINT)) AS cs
+      FROM documents),
+    kg AS (
+      SELECT doc_id,
+             [list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+4]),
+                          (a, b) -> (a * 31 + b) % 2147483648)
+              FOR i IN range(1, len(cs) - 4 + 1)] AS hs
+      FROM codes WHERE len(cs) >= 8),
+    wins AS (
+      SELECT doc_id,
+             [list_min(hs[j:j+3]) FOR j IN range(1, len(hs) - 3 + 1)] AS mins
+      FROM kg)
+    SELECT doc_id, UNNEST(list_distinct(mins)) AS fp FROM wins
+    """,
+)
+def x4g_winnow_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.winnow_fingerprints_df(docs, "text", "doc_id", k=5, w=4)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 
