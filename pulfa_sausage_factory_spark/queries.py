@@ -1571,6 +1571,32 @@ def x4g_winnow_fingerprints(spark, sf_dir):
     return text.winnow_fingerprints_df(docs, "text", "doc_id", k=5, w=4)
 
 
+# A6b — CUBE over order attributes (all 4 grouping combinations in one
+# Expand + aggregation)
+@register(
+    "a6b_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS lvl
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a6b_cube(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).alias("lvl"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n", "sum_price", "lvl")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 
