@@ -1597,6 +1597,117 @@ def a6b_cube(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Analytic extension surface: pivot, ordered string agg, window analytics,
+# exact percentiles (all absent from the reference — engine completeness)
+# ---------------------------------------------------------------------------
+@register(
+    "a7_pivot",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a7_pivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("qty"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("F_n").alias("n_f"),
+            F.col("O_n").alias("n_o"),
+            F.col("F_qty").alias("qty_f"),
+            F.col("O_qty").alias("qty_o"),
+        )
+    )
+
+
+@register(
+    "a8_string_agg",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a8_string_agg(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "w6_analytics",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+             l_extendedprice
+      FROM lineitem WHERE l_orderkey < 100)
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           LAG(l_partkey) OVER w AS prev_part,
+           LEAD(l_partkey) OVER w AS next_part,
+           RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) AS qty_rank,
+           DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity)
+             AS qty_dense_rank,
+           NTILE(4) OVER w AS quartile
+    FROM base
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                          l_extendedprice)
+    """,
+)
+def w6_analytics(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    wq = Window.partitionBy("l_orderkey").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.lag("l_partkey").over(w).alias("prev_part"),
+        F.lead("l_partkey").over(w).alias("next_part"),
+        F.rank().over(wq).alias("qty_rank"),
+        F.dense_rank().over(wq).alias("qty_dense_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "a9_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM events GROUP BY event_type
+    """,
+)
+def a9_percentiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 
