@@ -329,3 +329,54 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("canonical_id"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """X2 — SimHash near-dup pairs within ``max_hamming`` bit flips.
+
+    Pigeonhole banding: split the 64-bit fingerprint into
+    ``max_hamming + 1`` bands — any pair within the distance budget agrees
+    EXACTLY on at least one band, so candidates come from equi-joins on
+    (band_no, band_bits) and the verify step is one ``bit_count(xor)``.
+    Same output-sensitive shape as MinHash LSH: no cross join, bucket
+    sizes are the only skew surface. Guaranteed recall 1.0 within the
+    budget (pigeonhole is exact, unlike probabilistic LSH)."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands  # 16 bits per band for the default budget
+    sims = simhash64(df, text_col, id_col).cache()
+    banded = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "simhash", "band.band_no", "band.band_bits")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_no", "band_bits"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("hamming").alias("hamming"))
+    )

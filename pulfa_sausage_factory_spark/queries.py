@@ -699,11 +699,20 @@ def x2b_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(docs, threshold=0.2)
 
 
-# X2 — SimHash fingerprints (xxhash64-based; rows-only)
+# X2 — SimHash fingerprints (crc32-based numpy signatures; rows-only)
 @register("x2c_simhash", None)
 def x2c_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash64(docs)
+
+
+# X2 — SimHash hamming near-dup pairs via pigeonhole banding (rows-only:
+# fingerprints use hash functions DuckDB lacks; recall within the hamming
+# budget is exact by the pigeonhole argument, tested against brute force)
+@register("x2c2_simhash_neardup", None)
+def x2c2_simhash_neardup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(docs, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
