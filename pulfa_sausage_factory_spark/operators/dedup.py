@@ -1,5 +1,5 @@
 """Deduplication operators (SURVEY.md §2.l X1/X2) — exact, n-gram Jaccard,
-MinHash+LSH, SimHash.
+MinHash+LSH, SimHash (+ hamming banding), connected-component clustering.
 
 Scale design (100 TB):
 - Exact dedup is one hash-shuffle on the digest (never on the full text —

@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pulfa_sausage_factory_spark.functions import scalars, text
+from pulfa_sausage_factory_spark.functions import sampling, scalars, text
 from pulfa_sausage_factory_spark.io import load_table
 from pulfa_sausage_factory_spark.operators import (
     asof,
@@ -1715,6 +1715,45 @@ def a9_percentiles(spark, sf_dir):
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X8 — deterministic hash sampling + train/val/test split (reproducible on
+# any engine: bucket = first 8 md5 hex digits mod 10000)
+# ---------------------------------------------------------------------------
+@register(
+    "x8_hash_split",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 AS bucket
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def x8_hash_split(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+@register(
+    "x8b_deterministic_sample",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 10000 < 1000
+    """,
+)
+def x8b_deterministic_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.deterministic_sample(docs, "doc_id", 0.10)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
