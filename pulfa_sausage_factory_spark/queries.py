@@ -1756,6 +1756,27 @@ def x8b_deterministic_sample(spark, sf_dir):
     return sampling.deterministic_sample(docs, "doc_id", 0.10)
 
 
+# A7b — unpivot (melt): wide per-row measures → long (measure, value) rows
+@register(
+    "a7b_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, measure, value
+    FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                 l_quantity, l_extendedprice, l_discount, l_tax
+          FROM lineitem WHERE l_orderkey < 50)
+    UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    """,
+)
+def a7b_unpivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 
