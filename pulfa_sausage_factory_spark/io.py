@@ -41,6 +41,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    # Self-heal for caller-provided vanilla sessions: events.parquet stores
+    # TIMESTAMP(NANOS), which Spark refuses to read unless nanosAsLong is on.
+    # session.get_spark() presets it, but any external SparkSession (e.g. the
+    # correctness driver's) would otherwise fail with PARQUET_TYPE_ILLEGAL.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # read-only conf entry on some sessions; the read will tell us
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":

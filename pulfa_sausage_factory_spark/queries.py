@@ -823,8 +823,8 @@ def x4a_doc_stats(spark, sf_dir):
     "x4b_corpus_stats",
     """
     SELECT lang, source, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
-           SUM(len(str_split(text, ' '))) AS total_tokens
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens
     FROM documents GROUP BY lang, source
     """,
 )
@@ -942,8 +942,17 @@ def x7_distinct_exact(spark, sf_dir):
 
 @register("x7_approx_profile", None)
 def x7_approx_profile(spark, sf_dir):
+    # Quantile array serialized to fixed-precision CSV — the driver's
+    # rows-only canonicalizer can't hash list cells (same as x6e).
     ev = _t(spark, sf_dir, "events")
-    return events.approx_profile(ev)
+    prof = events.approx_profile(ev)
+    return prof.withColumn(
+        "value_quantiles",
+        F.array_join(
+            F.transform("value_quantiles", lambda x: F.format_string("%.4f", x)),
+            ",",
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1319,19 +1328,30 @@ def x6f_image_resize(spark, sf_dir):
     "x6e_featurize",
     """
     SELECT doc_id,
-           list_transform(range(1, 9),
-             i -> round(CAST(('0x' || substr(md5(text), (i-1)*2+1, 2)) AS INTEGER)
-                        / 255.0, 6)) AS features
+           list_aggregate(
+             list_transform(range(1, 9),
+               i -> printf('%.6f',
+                    round(CAST(('0x' || substr(md5(text), (i-1)*2+1, 2)) AS INTEGER)
+                          / 255.0, 6))),
+             'string_agg', ',') AS features
     FROM documents
     """,
 )
 def x6e_featurize(spark, sf_dir):
+    # The feature vector rides as array<double> internally; the registered
+    # query serializes it to a fixed-precision CSV string because the driver's
+    # canonicalizer hashes scalar cells (lists are unhashable in pandas).
     docs = _t(spark, sf_dir, "documents")
     blobs = docs.select(
         F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("content")
     )
     feats = multimodal.featurize(blobs, dim=8)
-    return feats.select(F.col("id").alias("doc_id"), "features")
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform("features", lambda x: F.format_string("%.6f", x)), ","
+        ).alias("features"),
+    )
 
 
 # X6 — video frame sampling (UDTF explode: one row → ceil(n/2) frame rows);
