@@ -62,6 +62,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """X2 (exact variant) — all pairs with n-gram-shingle Jaccard >=
     threshold, via an inverted shingle index instead of a cross join:
@@ -70,11 +71,27 @@ def ngram_jaccard_pairs(
         → count shared → |A∩B| / (|A|+|B|-|A∩B|)
 
     Scale: the shingle join is the only shuffle; candidate generation is
-    output-sensitive. Skew guard: truly viral shingles can be frequency-capped
-    upstream (df-filtering) without changing the >=threshold result set for
-    reasonable thresholds; at sf test scale no cap is needed.
+    output-sensitive — EXCEPT for viral shingles (boilerplate headers,
+    license blurbs) whose inverted-index bucket self-joins quadratically.
+    ``max_shingle_df`` caps that: shingles appearing in more than that many
+    documents are dropped from the index *and* from the per-doc sizes, so
+    Jaccard is computed consistently over the capped shingle universe.
+    Shared boilerplate carries no dedup signal (it is shared by
+    construction), so with a cap well above the near-dup cluster size the
+    >=threshold result set is unchanged (asserted on the test fixture);
+    ``None`` (default) is the exact all-shingles computation.
     """
-    sh = word_shingles(df, text_col, id_col, n).cache()
+    sh = word_shingles(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        # One count-over-window pass keyed the same as the self-join below,
+        # so the exchange is reused — the cap costs no extra shuffle.
+        w_df = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w_df))
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")

@@ -309,13 +309,18 @@ def stage7_update_eads(spark: SparkSession, eads_root: str, cfg: EadPipelineConf
         listing.list_files(spark, eads_root, glob="*.xml", with_content=True)
         .select(F.col("path"), F.col("content").cast("string").alias("xml"))
     )
-    # re-derive ead_id per file so the join key matches the report
-    ead_ids = xml_codec.parse_ead_daos(
-        eads.selectExpr("path", "cast(xml as binary) as content")
-    ).select("ead_id").distinct()
-    eads_keyed = eads.crossJoin(F.broadcast(ead_ids)).filter(
-        F.col("xml").contains(F.concat(F.lit("<eadid>"), F.col("ead_id")))
+    # re-derive (path, ead_id) per file with the same parser that keyed the
+    # report, then equi-join on path — one hash/broadcast join, no substring
+    # scans, and no prefix-collision risk (eadid 'ab' vs 'abc')
+    path_keys = (
+        xml_codec.parse_ead_daos(
+            eads.selectExpr("path", "cast(xml as binary) as content"),
+            path_col="path",
+        )
+        .select("path", "ead_id")
+        .distinct()
     )
+    eads_keyed = eads.join(path_keys, "path")
 
     updated = xml_codec.update_eads(
         eads_keyed.select("ead_id", "xml"),

@@ -68,6 +68,16 @@ def assert_no_cartesian(df: DataFrame) -> None:
     assert "CartesianProduct" not in plan, f"cartesian product in plan:\n{plan}"
 
 
+def assert_take_ordered(df: DataFrame) -> None:
+    """Global top-k must plan as ``TakeOrderedAndProject`` (per-partition
+    partial top-k, tiny driver merge), never as a single-partition global
+    ``Sort`` — THE scale-killer pattern for top-k at 100 TB."""
+    plan = explain_formatted(df)
+    assert "TakeOrderedAndProject" in plan, (
+        f"global top-k did not plan as TakeOrderedAndProject:\n{plan}"
+    )
+
+
 def assert_no_exchange(df: DataFrame) -> None:
     """No Exchange (shuffle) anywhere in the physical plan — the co-located
     bucketed-join property: the shuffle was paid at write time, not now."""

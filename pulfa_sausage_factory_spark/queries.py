@@ -594,10 +594,14 @@ def q3_top_revenue(spark, sf_dir):
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    # Global top-k via orderBy().limit() → TakeOrderedAndProject: each
+    # partition keeps a local k-heap and the driver merges k*numPartitions
+    # rows, vs a row_number() window that funnels the whole aggregate set
+    # through one sort task. Identical result (same total order incl. the
+    # l_orderkey tiebreak); plan asserted in tests/test_plan_audit.py.
     return (
-        rev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
+        rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
 
@@ -1140,10 +1144,11 @@ def q10_returned_items(spark, sf_dir):
         .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
         .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    # TakeOrderedAndProject instead of a single-partition window sort — see
+    # q3_top_revenue; same total order via the c_custkey tiebreak.
     return (
-        rev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        rev.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "c_mktsegment")
     )
 

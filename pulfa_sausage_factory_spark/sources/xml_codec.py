@@ -102,19 +102,38 @@ def _parse_one_ead(xml_text: str) -> list[dict]:
     return rows
 
 
-def parse_ead_daos(files: DataFrame, content_col: str = "content") -> DataFrame:
+def parse_ead_daos(
+    files: DataFrame, content_col: str = "content", path_col: str | None = None
+) -> DataFrame:
     """S1 — EAD files (e.g. from ``listing.list_files(with_content=True)``)
-    → flat dao DataFrame. One EAD per input row; Arrow-batched."""
+    → flat dao DataFrame. One EAD per input row; Arrow-batched.
+
+    With ``path_col``, each dao row also carries its source file path, so
+    downstream stages can re-key files by equi-join on path instead of
+    re-matching ead_id against raw XML (the reference keys by filesystem
+    layout throughout; bin/publish.rb:30-45).
+    """
+    schema = DAO_SCHEMA
+    if path_col is not None:
+        schema = T.StructType(
+            [T.StructField(path_col, T.StringType())] + list(DAO_SCHEMA.fields)
+        )
+    cols = [f.name for f in schema.fields]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[dict] = []
-            for blob in pdf[content_col]:
+            paths = pdf[path_col] if path_col is not None else [None] * len(pdf)
+            for blob, path in zip(pdf[content_col], paths):
                 text = bytes(blob).decode("utf-8") if not isinstance(blob, str) else blob
-                out.extend(_parse_one_ead(text))
-            yield pd.DataFrame(out, columns=[f.name for f in DAO_SCHEMA.fields])
+                rows = _parse_one_ead(text)
+                if path_col is not None:
+                    for r in rows:
+                        r[path_col] = path
+                out.extend(rows)
+            yield pd.DataFrame(out, columns=cols)
 
-    return files.mapInPandas(gen, DAO_SCHEMA)
+    return files.mapInPandas(gen, schema)
 
 
 def candidate_daos(daos: DataFrame) -> DataFrame:

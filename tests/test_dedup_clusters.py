@@ -49,3 +49,36 @@ def test_simhash_banding_matches_bruteforce(spark, sf_dir):
     )
     want = {(r.id_a, r.id_b): r.h for r in brute.collect()}
     assert got == want
+
+
+def test_ngram_jaccard_df_cap_preserves_result(spark, sf_dir):
+    """Viral-shingle frequency cap: with a cap above the near-dup cluster
+    size, the >=threshold pair set is unchanged — boilerplate shared by many
+    documents carries no dedup signal, it only inflates the index bucket."""
+    from pulfa_sausage_factory_spark.io import load_table
+    from pulfa_sausage_factory_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=4).collect()
+    }
+    assert capped == exact and exact
+
+    # non-vacuous: the cap must actually drop shingles on this fixture
+    from pyspark.sql import functions as F
+
+    dfreq = (
+        word_shingles(docs, "text", "doc_id")
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df").alias("mx"))
+        .collect()[0]
+    )
+    assert dfreq.mx > 4

@@ -46,3 +46,10 @@ def test_knn_broadcasts_query_side(spark, sf_dir):
 )
 def test_no_accidental_cartesian(spark, sf_dir, name):
     plans.assert_no_cartesian(QUERIES[name][0](spark, sf_dir))
+
+
+@pytest.mark.parametrize("name", ["q3_top_revenue", "q10_returned_items"])
+def test_global_topk_is_take_ordered(spark, sf_dir, name):
+    # orderBy().limit(k) → TakeOrderedAndProject; a row_number() window
+    # without partitionBy would funnel the aggregate set through one task
+    plans.assert_take_ordered(QUERIES[name][0](spark, sf_dir))
