@@ -40,6 +40,105 @@ def run_tool(argv: list[str], stdin_bytes: bytes, timeout: float = 60.0) -> byte
     return proc.stdout
 
 
+# ---------------------------------------------------------------------------
+# Real-tool argv adapters (U2/U3/U4/U5) — the exact command lines the
+# reference shells out, as data. Each high-level adapter uses the real binary
+# when present on PATH and the deterministic fake otherwise, so the same
+# pipeline code runs hermetically in CI and against the real tools in prod.
+# ---------------------------------------------------------------------------
+
+
+def kdu_compress_argv(
+    tiff_path: str, jp2_path: str, levels: int, bits: int = 8
+) -> list[str]:
+    """U3 — ``kdu_compress`` flags carried verbatim from bin/main.py:388-405
+    (rate ladder, 8 quality layers, RPCL order, 256×256 precincts/tiles)."""
+    argv = [
+        "kdu_compress",
+        "-i", tiff_path,
+        "-o", jp2_path,
+        "-rate",
+        "1.2,0.7416334477,0.4583546103,0.2832827752,0.1750776907,"
+        "0.1082041271,0.0668737897,0.0413302129",
+        "Clayers=8",
+        f"Clevels={levels}",
+        "Cuse_precincts=yes", "Cprecincts={256,256}", "Cblk={64,64}",
+        "Cuse_sop=yes", "Cuse_eph=yes", "Corder=RPCL",
+        "ORGgen_plt=yes", "ORGtparts=R", "Stiles={256,256}",
+    ]
+    if bits == 24:
+        argv += ["-jp2_space", "sRGB"]
+    argv += ["-double_buffering", "10", "-num_threads", "4", "-no_weights"]
+    return argv
+
+
+def ocrad_argv(img_path: str, out_txt: str) -> list[str]:
+    """U4 — ``ocrad -f -F utf8 <img> -o <txt>`` (bin/orient_image.sh:51-54)."""
+    return ["ocrad", "-f", "-F", "utf8", img_path, "-o", out_txt]
+
+
+def aspell_list_argv(lang: str = "en") -> list[str]:
+    """U5 — ``aspell -l en list`` over stdin (bin/orient_image.sh:72)."""
+    return ["aspell", "-l", lang, "list"]
+
+
+def convert_rotate_argv(angle: int, src: str, dst: str) -> list[str]:
+    """U2 — ``convert -rotate <angle> <src> <dst>`` (bin/orient_image.sh:40-42)."""
+    return ["convert", "-rotate", str(angle), src, dst]
+
+
+def _which(tool: str) -> str | None:
+    import shutil
+
+    return shutil.which(tool)
+
+
+def encode_jp2(
+    tiff_bytes: bytes, levels: int, bits: int = 8, runner: Callable = run_tool
+) -> bytes:
+    """U3 adapter: real ``kdu_compress`` when installed, identity-encode
+    fake otherwise. File-based because kdu has no stdio mode."""
+    import tempfile
+
+    if _which("kdu_compress") is None:
+        return tiff_bytes  # deterministic fake: bytes pass through
+    with tempfile.TemporaryDirectory() as d:
+        tif, jp2 = f"{d}/in.tif", f"{d}/out.jp2"
+        with open(tif, "wb") as f:
+            f.write(tiff_bytes)
+        runner(kdu_compress_argv(tif, jp2, levels, bits), b"")
+        with open(jp2, "rb") as f:
+            return f.read()
+
+
+def ocr_image(img_bytes: bytes, runner: Callable = run_tool) -> str:
+    """U4 adapter: real ``ocrad`` when installed; fake = content-hash words
+    (stable input for the downstream word-count / spellcheck vote)."""
+    import tempfile
+
+    if _which("ocrad") is None:
+        h = hashlib.sha1(img_bytes).hexdigest()
+        return " ".join(h[i : i + 4] for i in range(0, 16, 4))
+    with tempfile.TemporaryDirectory() as d:
+        img, txt = f"{d}/in.pbm", f"{d}/out.txt"
+        with open(img, "wb") as f:
+            f.write(img_bytes)
+        runner(ocrad_argv(img, txt), b"")
+        with open(txt, "r", errors="replace") as f:
+            return f.read()
+
+
+def misspelled_words(text: str, runner: Callable = run_tool) -> int:
+    """U5 adapter: ``aspell list`` word count when installed; fake = count
+    of vowel-less tokens, a deterministic stand-in (the a3 query models the
+    dictionary-filter variant relationally)."""
+    if _which("aspell") is None:
+        toks = [t for t in text.lower().split() if t]
+        return sum(1 for t in toks if not any(v in t for v in "aeiou"))
+    out = runner(aspell_list_argv(), text.encode())
+    return len(out.split())
+
+
 PAGE_SCHEMA = T.StructType(
     [
         T.StructField("doc_key", T.StringType()),

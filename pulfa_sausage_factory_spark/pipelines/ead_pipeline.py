@@ -28,27 +28,26 @@ deterministic fallbacks — the Spark plumbing is the artifact under test
 
 from __future__ import annotations
 
-import hashlib
 import os
-from collections.abc import Callable, Iterator
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from pulfa_sausage_factory_spark.functions import scalars, subprocess_udf
 from pulfa_sausage_factory_spark.sinks import idempotent
-from pulfa_sausage_factory_spark.sources import listing, report_codec, xml_codec
+from pulfa_sausage_factory_spark.sources import (
+    http_transport,
+    listing,
+    report_codec,
+    xml_codec,
+)
 
 
-def _fake_fetch(url: str) -> tuple[int, bytes]:
-    """Deterministic stand-in for ``requests.get`` (bin/main.py:172-196):
-    status derives from the URL hash; body is URL-derived bytes."""
-    h = hashlib.sha1(url.encode()).digest()
-    status = [200, 200, 200, 401, 404][h[0] % 5]
-    return status, (b"%PDF-" + h * 8 if status == 200 else b"")
+# Deterministic stand-in for ``requests.get`` (bin/main.py:172-196); swap in
+# http_transport.urllib_transport() to run against a live endpoint.
+_fake_fetch = http_transport.fake_transport
 
 
 @dataclass
@@ -91,27 +90,12 @@ def stage1_get_pdfs(spark: SparkSession, eads_root: str, cfg: EadPipelineConfig)
         ),
     )
 
-    fetcher = cfg.fetcher
-    fetch_schema = T.StructType(
-        [
-            T.StructField("href", T.StringType()),
-            T.StructField("pdf_resp_status", T.IntegerType()),
-            T.StructField("content", T.BinaryType()),
-        ]
+    # S4 — one fetch per distinct href through the injectable transport seam
+    fetched = http_transport.fetch_urls(cands, cfg.fetcher, url_col="href").select(
+        F.col("url").alias("href"),
+        F.col("status").alias("pdf_resp_status"),
+        "content",
     )
-
-    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # S4 — HTTP source as an Arrow-batched UDF; one fetch per distinct href
-        for pdf in batches:
-            rows = []
-            for href in pdf["href"]:
-                status, body = fetcher(href)
-                rows.append(
-                    {"href": href, "pdf_resp_status": status, "content": body}
-                )
-            yield pd.DataFrame(rows, columns=["href", "pdf_resp_status", "content"])
-
-    fetched = cands.select("href").distinct().mapInPandas(fetch, fetch_schema)
     report = cands.join(fetched, "href")
 
     # persist downloaded bodies idempotently (skip-if-exists, F3/J5)
@@ -189,8 +173,25 @@ def stage34_encode(spark: SparkSession, cfg: EadPipelineConfig) -> DataFrame:
         tiff_path.alias("tiff_path"),
         jp2_path.alias("jp2_path"),
         F.col("page_bytes").alias("tiff_bytes"),  # U2 stub: identity encode
-        F.col("page_bytes").alias("jp2_bytes"),  # U3 stub: identity encode
+        F.col("page_bytes").alias("jp2_bytes"),  # U3: replaced below if real
     )
+    if subprocess_udf._which("kdu_compress") is not None:
+        # U3 real path: per-row kdu_compress via the argv adapter. Column
+        # identity otherwise — the hermetic fast path stays JVM-only.
+        import pandas as pd  # local: only the real-tool branch needs pandas
+
+        def encode(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["jp2_bytes"] = [
+                    subprocess_udf.encode_jp2(bytes(b), int(lv), int(bits))
+                    for b, lv, bits in zip(
+                        pdf["tiff_bytes"], pdf["jp2_levels"], pdf["img_bits"]
+                    )
+                ]
+                yield pdf
+
+        encoded = encoded.mapInPandas(encode, encoded.schema)
     idempotent.write_files(
         encoded.select(F.col("tiff_path").alias("out_path"), F.col("tiff_bytes").alias("payload"))
     )

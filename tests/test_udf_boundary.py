@@ -64,3 +64,64 @@ def test_extract_binary_meta(spark):
         assert out[kind].byte_len == len(blob)
         assert out[kind].sha1 == hashlib.sha1(blob).hexdigest()
         assert out[kind].width is None  # stubbed decode, documented
+
+
+# ---------------------------------------------------------------------------
+# U2/U3/U4/U5 — real-tool argv adapters: exact command lines, fallback
+# behavior, and file plumbing (runner mocked; no tool needed)
+# ---------------------------------------------------------------------------
+
+
+def test_kdu_argv_matches_reference_flags():
+    from pulfa_sausage_factory_spark.functions import subprocess_udf as S
+
+    argv = S.kdu_compress_argv("/t/in.tif", "/t/out.jp2", levels=5, bits=24)
+    # bin/main.py:388-405 verbatim: rate ladder, layers, precincts, RPCL
+    assert argv[:5] == ["kdu_compress", "-i", "/t/in.tif", "-o", "/t/out.jp2"]
+    assert "Clayers=8" in argv and "Clevels=5" in argv
+    assert "Cprecincts={256,256}" in argv and "Corder=RPCL" in argv
+    i = argv.index("-rate")
+    assert argv[i + 1].startswith("1.2,0.7416334477,")
+    assert "-jp2_space" in argv and argv[argv.index("-jp2_space") + 1] == "sRGB"
+    # 8-bit drops the colorspace flag
+    assert "-jp2_space" not in S.kdu_compress_argv("a", "b", 3, bits=8)
+
+
+def test_tool_adapters_fall_back_without_binaries(monkeypatch):
+    from pulfa_sausage_factory_spark.functions import subprocess_udf as S
+
+    monkeypatch.setattr(S, "_which", lambda tool: None)
+    assert S.encode_jp2(b"TIFFBYTES", levels=3) == b"TIFFBYTES"
+    words = S.ocr_image(b"IMG").split()
+    assert len(words) == 4 and S.ocr_image(b"IMG") == S.ocr_image(b"IMG")
+    assert S.misspelled_words("the zzz qqq cat") == 2
+
+
+def test_tool_adapters_wire_real_argv(monkeypatch):
+    from pulfa_sausage_factory_spark.functions import subprocess_udf as S
+
+    monkeypatch.setattr(S, "_which", lambda tool: f"/usr/bin/{tool}")
+    calls = []
+
+    def fake_runner(argv, stdin_bytes, timeout=60.0):
+        calls.append(argv)
+        if argv[0] == "kdu_compress":
+            out = argv[argv.index("-o") + 1]
+            with open(out, "wb") as f:
+                f.write(b"JP2!" + open(argv[argv.index("-i") + 1], "rb").read())
+            return b""
+        if argv[0] == "ocrad":
+            with open(argv[argv.index("-o") + 1], "w") as f:
+                f.write("ocr text here")
+            return b""
+        if argv[0] == "aspell":
+            assert stdin_bytes == b"sum text"
+            return b"zzyx\nqwrt\n"
+        raise AssertionError(argv)
+
+    assert S.encode_jp2(b"T", levels=4, runner=fake_runner) == b"JP2!T"
+    assert S.ocr_image(b"I", runner=fake_runner) == "ocr text here"
+    assert S.misspelled_words("sum text", runner=fake_runner) == 2
+    assert [c[0] for c in calls] == ["kdu_compress", "ocrad", "aspell"]
+    assert calls[1][1:4] == ["-f", "-F", "utf8"]
+    assert calls[2] == ["aspell", "-l", "en", "list"]
