@@ -79,14 +79,26 @@ def knn_lsh(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane (sign) LSH bucket join.
 
     Each vector maps to a ``bits``-bit bucket (sign of dot with each
-    hyperplane, folded JVM-side — no UDF). Queries probe only their bucket;
-    at scale, multi-probe or multiple tables raise recall. Shuffle is a plain
-    equi-join on the bucket key.
+    hyperplane, folded JVM-side — no UDF). ``probe_hamming`` is the recall
+    knob: each query also probes every bucket within that hamming radius,
+    expanded as XOR masks on the query side *before* the join — so the probe
+    fan-out stays a plain equi-join on the bucket key (the scale-safe shape),
+    never a ``bit_count(a^b) <= r`` theta-join over the corpus. Radius 1
+    multiplies query rows by ``bits+1``; the corpus side never grows.
     """
+    if probe_hamming < 0 or probe_hamming > 2:
+        raise ValueError("probe_hamming in {0, 1, 2}: larger radii explode "
+                         "the probe set faster than they add recall")
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << i for i in range(bits)]
+    if probe_hamming >= 2:
+        masks += [(1 << i) | (1 << j) for i in range(bits) for j in range(i)]
     planes = _hyperplanes(dim, bits, seed)
 
     def bucket(vec):
@@ -112,6 +124,14 @@ def knn_lsh(
         F.col(id_col).alias("query_id"),
         as_double_array(vec_col).alias("qv"),
     ).withColumn("bucket", bucket(F.col("qv")))
+    if len(masks) > 1:
+        # distinct masks → distinct probe buckets → each (query, neighbor)
+        # candidate appears exactly once; no post-join dedup needed
+        q = q.withColumn(
+            "_mask", F.explode(F.array(*[F.lit(m) for m in masks]))
+        ).withColumn(
+            "bucket", F.col("_mask").bitwiseXOR(F.col("bucket"))
+        ).drop("_mask")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -1,12 +1,17 @@
 """S7 — the SQLite ``ImageDirs`` work-queue source
 (reference: bin/pulfarize.rb:99-107, bin/makepdf.rb:39-54).
 
-On a real cluster this is a JDBC scan (``jdbc:sqlite:`` with the xerial
-driver, filter pushed down). That driver jar isn't bundled here, so the
-loader reads via the stdlib ``sqlite3`` on the driver and parallelizes the
-rows — correct for work queues, which are small by construction (they
-enumerate directories, not files). The filter/claim semantics are
-DataFrame ops either way.
+Two paths, one semantics:
+
+- :func:`read_table` — stdlib ``sqlite3`` on the driver with the predicate
+  and projection pushed into the SQLite query itself (the reference's
+  ``select * from ImageDirs where Note=" "``), rows parallelized to a
+  DataFrame. Correct for work queues, which are small by construction
+  (they enumerate directories, not files).
+- :func:`read_table_jdbc` — a real ``jdbc:sqlite:`` scan for clusters where
+  the queue outgrows the driver (xerial driver on the classpath); Spark
+  pushes filters down via the JDBC source. Raises a clear error when the
+  driver jar is absent so callers can fall back explicitly.
 """
 
 from __future__ import annotations
@@ -20,12 +25,32 @@ from pyspark.sql import functions as F
 PENDING = " "
 
 
-def read_table(spark: SparkSession, db_path: str, table: str) -> DataFrame:
-    """Read one SQLite table into a DataFrame (driver-side fetch; see module
-    docstring for the JDBC-at-scale story)."""
+def build_select(
+    table: str, where: str | None = None, columns: list[str] | None = None
+) -> str:
+    """The SQL actually sent to SQLite — predicate/projection pushdown is
+    string assembly here, what the JDBC source does via Catalyst."""
+    cols = ", ".join(columns) if columns else "*"
+    sql = f"SELECT {cols} FROM {table}"  # noqa: S608 — table from config
+    if where:
+        sql += f" WHERE {where}"
+    return sql
+
+
+def read_table(
+    spark: SparkSession,
+    db_path: str,
+    table: str,
+    where: str | None = None,
+    params: tuple = (),
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Read one SQLite table into a DataFrame (driver-side fetch; module
+    docstring has the JDBC-at-scale story). ``where``/``params`` run inside
+    SQLite — the queue filter never materializes non-matching rows."""
     con = sqlite3.connect(db_path)
     try:
-        cur = con.execute(f"SELECT * FROM {table}")  # noqa: S608 — table from config
+        cur = con.execute(build_select(table, where, columns), params)
         cols = [d[0] for d in cur.description]
         rows = cur.fetchall()
     finally:
@@ -33,7 +58,32 @@ def read_table(spark: SparkSession, db_path: str, table: str) -> DataFrame:
     return spark.createDataFrame(rows, schema=cols)
 
 
+def read_table_jdbc(
+    spark: SparkSession, db_path: str, table: str, where: str | None = None
+) -> DataFrame:
+    """S7 at scale: ``spark.read.jdbc`` against ``jdbc:sqlite:<path>`` with
+    the xerial driver; Spark pushes ``where`` down as a scan predicate."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.sqlite.JDBC")
+    except Exception as e:  # driver jar not on the classpath
+        raise RuntimeError(
+            "sqlite JDBC driver (org.sqlite.JDBC / xerial) not on the Spark "
+            "classpath; use read_table() or add the jar via spark.jars"
+        ) from e
+    df = (
+        spark.read.format("jdbc")
+        .option("url", f"jdbc:sqlite:{db_path}")
+        .option("dbtable", table)
+        .option("driver", "org.sqlite.JDBC")
+        .load()
+    )
+    return df.filter(where) if where else df
+
+
 def pending_work(spark: SparkSession, db_path: str, table: str = "ImageDirs",
                  note_col: str = "Note") -> DataFrame:
-    """The reference's queue scan: rows still marked pending."""
-    return read_table(spark, db_path, table).filter(F.col(note_col) == PENDING)
+    """The reference's queue scan: rows still marked pending — the
+    ``Note=" "`` predicate runs inside SQLite, as in bin/pulfarize.rb:101."""
+    return read_table(
+        spark, db_path, table, where=f"{note_col} = ?", params=(PENDING,)
+    )

@@ -132,3 +132,53 @@ def test_finalize_move(spark, tmp_path):
     assert not (src / "a.tif").exists()  # moved
     assert (dst / "b.tif").read_bytes() == b"KEEP"  # never overwritten
     assert (src / "b.tif").exists()  # source kept when dest existed
+
+
+def test_sqlite_pushdown_filters_inside_sqlite(spark, tmp_path):
+    """S7: the pending predicate runs inside SQLite (observed via the
+    connection trace), not as a post-hoc DataFrame filter."""
+    db = str(tmp_path / "p.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE ImageDirs (dir TEXT, Note TEXT)")
+    con.executemany(
+        "INSERT INTO ImageDirs VALUES (?,?)",
+        [("/a", " "), ("/b", "done"), ("/c", " ")],
+    )
+    con.commit()
+    con.close()
+
+    assert (
+        sqlite_queue.build_select("ImageDirs", where="Note = ?")
+        == "SELECT * FROM ImageDirs WHERE Note = ?"
+    )
+    pend = sqlite_queue.pending_work(spark, db)
+    assert sorted(r.dir for r in pend.collect()) == ["/a", "/c"]
+    # projection pushdown too
+    slim = sqlite_queue.read_table(
+        spark, db, "ImageDirs", where="Note = ?", params=(" ",), columns=["dir"]
+    )
+    assert slim.columns == ["dir"]
+
+
+def test_sqlite_jdbc_path(spark, tmp_path):
+    """S7 JDBC: real jdbc:sqlite scan when the xerial driver is present;
+    a clear actionable error when it is not (never a silent fallback)."""
+    import pytest
+
+    db = str(tmp_path / "j.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE ImageDirs (dir TEXT, Note TEXT)")
+    con.execute("INSERT INTO ImageDirs VALUES ('/a', ' ')")
+    con.commit()
+    con.close()
+    try:
+        spark._jvm.java.lang.Class.forName("org.sqlite.JDBC")
+        has_driver = True
+    except Exception:
+        has_driver = False
+    if not has_driver:
+        with pytest.raises(RuntimeError, match="xerial"):
+            sqlite_queue.read_table_jdbc(spark, db, "ImageDirs")
+        pytest.skip("no sqlite JDBC driver on classpath; error path verified")
+    df = sqlite_queue.read_table_jdbc(spark, db, "ImageDirs", where="Note = ' '")
+    assert df.count() == 1
