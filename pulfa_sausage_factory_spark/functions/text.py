@@ -179,3 +179,63 @@ def winnow_fingerprints_df(
         .filter(F.col("_full") == w)
     )
     return mins.select(id_col, F.col("_fp").alias("fp")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# X4h — PII scrubbing (training-data hygiene: redact before training).
+# RE2-safe patterns (no lookaround) so the DuckDB oracle runs the identical
+# regex; Spark's regexp_replace is replace-all, DuckDB needs the 'g' flag.
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2} \([0-9]{3}\) [0-9]{3}-[0-9]{4}"
+
+
+def count_matches(col: Column | str, pattern: str) -> Column:
+    """Occurrences of ``pattern`` (regexp_extract_all + size — JVM-side)."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every email / phone match with a typed placeholder token.
+    Order matters: emails first so a phone regex can never bite into a
+    local-part digit run."""
+    scrubbed = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")
+
+
+# ---------------------------------------------------------------------------
+# X9 — URL canonicalization (crawl dedup: the same page arrives under many
+# syntactic spellings; normalize before URL-level dedup).
+# ---------------------------------------------------------------------------
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonical URL form, all JVM-side string ops:
+
+    - scheme + host lowercased (path/query case-preserved)
+    - default ports ``:80`` (http) / ``:443`` (https) dropped
+    - ``#fragment`` dropped
+    - ``utm_*`` tracking params dropped; surviving params sorted bytewise
+    - trailing ``?`` / lone trailing ``/`` on a bare host dropped
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"#.*$", "")  # fragment
+    # scheme://host[:port] → lowercase; capture rest
+    head = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    head = F.regexp_replace(head, r"^(http://[^/?#]*):80$", "$1")
+    head = F.regexp_replace(head, r"^(https://[^/?#]*):443$", "$1")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    qs = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    canon_qs = F.array_join(F.array_sort(params), "&")
+    out = F.concat(
+        head,
+        path,
+        F.when(canon_qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_qs)),
+    )
+    return F.regexp_replace(out, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)/$", "$1")

@@ -793,6 +793,56 @@ def x3b_knn_lsh(spark, sf_dir):
     return similarity.knn_lsh(emb, queries, k=10)
 
 
+# X3 multi-probe — the recall knob under oracle: queries probe every bucket
+# within hamming radius 1 (XOR-mask expansion keeps the equi-join shape; the
+# oracle reproduces the mask fan-out with DuckDB's xor()).
+def _x3d_oracle(bits: int = 8) -> str:
+    from pulfa_sausage_factory_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim=64, bits=bits)
+    rows = ",\n      ".join(
+        f"({1 << i}, [{', '.join(repr(x) for x in p)}])"
+        for i, p in enumerate(planes)
+    )
+    masks = ", ".join(f"({m})" for m in [0] + [1 << i for i in range(bits)])
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    planes(bitval, p) AS (VALUES
+      {rows}),
+    buckets AS (
+      SELECT vec_id,
+             SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+                        i -> v[i] * p[i])) >= 0 THEN bitval ELSE 0 END) AS bucket
+      FROM vecs CROSS JOIN planes GROUP BY vec_id),
+    bv AS (SELECT vecs.vec_id, vecs.v, buckets.bucket
+           FROM vecs JOIN buckets USING (vec_id)),
+    probes AS (
+      SELECT q.vec_id, q.v, xor(q.bucket, m.mask) AS bucket
+      FROM bv q CROSS JOIN (VALUES {masks}) AS m(mask)
+      WHERE q.vec_id < 5),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS cos
+      FROM bv c JOIN probes q ON c.bucket = q.bucket
+      WHERE c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, rk, ROUND(cos, 6) AS cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cand) WHERE rk <= 10
+    """
+
+
+@register("x3d_knn_lsh_multiprobe", _x3d_oracle())
+def x3d_knn_lsh_multiprobe(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.knn_lsh(emb, queries, k=10, probe_hamming=1)
+
+
 # ---------------------------------------------------------------------------
 # X4 — per-document text statistics
 # ---------------------------------------------------------------------------
@@ -1800,6 +1850,115 @@ def a7b_unpivot(spark, sf_dir):
         "measure",
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# X4h — PII scrubbing. Driver documents carry no natural PII, so the query
+# injects a deterministic email+phone per doc (both engines derive the same
+# dirty text from doc fields), then redacts — the scrub logic is what's
+# under oracle, not the synthesis.
+# ---------------------------------------------------------------------------
+@register(
+    "x4h_pii_scrub",
+    f"""
+    WITH dirty AS (
+      SELECT doc_id,
+             text || ' Contact user' || doc_id || '@Example.COM or call '
+                  || '+1 (555) ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+               AS t
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{text.EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{text.PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{text.PHONE_RE}', '<PHONE>', 'g'))
+             AS clean_md5
+    FROM dirty
+    """,
+)
+def x4h_pii_scrub(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"), F.col("doc_id"), F.lit("@Example.COM or call "),
+            F.lit("+1 (555) "),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return dirty.select(
+        "doc_id",
+        text.count_matches("t", text.EMAIL_RE).alias("n_emails"),
+        text.count_matches("t", text.PHONE_RE).alias("n_phones"),
+        F.md5(text.redact_pii("t")).alias("clean_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X9 — URL canonicalization for crawl dedup: same page, many spellings.
+# Dirty URLs are derived per doc (scheme/port/tracking-param/fragment noise
+# varies by doc_id parity) and normalized to one canonical form.
+# ---------------------------------------------------------------------------
+@register(
+    "x9_url_normalize",
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'HTTPS://Example.COM:443/' ELSE 'https://example.com/' END
+               || source || '/item/' || doc_id
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '?utm_source=feed&b=2&a=1' ELSE '?b=2&a=1' END
+               || '#frag' AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM dirty),
+    split AS (
+      SELECT doc_id,
+        CASE
+          WHEN lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+               LIKE 'http://%:80'
+            THEN regexp_replace(lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)), ':80$', '')
+          WHEN lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+               LIKE 'https://%:443'
+            THEN regexp_replace(lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)), ':443$', '')
+          ELSE lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+        END AS head,
+        regexp_extract(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '^([^?]*)', 1) AS path,
+        regexp_extract(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '\\?(.*)$', 1) AS qs
+      FROM parts),
+    canon AS (
+      SELECT doc_id, head, path,
+        array_to_string(
+          list_sort(list_filter(str_split(qs, '&'),
+                                p -> p <> '' AND NOT starts_with(p, 'utm_'))),
+          '&') AS cqs
+      FROM split)
+    SELECT doc_id,
+           regexp_replace(
+             head || path || CASE WHEN cqs = '' THEN '' ELSE '?' || cqs END,
+             '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)/$', '\\1') AS url_norm
+    FROM canon
+    """,
+)
+def x9_url_normalize(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://Example.COM:443/"))
+             .otherwise(F.lit("https://example.com/")),
+            F.col("source"), F.lit("/item/"), F.col("doc_id"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+             .otherwise(F.lit("?b=2&a=1")),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    return dirty.select("doc_id", text.normalize_url("url").alias("url_norm"))
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,35 @@
+"""X4h/X9 — PII scrub and URL canonicalization edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulfa_sausage_factory_spark.functions import text
+
+
+def _one(spark, s, expr):
+    return spark.createDataFrame([(s,)], ["v"]).select(expr.alias("r")).collect()[0].r
+
+
+def test_redact_pii_and_counts(spark):
+    s = "mail a.b+c@x-y.co.uk or B@C.IO, call +1 (555) 123-4567; not 12345"
+    assert _one(spark, s, text.redact_pii(F.col("v"))) == (
+        "mail <EMAIL> or <EMAIL>, call <PHONE>; not 12345"
+    )
+    assert _one(spark, s, text.count_matches(F.col("v"), text.EMAIL_RE)) == 2
+    assert _one(spark, s, text.count_matches(F.col("v"), text.PHONE_RE)) == 1
+
+
+def test_normalize_url_cases(spark):
+    cases = {
+        # scheme/host lowercase, default port, fragment, utm, param sort
+        "HTTPS://WWW.Ex.COM:443/A/b?z=1&utm_campaign=x&a=2#frag":
+            "https://www.ex.com/A/b?a=2&z=1",
+        "http://ex.com:80/": "http://ex.com",
+        "http://ex.com:8080/p": "http://ex.com:8080/p",  # non-default port kept
+        "https://ex.com/p/?utm_source=a": "https://ex.com/p/",  # path slash kept
+        "https://ex.com/?utm_source=a": "https://ex.com",
+        "https://ex.com/p?b=2&a=1&a=0": "https://ex.com/p?a=0&a=1&b=2",
+    }
+    for raw, want in cases.items():
+        assert _one(spark, raw, text.normalize_url(F.col("v"))) == want, raw
