@@ -149,6 +149,85 @@ PAGE_SCHEMA = T.StructType(
 )
 
 
+def convert_page_pdf_argv(src: str, dst: str, resize: int | None = None) -> list[str]:
+    """U2/dirtopdf page encode — ``convert -density 200x200 [-resize NxN]
+    -compress JPEG -quality 60 <in> <out>`` (bin/dirtopdf.sh:99-106)."""
+    argv = ["convert", "-density", "200x200"]
+    if resize:
+        argv += ["-resize", f"{resize}x{resize}"]
+    return argv + ["-compress", "JPEG", "-quality", "60", src, dst]
+
+
+def pdftk_cat_argv(inputs: list[str], output: str) -> list[str]:
+    """S14 — ``pdftk <p1> <p2> ... cat output <out>`` (bin/dirtopdf.sh:117-121;
+    inputs pre-sorted, the reference's ``find | sort`` contract)."""
+    return ["pdftk", *inputs, "cat", "output", output]
+
+
+def concat_pdfs(page_blobs: list[bytes], runner: Callable = run_tool) -> bytes:
+    """S14 adapter: real ``pdftk ... cat`` when installed; fake = header +
+    length-prefixed page join (order-sensitive and invertible, so tests can
+    assert page order survived the fold)."""
+    import struct
+    import tempfile
+
+    if _which("pdftk") is None:
+        out = [b"%PDF-CAT"]
+        for p in page_blobs:
+            out.append(struct.pack(">I", len(p)))
+            out.append(p)
+        return b"".join(out)
+    with tempfile.TemporaryDirectory() as d:
+        paths = []
+        for i, p in enumerate(page_blobs):
+            path = f"{d}/{i:08d}.pdf"
+            with open(path, "wb") as f:
+                f.write(p)
+            paths.append(path)
+        dst = f"{d}/out.pdf"
+        runner(pdftk_cat_argv(paths, dst), b"")
+        with open(dst, "rb") as f:
+            return f.read()
+
+
+def assemble_pdfs(
+    pages: DataFrame,
+    key_col: str = "doc_key",
+    order_col: str = "page_no",
+    content_col: str = "page_bytes",
+) -> DataFrame:
+    """S14 — the ordered PDF concat sink as an operator: page rows in,
+    one (key, pdf_bytes) row per document out.
+
+    Ordering is data, not task order: pages collect per key and sort by
+    ``order_col`` inside the aggregate (array_sort on (order, bytes)
+    structs — JVM-side), then one fold per document through
+    :func:`concat_pdfs`. Per-document page counts are bounded, so the
+    collect_list is safe at any corpus size; the shuffle is one hash
+    partition on the document key."""
+    grouped = pages.groupBy(F.col(key_col).alias("doc_key")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(content_col).alias("b")))
+        ).alias("ordered")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_key", T.StringType()),
+            T.StructField("pdf_bytes", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                blobs = [bytes(m["b"]) for m in r["ordered"]]
+                rows.append({"doc_key": r["doc_key"], "pdf_bytes": concat_pdfs(blobs)})
+            yield pd.DataFrame(rows, columns=["doc_key", "pdf_bytes"])
+
+    return grouped.mapInPandas(gen, out_schema)
+
+
 def _fake_pdfimages(blob: bytes, max_pages: int = 8) -> list[bytes]:
     """Deterministic stand-in for ``pdfimages`` (bin/main.py:237-249):
     page count derives from the content hash; each "page bitmap" is a

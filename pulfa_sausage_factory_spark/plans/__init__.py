@@ -7,3 +7,4 @@ from pulfa_sausage_factory_spark.plans.audit import (  # noqa: F401
 )
 from pulfa_sausage_factory_spark.plans.audit import assert_no_exchange  # noqa: F401,E402
 from pulfa_sausage_factory_spark.plans.audit import assert_take_ordered  # noqa: F401,E402
+from pulfa_sausage_factory_spark.plans.audit import assert_partition_pruned  # noqa: F401,E402

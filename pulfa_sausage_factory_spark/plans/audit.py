@@ -68,6 +68,20 @@ def assert_no_cartesian(df: DataFrame) -> None:
     assert "CartesianProduct" not in plan, f"cartesian product in plan:\n{plan}"
 
 
+def assert_partition_pruned(df: DataFrame, *needles: str) -> None:
+    """Every ``needle`` (a hive-partition column) must appear in a scan's
+    ``PartitionFilters`` — the predicate prunes whole directories, it never
+    reaches row decoding."""
+    plan = explain_formatted(df)
+    pruned = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pruned, f"no PartitionFilters in plan:\n{plan}"
+    blob = " ".join(pruned)
+    for needle in needles:
+        assert needle in blob, (
+            f"partition filter on {needle!r} not pruned; PartitionFilters={blob}"
+        )
+
+
 def assert_take_ordered(df: DataFrame) -> None:
     """Global top-k must plan as ``TakeOrderedAndProject`` (per-partition
     partial top-k, tiny driver merge), never as a single-partition global

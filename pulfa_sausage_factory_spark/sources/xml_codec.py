@@ -382,3 +382,75 @@ def update_eads(eads: DataFrame, report: DataFrame) -> DataFrame:
     return joined.groupBy("ead_id").applyInPandas(
         lambda pdf: apply_one(pdf), out_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# J3/S11 — EAD dao INSERT (the publish.rb family's EAD update)
+# ---------------------------------------------------------------------------
+
+def insert_dao_xml(
+    xml_text: str, inserts: list[dict], remove_existing: bool = False
+) -> str:
+    """Insert a METS dao under ``//ead:c[@id]/ead:did`` for each
+    (c_id, mets_href) — bin/publish.rb:120-141. ``remove_existing`` first
+    strips the did's current daos (the dao-links-only variant's
+    remove-webspace step, bin/publish_dao-links-only.rb:117-120). New dao:
+    ``xlink:type="simple" xlink:role=METS xlink:href=<mets_href>``."""
+    ET.register_namespace("ead", EAD_NS)
+    ET.register_namespace("xlink", XLINK_NS)
+    root = ET.fromstring(xml_text)
+    dids_by_cid = {
+        c.get("id"): c.find(_q(EAD_NS, "did"))
+        for c in root.iter(_q(EAD_NS, "c"))
+        if c.get("id") is not None
+    }
+    for ins in inserts:
+        # publish.rb:126 — the EAD @id uses '_' where the path uses '/'
+        did = dids_by_cid.get(str(ins["c_id"]).replace("/", "_"))
+        if did is None:
+            continue
+        if remove_existing:
+            for dao in list(did.iter(_q(EAD_NS, "dao"))):
+                did.remove(dao)
+        dao = ET.SubElement(did, _q(EAD_NS, "dao"))
+        dao.set(_q(XLINK_NS, "type"), "simple")
+        dao.set(_q(XLINK_NS, "role"), METS_NS)
+        dao.set(_q(XLINK_NS, "href"), ins["mets_href"])
+    return ET.tostring(root, encoding="unicode")
+
+
+def insert_daos(
+    eads: DataFrame, components: DataFrame, remove_existing: bool = False
+) -> DataFrame:
+    """Distributed J3: (ead_id, xml) ⨝ components(ead_id, c_id, mets_href)
+    → (ead_id, xml) with inserted daos; one EAD per task group."""
+    joined = eads.join(
+        components.groupBy("ead_id").agg(
+            F.collect_list(F.struct("c_id", "mets_href")).alias("inserts")
+        ),
+        "ead_id",
+        "left",
+    )
+    out_schema = T.StructType(
+        [T.StructField("ead_id", T.StringType()), T.StructField("xml", T.StringType())]
+    )
+
+    def apply_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in pdf.iterrows():
+            inserts = (
+                [dict(i) if isinstance(i, dict) else i.asDict() for i in r["inserts"]]
+                if r["inserts"] is not None
+                else []
+            )
+            rows.append(
+                {
+                    "ead_id": r["ead_id"],
+                    "xml": insert_dao_xml(r["xml"], inserts, remove_existing),
+                }
+            )
+        return pd.DataFrame(rows, columns=["ead_id", "xml"])
+
+    return joined.groupBy("ead_id").applyInPandas(
+        lambda pdf: apply_one(pdf), out_schema
+    )

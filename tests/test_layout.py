@@ -1,0 +1,53 @@
+"""Data-layout sinks: partition pruning reaches the scan, clustering bounds
+files, compaction collapses small files without changing the data."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pulfa_sausage_factory_spark import plans
+from pulfa_sausage_factory_spark.io import load_table
+from pulfa_sausage_factory_spark.sinks import layout
+
+
+def test_partitioned_write_prunes_and_bounds_files(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    layout.write_partitioned(ev, out, "event_type", cluster_cols="user_id")
+
+    # one task per partition value → one file per directory
+    per_dir = {}
+    for d in os.listdir(out):
+        if d.startswith("event_type="):
+            per_dir[d] = sum(
+                f.endswith(".parquet") for f in os.listdir(os.path.join(out, d))
+            )
+    assert per_dir and all(n == 1 for n in per_dir.values()), per_dir
+
+    # the partition predicate must prune directories, not filter rows
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plans.assert_partition_pruned(back, "event_type")
+    want = ev.filter(F.col("event_type") == "click").count()
+    assert back.count() == want
+
+
+def test_compaction_preserves_data(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "frag")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    # deliberately fragmented: many tasks × partitionBy fan-out
+    ev.repartition(8).write.partitionBy("event_type").parquet(out)
+    before_files = layout.parquet_file_count(out)
+    before = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    layout.compact(spark, out, "event_type", target_files_per_partition=1)
+    after_files = layout.parquet_file_count(out)
+    after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    assert after == before
+    assert after_files < before_files
+    n_parts = len([d for d in os.listdir(out) if d.startswith("event_type=")])
+    assert after_files == n_parts
