@@ -1783,6 +1783,11 @@ def w6_analytics(spark, sf_dir):
     """,
 )
 def a9_percentiles(spark, sf_dir):
+    # EXACT percentile buffers each group's values in the agg state — the
+    # oracle-matchable form, correct here because group cardinality is
+    # bounded (few event types). At 100 TB the per-group value count is
+    # unbounded and the scale path is x7_approx_profile's approx_percentile
+    # (mergeable KLL sketch, fixed memory) — same query shape, ±ε quantiles.
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("p50"),

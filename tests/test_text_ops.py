@@ -33,3 +33,26 @@ def test_normalize_url_cases(spark):
     }
     for raw, want in cases.items():
         assert _one(spark, raw, text.normalize_url(F.col("v"))) == want, raw
+
+
+def test_normalize_url_idempotent(spark):
+    """Canonicalization is a projection: applying it twice = once (the
+    crawl-dedup invariant — already-canonical URLs must not drift)."""
+    from hypothesis import given, settings, strategies as st
+
+    host = st.from_regex(r"[A-Za-z]{1,8}(\.[A-Za-z]{2,4}){1,2}", fullmatch=True)
+    path = st.from_regex(r"(/[A-Za-z0-9._~-]{0,6}){0,3}", fullmatch=True)
+    qs = st.from_regex(r"(\?([a-z]{1,4}=[0-9]{0,3}&?|utm_[a-z]{1,6}=x&?){0,3})?", fullmatch=True)
+    frag = st.from_regex(r"(#[A-Za-z0-9]{0,5})?", fullmatch=True)
+    scheme = st.sampled_from(["http://", "HTTPS://", "https://", "HTTP://"])
+    port = st.sampled_from(["", ":80", ":443", ":8080"])
+
+    @settings(max_examples=30, deadline=None)
+    @given(scheme, host, port, path, qs, frag)
+    def check(sc, h, po, pa, q, f):
+        url = sc + h + po + pa + q + f
+        once = _one(spark, url, text.normalize_url(F.col("v")))
+        twice = _one(spark, once, text.normalize_url(F.col("v")))
+        assert twice == once, (url, once, twice)
+
+    check()
