@@ -240,3 +240,59 @@ def featurize(
     return df.select(F.col(id_col).alias(id_col), content_col).mapInPandas(
         batches, schema
     )
+
+
+AUDIO_SEG_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("seg_no", T.IntegerType()),
+        T.StructField("start_ms", T.IntegerType()),
+        T.StructField("end_ms", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("seg_digest", T.StringType()),
+    ]
+)
+
+#: fake-decode sample-rate table (indexed by a hash byte)
+_AUDIO_RATES = (8000, 16000, 22050, 44100)
+
+
+def segment_audio(
+    df: DataFrame,
+    window_ms: int = 1000,
+    content_col: str = "content",
+    id_col: str = "id",
+) -> DataFrame:
+    """Audio leg of the multimodal surface: one audio row → fixed-width
+    segment rows (the ASR/embedding pre-chunking shape). Real decode
+    (ffmpeg/soundfile — not in this container) is STUBBED with a
+    deterministic fake: sample rate and duration derive from the content's
+    hex-md5 and byte length, so an ANSI-SQL oracle reproduces every row.
+    The Spark plumbing — UDTF explode, Arrow batching, integer segment
+    arithmetic, no shuffle — is the real artifact."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(blob)
+                hx = b.hex()
+                seed = hashlib.md5(hx.encode("ascii")).hexdigest()
+                rate = _AUDIO_RATES[int(seed[:2], 16) % len(_AUDIO_RATES)]
+                duration_ms = (len(b) * 7) % 5000 + 1000
+                n_segs = (duration_ms + window_ms - 1) // window_ms
+                for s in range(n_segs):
+                    start = s * window_ms
+                    end = min(start + window_ms, duration_ms)
+                    digest = hashlib.md5(f"{hx}:a{s}".encode("ascii")).hexdigest()
+                    rows.append((int(i), s, start, end, rate, digest))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "seg_no", "start_ms", "end_ms", "sample_rate", "seg_digest",
+                ],
+            )
+
+    return df.select(F.col(id_col).alias(id_col), content_col).mapInPandas(
+        batches, AUDIO_SEG_SCHEMA
+    )

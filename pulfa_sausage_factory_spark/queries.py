@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pulfa_sausage_factory_spark.functions import sampling, scalars, text
+from pulfa_sausage_factory_spark.functions import sampling, scalars, skew, text
 from pulfa_sausage_factory_spark.io import load_table
 from pulfa_sausage_factory_spark.operators import (
     asof,
@@ -1964,6 +1964,70 @@ def x9_url_normalize(spark, sf_dir):
         ).alias("url"),
     )
     return dirty.select("doc_id", text.normalize_url("url").alias("url_norm"))
+
+
+# ---------------------------------------------------------------------------
+# A10 — hot-key-safe aggregation under oracle: the salted two-phase agg
+# must be value-identical to the plain GROUP BY (the salt only re-routes
+# the reduce work; decimal sums keep the fold order-insensitive).
+# ---------------------------------------------------------------------------
+@register(
+    "a10_skew_agg",
+    """
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def a10_skew_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("value").cast("decimal(18,4)").alias("value")
+    )
+    out = skew.two_phase_agg(ev, "user_id", "value", salt=16)
+    return out.select(
+        "user_id", "n", F.col("sum_value").cast("double").alias("sum_value")
+    )
+
+
+# X6 — audio segmentation (UDTF explode: one audio row → ceil(duration/1s)
+# segment rows); fake decode is md5-over-hex + byte-length arithmetic, so
+# the oracle re-derives rates, durations, and segment digests relationally
+@register(
+    "x6g_audio_segments",
+    """
+    WITH base AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS blen
+      FROM documents),
+    d AS (
+      SELECT doc_id, hx,
+             CASE CAST(('0x' || substr(md5(hx), 1, 2)) AS INTEGER) % 4
+               WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+             (blen * 7) % 5000 + 1000 AS duration_ms
+      FROM base),
+    segs AS (
+      SELECT doc_id, hx, sample_rate, duration_ms,
+             unnest(range(0, (duration_ms + 999) // 1000)) AS seg_no
+      FROM d)
+    SELECT doc_id, CAST(seg_no AS INTEGER) AS seg_no,
+           CAST(seg_no * 1000 AS INTEGER) AS start_ms,
+           CAST(least(seg_no * 1000 + 1000, duration_ms) AS INTEGER) AS end_ms,
+           sample_rate,
+           md5(hx || ':a' || seg_no) AS seg_digest
+    FROM segs
+    """,
+)
+def x6g_audio_segments(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    clips = docs.select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("content")
+    )
+    segs = multimodal.segment_audio(clips, window_ms=1000)
+    return segs.select(
+        F.col("id").alias("doc_id"),
+        "seg_no", "start_ms", "end_ms", "sample_rate", "seg_digest",
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -93,3 +93,27 @@ def test_png_builder_matches_spark_expression(spark, sf_dir):
         _png_content(F.col("w"), F.col("h")).alias("content")
     )
     assert bytes(df.first().content) == mm.png_bytes(300, 41)
+
+
+def test_audio_segments_cover_duration_exactly(spark):
+    """Segments tile [0, duration) with no gap/overlap; the tail segment is
+    clipped to the fake-decoded duration."""
+    from pulfa_sausage_factory_spark.operators.multimodal import segment_audio
+
+    clips = spark.createDataFrame(
+        [(1, b"x" * 100), (2, b"y" * 999), (3, b"")], "id long, content binary"
+    )
+    rows = segment_audio(clips, window_ms=1000).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    for i, segs in by_id.items():
+        segs.sort(key=lambda r: r.seg_no)
+        assert [s.seg_no for s in segs] == list(range(len(segs)))
+        assert segs[0].start_ms == 0
+        for a, b in zip(segs, segs[1:]):
+            assert a.end_ms == b.start_ms == a.start_ms + 1000
+        dur = segs[-1].end_ms
+        assert 1000 <= dur <= 6000 and len(segs) == (dur + 999) // 1000
+        assert len({s.sample_rate for s in segs}) == 1
+        assert all(s.sample_rate in (8000, 16000, 22050, 44100) for s in segs)
