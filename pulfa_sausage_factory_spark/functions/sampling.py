@@ -48,3 +48,32 @@ def hash_split(df: DataFrame, key: str, fractions: dict[str, float]) -> DataFram
         cond = b < acc
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr.otherwise(list(fractions)[-1]))
+
+
+def pack_greedy(
+    df,
+    token_col: str,
+    budget: int,
+    part_col: str,
+    order_col: str,
+):
+    """Sequence packing: assign each document a ``pack_id`` so consecutive
+    documents (by ``order_col``, within ``part_col`` shards) fill a token
+    budget — the pre-training batch-assembly shape.
+
+    The assignment is the offset rule ``pack = floor(start_offset /
+    budget)`` over a running token sum — one window pass, deterministic,
+    and embarrassingly parallel across shards. (Exact first-fit would be
+    sequential per shard; the offset rule over-fills a pack by at most one
+    document, the standard streaming approximation.) Packing is per-shard
+    by design: a global ordered cumsum would serialize the corpus through
+    one task."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(token_col).over(w) - F.col(token_col)
+    return df.withColumn("pack_id", (start / budget).cast("long"))

@@ -397,3 +397,33 @@ def simhash_neardup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.first("hamming").alias("hamming"))
     )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: (train_id, bench_id, shared) for every
+    train document sharing >= ``min_shared`` distinct n-gram shingles with a
+    benchmark document — the eval-leakage gate a training pipeline runs
+    before a data release.
+
+    Scale shape: the benchmark side is small by construction (eval sets are
+    thousands of docs, not billions), so its shingle index BROADCASTS and
+    the train corpus streams through a map-side hash join — no shuffle of
+    the train shingles, output bounded by true overlaps."""
+    sh_t = word_shingles(train, text_col, id_col, n)
+    sh_b = (
+        word_shingles(bench, text_col, id_col, n)
+        .withColumnRenamed("id", "bench_id")
+    )
+    return (
+        sh_t.join(F.broadcast(sh_b), "shingle")
+        .groupBy(F.col("id").alias("train_id"), "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

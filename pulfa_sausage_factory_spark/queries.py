@@ -2030,6 +2030,61 @@ def x6g_audio_segments(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# X2e — benchmark contamination: train docs sharing >= k distinct shingles
+# with a (small, broadcast) benchmark set — the eval-leakage gate.
+# ---------------------------------------------------------------------------
+@register(
+    "x2e_contamination",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id, str_split(lower(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT id, UNNEST(list_distinct(
+        [array_to_string(t[i:i+2], ' ')
+         FOR i IN range(1, greatest(len(t) - 2, 0) + 1)])) AS shingle
+      FROM toks),
+    tr AS (SELECT id, shingle FROM sh WHERE id % 97 <> 0),
+    be AS (SELECT id AS bench_id, shingle FROM sh WHERE id % 97 = 0)
+    SELECT tr.id AS train_id, be.bench_id, COUNT(*) AS shared
+    FROM tr JOIN be USING (shingle)
+    GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    """,
+)
+def x2e_contamination(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.contamination_pairs(train, bench, min_shared=5)
+
+
+# ---------------------------------------------------------------------------
+# X4i — sequence packing: assign docs to token-budget packs per source
+# shard (one window pass; a global cumsum would serialize the corpus).
+# ---------------------------------------------------------------------------
+@register(
+    "x4i_token_packing",
+    """
+    WITH d AS (
+      SELECT doc_id, source, len(str_split(text, ' ')) AS n_tokens
+      FROM documents)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                / 512.0) AS BIGINT) AS pack_id
+    FROM d
+    """,
+)
+def x4i_token_packing(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return sampling.pack_greedy(
+        d, "n_tokens", budget=512, part_col="source", order_col="doc_id"
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 

@@ -53,3 +53,9 @@ def test_global_topk_is_take_ordered(spark, sf_dir, name):
     # orderBy().limit(k) → TakeOrderedAndProject; a row_number() window
     # without partitionBy would funnel the aggregate set through one task
     plans.assert_take_ordered(QUERIES[name][0](spark, sf_dir))
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    # the bench shingle index is small by construction — the train corpus
+    # must stream through a map-side hash join, never shuffle its shingles
+    plans.assert_broadcast_join(QUERIES["x2e_contamination"][0](spark, sf_dir))
