@@ -195,3 +195,67 @@ def test_streaming_sliding_matches_batch(spark, sf_dir, tmp_path):
         for r in ev_ops.sliding_counts(ev, "1 hour", "30 minutes").collect()
     }
     assert got == want
+
+
+def test_continuous_rollup_refreshes_only_touched_hours(spark, sf_dir, tmp_path):
+    """Hypertable-style continuous aggregate: a delta refresh recomputes the
+    delta's hour partitions from the base table and leaves every other
+    partition byte-untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pulfa_sausage_factory_spark.io import load_table
+    from pulfa_sausage_factory_spark.streaming.rollup import (
+        hourly_rollup,
+        refresh_rollup,
+    )
+
+    out = str(tmp_path / "rollup")
+    ev = load_table(spark, sf_dir, "events")
+
+    # initial materialization from a stale base (half the events)
+    stale = ev.filter(F.col("event_id") % 2 == 0)
+    n0 = refresh_rollup(stale, stale, out)
+    assert n0 > 1
+
+    def mtimes():
+        out_m = {}
+        for d in os.listdir(out):
+            if d.startswith("hour_key="):
+                full = os.path.join(out, d)
+                out_m[d] = max(os.path.getmtime(os.path.join(full, f))
+                               for f in os.listdir(full))
+        return out_m
+
+    before = mtimes()
+
+    # late/new data arrives for ONE hour; base is now complete
+    one_hour = ev.select(F.date_trunc("hour", "ts").alias("h")).distinct().limit(1)
+    hour = one_hour.collect()[0].h
+    delta = ev.filter((F.date_trunc("hour", "ts") == hour) & (F.col("event_id") % 2 == 1))
+    assert delta.count() > 0
+    assert refresh_rollup(ev, delta, out) == 1
+
+    after = mtimes()
+    hour_key = "hour_key=" + hour.strftime("%Y-%m-%d-%H")
+    changed = {k for k in after if after[k] != before.get(k)}
+    assert changed == {hour_key}  # only the touched partition rewritten
+
+    # the refreshed hour now reflects the FULL base; untouched hours still
+    # carry the stale aggregate (they were not part of the delta)
+    got = spark.read.parquet(out)
+    want_touched = (
+        hourly_rollup(ev.filter(F.date_trunc("hour", "ts") == hour))
+        .drop("hour_key")
+        .collect()
+    )
+    got_touched = (
+        got.filter(F.col("hour_key") == hour.strftime("%Y-%m-%d-%H"))
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect()
+    )
+    key = lambda r: (r.window_start, r.event_type)
+    assert sorted(map(tuple, got_touched), key=str) == sorted(
+        map(tuple, want_touched), key=str
+    )
