@@ -77,3 +77,23 @@ def pack_greedy(
     )
     start = F.sum(token_col).over(w) - F.col(token_col)
     return df.withColumn("pack_id", (start / budget).cast("long"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the language/source rebalancing
+    step of corpus assembly (upsample rare strata, downsample dominant
+    ones) with the same retry-stable hash-bucket rule as
+    ``deterministic_sample``; strata not named get ``default_fraction``.
+    One narrow projection, no shuffle, no RNG state."""
+    threshold = F.lit(int(default_fraction * BUCKETS))
+    for value, frac in fractions.items():
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(hash_bucket(key) < threshold)

@@ -2085,6 +2085,26 @@ def x4i_token_packing(spark, sf_dir):
     )
 
 
+# X8c — stratified sampling: per-language rates (rebalancing), hash-stable
+@register(
+    "x8c_stratified_sample",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 10000
+          < CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 5000
+                      WHEN 'und' THEN 0 ELSE 2500 END
+    """,
+)
+def x8c_stratified_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sampling.stratified_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.10, "de": 0.50, "und": 0.0},
+        default_fraction=0.25,
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 
