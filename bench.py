@@ -60,11 +60,20 @@ def main() -> None:
     def _noop(s):
         return s
 
+    def _noop_arr(s):
+        import numpy  # noqa: F401 — preload into the reused worker pool
+
+        return s.map(lambda v: [v])
+
     _noop.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _noop_arr.__annotations__ = {"s": pd.Series, "return": pd.Series}
     warm = spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
         spark.sparkContext.defaultParallelism
     )
     warm.select(F.pandas_udf(_noop, "long")("id")).count()
+    # second pass with an array<long> output: Arrow serializer setup is
+    # per-output-shape, and the minhash signature UDF emits arrays
+    warm.select(F.pandas_udf(_noop_arr, "array<long>")("id")).count()
 
     # JMH-style: one untimed warmup execution per query (JVM codegen JIT +
     # Arrow serializer setup — one-time costs that amortize to zero at real
