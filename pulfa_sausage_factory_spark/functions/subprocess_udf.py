@@ -325,3 +325,97 @@ def extract_binary_meta(
         df.schema.fields + [T.StructField("meta", META_SCHEMA)]
     )
     return df.mapInPandas(gen, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# U2+U4+U5 composed — the orient_image.sh vote as one operator
+# (bin/orient_image.sh:31-79). The o23 query models the same vote
+# relationally (oracle-checked); this is the subprocess-boundary form that
+# runs the real convert/ocrad/aspell when installed.
+# ---------------------------------------------------------------------------
+
+ORIENT_ANGLES = (0, 90, 180, 270)  # north, east, south, west
+
+
+def _fake_rotate(blob: bytes, angle: int) -> bytes:
+    """Deterministic stand-in for ``convert -rotate``: tags the bytes so
+    tests can read back which rotation won."""
+    return b"ROT%03d:" % angle + blob
+
+
+def orient_image(
+    img_bytes: bytes, runner: Callable = run_tool
+) -> tuple[int, bytes]:
+    """One image → (winning_angle, rotated_bytes), the orient_image.sh
+    decision procedure verbatim:
+
+    1. rotate to the four cardinal orientations (U2)
+    2. OCR each (U4); word-count each text (least junk = most words is
+       WRONG way up — sideways scans OCR to whitespace noise, so the
+       *bottom two* word counts are the upright/upside-down pair)
+    3. aspell-count misspellings on the bottom two (U5); fewest wins
+    4. ties: first in the deterministic N/E/S/W scan order (the
+       reference's ``sort -n | head`` behavior)
+    """
+    import tempfile
+
+    have_tools = all(_which(t) for t in ("convert", "ocrad", "aspell"))
+    variants: list[tuple[int, bytes, str]] = []  # (angle, rotated, ocr_text)
+    if have_tools:
+        with tempfile.TemporaryDirectory() as d:
+            src = f"{d}/in.img"
+            with open(src, "wb") as f:
+                f.write(img_bytes)
+            for angle in ORIENT_ANGLES:
+                dst = f"{d}/rot{angle}.img"
+                if angle == 0:
+                    dst = src  # cp $file $north_file
+                else:
+                    runner(convert_rotate_argv(angle, src, dst), b"")
+                with open(dst, "rb") as f:
+                    rotated = f.read()
+                variants.append((angle, rotated, ocr_image(rotated, runner)))
+    else:
+        for angle in ORIENT_ANGLES:
+            rotated = _fake_rotate(img_bytes, angle)
+            variants.append((angle, rotated, ocr_image(rotated, runner)))
+
+    # bottom two by OCR word count (sort -n | head -2; stable on ties)
+    by_wc = sorted(variants, key=lambda v: (len(v[2].split()), ORIENT_ANGLES.index(v[0])))
+    bottom_two = by_wc[:2]
+    # fewest misspelled wins (sort -n | head -1)
+    winner = min(
+        bottom_two,
+        key=lambda v: (misspelled_words(v[2], runner), ORIENT_ANGLES.index(v[0])),
+    )
+    return winner[0], winner[1]
+
+
+ORIENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("oriented", T.BinaryType()),
+    ]
+)
+
+
+def orient_images(
+    df: DataFrame, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """The per-image vote as an Arrow-batched stage: bounded work per row
+    (4 rotations + 4 OCRs + 2 spellchecks), embarrassingly parallel, no
+    shuffle — the mapInPandas twin of the reference's per-file shell loop
+    (bin/main.py:253-266 invoking orient_image.sh)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                angle, oriented = orient_image(bytes(blob))
+                rows.append({"id": int(i), "orientation": angle, "oriented": oriented})
+            yield pd.DataFrame(rows, columns=["id", "orientation", "oriented"])
+
+    return df.select(F.col(id_col).alias(id_col), content_col).mapInPandas(
+        gen, ORIENT_SCHEMA
+    )

@@ -125,3 +125,62 @@ def test_tool_adapters_wire_real_argv(monkeypatch):
     assert [c[0] for c in calls] == ["kdu_compress", "ocrad", "aspell"]
     assert calls[1][1:4] == ["-f", "-F", "utf8"]
     assert calls[2] == ["aspell", "-l", "en", "list"]
+
+
+def test_orient_image_vote_sequence(monkeypatch):
+    """The orient_image.sh decision procedure with mocked tools: 3 convert
+    rotations, 4 OCRs, aspell on exactly the bottom-two word counts, winner
+    = fewest misspellings (bin/orient_image.sh:31-79)."""
+    from pulfa_sausage_factory_spark.functions import subprocess_udf as S
+
+    monkeypatch.setattr(S, "_which", lambda tool: f"/usr/bin/{tool}")
+    ocr_texts = {
+        b"IMG": "w w w w w",       # north: 5 words
+        b"R90": "a b c d e f",     # east: 6
+        b"R180": "x y",            # south: 2  <- bottom two
+        b"R270": "p q r",          # west: 3   <- bottom two
+    }
+    misspells = {"x y": b"bad\n", "p q r": b"bad\nworse\n"}
+    calls = []
+
+    def runner(argv, stdin_bytes, timeout=60.0):
+        calls.append(argv[0])
+        if argv[0] == "convert":
+            angle, dst = argv[2], argv[4]
+            with open(dst, "wb") as f:
+                f.write(b"R" + angle.encode())
+            return b""
+        if argv[0] == "ocrad":
+            img = argv[4]
+            with open(img, "rb") as f:
+                content = f.read()
+            with open(argv[6], "w") as f:
+                f.write(ocr_texts[content])
+            return b""
+        if argv[0] == "aspell":
+            return misspells[stdin_bytes.decode()]
+        raise AssertionError(argv)
+
+    angle, rotated = S.orient_image(b"IMG", runner=runner)
+    assert (angle, rotated) == (180, b"R180")
+    assert calls.count("convert") == 3
+    assert calls.count("ocrad") == 4
+    assert calls.count("aspell") == 2  # bottom two only
+
+
+def test_orient_images_operator_fake_path(spark):
+    """Hermetic path: deterministic vote, one row per image, no shuffle."""
+    from pulfa_sausage_factory_spark.functions.subprocess_udf import (
+        ORIENT_ANGLES,
+        orient_images,
+    )
+
+    imgs = spark.createDataFrame(
+        [(i, bytes([i]) * 20) for i in range(6)], "id long, content binary"
+    )
+    a = {(r.id, r.orientation, bytes(r.oriented)) for r in orient_images(imgs).collect()}
+    b = {(r.id, r.orientation, bytes(r.oriented)) for r in orient_images(imgs).collect()}
+    assert a == b and len(a) == 6
+    for _id, angle, oriented in a:
+        assert angle in ORIENT_ANGLES
+        assert oriented.startswith(b"ROT%03d:" % angle)
