@@ -297,24 +297,31 @@ def extract_binary_meta(
     df: DataFrame, content_col: str = "content"
 ) -> DataFrame:
     """U9/S8/X6 — per-file technical metadata (bin/dao.py:86-100): byte
-    size, SHA-1, MIME sniff, pixel dims. Dims need an image decoder
-    (pyexiv2 in the reference, Pillow at scale) — not bundled here, so they
-    are None from the fallback; everything else is exact. Output appends a
-    ``meta`` struct column."""
+    size, SHA-1, MIME sniff, pixel dims. Dims come from real container-
+    header parsing (PNG/JPEG/GIF); formats needing a full decoder (the
+    reference used pyexiv2) stay None. Output appends a ``meta`` struct
+    column."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pulfa_sausage_factory_spark.operators.multimodal import (
+            sniff_image_meta,
+        )
+
         for pdf in batches:
             metas = []
             for blob in pdf[content_col]:
                 b = bytes(blob)
+                # container-header dims (PNG IHDR / JPEG SOFn / GIF LSD) —
+                # real parsing, no decoder lib; unparseable containers
+                # (pdf, tiff, opaque) keep None
+                _, w, h = sniff_image_meta(b)
                 metas.append(
                     {
                         "byte_len": len(b),
                         "sha1": hashlib.sha1(b).hexdigest(),
                         "mime": _sniff_mime(b),
-                        # real decode is an optional dependency (STUB):
-                        "width": None,
-                        "height": None,
+                        "width": w,
+                        "height": h,
                     }
                 )
             out = pdf.copy()

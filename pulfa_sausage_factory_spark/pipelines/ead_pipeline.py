@@ -231,8 +231,8 @@ def stage5_mets(spark: SparkSession, cfg: EadPipelineConfig) -> DataFrame:
         F.col("meta.sha1").alias("checksum"),
         F.col("meta.byte_len").cast("string").alias("size"),
         F.col("meta.mime").alias("mimetype"),
-        F.lit(None).cast("string").alias("width"),
-        F.lit(None).cast("string").alias("height"),
+        F.col("meta.width").cast("string").alias("width"),
+        F.col("meta.height").cast("string").alias("height"),
         F.lit("part").alias("wholepart"),
         F.substring_index(abs_name, "/", 2).alias("objid"),
     )

@@ -184,3 +184,19 @@ def test_orient_images_operator_fake_path(spark):
     for _id, angle, oriented in a:
         assert angle in ORIENT_ANGLES
         assert oriented.startswith(b"ROT%03d:" % angle)
+
+
+def test_extract_binary_meta_parses_container_dims(spark):
+    from pulfa_sausage_factory_spark.functions.subprocess_udf import (
+        extract_binary_meta,
+    )
+    from pulfa_sausage_factory_spark.operators.multimodal import png_bytes
+
+    df = spark.createDataFrame(
+        [(1, png_bytes(640, 480)), (2, b"%PDF-1.4 x"), (3, b"opaque")],
+        "id long, content binary",
+    )
+    got = {r.id: r.meta for r in extract_binary_meta(df).collect()}
+    assert (got[1].mime, got[1].width, got[1].height) == ("image/png", 640, 480)
+    assert (got[2].mime, got[2].width) == ("application/pdf", None)
+    assert got[3].width is None
