@@ -56,3 +56,32 @@ def test_normalize_url_idempotent(spark):
         assert twice == once, (url, once, twice)
 
     check()
+
+
+def test_pack_greedy_budget_invariant(spark):
+    """Every document's start offset within its pack is < budget, packs are
+    contiguous from 0 per shard, and assignment is order-deterministic."""
+    import random
+
+    from pulfa_sausage_factory_spark.functions.sampling import pack_greedy
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"s{i % 3}", rng.randint(1, 400))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    got = pack_greedy(df, "n_tokens", budget=512, part_col="source", order_col="doc_id")
+    by_shard = {}
+    for r in got.collect():
+        by_shard.setdefault(r.source, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        seen_packs = []
+        for r in rs:
+            assert r.pack_id == cum // 512  # start-offset rule
+            cum += r.n_tokens
+            if not seen_packs or seen_packs[-1] != r.pack_id:
+                seen_packs.append(r.pack_id)
+        assert seen_packs == list(range(seen_packs[-1] + 1))  # contiguous
