@@ -941,7 +941,8 @@ def x4c_langid(spark, sf_dir):
     "x5_json_props",
     """
     SELECT event_type, COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
@@ -1038,8 +1039,9 @@ def t_tumbling_window(spark, sf_dir):
                   THEN 1 ELSE 0 END AS is_new
       FROM events),
     numbered AS (
-      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                  AS session_no
+      SELECT *, CAST(SUM(is_new) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  AS BIGINT) AS session_no
       FROM gapped)
     SELECT user_id, session_no,
            MIN(ts) AS session_start, MAX(ts) AS session_end,

@@ -70,6 +70,26 @@ def test_oracle_parity(spark, sf_dir, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
 
 
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_types_driver_hashable(sf_dir, name):
+    """The driver hashes oracle results through pandas, where DuckDB
+    HUGEINT (SUM of BIGINT, plain or windowed) and DECIMAL columns
+    materialize as float64/object while Spark emits int64/double —
+    splitting the value hash even when every value matches (the round-2
+    x5_json_props / t_sessionize regression).  DESCRIBE every oracle and
+    reject any column type pandas can't round-trip losslessly; fix sites
+    wrap the aggregate as CAST(SUM(...) AS BIGINT)."""
+    _, sql = QUERIES[name]
+    con = _duck(sf_dir)
+    rows = con.execute("DESCRIBE " + sql).fetchall()
+    bad = [
+        (r[0], r[1])
+        for r in rows
+        if r[1] in ("HUGEINT", "UHUGEINT") or r[1].startswith("DECIMAL")
+    ]
+    assert not bad, f"{name}: driver-unhashable oracle column types {bad}"
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, sf_dir, name):
     fn, _ = QUERIES[name]
