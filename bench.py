@@ -19,8 +19,37 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pulfa_sausage_factory_spark.io import load_table  # noqa: E402
+from pulfa_sausage_factory_spark.operators import dedup, events  # noqa: E402
 from pulfa_sausage_factory_spark.queries import QUERIES  # noqa: E402
 from pulfa_sausage_factory_spark.session import get_spark  # noqa: E402
+
+
+# The round-3 registry consolidation merged three benched registrations into
+# tagged unions (x2b_minhash_lsh → x2b_hash_neardup, t_tumbling_window /
+# t_sliding_window → t_windows). The bench keeps measuring the ORIGINAL
+# stand-alone workloads under their original keys so BENCH_r{N}.json stays
+# comparable across rounds — these call the same library operators the
+# merged registrations use.
+def _x2b_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def _t_tumbling_window(spark, sf_dir):
+    return events.tumbling_counts(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+def _t_sliding_window(spark, sf_dir):
+    return events.sliding_counts(
+        load_table(spark, sf_dir, "events"), size="1 hour", slide="30 minutes"
+    )
+
+
+_EXTRA = {
+    "x2b_minhash_lsh": _x2b_minhash_lsh,
+    "t_tumbling_window": _t_tumbling_window,
+    "t_sliding_window": _t_sliding_window,
+}
 
 #: Headline set: the shapes that dominate at scale — wide agg (q1), join+agg
 #: +topk (q3), star multi-join (q5), window ordinal (w1), group-collect (a1),
@@ -77,22 +106,31 @@ def main() -> None:
 
     # JMH-style: one untimed warmup execution per query (JVM codegen JIT +
     # Arrow serializer setup — one-time costs that amortize to zero at real
-    # scale), then one timed steady-state run. Cold times go to stderr.
+    # scale), then REPS timed steady-state runs reported as the median —
+    # this host has heavy CPU-steal variance (round-2 showed ±40% swings on
+    # unchanged queries), and a single steady pass conflates that with real
+    # regressions. Cold times go to stderr.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     per_query: dict[str, float] = {}
     cold: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        fn, _ = QUERIES[name]
+        fn = _EXTRA.get(name) or QUERIES[name][0]
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]
         per_query[name] = round(dt, 3)
         total += dt
         print(
-            f"# {name}: {dt:.3f}s steady / {cold[name]:.3f}s cold ({n} rows)",
+            f"# {name}: {dt:.3f}s median-of-{reps} "
+            f"(spread {min(times):.3f}-{max(times):.3f}) / "
+            f"{cold[name]:.3f}s cold ({n} rows)",
             file=sys.stderr,
         )
 

@@ -104,6 +104,31 @@ def json_props(events: DataFrame) -> DataFrame:
     )
 
 
+def event_profile(events: DataFrame) -> DataFrame:
+    """X5+X7+A9 — one-pass exact profile per event_type: JSON ``$.k``
+    aggregates (JVM-side ``get_json_object``), exact distinct users, and
+    exact percentiles. One shuffle on event_type for all three surfaces.
+
+    Exact percentile buffers each group's values in the agg state — correct
+    here because event_type cardinality is tiny; the unbounded-cardinality
+    scale path is ``approx_profile`` (mergeable sketches, fixed memory)."""
+    return (
+        events.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
 def approx_profile(events: DataFrame) -> DataFrame:
     """X7 — approximate distinct/quantiles per event_type. HLL++ and
     KLL-style sketches are mergeable → partial aggregation, one shuffle of

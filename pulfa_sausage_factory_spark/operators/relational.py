@@ -49,20 +49,31 @@ def offset_renumber(
     group_cols: Sequence[str],
     order_col: str,
     out_col: str = "new_number",
+    ordinal_col: str | None = None,
 ) -> DataFrame:
     """W3/A4 — renumber ``work`` rows per group starting after the count of
     ``existing`` rows in the same group (bin/pulfarize.rb:59-77).
 
     The count side aggregates before the join (small per-group relation) so
     the join broadcasts; no row explosion.
+
+    ``ordinal_col`` additionally emits the zero-based sibling ordinal (W2).
+    Both columns derive from the SAME row_number assignment — two separate
+    window computations could pair tied ``order_col`` rows differently,
+    which would be nondeterministic when the sibling order is not total.
     """
     counts = existing.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_existing"))
     w = Window.partitionBy(*group_cols).orderBy(order_col)
-    return (
+    out = (
         work.join(F.broadcast(counts), list(group_cols), "left")
         .withColumn("_existing", F.coalesce(F.col("_existing"), F.lit(0)))
-        .withColumn(out_col, F.row_number().over(w) + F.col("_existing"))
-        .drop("_existing")
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    if ordinal_col is not None:
+        out = out.withColumn(ordinal_col, F.col("_rn") - 1)
+    return (
+        out.withColumn(out_col, F.col("_rn") + F.col("_existing"))
+        .drop("_existing", "_rn")
     )
 
 

@@ -89,25 +89,32 @@ def f1_window_existential(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# W2 — preceding-sibling ordinal (pdf_idx, bin/main.py:161-165)
+# W2+W3/A4 — preceding-sibling ordinal (pdf_idx, bin/main.py:161-165) and
+# offset renumbering after the existing-count (bin/pulfarize.rb:59-77), both
+# derived from one row_number assignment (merged registration, round 3)
 # ---------------------------------------------------------------------------
 @register(
-    "w2_sibling_ordinal",
+    "w23_sibling_renumber",
     """
-    SELECT l_orderkey, l_linenumber,
-           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1
-             AS pdf_idx
-    FROM lineitem WHERE l_returnflag = 'N'
+    WITH existing AS (
+      SELECT l_orderkey, COUNT(*) AS n FROM lineitem
+      WHERE l_linestatus = 'F' GROUP BY l_orderkey)
+    SELECT w.l_orderkey, w.l_linenumber,
+           ROW_NUMBER() OVER (PARTITION BY w.l_orderkey ORDER BY w.l_linenumber)
+             - 1 AS pdf_idx,
+           ROW_NUMBER() OVER (PARTITION BY w.l_orderkey ORDER BY w.l_linenumber)
+             + COALESCE(e.n, 0) AS new_number
+    FROM lineitem w LEFT JOIN existing e ON w.l_orderkey = e.l_orderkey
+    WHERE w.l_linestatus = 'O'
     """,
 )
-def w2_sibling_ordinal(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "N")
-    w = relational.sibling_window("l_orderkey", order_col="l_linenumber")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        relational.ordinal(w, zero_based=True).alias("pdf_idx"),
-    )
+def w23_sibling_renumber(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    work = li.filter(F.col("l_linestatus") == "O")
+    existing = li.filter(F.col("l_linestatus") == "F")
+    return relational.offset_renumber(
+        work, existing, ["l_orderkey"], "l_linenumber", ordinal_col="pdf_idx"
+    ).select("l_orderkey", "l_linenumber", "pdf_idx", "new_number")
 
 
 # ---------------------------------------------------------------------------
@@ -130,31 +137,6 @@ def w1_page_numbering(spark, sf_dir):
         "l_linenumber",
         scalars.zero_pad8(relational.ordinal(w)).alias("page_label"),
     )
-
-
-# ---------------------------------------------------------------------------
-# W3/A4 — offset renumbering after existing-count (bin/pulfarize.rb:59-77)
-# ---------------------------------------------------------------------------
-@register(
-    "w3_offset_renumber",
-    """
-    WITH existing AS (
-      SELECT l_orderkey, COUNT(*) AS n FROM lineitem
-      WHERE l_linestatus = 'F' GROUP BY l_orderkey)
-    SELECT w.l_orderkey, w.l_linenumber,
-           ROW_NUMBER() OVER (PARTITION BY w.l_orderkey ORDER BY w.l_linenumber)
-             + COALESCE(e.n, 0) AS new_number
-    FROM lineitem w LEFT JOIN existing e ON w.l_orderkey = e.l_orderkey
-    WHERE w.l_linestatus = 'O'
-    """,
-)
-def w3_offset_renumber(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    work = li.filter(F.col("l_linestatus") == "O")
-    existing = li.filter(F.col("l_linestatus") == "F")
-    return relational.offset_renumber(
-        work, existing, ["l_orderkey"], "l_linenumber"
-    ).select("l_orderkey", "l_linenumber", "new_number")
 
 
 # ---------------------------------------------------------------------------
@@ -220,48 +202,35 @@ def j1_first_match_join(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# J5 — anti-join idempotency guard (skip-if-exists, bin/main.py:184,...)
+# J5+J6 — anti-join idempotency guard (skip-if-exists, bin/main.py:184) and
+# semi-join prerequisite gate (bin/publish-mets-only.rb:65), tagged union
+# (merged registration, round 3)
 # ---------------------------------------------------------------------------
 @register(
-    "j5_anti_join",
+    "j56_semi_anti",
     """
-    SELECT c.c_custkey, c.c_name FROM customer c
+    SELECT 'anti' AS kind, c.c_custkey, c.c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def j5_anti_join(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    return relational.anti_join_existing(cust, orders, ["c_custkey"]).select(
-        "c_custkey", "c_name"
-    )
-
-
-# ---------------------------------------------------------------------------
-# J6 — semi-join (process only if prerequisite exists,
-# bin/publish-mets-only.rb:65)
-# ---------------------------------------------------------------------------
-@register(
-    "j6_semi_join",
-    """
-    SELECT c.c_custkey, c.c_name FROM customer c
+    UNION ALL
+    SELECT 'semi' AS kind, c.c_custkey, c.c_name FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
     """,
 )
-def j6_semi_join(spark, sf_dir):
+def j56_semi_anti(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
-    urgent = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderpriority") == "1-URGENT")
-        .select(F.col("o_custkey").alias("c_custkey"))
+    orders = _t(spark, sf_dir, "orders")
+    anti = relational.anti_join_existing(
+        cust, orders.select(F.col("o_custkey").alias("c_custkey")), ["c_custkey"]
+    ).select(F.lit("anti").alias("kind"), "c_custkey", "c_name")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
     )
-    return relational.semi_join_existing(cust, urgent, ["c_custkey"]).select(
-        "c_custkey", "c_name"
+    semi = relational.semi_join_existing(cust, urgent, ["c_custkey"]).select(
+        F.lit("semi").alias("kind"), "c_custkey", "c_name"
     )
+    return anti.unionByName(semi)
 
 
 # ---------------------------------------------------------------------------
@@ -330,27 +299,9 @@ def o2_topk_per_group(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# O3 — argmin winner per group (bin/orient_image.sh:76-78)
-# ---------------------------------------------------------------------------
-@register(
-    "o3_argmin",
-    """
-    SELECT l_orderkey, l_linenumber AS winner_linenumber FROM (
-      SELECT l_orderkey, l_linenumber,
-             ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                                ORDER BY l_extendedprice, l_linenumber) AS rk
-      FROM lineitem) WHERE rk = 1
-    """,
-)
-def o3_argmin(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return relational.argmin_per_group(
-        li, ["l_orderkey"], [F.col("l_extendedprice"), F.col("l_linenumber")]
-    ).select("l_orderkey", F.col("l_linenumber").alias("winner_linenumber"))
-
-
-# ---------------------------------------------------------------------------
-# O2+O3+A2 — the full orientation-vote pipeline shape
+# O2+O3+A2 — the full orientation-vote pipeline shape (O3's standalone
+# argmin registration was absorbed here in round 3: argmin_per_group is the
+# second stage of this same pipeline)
 # (bottom-2 by wc then argmin by misspellings, bin/orient_image.sh:55-78)
 # ---------------------------------------------------------------------------
 @register(
@@ -384,19 +335,22 @@ def o23_orientation_vote(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# F4/P10 — status-code dispatch (bin/main.py:495-538)
+# F4/P10+P12 — status-code dispatch (bin/main.py:495-538) with the date
+# surface (month bucketing, P12) folded into the grouping (merged
+# registration, round 3)
 # ---------------------------------------------------------------------------
 @register(
-    "f4_status_dispatch",
+    "f4_dispatch_dates",
     """
     SELECT CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
                               ELSE 'pending' END AS category,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_totalprice
-    FROM orders GROUP BY 1
+    FROM orders GROUP BY 1, 2
     """,
 )
-def f4_status_dispatch(spark, sf_dir):
+def f4_dispatch_dates(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     cat = (
         F.when(F.col("o_orderstatus") == "O", "open")
@@ -404,28 +358,14 @@ def f4_status_dispatch(spark, sf_dir):
         .otherwise("pending")
     )
     return (
-        orders.groupBy(cat.alias("category"))
+        orders.groupBy(
+            cat.alias("category"),
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             dsum("o_totalprice").alias("sum_totalprice"),
         )
-    )
-
-
-# ---------------------------------------------------------------------------
-# F5 — regex URL-shape predicate (bin/makepdf.rb:45-49)
-# ---------------------------------------------------------------------------
-@register(
-    "f5_regex_filter",
-    """
-    SELECT doc_id, source FROM documents
-    WHERE regexp_matches(text, 'window (scan|merge)')
-    """,
-)
-def f5_regex_filter(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.filter(F.col("text").rlike("window (scan|merge)")).select(
-        "doc_id", "source"
     )
 
 
@@ -483,29 +423,6 @@ def p_scalar_surface(spark, sf_dir):
         scalars.ext_to_bits(ext).alias("img_bits"),
         scalars.floor_to_100("p_retailprice").alias("floor100"),
         scalars.jp2_levels(F.col("p_size") * 40).alias("jp2_levels"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# P12/date surface — timestamp formatting + month bucketing
-# ---------------------------------------------------------------------------
-@register(
-    "date_ops",
-    """
-    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_totalprice
-    FROM orders GROUP BY 1
-    """,
-)
-def date_ops(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice").alias("sum_totalprice"),
-        )
     )
 
 
@@ -696,27 +613,28 @@ def x2_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
 
 
-# X2 scale path — MinHash LSH (xxhash64-based; no SQL oracle → rows-only)
-@register("x2b_minhash_lsh", None)
-def x2b_minhash_lsh(spark, sf_dir):
+# X2 scale paths — MinHash LSH (xxhash64 signatures, banded bucket join)
+# and SimHash hamming pairs via pigeonhole banding (crc32 signatures), as a
+# tagged union (merged registration, round 3; simhash64 fingerprints are
+# computed inside the neardup path). Rows-only: both signature families use
+# hash functions DuckDB lacks; LSH≡brute-force equivalence is pinned in
+# tests/test_dedup_clusters.py / test_text_ops.py instead.
+@register("x2b_hash_neardup", None)
+def x2b_hash_neardup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, threshold=0.2)
-
-
-# X2 — SimHash fingerprints (crc32-based numpy signatures; rows-only)
-@register("x2c_simhash", None)
-def x2c_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash64(docs)
-
-
-# X2 — SimHash hamming near-dup pairs via pigeonhole banding (rows-only:
-# fingerprints use hash functions DuckDB lacks; recall within the hamming
-# budget is exact by the pigeonhole argument, tested against brute force)
-@register("x2c2_simhash_neardup", None)
-def x2c2_simhash_neardup(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_neardup_pairs(docs, max_hamming=3)
+    mh = dedup.minhash_lsh_pairs(docs, threshold=0.2).select(
+        F.lit("minhash").alias("kind"),
+        "id_a",
+        "id_b",
+        F.col("est_jaccard").cast("double").alias("score"),
+    )
+    sh = dedup.simhash_neardup_pairs(docs, max_hamming=3).select(
+        F.lit("simhash").alias("kind"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionByName(sh)
 
 
 # ---------------------------------------------------------------------------
@@ -748,54 +666,14 @@ def x3_knn_bruteforce(spark, sf_dir):
     return similarity.knn_bruteforce(emb, queries, k=10)
 
 
-# X3 scale path — random-hyperplane LSH ANN. The hyperplanes are
-# deterministic doubles (seeded LCG + Box-Muller), so the oracle inlines
-# them as literals and reproduces bucketing + probe + top-k exactly.
-def _x3b_oracle() -> str:
-    from pulfa_sausage_factory_spark.operators.similarity import _hyperplanes
-
-    planes = _hyperplanes(dim=64, bits=8)
-    rows = ",\n      ".join(
-        f"({1 << i}, [{', '.join(repr(x) for x in p)}])"
-        for i, p in enumerate(planes)
-    )
-    return f"""
-    WITH vecs AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings),
-    planes(bitval, p) AS (VALUES
-      {rows}),
-    buckets AS (
-      SELECT vec_id,
-             SUM(CASE WHEN list_sum(list_transform(range(1, 65),
-                        i -> v[i] * p[i])) >= 0 THEN bitval ELSE 0 END) AS bucket
-      FROM vecs CROSS JOIN planes GROUP BY vec_id),
-    bv AS (SELECT vecs.vec_id, vecs.v, buckets.bucket
-           FROM vecs JOIN buckets USING (vec_id)),
-    cand AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
-               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
-                  * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS cos
-      FROM bv c JOIN bv q ON c.bucket = q.bucket
-      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
-    SELECT query_id, neighbor_id, rk, ROUND(cos, 6) AS cos FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, neighbor_id) AS rk
-      FROM cand) WHERE rk <= 10
-    """
-
-
-@register("x3b_knn_lsh", _x3b_oracle())
-def x3b_knn_lsh(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.knn_lsh(emb, queries, k=10)
-
-
-# X3 multi-probe — the recall knob under oracle: queries probe every bucket
-# within hamming radius 1 (XOR-mask expansion keeps the equi-join shape; the
-# oracle reproduces the mask fan-out with DuckDB's xor()).
+# X3 scale path — random-hyperplane LSH ANN with multi-probe, the recall
+# knob under oracle: queries probe every bucket within hamming radius 1
+# (XOR-mask expansion keeps the equi-join shape; mask 0 IS the plain
+# single-probe LSH bucket, so this registration covers both paths — the
+# standalone single-probe registration was absorbed in round 3). The
+# hyperplanes are deterministic doubles (seeded LCG + Box-Muller), so the
+# oracle inlines them as literals and reproduces bucketing + probe + top-k
+# exactly with DuckDB's xor().
 def _x3d_oracle(bits: int = 8) -> str:
     from pulfa_sausage_factory_spark.operators.similarity import _hyperplanes
 
@@ -935,26 +813,36 @@ def x4c_langid(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# X5 — semi-structured JSON access on events.props
+# X5+X7+A9 — one-pass exact event profile per event_type: semi-structured
+# JSON access on events.props, exact distinct users, and exact percentiles
+# (merged registration, round 3 — one shuffle serves all three surfaces)
 # ---------------------------------------------------------------------------
 @register(
-    "x5_json_props",
+    "x5_event_profile",
     """
     SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
                 AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           MIN(value) AS lo, MAX(value) AS hi
     FROM events GROUP BY event_type
     """,
 )
-def x5_json_props(spark, sf_dir):
+def x5_event_profile(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    return events.json_props(ev)
+    return events.event_profile(ev)
 
 
 # ---------------------------------------------------------------------------
-# X6 — multimodal/binary column plumbing (metadata over opaque bytes)
+# X6 — multimodal/binary column plumbing: metadata over opaque bytes plus
+# the Arrow-batched feature-extraction UDF (x6e absorbed here in round 3;
+# the feature vector rides as array<double> internally and is serialized to
+# fixed-precision CSV because the driver's canonicalizer hashes scalar
+# cells only)
 # ---------------------------------------------------------------------------
 @register(
     "x6_multimodal_meta",
@@ -962,39 +850,41 @@ def x5_json_props(spark, sf_dir):
     SELECT doc_id,
            octet_length(encode(text)) AS byte_len,
            md5(text) AS digest,
-           'text/plain' AS mime
+           'text/plain' AS mime,
+           list_aggregate(
+             list_transform(range(1, 9),
+               i -> printf('%.6f',
+                    round(CAST(('0x' || substr(md5(text), (i-1)*2+1, 2)) AS INTEGER)
+                          / 255.0, 6))),
+             'string_agg', ',') AS features
     FROM documents
     """,
 )
 def x6_multimodal_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     blob = F.encode(F.col("text"), "utf-8")
-    return docs.select(
+    meta = docs.select(
         "doc_id",
         F.octet_length(blob).alias("byte_len"),
         F.md5(F.col("text")).alias("digest"),
         F.lit("text/plain").alias("mime"),
     )
-
-
-# ---------------------------------------------------------------------------
-# X7 — distinct counting (exact, oracled) + sketches (rows-only)
-# ---------------------------------------------------------------------------
-@register(
-    "x7_distinct_exact",
-    """
-    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
-    FROM events GROUP BY event_type
-    """,
-)
-def x7_distinct_exact(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    blobs = docs.select(F.col("doc_id").alias("id"), blob.alias("content"))
+    feats = multimodal.featurize(blobs, dim=8).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform("features", lambda x: F.format_string("%.6f", x)), ","
+        ).alias("features"),
+    )
+    return meta.join(feats, "doc_id").select(
+        "doc_id", "byte_len", "digest", "mime", "features"
     )
 
 
+# ---------------------------------------------------------------------------
+# X7 — approximate sketches (rows-only; the exact-distinct twin is under
+# oracle inside x5_event_profile)
+# ---------------------------------------------------------------------------
 @register("x7_approx_profile", None)
 def x7_approx_profile(spark, sf_dir):
     # Quantile array serialized to fixed-precision CSV — the driver's
@@ -1011,20 +901,39 @@ def x7_approx_profile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# T — event-time windows (tumbling) + gap sessionization (batch forms)
+# T — event-time windows, tumbling (1h) + sliding (1h size / 30m hop, every
+# event in exactly 2 epoch-aligned windows) as a tagged union (merged
+# registration, round 3); gap sessionization below
 # ---------------------------------------------------------------------------
 @register(
-    "t_tumbling_window",
+    "t_windows",
     """
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
-           COUNT(*) AS n_events,
+    WITH expanded AS (
+      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                            - k * 1800000000) AS window_start,
+             event_type, value
+      FROM events CROSS JOIN (VALUES (0), (1)) AS probe(k))
+    SELECT 'tumbling' AS kind, date_trunc('hour', ts) AS window_start,
+           event_type, COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2
+    FROM events GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'sliding' AS kind, window_start, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM expanded GROUP BY 1, 2, 3
     """,
 )
-def t_tumbling_window(spark, sf_dir):
+def t_windows(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    return events.tumbling_counts(ev, "1 hour")
+    tw = events.tumbling_counts(ev, "1 hour").select(
+        F.lit("tumbling").alias("kind"),
+        "window_start", "event_type", "n_events", "sum_value",
+    )
+    sw = events.sliding_counts(ev, size="1 hour", slide="30 minutes").select(
+        F.lit("sliding").alias("kind"),
+        "window_start", "event_type", "n_events", "sum_value",
+    )
+    return tw.unionByName(sw)
 
 
 @register(
@@ -1083,7 +992,9 @@ def s2_report_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# A2/A3 — word count + dictionary miss count (orient_image.sh:55-74)
+# F5+A2+A3 — regex URL-shape predicate (bin/makepdf.rb:45-49) gating word
+# count + dictionary miss count (orient_image.sh:55-74); merged
+# registration, round 3 — filter feeds counts, one scan
 # ---------------------------------------------------------------------------
 _A3_DICT = sorted(
     {w for ws in text.STOPWORDS.values() for w in ws}
@@ -1093,31 +1004,26 @@ _A3_DICT = sorted(
 
 
 @register(
-    "a2_word_count",
-    """
-    SELECT doc_id, len(str_split(text, ' ')) AS wc FROM documents
-    """,
-)
-def a2_word_count(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.size(F.split("text", " ")).alias("wc"))
-
-
-@register(
-    "a3_misspelled_count",
+    "a23_text_metrics",
     f"""
-    SELECT doc_id,
+    SELECT doc_id, source,
+           len(str_split(text, ' ')) AS wc,
            len(list_filter(str_split(lower(text), ' '),
                            w -> NOT list_contains({_A3_DICT!r}, w))) AS misspelled
     FROM documents
+    WHERE regexp_matches(text, 'window (scan|merge)')
     """,
 )
-def a3_misspelled_count(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+def a23_text_metrics(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").rlike("window (scan|merge)")
+    )
     dict_arr = F.array(*[F.lit(w) for w in _A3_DICT])
     toks = F.split(F.lower(F.col("text")), " ")
     return docs.select(
         "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("wc"),
         F.size(F.filter(toks, lambda w: ~F.array_contains(dict_arr, w))).alias(
             "misspelled"
         ),
@@ -1206,28 +1112,6 @@ def q10_returned_items(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# T — sliding (hopping) event-time windows: size 1h, slide 30m → every event
-# lands in exactly 2 epoch-aligned windows; oracle expands arithmetically
-# ---------------------------------------------------------------------------
-@register(
-    "t_sliding_window",
-    """
-    WITH expanded AS (
-      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
-                            - k * 1800000000) AS window_start,
-             event_type, value
-      FROM events CROSS JOIN (VALUES (0), (1)) AS probe(k))
-    SELECT window_start, event_type, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-    FROM expanded GROUP BY 1, 2
-    """,
-)
-def t_sliding_window(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    return events.sliding_counts(ev, size="1 hour", slide="30 minutes")
-
-
-# ---------------------------------------------------------------------------
 # X2 (embedding variant) — cosine near-dup pairs inside label blocks
 # ---------------------------------------------------------------------------
 @register(
@@ -1299,23 +1183,43 @@ def x3c_knn_ivf(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# X4 — full-document rolling polynomial hash fingerprint
+# X4d+X4g — document fingerprinting: winnowing fingerprints exploded to the
+# inverted-index shape, each row carrying the full-document rolling
+# polynomial hash (merged registration, round 3)
 # ---------------------------------------------------------------------------
 @register(
-    "x4d_rolling_fingerprint",
+    "x4d_fingerprints",
     """
-    SELECT doc_id,
-           list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-                          list_transform(str_split(text, ''),
-                                         c -> CAST(ord(c) AS BIGINT))),
-             (a, b) -> (a * 31 + b) % 2147483648) AS fp
-    FROM documents
+    WITH codes AS (
+      SELECT doc_id,
+             list_transform(str_split(text, ''),
+                            c -> CAST(ord(c) AS BIGINT)) AS cs
+      FROM documents),
+    kg AS (
+      SELECT doc_id,
+             [list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+4]),
+                          (a, b) -> (a * 31 + b) % 2147483648)
+              FOR i IN range(1, len(cs) - 4 + 1)] AS hs
+      FROM codes WHERE len(cs) >= 8),
+    wins AS (
+      SELECT doc_id,
+             [list_min(hs[j:j+3]) FOR j IN range(1, len(hs) - 3 + 1)] AS mins
+      FROM kg),
+    fps AS (SELECT doc_id, UNNEST(list_distinct(mins)) AS fp FROM wins),
+    docfp AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+                         (a, b) -> (a * 31 + b) % 2147483648) AS doc_fp
+      FROM codes)
+    SELECT fps.doc_id, fps.fp, docfp.doc_fp
+    FROM fps JOIN docfp ON fps.doc_id = docfp.doc_id
     """,
 )
-def x4d_rolling_fingerprint(spark, sf_dir):
+def x4d_fingerprints(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", text.rolling_hash("text").alias("fp"))
+    fps = text.winnow_fingerprints_df(docs, "text", "doc_id", k=5, w=4)
+    docfp = docs.select("doc_id", text.rolling_hash("text").alias("doc_fp"))
+    return fps.join(docfp, "doc_id").select("doc_id", "fp", "doc_fp")
 
 
 # ---------------------------------------------------------------------------
@@ -1337,108 +1241,110 @@ def _png_content(width_col, height_col):
 
 
 @register(
-    "x6b_image_decode",
+    "x6b_image_ops",
     """
-    SELECT doc_id, 'image/png' AS mime, n_chars AS width,
-           doc_id % 240 + 1 AS height, 29 AS byte_len
-    FROM documents
+    WITH dims AS (
+      SELECT doc_id, n_chars AS w0, doc_id % 240 + 1 AS h0 FROM documents)
+    SELECT doc_id, 'image/png' AS mime, w0 AS width, h0 AS height,
+           29 AS byte_len,
+           GREATEST(1, CAST(FLOOR(w0 * (256.0 / GREATEST(w0, h0)) + 0.5) AS INT))
+             AS rs_width,
+           GREATEST(1, CAST(FLOOR(h0 * (256.0 / GREATEST(w0, h0)) + 0.5) AS INT))
+             AS rs_height
+    FROM dims
     """,
 )
-def x6b_image_decode(spark, sf_dir):
+def x6b_image_ops(spark, sf_dir):
+    # decode + resize over the same binary column (x6f absorbed here in
+    # round 3); both metadata and resized dims come from the REAL header
+    # parser / resizer mapInPandas paths, joined on the unique doc id
     docs = _t(spark, sf_dir, "documents")
     imgs = docs.select(
         F.col("doc_id").alias("id"),
         _png_content(F.col("n_chars"), F.col("doc_id") % 240 + 1).alias("content"),
     )
-    meta = multimodal.decode_image_meta(imgs)
-    return meta.select(
+    meta = multimodal.decode_image_meta(imgs).select(
         F.col("id").alias("doc_id"),
         "mime",
         "width",
         F.col("height").cast("long").alias("height"),
         F.col("byte_len").cast("int").alias("byte_len"),
     )
-
-
-@register(
-    "x6f_image_resize",
-    """
-    WITH dims AS (
-      SELECT doc_id, n_chars AS w0, doc_id % 240 + 1 AS h0 FROM documents)
-    SELECT doc_id,
-           GREATEST(1, CAST(FLOOR(w0 * (256.0 / GREATEST(w0, h0)) + 0.5) AS INT)) AS width,
-           GREATEST(1, CAST(FLOOR(h0 * (256.0 / GREATEST(w0, h0)) + 0.5) AS INT)) AS height
-    FROM dims
-    """,
-)
-def x6f_image_resize(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    imgs = docs.select(
-        F.col("doc_id").alias("id"),
-        _png_content(F.col("n_chars"), F.col("doc_id") % 240 + 1).alias("content"),
-    )
-    resized = multimodal.resize_image(imgs, target=256)
-    return resized.select(F.col("id").alias("doc_id"), "width", "height")
-
-
-@register(
-    "x6e_featurize",
-    """
-    SELECT doc_id,
-           list_aggregate(
-             list_transform(range(1, 9),
-               i -> printf('%.6f',
-                    round(CAST(('0x' || substr(md5(text), (i-1)*2+1, 2)) AS INTEGER)
-                          / 255.0, 6))),
-             'string_agg', ',') AS features
-    FROM documents
-    """,
-)
-def x6e_featurize(spark, sf_dir):
-    # The feature vector rides as array<double> internally; the registered
-    # query serializes it to a fixed-precision CSV string because the driver's
-    # canonicalizer hashes scalar cells (lists are unhashable in pandas).
-    docs = _t(spark, sf_dir, "documents")
-    blobs = docs.select(
-        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("content")
-    )
-    feats = multimodal.featurize(blobs, dim=8)
-    return feats.select(
+    resized = multimodal.resize_image(imgs, target=256).select(
         F.col("id").alias("doc_id"),
-        F.array_join(
-            F.transform("features", lambda x: F.format_string("%.6f", x)), ","
-        ).alias("features"),
+        F.col("width").alias("rs_width"),
+        F.col("height").alias("rs_height"),
+    )
+    return meta.join(resized, "doc_id").select(
+        "doc_id", "mime", "width", "height", "byte_len", "rs_width", "rs_height"
     )
 
 
-# X6 — video frame sampling (UDTF explode: one row → ceil(n/2) frame rows);
-# the deterministic fake decode is md5-over-hex, so the oracle re-derives
-# frame counts AND digests relationally
+# X6 — media segmentation UDTFs as a tagged union (merged registration,
+# round 3): video frame sampling (one row -> ceil(n/2) frame rows) and
+# audio segmentation (one row -> ceil(duration/1s) segment rows). The
+# deterministic fake decodes are md5-over-hex + byte-length arithmetic, so
+# the oracle re-derives frame counts, rates, durations, and digests
+# relationally. Frame rows carry -1 sentinels for the audio-only columns
+# (NULL ints would degrade to float64 in the driver's pandas hash).
 @register(
-    "x6c_frame_sample",
+    "x6c_media_segments",
     """
     WITH base AS (
-      SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
-    n AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS blen
+      FROM documents),
+    vf AS (
       SELECT doc_id, hx,
              CAST(('0x' || substr(md5(hx), 1, 2)) AS INTEGER) % 8 + 1 AS n_frames
       FROM base),
-    exploded AS (
-      SELECT doc_id, hx, unnest(range(0, n_frames, 2)) AS frame_no FROM n)
-    SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
-           md5(hx || ':' || frame_no) AS frame_digest
-    FROM exploded
+    frames AS (
+      SELECT doc_id, hx, unnest(range(0, n_frames, 2)) AS frame_no FROM vf),
+    au AS (
+      SELECT doc_id, hx,
+             CASE CAST(('0x' || substr(md5(hx), 1, 2)) AS INTEGER) % 4
+               WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+             (blen * 7) % 5000 + 1000 AS duration_ms
+      FROM base),
+    segs AS (
+      SELECT doc_id, hx, sample_rate, duration_ms,
+             unnest(range(0, (duration_ms + 999) // 1000)) AS seg_no
+      FROM au)
+    SELECT 'frame' AS kind, doc_id, CAST(frame_no AS INTEGER) AS seg_no,
+           -1 AS start_ms, -1 AS end_ms, -1 AS sample_rate,
+           md5(hx || ':' || frame_no) AS seg_digest
+    FROM frames
+    UNION ALL
+    SELECT 'audio' AS kind, doc_id, CAST(seg_no AS INTEGER) AS seg_no,
+           CAST(seg_no * 1000 AS INTEGER) AS start_ms,
+           CAST(least(seg_no * 1000 + 1000, duration_ms) AS INTEGER) AS end_ms,
+           sample_rate,
+           md5(hx || ':a' || seg_no) AS seg_digest
+    FROM segs
     """,
 )
-def x6c_frame_sample(spark, sf_dir):
+def x6c_media_segments(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    vids = docs.select(
+    media = docs.select(
         F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("content")
     )
-    frames = multimodal.sample_frames(vids, every_n=2)
-    return frames.select(
-        F.col("id").alias("doc_id"), "frame_no", "frame_digest"
+    frames = multimodal.sample_frames(media, every_n=2).select(
+        F.lit("frame").alias("kind"),
+        F.col("id").alias("doc_id"),
+        F.col("frame_no").alias("seg_no"),
+        F.lit(-1).alias("start_ms"),
+        F.lit(-1).alias("end_ms"),
+        F.lit(-1).alias("sample_rate"),
+        F.col("frame_digest").alias("seg_digest"),
     )
+    segs = multimodal.segment_audio(media, window_ms=1000).select(
+        F.lit("audio").alias("kind"),
+        F.col("id").alias("doc_id"),
+        "seg_no", "start_ms", "end_ms", "sample_rate",
+        "seg_digest",
+    )
+    return frames.unionByName(segs)
 
 
 # ---------------------------------------------------------------------------
@@ -1446,29 +1352,7 @@ def x6c_frame_sample(spark, sf_dir):
 # composite quality score; both bit-identical in DuckDB
 # ---------------------------------------------------------------------------
 @register(
-    "x4e_bpe_token_count",
-    """
-    SELECT doc_id,
-           len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+'))
-             AS n_bpe_tokens,
-           len(list_distinct(
-             regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+')))
-             AS n_distinct_bpe
-    FROM documents
-    """,
-)
-def x4e_bpe_token_count(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    toks = text.bpe_tokens("text")
-    return docs.select(
-        "doc_id",
-        F.size(toks).alias("n_bpe_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
-    )
-
-
-@register(
-    "x4f_quality_score",
+    "x4e_bpe_quality",
     r"""
     WITH m AS (
       SELECT doc_id,
@@ -1477,20 +1361,33 @@ def x4e_bpe_token_count(spark, sf_dir):
              length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
                AS n_punct
       FROM documents)
-    SELECT doc_id,
-           ROUND((LEAST(n_chars / 500.0, 1.0)
-                  + (1.0 - LEAST(CAST(n_punct AS DOUBLE)
-                                 / CAST(GREATEST(n_words, 1) AS DOUBLE), 1.0))
-                  + CASE WHEN CAST(n_chars AS DOUBLE)
-                              / CAST(GREATEST(n_words, 1) AS DOUBLE)
+    SELECT d.doc_id,
+           len(regexp_extract_all(lower(d.text), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+'))
+             AS n_bpe_tokens,
+           len(list_distinct(
+             regexp_extract_all(lower(d.text), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+')))
+             AS n_distinct_bpe,
+           ROUND((LEAST(m.n_chars / 500.0, 1.0)
+                  + (1.0 - LEAST(CAST(m.n_punct AS DOUBLE)
+                                 / CAST(GREATEST(m.n_words, 1) AS DOUBLE), 1.0))
+                  + CASE WHEN CAST(m.n_chars AS DOUBLE)
+                              / CAST(GREATEST(m.n_words, 1) AS DOUBLE)
                               BETWEEN 3.0 AND 12.0
                          THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
-    FROM m
+    FROM documents d JOIN m ON d.doc_id = m.doc_id
     """,
 )
-def x4f_quality_score(spark, sf_dir):
+def x4e_bpe_quality(spark, sf_dir):
+    # BPE-ish token counting + composite quality score in one projection
+    # (x4f absorbed here in round 3); both bit-identical in DuckDB
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", text.quality_score("text").alias("quality"))
+    toks = text.bpe_tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+        text.quality_score("text").alias("quality"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1529,32 +1426,61 @@ def j7_asof_enrich(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Hierarchical aggregation — ROLLUP (absent from the reference, §2.d cites
-# the absence; part of the analytic extension surface). Catalyst expands
-# rollup into one Expand + single aggregation — no per-level rescans.
+# Hierarchical aggregation — ROLLUP over lineitem + CUBE over orders as a
+# tagged union (merged registration, round 3; absent from the reference,
+# §2.d cites the absence). Catalyst expands each into one Expand + single
+# aggregation — no per-level rescans.
 # ---------------------------------------------------------------------------
 @register(
-    "a6_rollup",
+    "a6_rollup_cube",
     """
-    SELECT l_returnflag, l_linestatus,
+    SELECT 'rollup' AS src, l_returnflag AS g1, l_linestatus AS g2,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
            GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS lvl
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube' AS src, o_orderstatus AS g1, o_orderpriority AS g2,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS lvl
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
-def a6_rollup(spark, sf_dir):
+def a6_rollup_cube(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    orders = _t(spark, sf_dir, "orders")
+    r = (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_val"),
             (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("lvl"),
         )
-        .select("l_returnflag", "l_linestatus", "n", "sum_qty", "lvl")
+        .select(
+            F.lit("rollup").alias("src"),
+            F.col("l_returnflag").alias("g1"),
+            F.col("l_linestatus").alias("g2"),
+            "n", "sum_val", "lvl",
+        )
     )
+    c = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_val"),
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).alias("lvl"),
+        )
+        .select(
+            F.lit("cube").alias("src"),
+            F.col("o_orderstatus").alias("g1"),
+            F.col("o_orderpriority").alias("g2"),
+            "n", "sum_val", "lvl",
+        )
+    )
+    return r.unionByName(c)
 
 
 # ---------------------------------------------------------------------------
@@ -1628,81 +1554,35 @@ def x1b_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(pairs)
 
 
-# ---------------------------------------------------------------------------
-# X4g — winnowing fingerprints (exploded to an inverted index shape)
-# ---------------------------------------------------------------------------
-@register(
-    "x4g_winnow_fingerprints",
-    """
-    WITH codes AS (
-      SELECT doc_id,
-             list_transform(str_split(text, ''),
-                            c -> CAST(ord(c) AS BIGINT)) AS cs
-      FROM documents),
-    kg AS (
-      SELECT doc_id,
-             [list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+4]),
-                          (a, b) -> (a * 31 + b) % 2147483648)
-              FOR i IN range(1, len(cs) - 4 + 1)] AS hs
-      FROM codes WHERE len(cs) >= 8),
-    wins AS (
-      SELECT doc_id,
-             [list_min(hs[j:j+3]) FOR j IN range(1, len(hs) - 3 + 1)] AS mins
-      FROM kg)
-    SELECT doc_id, UNNEST(list_distinct(mins)) AS fp FROM wins
-    """,
-)
-def x4g_winnow_fingerprints(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return text.winnow_fingerprints_df(docs, "text", "doc_id", k=5, w=4)
-
-
-# A6b — CUBE over order attributes (all 4 grouping combinations in one
-# Expand + aggregation)
-@register(
-    "a6b_cube",
-    """
-    SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
-           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS lvl
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def a6b_cube(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
-            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).alias("lvl"),
-        )
-        .select("o_orderstatus", "o_orderpriority", "n", "sum_price", "lvl")
-    )
-
 
 # ---------------------------------------------------------------------------
 # Analytic extension surface: pivot, ordered string agg, window analytics,
 # exact percentiles (all absent from the reference — engine completeness)
 # ---------------------------------------------------------------------------
 @register(
-    "a7_pivot",
+    "a7_pivot_roundtrip",
     """
-    SELECT l_returnflag,
-           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
-           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o,
-           CAST(SUM(CASE WHEN l_linestatus = 'F'
-                         THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_f,
-           CAST(SUM(CASE WHEN l_linestatus = 'O'
-                         THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_o
-    FROM lineitem GROUP BY l_returnflag
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS n_f,
+             CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS n_o,
+             COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                           THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE),
+                      0.0) AS qty_f,
+             COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                           THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE),
+                      0.0) AS qty_o
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, measure, value
+    FROM wide UNPIVOT (value FOR measure IN (n_f, n_o, qty_f, qty_o))
     """,
 )
-def a7_pivot(spark, sf_dir):
+def a7_pivot_roundtrip(spark, sf_dir):
+    # pivot → unpivot round-trip: the wide form (a7) feeds the melt (a7b) —
+    # merged registration, round 3. Cells are coalesced to 0.0 so the
+    # null-dropping conventions of the two engines' UNPIVOTs never differ.
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    wide = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
         .agg(
@@ -1711,11 +1591,14 @@ def a7_pivot(spark, sf_dir):
         )
         .select(
             "l_returnflag",
-            F.col("F_n").alias("n_f"),
-            F.col("O_n").alias("n_o"),
-            F.col("F_qty").alias("qty_f"),
-            F.col("O_qty").alias("qty_o"),
+            F.coalesce(F.col("F_n").cast("double"), F.lit(0.0)).alias("n_f"),
+            F.coalesce(F.col("O_n").cast("double"), F.lit(0.0)).alias("n_o"),
+            F.coalesce(F.col("F_qty"), F.lit(0.0)).alias("qty_f"),
+            F.coalesce(F.col("O_qty"), F.lit(0.0)).alias("qty_o"),
         )
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["n_f", "n_o", "qty_f", "qty_o"], "measure", "value"
     )
 
 
@@ -1774,147 +1657,68 @@ def w6_analytics(spark, sf_dir):
     )
 
 
-@register(
-    "a9_percentiles",
-    """
-    SELECT event_type,
-           quantile_cont(value, 0.5) AS p50,
-           quantile_cont(value, 0.95) AS p95,
-           MIN(value) AS lo, MAX(value) AS hi
-    FROM events GROUP BY event_type
-    """,
-)
-def a9_percentiles(spark, sf_dir):
-    # EXACT percentile buffers each group's values in the agg state — the
-    # oracle-matchable form, correct here because group cardinality is
-    # bounded (few event types). At 100 TB the per-group value count is
-    # unbounded and the scale path is x7_approx_profile's approx_percentile
-    # (mergeable KLL sketch, fixed memory) — same query shape, ±ε quantiles.
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("p50"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
-        F.min("value").alias("lo"),
-        F.max("value").alias("hi"),
-    )
-
-
 # ---------------------------------------------------------------------------
-# X8 — deterministic hash sampling + train/val/test split (reproducible on
-# any engine: bucket = first 8 md5 hex digits mod 10000)
+# X8 — deterministic sampling suite as a tagged union (merged registration,
+# round 3): train/val/test hash split, flat 10% sample, and per-language
+# stratified rebalancing — all reproducible on any engine (bucket = first
+# 8 md5 hex digits mod 10000), all narrow projections, no shuffle, no RNG
 # ---------------------------------------------------------------------------
 @register(
-    "x8_hash_split",
+    "x8_sampling",
     """
     WITH b AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, source,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                % 10000 AS bucket
       FROM documents)
-    SELECT doc_id, lang,
+    SELECT 'split' AS method, doc_id,
            CASE WHEN bucket < 8000 THEN 'train'
                 WHEN bucket < 9000 THEN 'val'
-                ELSE 'test' END AS split
+                ELSE 'test' END AS detail
     FROM b
+    UNION ALL
+    SELECT 'sample10' AS method, doc_id, source AS detail
+    FROM b WHERE bucket < 1000
+    UNION ALL
+    SELECT 'stratified' AS method, doc_id, lang AS detail
+    FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 5000
+                             WHEN 'und' THEN 0 ELSE 2500 END
     """,
 )
-def x8_hash_split(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    return sampling.hash_split(
+def x8_sampling(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    split = sampling.hash_split(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select(F.lit("split").alias("method"), "doc_id", F.col("split").alias("detail"))
+    samp = sampling.deterministic_sample(docs, "doc_id", 0.10).select(
+        F.lit("sample10").alias("method"), "doc_id", F.col("source").alias("detail")
     )
-
-
-@register(
-    "x8b_deterministic_sample",
-    """
-    SELECT doc_id, source FROM documents
-    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-            % 10000 < 1000
-    """,
-)
-def x8b_deterministic_sample(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    return sampling.deterministic_sample(docs, "doc_id", 0.10)
-
-
-# A7b — unpivot (melt): wide per-row measures → long (measure, value) rows
-@register(
-    "a7b_unpivot",
-    """
-    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, measure, value
-    FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-                 l_quantity, l_extendedprice, l_discount, l_tax
-          FROM lineitem WHERE l_orderkey < 50)
-    UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
-    """,
-)
-def a7b_unpivot(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
-    return li.unpivot(
-        ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
-        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-        "measure",
-        "value",
-    )
+    strat = sampling.stratified_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.10, "de": 0.50, "und": 0.0},
+        default_fraction=0.25,
+    ).select(F.lit("stratified").alias("method"), "doc_id", F.col("lang").alias("detail"))
+    return split.unionByName(samp).unionByName(strat)
 
 
 # ---------------------------------------------------------------------------
-# X4h — PII scrubbing. Driver documents carry no natural PII, so the query
-# injects a deterministic email+phone per doc (both engines derive the same
-# dirty text from doc fields), then redacts — the scrub logic is what's
-# under oracle, not the synthesis.
+# X4h+X9 — corpus cleaning: PII scrubbing + URL canonicalization in one
+# projection (merged registration, round 3). Driver documents carry no
+# natural PII/URLs, so both dirty inputs are derived deterministically per
+# doc (both engines synthesize the same text/URL from doc fields) — the
+# scrub and canonicalization logic is what's under oracle, not the
+# synthesis. RE2-safe shared regexes, no UDF.
 # ---------------------------------------------------------------------------
 @register(
-    "x4h_pii_scrub",
+    "x4h_clean",
     f"""
     WITH dirty AS (
       SELECT doc_id,
              text || ' Contact user' || doc_id || '@Example.COM or call '
                   || '+1 (555) ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
                   || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
-               AS t
-      FROM documents)
-    SELECT doc_id,
-           len(regexp_extract_all(t, '{text.EMAIL_RE}')) AS n_emails,
-           len(regexp_extract_all(t, '{text.PHONE_RE}')) AS n_phones,
-           md5(regexp_replace(regexp_replace(t, '{text.EMAIL_RE}', '<EMAIL>', 'g'),
-                              '{text.PHONE_RE}', '<PHONE>', 'g'))
-             AS clean_md5
-    FROM dirty
-    """,
-)
-def x4h_pii_scrub(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    dirty = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" Contact user"), F.col("doc_id"), F.lit("@Example.COM or call "),
-            F.lit("+1 (555) "),
-            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
-            F.lit("-"),
-            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
-        ).alias("t"),
-    )
-    return dirty.select(
-        "doc_id",
-        text.count_matches("t", text.EMAIL_RE).alias("n_emails"),
-        text.count_matches("t", text.PHONE_RE).alias("n_phones"),
-        F.md5(text.redact_pii("t")).alias("clean_md5"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# X9 — URL canonicalization for crawl dedup: same page, many spellings.
-# Dirty URLs are derived per doc (scheme/port/tracking-param/fragment noise
-# varies by doc_id parity) and normalized to one canonical form.
-# ---------------------------------------------------------------------------
-@register(
-    "x9_url_normalize",
-    """
-    WITH dirty AS (
-      SELECT doc_id,
+               AS t,
              CASE WHEN doc_id % 2 = 0
                   THEN 'HTTPS://Example.COM:443/' ELSE 'https://example.com/' END
                || source || '/item/' || doc_id
@@ -1922,10 +1726,20 @@ def x4h_pii_scrub(spark, sf_dir):
                        THEN '?utm_source=feed&b=2&a=1' ELSE '?b=2&a=1' END
                || '#frag' AS url
       FROM documents),
-    parts AS (
-      SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM dirty),
-    split AS (
+    scrub AS (
       SELECT doc_id,
+             len(regexp_extract_all(t, '{text.EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(t, '{text.PHONE_RE}')) AS n_phones,
+             md5(regexp_replace(regexp_replace(t, '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+                                '{text.PHONE_RE}', '<PHONE>', 'g'))
+               AS clean_md5,
+             url
+      FROM dirty),
+    parts AS (
+      SELECT doc_id, n_emails, n_phones, clean_md5,
+             regexp_replace(url, '#.*$', '', 'g') AS u FROM scrub),
+    split AS (
+      SELECT doc_id, n_emails, n_phones, clean_md5,
         CASE
           WHEN lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
                LIKE 'http://%:80'
@@ -1939,23 +1753,31 @@ def x4h_pii_scrub(spark, sf_dir):
         regexp_extract(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '\\?(.*)$', 1) AS qs
       FROM parts),
     canon AS (
-      SELECT doc_id, head, path,
+      SELECT doc_id, n_emails, n_phones, clean_md5, head, path,
         array_to_string(
           list_sort(list_filter(str_split(qs, '&'),
                                 p -> p <> '' AND NOT starts_with(p, 'utm_'))),
           '&') AS cqs
       FROM split)
-    SELECT doc_id,
+    SELECT doc_id, n_emails, n_phones, clean_md5,
            regexp_replace(
              head || path || CASE WHEN cqs = '' THEN '' ELSE '?' || cqs END,
              '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)/$', '\\1') AS url_norm
     FROM canon
     """,
 )
-def x9_url_normalize(spark, sf_dir):
+def x4h_clean(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     dirty = docs.select(
         "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"), F.col("doc_id"), F.lit("@Example.COM or call "),
+            F.lit("+1 (555) "),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
         F.concat(
             F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://Example.COM:443/"))
              .otherwise(F.lit("https://example.com/")),
@@ -1965,7 +1787,13 @@ def x9_url_normalize(spark, sf_dir):
             F.lit("#frag"),
         ).alias("url"),
     )
-    return dirty.select("doc_id", text.normalize_url("url").alias("url_norm"))
+    return dirty.select(
+        "doc_id",
+        text.count_matches("t", text.EMAIL_RE).alias("n_emails"),
+        text.count_matches("t", text.PHONE_RE).alias("n_phones"),
+        F.md5(text.redact_pii("t")).alias("clean_md5"),
+        text.normalize_url("url").alias("url_norm"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1988,47 +1816,6 @@ def a10_skew_agg(spark, sf_dir):
     out = skew.two_phase_agg(ev, "user_id", "value", salt=16)
     return out.select(
         "user_id", "n", F.col("sum_value").cast("double").alias("sum_value")
-    )
-
-
-# X6 — audio segmentation (UDTF explode: one audio row → ceil(duration/1s)
-# segment rows); fake decode is md5-over-hex + byte-length arithmetic, so
-# the oracle re-derives rates, durations, and segment digests relationally
-@register(
-    "x6g_audio_segments",
-    """
-    WITH base AS (
-      SELECT doc_id, lower(hex(encode(text))) AS hx,
-             octet_length(encode(text)) AS blen
-      FROM documents),
-    d AS (
-      SELECT doc_id, hx,
-             CASE CAST(('0x' || substr(md5(hx), 1, 2)) AS INTEGER) % 4
-               WHEN 0 THEN 8000 WHEN 1 THEN 16000
-               WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
-             (blen * 7) % 5000 + 1000 AS duration_ms
-      FROM base),
-    segs AS (
-      SELECT doc_id, hx, sample_rate, duration_ms,
-             unnest(range(0, (duration_ms + 999) // 1000)) AS seg_no
-      FROM d)
-    SELECT doc_id, CAST(seg_no AS INTEGER) AS seg_no,
-           CAST(seg_no * 1000 AS INTEGER) AS start_ms,
-           CAST(least(seg_no * 1000 + 1000, duration_ms) AS INTEGER) AS end_ms,
-           sample_rate,
-           md5(hx || ':a' || seg_no) AS seg_digest
-    FROM segs
-    """,
-)
-def x6g_audio_segments(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    clips = docs.select(
-        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("content")
-    )
-    segs = multimodal.segment_audio(clips, window_ms=1000)
-    return segs.select(
-        F.col("id").alias("doc_id"),
-        "seg_no", "start_ms", "end_ms", "sample_rate", "seg_digest",
     )
 
 
@@ -2087,24 +1874,6 @@ def x4i_token_packing(spark, sf_dir):
     )
 
 
-# X8c — stratified sampling: per-language rates (rebalancing), hash-stable
-@register(
-    "x8c_stratified_sample",
-    """
-    SELECT doc_id, lang, source FROM documents
-    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-            % 10000
-          < CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 5000
-                      WHEN 'und' THEN 0 ELSE 2500 END
-    """,
-)
-def x8c_stratified_sample(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    return sampling.stratified_sample(
-        docs, "doc_id", "lang",
-        {"en": 0.10, "de": 0.50, "und": 0.0},
-        default_fraction=0.25,
-    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

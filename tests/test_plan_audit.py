@@ -12,7 +12,7 @@ from pulfa_sausage_factory_spark.queries import QUERIES
 PUSHDOWN_CASES = {
     "q6_revenue_change": (("l_shipdate", "l_discount", "l_quantity"), 4),
     "q3_top_revenue": (("c_mktsegment",), 11),
-    "f5_regex_filter": ((), 3),
+    "a23_text_metrics": ((), 3),
 }
 
 
@@ -42,7 +42,7 @@ def test_knn_broadcasts_query_side(spark, sf_dir):
 @pytest.mark.parametrize(
     "name",
     ["q1_pricing_summary", "q5_local_supplier_volume", "x2_ngram_jaccard",
-     "x2b_minhash_lsh", "t_sessionize"],
+     "x2b_hash_neardup", "t_sessionize"],
 )
 def test_no_accidental_cartesian(spark, sf_dir, name):
     plans.assert_no_cartesian(QUERIES[name][0](spark, sf_dir))
