@@ -343,6 +343,12 @@ def extract_binary_meta(
 
 ORIENT_ANGLES = (0, 90, 180, 270)  # north, east, south, west
 
+#: variant-file suffix per angle — the reference works on files named
+#: ``$TMP/$name-{north,east,south,west}`` (orient_image.sh:32-35) and its
+#: ``sort -n`` tie-break is the whole-LINE lexicographic fallback, which
+#: on equal counts compares these suffixes: east < north < south < west
+ORIENT_SUFFIX = {0: "north", 90: "east", 180: "south", 270: "west"}
+
 
 def _fake_rotate(blob: bytes, angle: int) -> bytes:
     """Deterministic stand-in for ``convert -rotate``: tags the bytes so
@@ -361,8 +367,11 @@ def orient_image(
        WRONG way up — sideways scans OCR to whitespace noise, so the
        *bottom two* word counts are the upright/upside-down pair)
     3. aspell-count misspellings on the bottom two (U5); fewest wins
-    4. ties: first in the deterministic N/E/S/W scan order (the
-       reference's ``sort -n | head`` behavior)
+    4. ties: ``sort -n`` falls back to whole-line lexicographic comparison,
+       and the lines end in the variant file names (``<name>-east`` <
+       ``-north`` < ``-south`` < ``-west``) — reproduced here bit-exactly,
+       including the second sort's lexicographic (not numeric) comparison
+       of the embedded word count on misspelling ties
     """
     import tempfile
 
@@ -387,13 +396,24 @@ def orient_image(
             rotated = _fake_rotate(img_bytes, angle)
             variants.append((angle, rotated, ocr_image(rotated, runner)))
 
-    # bottom two by OCR word count (sort -n | head -2; stable on ties)
-    by_wc = sorted(variants, key=lambda v: (len(v[2].split()), ORIENT_ANGLES.index(v[0])))
+    # bottom two by OCR word count: `sort -n $wc_table | head -2` over lines
+    # "<wc> <path>" — numeric on wc, whole-line lexicographic on ties, and
+    # the paths differ only in their -<direction> suffix
+    by_wc = sorted(
+        variants,
+        key=lambda v: (len(v[2].split()), ORIENT_SUFFIX[v[0]]),
+    )
     bottom_two = by_wc[:2]
-    # fewest misspelled wins (sort -n | head -1)
+    # fewest misspelled wins: `sort -n | head -1` over lines
+    # "<missp> <wc> <path>" — on missp ties the fallback compares the REST
+    # OF THE LINE lexicographically, i.e. the word count as a string (so
+    # wc 10 sorts before wc 9), then the direction suffix
     winner = min(
         bottom_two,
-        key=lambda v: (misspelled_words(v[2], runner), ORIENT_ANGLES.index(v[0])),
+        key=lambda v: (
+            misspelled_words(v[2], runner),
+            f"{len(v[2].split())} {ORIENT_SUFFIX[v[0]]}",
+        ),
     )
     return winner[0], winner[1]
 

@@ -45,11 +45,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # TIMESTAMP(NANOS), which Spark refuses to read unless nanosAsLong is on.
     # session.get_spark() presets it, but any external SparkSession (e.g. the
     # correctness driver's) would otherwise fail with PARQUET_TYPE_ILLEGAL.
+    # The conf is consulted at schema-inference time and captured into the
+    # plan (verified: the returned DataFrame executes correctly after the
+    # conf reverts), so restore the caller's value instead of leaving a
+    # session-wide behavior change behind.
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = None
     try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
     except Exception:
         pass  # read-only conf entry on some sessions; the read will tell us
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    try:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    finally:
+        try:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        except Exception:
+            pass
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

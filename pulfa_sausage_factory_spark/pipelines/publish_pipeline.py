@@ -75,6 +75,12 @@ def scan_components(spark: SparkSession, cfg: PublishConfig, callno: str) -> Dat
         .distinct()
         .withColumn("component_id", F.concat(F.lit(callno + "/"), "component"))
     )
+    # dao-links-only rewrites dao links for ALREADY-published components —
+    # the reference (publish_dao-links-only.rb:55-58) walks every non-dotted
+    # component with no PDF-existence check, so an existing-PDF anti-join
+    # here would skip exactly the components it should process
+    if cfg.variant == "dao_links_only":
+        return comps
     # J5/F3 — the reference's File.exists?(jp2_store + component_id + '.pdf')
     pdfs = listing.list_files(
         spark, os.path.join(cfg.jp2_root, callno), glob="*.pdf", recursive=False

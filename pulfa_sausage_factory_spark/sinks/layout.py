@@ -57,20 +57,33 @@ def compact(
     """Small-file compaction: rewrite a partitioned dataset with a bounded
     file count per partition. Read → one shuffle keyed on (partition, file
     slot) → overwrite. Run as maintenance, off the query path."""
+    import shutil
+
     pcols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    tmp = path.rstrip("/") + ".__compact__"
+    old = path.rstrip("/") + ".__old__"
+    # pre-clean debris from a prior crashed run: a stale .__old__ would make
+    # the rename below fail (or silently shadow this run's backup), and a
+    # stale .__compact__ is a half-written rewrite
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     df = spark.read.parquet(path)
     slot = (F.crc32(F.concat_ws("\x00", *df.columns)) % target_files_per_partition)
     compacted = df.repartition(*[F.col(c) for c in pcols], slot.alias("_slot"))
-    tmp = path.rstrip("/") + ".__compact__"
     (
         compacted.write.mode("overwrite").partitionBy(*pcols).parquet(tmp)
     )
-    # atomic-ish swap: the rewrite lands complete before the old tree goes
-    import shutil
-
-    old = path.rstrip("/") + ".__old__"
+    # swap with crash restore: the rewrite lands complete before the old
+    # tree moves; if the second rename dies, put the original back.
+    # (os.rename requires same-filesystem paths — both live under the
+    # dataset's parent dir by construction.)
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(old, path)
+        raise
     shutil.rmtree(old)
 
 

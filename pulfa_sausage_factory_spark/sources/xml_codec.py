@@ -404,14 +404,28 @@ def insert_dao_xml(
         for c in root.iter(_q(EAD_NS, "c"))
         if c.get("id") is not None
     }
+    if remove_existing:
+        # strip once per targeted did BEFORE any insert: removal inside the
+        # per-insert loop would delete daos freshly inserted for the same
+        # c_id, and did.remove() only detaches direct children — a dao
+        # nested deeper needs its actual parent, found via a walk
+        targeted = {
+            id(did): did
+            for ins in inserts
+            if (did := dids_by_cid.get(str(ins["c_id"]).replace("/", "_")))
+            is not None
+        }
+        for did in targeted.values():
+            for parent in did.iter():  # iter() yields did itself first
+                for dao in [
+                    ch for ch in list(parent) if ch.tag == _q(EAD_NS, "dao")
+                ]:
+                    parent.remove(dao)
     for ins in inserts:
         # publish.rb:126 — the EAD @id uses '_' where the path uses '/'
         did = dids_by_cid.get(str(ins["c_id"]).replace("/", "_"))
         if did is None:
             continue
-        if remove_existing:
-            for dao in list(did.iter(_q(EAD_NS, "dao"))):
-                did.remove(dao)
         dao = ET.SubElement(did, _q(EAD_NS, "dao"))
         dao.set(_q(XLINK_NS, "type"), "simple")
         dao.set(_q(XLINK_NS, "role"), METS_NS)

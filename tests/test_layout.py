@@ -51,3 +51,22 @@ def test_compaction_preserves_data(spark, sf_dir, tmp_path):
     assert after_files < before_files
     n_parts = len([d for d in os.listdir(out) if d.startswith("event_type=")])
     assert after_files == n_parts
+
+
+def test_compaction_recovers_from_stale_debris(spark, sf_dir, tmp_path):
+    # a prior crashed run may leave .__old__ / .__compact__ trees behind;
+    # compact() must pre-clean them or every later run fails at the swap
+    out = str(tmp_path / "frag")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    ev.repartition(4).write.partitionBy("event_type").parquet(out)
+    before = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    os.makedirs(out + ".__old__/event_type=stale")
+    os.makedirs(out + ".__compact__")
+    layout.compact(spark, out, "event_type", target_files_per_partition=1)
+
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == before
+    assert not os.path.exists(out + ".__old__")
+    assert not os.path.exists(out + ".__compact__")

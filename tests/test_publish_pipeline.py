@@ -109,6 +109,21 @@ def test_dao_links_only_removes_then_inserts(spark, tree):
     assert "http://svc/MC001/c001.mets" in ead
 
 
+def test_dao_links_only_ignores_existing_pdfs(spark, tree):
+    # dao-links-only exists to rewrite links for ALREADY-published
+    # components (which have PDFs) — the reference walks every non-dotted
+    # component with no PDF check (publish_dao-links-only.rb:55-58), so an
+    # existing .pdf must NOT exclude its component
+    (tree / "jp2" / CALLNO / "c001.pdf").write_bytes(b"%PDF-EXISTING")
+    counts = publish_pipeline.run_publish(
+        spark, CALLNO, _cfg(tree, "dao_links_only")
+    )
+    assert counts["components"] == 2
+    ead = (tree / "work" / "eads_updated" / f"{CALLNO}.EAD.xml").read_text()
+    assert "http://svc/MC001/c001.mets" in ead
+    assert "http://svc/MC001/c002.mets" in ead
+
+
 def test_assemble_pdfs_orders_by_page_no(spark):
     rows = [("d", 2, b"C"), ("d", 0, b"A"), ("d", 1, b"B"), ("e", 0, b"Z")]
     pages = spark.createDataFrame(rows, "doc_key string, page_no int, page_bytes binary")

@@ -182,3 +182,16 @@ def test_sqlite_jdbc_path(spark, tmp_path):
         pytest.skip("no sqlite JDBC driver on classpath; error path verified")
     df = sqlite_queue.read_table_jdbc(spark, db, "ImageDirs", where="Note = ' '")
     assert df.count() == 1
+
+
+def test_load_table_restores_session_conf(spark, sf_dir):
+    # load_table self-heals nanosAsLong for the events read but must not
+    # leave a session-wide conf change behind (an external caller's later
+    # nanos-parquet reads would silently change behavior)
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key, None)
+    df = load_table(spark, sf_dir, "events")
+    assert spark.conf.get(key, None) == before
+    # and the returned frame still executes with ts converted to µs
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    assert df.count() > 0

@@ -168,6 +168,32 @@ def test_orient_image_vote_sequence(monkeypatch):
     assert calls.count("aspell") == 2  # bottom two only
 
 
+def test_orient_image_tiebreak_is_line_lexicographic(monkeypatch):
+    """orient_image.sh's `sort -n` resolves ties by whole-LINE lexicographic
+    fallback, and the lines end in the variant file suffixes — so an
+    all-ways tie picks EAST (-east < -north < -south < -west), not north."""
+    from pulfa_sausage_factory_spark.functions import subprocess_udf as S
+
+    monkeypatch.setattr(S, "_which", lambda tool: f"/usr/bin/{tool}")
+
+    def runner(argv, stdin_bytes, timeout=60.0):
+        if argv[0] == "convert":
+            with open(argv[4], "wb") as f:
+                f.write(b"R" + argv[2].encode())
+            return b""
+        if argv[0] == "ocrad":
+            with open(argv[6], "w") as f:
+                f.write("same same")  # every variant: 2 words
+            return b""
+        if argv[0] == "aspell":
+            return b""  # every variant: 0 misspellings
+        raise AssertionError(argv)
+
+    angle, rotated = S.orient_image(b"IMG", runner=runner)
+    assert angle == 90  # east wins the full tie
+    assert rotated == b"R90"
+
+
 def test_orient_images_operator_fake_path(spark):
     """Hermetic path: deterministic vote, one row per image, no shuffle."""
     from pulfa_sausage_factory_spark.functions.subprocess_udf import (

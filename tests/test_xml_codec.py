@@ -175,3 +175,30 @@ def test_update_eads_distributed(spark):
     out = xml_codec.update_eads(eads, report).collect()
     assert len(out) == 1
     assert "http://mets/AC044_c0001.mets" in out[0].xml
+
+
+def test_insert_dao_remove_existing_nested_and_repeated():
+    # remove_existing must (a) detach daos that are NOT direct children of
+    # did via their real parent (did.remove on a nested dao raises
+    # ValueError) and (b) run once per did BEFORE inserting, so two inserts
+    # targeting the same c_id don't delete each other's fresh dao
+    xml = """<ead xmlns="urn:isbn:1-931666-22-9"
+      xmlns:xlink="http://www.w3.org/1999/xlink"><archdesc><dsc>
+      <c id="MC9_c1"><did>
+        <unittitle>T</unittitle>
+        <dao xlink:href="http://old/direct.pdf"/>
+        <daogrp><dao xlink:href="http://old/nested.pdf"/></daogrp>
+      </did></c>
+    </dsc></archdesc></ead>"""
+    out = xml_codec.insert_dao_xml(
+        xml,
+        [
+            {"c_id": "MC9/c1", "mets_href": "http://svc/MC9/c1.mets"},
+            {"c_id": "MC9/c1", "mets_href": "http://svc/MC9/c1.extra.mets"},
+        ],
+        remove_existing=True,
+    )
+    assert "http://old/direct.pdf" not in out
+    assert "http://old/nested.pdf" not in out
+    assert "http://svc/MC9/c1.mets" in out
+    assert "http://svc/MC9/c1.extra.mets" in out
