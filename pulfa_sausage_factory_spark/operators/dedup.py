@@ -180,6 +180,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    storage_level: "StorageLevel | None" = None,
 ) -> DataFrame:
     """X2 — MinHash + banded LSH near-dup candidates, verified by estimated
     Jaccard (signature agreement rate).
@@ -191,7 +192,14 @@ def minhash_lsh_pairs(
     (identical boilerplate docs), handled by AQE skew-join splitting. This is
     the 100-TB path; ``ngram_jaccard_pairs`` is the exact oracle-checkable
     baseline.
+
+    ``storage_level`` controls the signature materialization (both sides of
+    the self-join read it). Default MEMORY_AND_DISK: signatures are
+    ~8·num_hashes bytes/doc, and at 100 TB the set can exceed executor
+    memory — degrading to local disk beats silent eviction + recompute of
+    the Arrow-batched signature UDF.
     """
+    from pyspark import StorageLevel
     rows_per_band = num_hashes // bands
     # No hand repartition: parallelism follows source partitioning (the
     # session sets spark.sql.files.maxPartitionBytes small enough that any
@@ -202,7 +210,7 @@ def minhash_lsh_pairs(
     sigs = (
         df.select(F.col(id_col).alias("id"), sig_udf(text_col).alias("sig"))
         .filter(F.col("sig").isNotNull())
-        .cache()
+        .persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     )
     sigs.count()  # materialize once: the plan feeds both sides of the self-join
     # bucket key = hash of (band, band-slice of the signature). The signature

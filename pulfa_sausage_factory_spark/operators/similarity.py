@@ -151,6 +151,7 @@ def embedding_neardup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
+    allow_crossjoin: bool = False,
 ) -> DataFrame:
     """X2 (embedding variant) — near-duplicate pairs by cosine similarity.
 
@@ -158,9 +159,16 @@ def embedding_neardup(
     cross join: at scale the blocking key is an LSH bucket / IVF cell /
     upstream cluster id, which bounds the candidate count to
     sum(block_size²) — the same output-sensitive shape as ``knn_lsh``.
-    With ``block_col=None`` it degrades to the exact all-pairs baseline
-    (oracle-checkable, test scales only).
+    ``block_col=None`` degrades to the exact all-pairs baseline
+    (oracle-checkable, test scales only) and must be opted into with
+    ``allow_crossjoin=True`` — O(n²) at corpus scale is never an accident.
     """
+    if block_col is None and not allow_crossjoin:
+        raise ValueError(
+            "embedding_neardup(block_col=None) is the all-pairs cross-join "
+            "baseline (O(n²) — test scales only); pass allow_crossjoin=True "
+            "to confirm, or provide a blocking column for the scale path"
+        )
     sel = [F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")]
     if block_col is not None:
         sel.append(F.col(block_col).alias("blk"))

@@ -3,7 +3,12 @@ converges toward brute force as the probe radius grows."""
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
+from pulfa_sausage_factory_spark import plans
 from pulfa_sausage_factory_spark.io import load_table
+from pulfa_sausage_factory_spark.operators import similarity
 from pulfa_sausage_factory_spark.operators.similarity import (
     knn_bruteforce,
     knn_lsh,
@@ -38,3 +43,24 @@ def test_probe_radius_validated(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(10)
     with pytest.raises(ValueError):
         knn_lsh(emb, emb, probe_hamming=3)
+
+
+def test_embedding_neardup_crossjoin_requires_opt_in(spark, sf_dir):
+    # block_col=None is the O(n²) all-pairs baseline — reaching it must be
+    # an explicit decision, never a default-argument accident
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="allow_crossjoin"):
+        similarity.embedding_neardup(emb, threshold=0.9, block_col=None)
+    df = similarity.embedding_neardup(
+        emb.limit(50), threshold=0.9, block_col=None, allow_crossjoin=True
+    )
+    assert df.count() >= 0  # opted-in baseline still runs
+
+
+def test_knn_ivf_centroid_pick_is_take_ordered(spark, sf_dir):
+    # the deterministic centroid pick is orderBy(id).limit(n) — it must
+    # compile to TakeOrderedAndProject (per-partition k-heap + driver merge
+    # of k*numPartitions rows), not a global sort
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = similarity.knn_ivf(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    plans.assert_take_ordered(df)

@@ -195,3 +195,47 @@ def test_load_table_restores_session_conf(spark, sf_dir):
     # and the returned frame still executes with ts converted to µs
     assert df.schema["ts"].dataType.simpleString() == "timestamp"
     assert df.count() > 0
+
+
+def test_nanos_timestamp_truncation_matches_duckdb(spark, tmp_path):
+    # events.parquet stores TIMESTAMP(NANOS); load_table converts the nanos
+    # long to µs via integer division while DuckDB casts ns parquet into its
+    # µs timestamps. Pin the boundary behavior (sub-µs precision truncates,
+    # never rounds) so a future fixture with ns precision can't silently
+    # split the oracle.
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns_values = [
+        1_500_000_000_000_000_999,  # .000000999 — truncates down
+        1_500_000_000_000_001_001,  # .000001001 — lands on 1 µs
+        1_500_000_000_123_456_789,
+        999,                        # epoch + 999 ns → epoch
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array(range(len(ns_values)), pa.int64()),
+            "ts": pa.array(ns_values, pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    got_spark = {
+        r.event_id: r.ts
+        for r in load_table(spark, str(tmp_path), "events").collect()
+    }
+    con = duckdb.connect()
+    got_duck = dict(
+        con.execute(
+            f"SELECT event_id, ts FROM read_parquet('{tmp_path}/events.parquet')"
+        ).fetchall()
+    )
+    assert len(got_spark) == len(ns_values)
+    for k in got_duck:
+        assert got_spark[k].replace(tzinfo=None) == got_duck[k].replace(
+            tzinfo=None
+        ), (k, got_spark[k], got_duck[k])
+    # and the truncation is exact: 999 ns of sub-µs precision drops
+    assert got_spark[0].microsecond == 0
+    assert got_spark[1].microsecond == 1
