@@ -126,6 +126,58 @@ def quality_score(col: Column | str) -> Column:
     return F.round((len_factor + punct_factor + word_factor) / F.lit(3.0), 6)
 
 
+def dup_segment_fraction(col: Column | str, sep: str = r"\. ") -> Column:
+    """X4 repetition signal (Gopher-style duplicate-line fraction, adapted
+    to sentence segments): 1 − distinct segments / total segments. High
+    values flag boilerplate/spam documents. Pure column expression,
+    codegen'd."""
+    c = F.col(col) if isinstance(col, str) else col
+    segs = F.split(c, sep)
+    return F.lit(1.0) - (
+        F.size(F.array_distinct(segs)).cast("double")
+        / F.size(segs).cast("double")
+    )
+
+
+def top_ngram_stats_df(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+):
+    """X4 repetition signal (Gopher's top-n-gram fraction): per document,
+    the count of the most frequent word n-gram and its share of all
+    n-grams. Repetitive machine-generated text scores high.
+
+    Spark-first shape: explode n-grams → two-level aggregation (map-side
+    partial combine on (doc, gram), then per-doc max/sum) — distributed in
+    the corpus AND in document length, unlike a per-row O(tokens·distinct)
+    higher-order-function scan (HOF lambdas run interpreted; see the
+    winnowing note below). Docs with fewer than ``n`` tokens produce no
+    n-grams and are absent from the output (callers left-join + coalesce).
+    """
+    t = F.split(F.lower(F.col(text_col)), " ")
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] and
+    # element_at(t, 0) is an error under ANSI — short docs get no grams
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + off) for off in range(n)]
+        ),
+    )
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    counts = exploded.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy(id_col).agg(
+        F.max("c").alias("top_ngram_count"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top_ngram_frac"
+        ),
+    )
+
+
 def winnow_fingerprints_df(
     df,
     text_col: str = "text",

@@ -722,25 +722,42 @@ def x3d_knn_lsh_multiprobe(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# X4 — per-document text statistics
+# X4 — per-document text statistics + Gopher-style repetition signals
+# (duplicate-segment fraction, top-bigram count/share — the repetition
+# quality filters a training-data pipeline gates on; round 3)
 # ---------------------------------------------------------------------------
 @register(
     "x4a_doc_stats",
     """
     WITH toks AS (
-      SELECT doc_id, n_chars, str_split(lower(text), ' ') AS t FROM documents)
-    SELECT doc_id,
+      SELECT doc_id, n_chars, text, str_split(lower(text), ' ') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             UNNEST([array_to_string(t[i:i+1], ' ')
+                     FOR i IN range(1, greatest(len(t) - 1, 0) + 1)]) AS gram
+      FROM toks),
+    gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id, MAX(c) AS top_ngram_count,
+             CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_ngram_frac
+      FROM gc GROUP BY doc_id)
+    SELECT toks.doc_id,
            len(t) AS n_tokens,
            n_chars,
            CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_ratio,
-           md5(array_to_string(t[1:8], ' ')) AS fingerprint
-    FROM toks
+           md5(array_to_string(t[1:8], ' ')) AS fingerprint,
+           1.0 - CAST(len(list_distinct(str_split(text, '. '))) AS DOUBLE)
+                 / len(str_split(text, '. ')) AS dup_seg_frac,
+           COALESCE(rep.top_ngram_count, 0) AS top_ngram_count,
+           COALESCE(rep.top_ngram_frac, 0.0) AS top_ngram_frac
+    FROM toks LEFT JOIN rep ON toks.doc_id = rep.doc_id
     """,
 )
 def x4a_doc_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     t = F.split(F.lower(F.col("text")), " ")
-    return docs.select(
+    stats = docs.select(
         "doc_id",
         F.size(t).alias("n_tokens"),
         "n_chars",
@@ -748,6 +765,14 @@ def x4a_doc_stats(spark, sf_dir):
             "distinct_ratio"
         ),
         F.md5(F.array_join(F.slice(t, 1, 8), " ")).alias("fingerprint"),
+        text.dup_segment_fraction("text").alias("dup_seg_frac"),
+    )
+    rep = text.top_ngram_stats_df(docs, "text", "doc_id", n=2)
+    return stats.join(rep, "doc_id", "left").select(
+        "doc_id", "n_tokens", "n_chars", "distinct_ratio", "fingerprint",
+        "dup_seg_frac",
+        F.coalesce("top_ngram_count", F.lit(0)).alias("top_ngram_count"),
+        F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
     )
 
 

@@ -98,6 +98,34 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     assert len(df.columns) > 0
 
 
+def test_all_query_outputs_are_driver_hashable(spark, sf_dir):
+    """The driver's canonicalizer hashes scalar cells only — a registered
+    query returning array/map/struct columns crashes its pandas sort
+    (unhashable type). Schema-resolve every registration and reject
+    non-scalar output columns (serialize arrays to fixed-precision CSV,
+    as x6_multimodal_meta does for its feature vector)."""
+    from pyspark.sql import types as T
+
+    bad = []
+    for name, (fn, _) in QUERIES.items():
+        for field in fn(spark, sf_dir).schema.fields:
+            if isinstance(field.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append((name, field.name, field.dataType.simpleString()))
+    assert not bad, f"non-scalar driver-facing columns: {bad}"
+
+
+def test_registry_fits_driver_check_window(spark):
+    """The correctness gate checks exactly the FIRST 50 registrations (both
+    round-1 and round-2 CORRECTNESS files have precisely 50 rows tracking
+    registration order). Every registration must fit that window or it
+    ships with zero driver evidence."""
+    assert len(QUERIES) <= 50, (
+        f"{len(QUERIES)} registrations exceed the driver's 50-row check "
+        "window — consolidate (merge overlapping queries) instead of "
+        "letting registrations fall off the gate"
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -85,3 +85,32 @@ def test_pack_greedy_budget_invariant(spark):
             if not seen_packs or seen_packs[-1] != r.pack_id:
                 seen_packs.append(r.pack_id)
         assert seen_packs == list(range(seen_packs[-1] + 1))  # contiguous
+
+
+def test_repetition_signals_flag_boilerplate(spark):
+    from pulfa_sausage_factory_spark.functions.text import (
+        dup_segment_fraction,
+        top_ngram_stats_df,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now. buy now. buy now. unique tail"),
+            (2, "a perfectly ordinary sentence with no repeats"),
+            (3, "x"),          # 1 token -> no bigrams
+            (4, ""),           # degenerate
+        ],
+        "doc_id long, text string",
+    )
+    frac = {
+        r.doc_id: r.f
+        for r in docs.select(
+            "doc_id", dup_segment_fraction("text").alias("f")
+        ).collect()
+    }
+    assert frac[1] > 0.4          # "buy now" segments collapse
+    assert frac[2] == 0.0
+    rep = {r.doc_id: r for r in top_ngram_stats_df(docs).collect()}
+    assert rep[1].top_ngram_count >= 3          # "buy now." dominates
+    assert rep[1].top_ngram_frac > rep[2].top_ngram_frac
+    assert 3 not in rep and 4 not in rep        # too short: no grams
