@@ -55,6 +55,16 @@ def test_global_topk_is_take_ordered(spark, sf_dir, name):
     plans.assert_take_ordered(QUERIES[name][0](spark, sf_dir))
 
 
+@pytest.mark.parametrize(
+    "name", ["x8_sampling", "x4h_clean", "x4e_bpe_quality"]
+)
+def test_projection_queries_never_shuffle(spark, sf_dir, name):
+    # the sampling suite and the cleaning/scoring projections are narrow
+    # per-row transforms — any Exchange here is a scale bug (at 100 TB
+    # these run as pure map stages over the corpus)
+    plans.assert_no_exchange(QUERIES[name][0](spark, sf_dir))
+
+
 def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
     # the bench shingle index is small by construction — the train corpus
     # must stream through a map-side hash join, never shuffle its shingles
