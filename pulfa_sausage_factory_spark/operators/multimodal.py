@@ -296,3 +296,122 @@ def segment_audio(
     return df.select(F.col(id_col).alias(id_col), content_col).mapInPandas(
         batches, AUDIO_SEG_SCHEMA
     )
+
+IMAGE_OPS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("sha1", T.StringType()),
+        T.StructField("rs_width", T.IntegerType()),
+        T.StructField("rs_height", T.IntegerType()),
+        T.StructField("resized_sha1", T.StringType()),
+        T.StructField("real_decode", T.BooleanType()),
+    ]
+)
+
+
+def image_ops(
+    df: DataFrame,
+    target: int = 256,
+    content_col: str = "content",
+    id_col: str = "id",
+) -> DataFrame:
+    """Fused decode + resize: ONE Arrow pass emits container metadata AND
+    aspect-preserving resize output together.
+
+    ``decode_image_meta(df) ⋈ resize_image(df)`` decodes every blob twice
+    and pays a shuffle exchange on ``id`` to re-pair the halves; at 100 TB
+    that join alone moves the whole corpus's key set. Operator fusion keeps
+    the plan a single narrow ``mapInPandas`` stage — same parallelism as
+    the source scan, zero Exchange. The standalone ops stay exported for
+    pipelines that genuinely need only one half."""
+    try:  # pragma: no cover - Pillow absent in this container
+        from PIL import Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in it:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(blob)
+                mime, w0, h0 = sniff_image_meta(b)
+                sha1 = hashlib.sha1(b).hexdigest()
+                if has_pil:  # pragma: no cover
+                    from PIL import Image
+
+                    im = Image.open(io.BytesIO(b))
+                    w0, h0 = im.size
+                if w0 is None:
+                    rows.append(
+                        (int(i), mime, None, None, len(b), sha1,
+                         None, None, None, False)
+                    )
+                    continue
+                scale = target / max(w0, h0)
+                # half-up rounding (floor(x+0.5)) — reproducible in ANSI SQL
+                w1 = max(1, int(w0 * scale + 0.5))
+                h1 = max(1, int(h0 * scale + 0.5))
+                if has_pil:  # pragma: no cover
+                    out = io.BytesIO()
+                    im.resize((w1, h1)).save(out, format=im.format or "PNG")
+                    digest = hashlib.sha1(out.getvalue()).hexdigest()
+                else:
+                    digest = hashlib.sha1(b + struct.pack(">II", w1, h1)).hexdigest()
+                rows.append(
+                    (int(i), mime, w0, h0, len(b), sha1, w1, h1, digest, has_pil)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_OPS_SCHEMA])
+
+    return df.select(F.col(id_col).alias(id_col), content_col).mapInPandas(
+        batches, IMAGE_OPS_SCHEMA
+    )
+
+
+FEATURIZE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def featurize_with_meta(
+    df: DataFrame, dim: int = 8, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """Fused metadata + feature extraction: byte length, md5 digest, and the
+    feature vector from ONE decode of each blob.
+
+    The unfused shape (a metadata projection joined to ``featurize`` on the
+    doc id) re-pairs rows through a shuffle exchange; since the "model"
+    digest already hashes every byte, the metadata is free in the same
+    pass. Single narrow stage, zero Exchange — the batch contract a real
+    encoder (CLIP-style) needs is unchanged: swap the digest for a model
+    call and the extra columns still ride along."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, lens, digests, feats = [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(blob)
+                digest = hashlib.md5(b)
+                ids.append(int(i))
+                lens.append(len(b))
+                digests.append(digest.hexdigest())
+                feats.append([round(x / 255.0, 6) for x in digest.digest()[:dim]])
+            yield pd.DataFrame(
+                {"id": ids, "byte_len": lens, "digest": digests, "features": feats}
+            )
+
+    return df.select(F.col(id_col).alias(id_col), content_col).mapInPandas(
+        batches, FEATURIZE_META_SCHEMA
+    )

@@ -886,23 +886,21 @@ def x5_event_profile(spark, sf_dir):
     """,
 )
 def x6_multimodal_meta(spark, sf_dir):
+    # single fused Arrow pass (featurize_with_meta): metadata and feature
+    # vector from ONE decode, no re-pairing join — the unfused
+    # projection-⋈-featurize shape paid a shuffle exchange on doc_id
     docs = _t(spark, sf_dir, "documents")
-    blob = F.encode(F.col("text"), "utf-8")
-    meta = docs.select(
-        "doc_id",
-        F.octet_length(blob).alias("byte_len"),
-        F.md5(F.col("text")).alias("digest"),
-        F.lit("text/plain").alias("mime"),
+    blobs = docs.select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("content")
     )
-    blobs = docs.select(F.col("doc_id").alias("id"), blob.alias("content"))
-    feats = multimodal.featurize(blobs, dim=8).select(
+    return multimodal.featurize_with_meta(blobs, dim=8).select(
         F.col("id").alias("doc_id"),
+        "byte_len",
+        "digest",
+        F.lit("text/plain").alias("mime"),
         F.array_join(
             F.transform("features", lambda x: F.format_string("%.6f", x)), ","
         ).alias("features"),
-    )
-    return meta.join(feats, "doc_id").select(
-        "doc_id", "byte_len", "digest", "mime", "features"
     )
 
 
@@ -1281,27 +1279,22 @@ def _png_content(width_col, height_col):
 )
 def x6b_image_ops(spark, sf_dir):
     # decode + resize over the same binary column (x6f absorbed here in
-    # round 3); both metadata and resized dims come from the REAL header
-    # parser / resizer mapInPandas paths, joined on the unique doc id
+    # round 3) via the FUSED image_ops operator: the real header parser and
+    # resizer run in one Arrow pass, replacing the former
+    # decode_image_meta ⋈ resize_image double decode + shuffle join
     docs = _t(spark, sf_dir, "documents")
     imgs = docs.select(
         F.col("doc_id").alias("id"),
         _png_content(F.col("n_chars"), F.col("doc_id") % 240 + 1).alias("content"),
     )
-    meta = multimodal.decode_image_meta(imgs).select(
+    return multimodal.image_ops(imgs, target=256).select(
         F.col("id").alias("doc_id"),
         "mime",
         "width",
         F.col("height").cast("long").alias("height"),
         F.col("byte_len").cast("int").alias("byte_len"),
-    )
-    resized = multimodal.resize_image(imgs, target=256).select(
-        F.col("id").alias("doc_id"),
-        F.col("width").alias("rs_width"),
-        F.col("height").alias("rs_height"),
-    )
-    return meta.join(resized, "doc_id").select(
-        "doc_id", "mime", "width", "height", "byte_len", "rs_width", "rs_height"
+        "rs_width",
+        "rs_height",
     )
 
 

@@ -117,3 +117,37 @@ def test_audio_segments_cover_duration_exactly(spark):
         assert 1000 <= dur <= 6000 and len(segs) == (dur + 999) // 1000
         assert len({s.sample_rate for s in segs}) == 1
         assert all(s.sample_rate in (8000, 16000, 22050, 44100) for s in segs)
+
+
+def test_image_ops_fusion_matches_unfused(spark):
+    # the fused single-pass operator must agree column-for-column with
+    # decode_image_meta ⋈ resize_image (the shape it replaces)
+    rows = [(1, mm.png_bytes(100, 50)), (2, _gif_bytes(8, 9)), (3, b"junk")]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    fused = {
+        r.id: r.asDict() for r in mm.image_ops(df, target=256).collect()
+    }
+    meta = {r.id: r.asDict() for r in mm.decode_image_meta(df).collect()}
+    rs = {r.id: r.asDict() for r in mm.resize_image(df, target=256).collect()}
+    assert set(fused) == {1, 2, 3}
+    for i in fused:
+        for col in ("mime", "width", "height", "byte_len", "sha1"):
+            assert fused[i][col] == meta[i][col], (i, col)
+        assert fused[i]["rs_width"] == rs[i]["width"], i
+        assert fused[i]["rs_height"] == rs[i]["height"], i
+        assert fused[i]["resized_sha1"] == rs[i]["resized_sha1"], i
+
+
+def test_featurize_with_meta_matches_unfused(spark):
+    import hashlib
+
+    rows = [(1, b"hello world"), (2, b""), (3, b"\x00\xff" * 40)]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    fused = {
+        r.id: r.asDict() for r in mm.featurize_with_meta(df, dim=8).collect()
+    }
+    plain = {r.id: r.features for r in mm.featurize(df, dim=8).collect()}
+    for i, blob in rows:
+        assert fused[i]["features"] == plain[i], i
+        assert fused[i]["byte_len"] == len(blob), i
+        assert fused[i]["digest"] == hashlib.md5(blob).hexdigest(), i

@@ -56,10 +56,13 @@ def test_global_topk_is_take_ordered(spark, sf_dir, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["x8_sampling", "x4h_clean", "x4e_bpe_quality"]
+    "name",
+    ["x8_sampling", "x4h_clean", "x4e_bpe_quality",
+     "x6_multimodal_meta", "x6b_image_ops"],
 )
 def test_projection_queries_never_shuffle(spark, sf_dir, name):
-    # the sampling suite and the cleaning/scoring projections are narrow
+    # the sampling suite, the cleaning/scoring projections, and the FUSED
+    # multimodal passes (image_ops / featurize_with_meta) are narrow
     # per-row transforms — any Exchange here is a scale bug (at 100 TB
     # these run as pure map stages over the corpus)
     plans.assert_no_exchange(QUERIES[name][0](spark, sf_dir))
