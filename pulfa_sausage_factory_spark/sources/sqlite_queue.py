@@ -58,6 +58,26 @@ def read_table(
     return spark.createDataFrame(rows, schema=cols)
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    where: str | None = None,
+    driver: str | None = None,
+) -> DataFrame:
+    """Generic JDBC queue scan — the engine-agnostic core of S7 at scale.
+
+    Catalyst pushes the ``where`` predicate down to the database as a scan
+    filter (``PushedFilters`` in the physical plan), so only matching queue
+    rows ever cross the wire. Tested against embedded Derby (bundled with
+    Spark), the same code path the sqlite/postgres/mysql URLs take."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        reader = reader.option("driver", driver)
+    df = reader.load()
+    return df.filter(where) if where else df
+
+
 def read_table_jdbc(
     spark: SparkSession, db_path: str, table: str, where: str | None = None
 ) -> DataFrame:
@@ -70,14 +90,9 @@ def read_table_jdbc(
             "sqlite JDBC driver (org.sqlite.JDBC / xerial) not on the Spark "
             "classpath; use read_table() or add the jar via spark.jars"
         ) from e
-    df = (
-        spark.read.format("jdbc")
-        .option("url", f"jdbc:sqlite:{db_path}")
-        .option("dbtable", table)
-        .option("driver", "org.sqlite.JDBC")
-        .load()
+    return read_jdbc(
+        spark, f"jdbc:sqlite:{db_path}", table, where=where, driver="org.sqlite.JDBC"
     )
-    return df.filter(where) if where else df
 
 
 def pending_work(spark: SparkSession, db_path: str, table: str = "ImageDirs",

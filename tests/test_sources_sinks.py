@@ -184,6 +184,33 @@ def test_sqlite_jdbc_path(spark, tmp_path):
     assert df.count() == 1
 
 
+def test_jdbc_queue_scan_derby_pushdown(spark, tmp_path):
+    """S7 JDBC executed for real: Spark bundles embedded Derby (metastore
+    dependency), so the generic read_jdbc path runs end-to-end without the
+    xerial jar — and the physical plan must show the queue predicate pushed
+    into the database scan (PushedFilters), the property that keeps a
+    cluster-sized work queue from streaming every row to the executors."""
+    jvm = spark._jvm
+    jvm.java.lang.System.setProperty("derby.system.home", str(tmp_path))
+    url = f"jdbc:derby:{tmp_path}/queue;create=true"
+    con = jvm.java.sql.DriverManager.getConnection(url)
+    st = con.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE ImageDirs (dir VARCHAR(200), Note VARCHAR(10))"
+    )
+    for d, n in [("/a", " "), ("/b", "done"), ("/c", " ")]:
+        st.executeUpdate(f"INSERT INTO ImageDirs VALUES ('{d}', '{n}')")
+    st.close()
+    con.close()
+
+    df = sqlite_queue.read_jdbc(
+        spark, f"jdbc:derby:{tmp_path}/queue", "ImageDirs", where="Note = ' '"
+    )
+    assert sorted(r["DIR"] for r in df.collect()) == ["/a", "/c"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "NOTE" in plan.upper()
+
+
 def test_load_table_restores_session_conf(spark, sf_dir):
     # load_table self-heals nanosAsLong for the events read but must not
     # leave a session-wide conf change behind (an external caller's later
