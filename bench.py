@@ -110,7 +110,7 @@ def main() -> None:
     # this host has heavy CPU-steal variance (round-2 showed ±40% swings on
     # unchanged queries), and a single steady pass conflates that with real
     # regressions. Cold times go to stderr.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     per_query: dict[str, float] = {}
     cold: dict[str, float] = {}
     total = 0.0

@@ -297,6 +297,17 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return df.select(F.col(id_col).alias("id"), sim_udf(text_col).alias("simhash"))
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Eagerly free a ``localCheckpoint``'s storage blocks once the round
+    that produced it is superseded. Reaches through ``LogicalRDD`` (stable
+    across Spark 3/4); best-effort — if the internal accessor ever drifts,
+    blocks fall back to ContextCleaner reclamation at driver GC."""
+    try:
+        df._jdf.queryExecution().optimizedPlan().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """X1/X2 follow-through — connected-component clustering of near-dup
     pairs: every document in a component maps to the component's minimum id
@@ -318,7 +329,10 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     before the fix. Checkpointing truncates lineage, keeping the per-round
     plan constant-size; at 100 TB swap ``localCheckpoint`` for a
     reliable ``checkpoint`` dir (``spark.sparkContext.setCheckpointDir``)
-    if executor loss during the loop must be survivable.
+    if executor loss during the loop must be survivable. Superseded
+    rounds' checkpoint blocks are released eagerly (the ContextCleaner
+    would otherwise hold every round's full label snapshot until driver
+    GC — unbounded storage growth over a long loop).
 
     ``pairs``: (id_a, id_b [, ...]) undirected edges. Returns
     (doc_id, canonical_id) for every vertex appearing in an edge.
@@ -358,9 +372,11 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
+        _release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
+    _release_local_checkpoint(edges)
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("canonical_id"))
 
 

@@ -147,12 +147,18 @@ def resize_image(
             rows = []
             for i, blob in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(blob)
+                im = None
                 if has_pil:  # pragma: no cover
                     from PIL import Image
 
-                    im = Image.open(io.BytesIO(b))
-                    w0, h0 = im.size
-                else:
+                    # one corrupt blob must yield a null row, not kill the
+                    # task (and with it the stage, after 4 retries)
+                    try:
+                        im = Image.open(io.BytesIO(b))
+                        w0, h0 = im.size
+                    except Exception:
+                        im = None
+                if im is None:
                     _, w0, h0 = sniff_image_meta(b)
                     if w0 is None:
                         rows.append((int(i), None, None, None, False))
@@ -162,13 +168,13 @@ def resize_image(
                 # reproducible in ANSI SQL for the oracle
                 w1 = max(1, int(w0 * scale + 0.5))
                 h1 = max(1, int(h0 * scale + 0.5))
-                if has_pil:  # pragma: no cover
+                if im is not None:  # pragma: no cover
                     out = io.BytesIO()
                     im.resize((w1, h1)).save(out, format=im.format or "PNG")
                     digest = hashlib.sha1(out.getvalue()).hexdigest()
                 else:
                     digest = hashlib.sha1(b + struct.pack(">II", w1, h1)).hexdigest()
-                rows.append((int(i), w1, h1, digest, has_pil))
+                rows.append((int(i), w1, h1, digest, im is not None))
             yield pd.DataFrame(
                 rows, columns=["id", "width", "height", "resized_sha1", "real_decode"]
             )
@@ -344,11 +350,17 @@ def image_ops(
                 b = bytes(blob)
                 mime, w0, h0 = sniff_image_meta(b)
                 sha1 = hashlib.sha1(b).hexdigest()
+                im = None
                 if has_pil:  # pragma: no cover
                     from PIL import Image
 
-                    im = Image.open(io.BytesIO(b))
-                    w0, h0 = im.size
+                    # one corrupt blob must yield a null row, not kill the
+                    # task; sniffed dims remain the fallback
+                    try:
+                        im = Image.open(io.BytesIO(b))
+                        w0, h0 = im.size
+                    except Exception:
+                        im = None
                 if w0 is None:
                     rows.append(
                         (int(i), mime, None, None, len(b), sha1,
@@ -359,14 +371,14 @@ def image_ops(
                 # half-up rounding (floor(x+0.5)) — reproducible in ANSI SQL
                 w1 = max(1, int(w0 * scale + 0.5))
                 h1 = max(1, int(h0 * scale + 0.5))
-                if has_pil:  # pragma: no cover
+                if im is not None:  # pragma: no cover
                     out = io.BytesIO()
                     im.resize((w1, h1)).save(out, format=im.format or "PNG")
                     digest = hashlib.sha1(out.getvalue()).hexdigest()
                 else:
                     digest = hashlib.sha1(b + struct.pack(">II", w1, h1)).hexdigest()
                 rows.append(
-                    (int(i), mime, w0, h0, len(b), sha1, w1, h1, digest, has_pil)
+                    (int(i), mime, w0, h0, len(b), sha1, w1, h1, digest, im is not None)
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_OPS_SCHEMA])
 

@@ -62,9 +62,14 @@ def compact(
     pcols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
     tmp = path.rstrip("/") + ".__compact__"
     old = path.rstrip("/") + ".__old__"
-    # pre-clean debris from a prior crashed run: a stale .__old__ would make
-    # the rename below fail (or silently shadow this run's backup), and a
-    # stale .__compact__ is a half-written rewrite
+    # recover first, then clean: a prior run killed between the two renames
+    # leaves the ONLY copy of the original at .__old__ (path gone) — it
+    # must be restored before any deletion, or the pre-clean would destroy
+    # the dataset. With the live tree present, leftover .__old__ /
+    # .__compact__ are debris (a stale .__old__ would make the rename below
+    # fail; a stale .__compact__ is a half-written rewrite).
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
     for stale in (tmp, old):
         if os.path.exists(stale):
             shutil.rmtree(stale)

@@ -82,3 +82,18 @@ def test_ngram_jaccard_df_cap_preserves_result(spark, sf_dir):
         .collect()[0]
     )
     assert dfreq.mx > 4
+
+
+def test_cluster_loop_releases_superseded_checkpoints(spark):
+    # each round localCheckpoints a fresh label table; superseded rounds'
+    # blocks must be freed eagerly or a long loop pins every round's full
+    # snapshot until driver GC (unbounded storage growth at scale)
+    edges = [(2, 1), (2, 3), (3, 4), (4, 5), (5, 6)]  # chain: several rounds
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = dedup_clusters(pairs)
+    assert out.count() == 6
+    after = jsc.getPersistentRDDs().size()
+    # only the final labels checkpoint may survive the loop
+    assert after - before <= 1

@@ -70,3 +70,24 @@ def test_compaction_recovers_from_stale_debris(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == before
     assert not os.path.exists(out + ".__old__")
     assert not os.path.exists(out + ".__compact__")
+
+
+def test_compaction_recovers_mid_swap_crash(spark, sf_dir, tmp_path):
+    # killed between rename(path -> .__old__) and rename(.__compact__ ->
+    # path): the ONLY copy of the original is .__old__. The next run must
+    # restore it, not rmtree it (that was permanent data loss).
+    out = str(tmp_path / "frag")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    ev.repartition(4).write.partitionBy("event_type").parquet(out)
+    before = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    os.rename(out, out + ".__old__")          # the crash state
+    os.makedirs(out + ".__compact__")         # half-written rewrite debris
+
+    layout.compact(spark, out, "event_type", target_files_per_partition=1)
+
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == before
+    assert not os.path.exists(out + ".__old__")
+    assert not os.path.exists(out + ".__compact__")
