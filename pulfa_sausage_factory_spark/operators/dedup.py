@@ -459,3 +459,60 @@ def contamination_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def dedup_corpus_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_dedup_chars: int = 1,
+) -> DataFrame:
+    """X1/X4 bridge — corpus-LEVEL line deduplication (the C4/RefinedWeb
+    cleaning step): every normalized line that occurs more than once across
+    the whole corpus is kept only at its first occurrence (ordered by
+    ``(doc_id, line_no)``) and dropped everywhere else. Catches boilerplate
+    headers/footers/navigation that doc-level near-dup never sees, and is
+    distinct from the within-doc repetition signals in
+    ``functions.text.repetition_signals``.
+
+    Scale shape: lines are keyed by ``xxhash64`` of the trimmed line (raw
+    text never shuffles for the count), first-occurrence is one
+    ``row_number`` window over the hash, and the doc rebuild is one
+    aggregation on ``id_col`` — two shuffles total, both on compact keys.
+    Trimmed lines shorter than ``min_dedup_chars`` (default: empty lines)
+    are exempt from dedup and always kept: they would be the corpus's most
+    viral keys, and a single hot hash partition is exactly the skew this
+    module avoids everywhere else.
+
+    Returns ``(id_col, clean_text, n_lines_kept, n_lines_dropped)`` — one
+    row per input document (documents whose every line is dropped still
+    appear, with empty ``clean_text``).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn("norm", F.trim("line"))
+    dedupable = F.length("norm") >= min_dedup_chars
+    first = Window.partitionBy(F.xxhash64("norm")).orderBy(id_col, "line_no")
+    kept = lines.withColumn(
+        "keep",
+        (~dedupable) | (F.row_number().over(first) == 1),
+    )
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"),
+                            F.struct(F.col("line_no"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s.line,
+            ),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_lines_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_lines_dropped"),
+    )

@@ -97,3 +97,55 @@ def test_cluster_loop_releases_superseded_checkpoints(spark):
     after = jsc.getPersistentRDDs().size()
     # only the final labels checkpoint may survive the loop
     assert after - before <= 1
+
+
+def _line_dedup_reference(docs, min_dedup_chars=1):
+    # straight-line Python model of C4-style first-occurrence line dedup
+    seen = set()
+    out = {}
+    for doc_id, text in sorted(docs):
+        kept, dropped = [], 0
+        for line in text.split("\n"):
+            norm = line.strip()
+            if len(norm) < min_dedup_chars:
+                kept.append(line)
+                continue
+            if norm in seen:
+                dropped += 1
+            else:
+                seen.add(norm)
+                kept.append(line)
+        out[doc_id] = ("\n".join(kept), len(kept), dropped)
+    return out
+
+
+def test_corpus_line_dedup_matches_reference(spark):
+    from pulfa_sausage_factory_spark.operators.dedup import dedup_corpus_lines
+
+    docs = [
+        (1, "unique first\nCopyright Notice\nbody of doc one"),
+        (2, "Copyright Notice\nbody of doc two\n\nunique second"),
+        (3, "body of doc one\nCopyright Notice\n\ntail"),
+        (4, "Copyright Notice"),  # every line dropped -> empty clean_text
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines_kept, r.n_lines_dropped)
+        for r in dedup_corpus_lines(df).collect()
+    }
+    assert got == _line_dedup_reference(docs)
+    # empty lines are skew-exempt: kept everywhere, never deduped
+    assert "\n\nunique second" in got[2][0]
+
+
+def test_corpus_line_dedup_at_sf(spark, sf_dir):
+    from pulfa_sausage_factory_spark.io import load_table
+    from pulfa_sausage_factory_spark.operators.dedup import dedup_corpus_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup_corpus_lines(docs)
+    assert out.count() == docs.count()  # one row per document, always
+    # two shuffles total: line-hash window + doc rebuild (scale contract)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 2
