@@ -97,3 +97,43 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(frac * BUCKETS))
         ).otherwise(threshold)
     return df.filter(hash_bucket(key) < threshold)
+
+
+def temperature_resample(
+    df: DataFrame,
+    key: str,
+    domain_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based domain mixing (the multilingual/multi-source
+    sampling rule: draw domain ``d`` with probability ∝ ``p_d**alpha``):
+    flatten a skewed domain distribution toward uniform by keeping domain
+    ``d`` at rate ``(p_d**alpha / p_d)``, normalized so the most-upweighted
+    domain keeps everything — pure downsampling, so the result is a subset
+    (deterministic, retry-stable) rather than a resample with duplicates.
+
+    ``alpha=1`` keeps every row (no-op); ``alpha=0`` equalizes expected
+    per-domain counts; between is the usual T=1/alpha temperature ladder.
+
+    Scale: one count aggregation on the domain column (domains are few by
+    definition), the per-domain keep rates come back as a broadcast map,
+    and the corpus itself passes through a single narrow filter — the
+    corpus never shuffles. The driver-side ``collect`` touches
+    O(#domains) rows, the same bounded-small materialization as IVF's
+    centroid table."""
+    assert 0.0 <= alpha <= 1.0, f"alpha={alpha} outside [0, 1]"
+    counts = {r[0]: r[1] for r in df.groupBy(domain_col).count().collect()}
+    total = sum(counts.values())
+    if not counts or total == 0:
+        return df
+    rel = {d: (c / total) ** (alpha - 1.0) if c else 0.0 for d, c in counts.items()}
+    top = max(rel.values())
+    fractions = {d: w / top for d, w in rel.items()}
+    threshold = F.lit(0)
+    for value, frac in fractions.items():
+        # eqNullSafe: a NULL domain is a real (counted) domain and must get
+        # its own keep rate, not fall through to the drop-all default
+        threshold = F.when(
+            F.col(domain_col).eqNullSafe(F.lit(value)), F.lit(int(frac * BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(hash_bucket(key) < threshold)

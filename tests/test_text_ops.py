@@ -114,3 +114,46 @@ def test_repetition_signals_flag_boilerplate(spark):
     assert rep[1].top_ngram_count >= 3          # "buy now." dominates
     assert rep[1].top_ngram_frac > rep[2].top_ngram_frac
     assert 3 not in rep and 4 not in rep        # too short: no grams
+
+
+def test_temperature_resample_flattens_domains(spark):
+    from pulfa_sausage_factory_spark.functions.sampling import (
+        temperature_resample,
+    )
+
+    # heavily skewed synthetic corpus: 2000 web, 200 books, 20 code
+    rows = (
+        [(i, "web") for i in range(2000)]
+        + [(10_000 + i, "books") for i in range(200)]
+        + [(20_000 + i, "code") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+
+    # alpha=1 is the identity: every row survives
+    assert temperature_resample(df, "doc_id", "domain", alpha=1.0).count() == len(rows)
+
+    # alpha=0 equalizes expected per-domain counts: the rarest domain keeps
+    # everything, every domain lands near its size (hash-uniformity noise)
+    flat = temperature_resample(df, "doc_id", "domain", alpha=0.0)
+    got = {r[0]: r[1] for r in flat.groupBy("domain").count().collect()}
+    assert got["code"] == 20
+    assert 10 <= got["books"] <= 30
+    assert 10 <= got["web"] <= 30
+
+    # intermediate alpha is monotone: web keeps more than at alpha=0,
+    # less than everything
+    mid = temperature_resample(df, "doc_id", "domain", alpha=0.5)
+    mid_web = mid.filter("domain = 'web'").count()
+    assert got["web"] < mid_web < 2000
+
+    # deterministic: the kept subset is identical across runs (no RNG)
+    a = sorted(r.doc_id for r in mid.collect())
+    b = sorted(
+        r.doc_id
+        for r in temperature_resample(df, "doc_id", "domain", alpha=0.5).collect()
+    )
+    assert a == b
+
+    # the corpus-side plan is a narrow filter: no Exchange on the big side
+    plan = mid._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
