@@ -291,3 +291,106 @@ def normalize_url(col: Column | str) -> Column:
         F.when(canon_qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_qs)),
     )
     return F.regexp_replace(out, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)/$", "$1")
+
+
+def _merge_pair_udf(a: str, b: str):
+    """Arrow-batched application of ONE BPE merge to a symbol-array column:
+    every adjacent (a, b) becomes a+b, greedy left-to-right (the Sennrich
+    merge rule). Python because sequential adjacency rewriting is not
+    expressible with higher-order functions (a merge changes the
+    neighbors of what follows); runs over the word DICTIONARY, not the
+    corpus, so the batch volume is vocabulary-sized."""
+    import pandas as pd
+
+    merged = a + b
+
+    def apply(s):
+        out = []
+        for syms in s:
+            res = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            out.append(res)
+        return pd.Series(out)
+
+    apply.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(apply, "array<string>")
+
+
+def bpe_train_merges(
+    df,
+    text_col: str = "text",
+    num_merges: int = 50,
+    min_pair_count: int = 2,
+):
+    """X4 follow-through — corpus-scale BPE merge training (Sennrich-style
+    vocabulary induction), the step that turns ``bpe_tokens``'s fixed
+    pre-tokenizer into a corpus-fitted vocabulary.
+
+    Scale shape: the ONLY corpus-sized operation is the word-frequency
+    aggregation (one shuffle keyed on the word; the dictionary is orders of
+    magnitude smaller than the corpus). Every merge round then runs over
+    the dictionary alone: adjacent-pair counts weighted by word frequency
+    (overlapping occurrences counted, the classic rule), the arg-max pair
+    via ``orderBy().limit(1)`` (TakeOrdered — no global sort), merge
+    application as an Arrow-batched UDF, and per-round ``localCheckpoint``
+    lineage truncation with eager release of the superseded round — the
+    same idiom as ``dedup_clusters``; without it the plan and pinned
+    storage grow linearly in ``num_merges``.
+
+    Ties break deterministically: highest count, then lexicographically
+    smallest (a, b) — mirrored by the reference model in the tests.
+
+    Returns ``(merges, vocab_df)``: the ordered merge list and the final
+    ``(syms, freq)`` dictionary DataFrame.
+    """
+    from ..session import release_local_checkpoint
+
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = words.select(
+        F.split("word", "").alias("syms"), "freq"
+    ).localCheckpoint()
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        top = (
+            syms.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("a"),
+                            F.element_at("syms", i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        new_syms = syms.withColumn(
+            "syms", _merge_pair_udf(a, b)(F.col("syms"))
+        ).localCheckpoint()
+        release_local_checkpoint(syms)
+        syms = new_syms
+    return merges, syms

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import release_local_checkpoint as _release_local_checkpoint
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -295,17 +297,6 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     sim.__annotations__ = {"text": pd.Series, "return": pd.Series}
     sim_udf = F.pandas_udf(sim, "long")
     return df.select(F.col(id_col).alias("id"), sim_udf(text_col).alias("simhash"))
-
-
-def _release_local_checkpoint(df: DataFrame) -> None:
-    """Eagerly free a ``localCheckpoint``'s storage blocks once the round
-    that produced it is superseded. Reaches through ``LogicalRDD`` (stable
-    across Spark 3/4); best-effort — if the internal accessor ever drifts,
-    blocks fall back to ContextCleaner reclamation at driver GC."""
-    try:
-        df._jdf.queryExecution().optimizedPlan().rdd().unpersist(False)
-    except Exception:
-        pass
 
 
 def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:

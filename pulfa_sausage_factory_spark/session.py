@@ -50,3 +50,17 @@ def get_spark(app_name: str = "pulfa-sausage-factory-spark") -> SparkSession:
     if not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()
+
+
+def release_local_checkpoint(df) -> None:
+    """Eagerly free a ``localCheckpoint``'s storage blocks once the round
+    that produced it is superseded — the companion of the per-round
+    lineage-truncation idiom iterative operators use (label propagation,
+    BPE merge training): without it every round's full snapshot stays
+    pinned until driver GC. Reaches through ``LogicalRDD`` (stable across
+    Spark 3/4); best-effort — on accessor drift, blocks fall back to
+    ContextCleaner reclamation."""
+    try:
+        df._jdf.queryExecution().optimizedPlan().rdd().unpersist(False)
+    except Exception:
+        pass

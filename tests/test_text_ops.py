@@ -157,3 +157,72 @@ def test_temperature_resample_flattens_domains(spark):
     # the corpus-side plan is a narrow filter: no Exchange on the big side
     plan = mid._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _bpe_reference(texts, num_merges, min_pair_count=2):
+    # independent straight-line Sennrich BPE: word freq dict, overlapping
+    # adjacent-pair counts, argmax with (count desc, pair asc) tie-break
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    merges = []
+    for _ in range(num_merges):
+        stats = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b), _ = best
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark, sf_dir):
+    from pulfa_sausage_factory_spark.functions.text import bpe_train_merges
+    from pulfa_sausage_factory_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    texts = [r.text for r in docs.select("text").collect()]
+    want = _bpe_reference(texts, num_merges=12)
+    got, vocab = bpe_train_merges(docs, num_merges=12)
+    assert got == want
+    assert len(got) == 12
+    # the dictionary stays exact: total frequency == corpus word count
+    total = vocab.agg({"freq": "sum"}).first()[0]
+    assert total == sum(len(t.lower().split()) for t in texts)
+
+
+def test_bpe_train_releases_superseded_rounds(spark):
+    from pulfa_sausage_factory_spark.functions.text import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [(1, "aa ab aa ab ac aa"), (2, "ab aa ba aa")],
+        "doc_id long, text string",
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    merges, vocab = bpe_train_merges(df, num_merges=5, min_pair_count=1)
+    assert vocab.count() > 0
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1  # only the final dictionary survives
