@@ -149,3 +149,22 @@ def test_corpus_line_dedup_at_sf(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     import re
     assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 2
+
+
+def test_corpus_line_dedup_randomized_equality(spark):
+    import random
+
+    from pulfa_sausage_factory_spark.operators.dedup import dedup_corpus_lines
+
+    rng = random.Random(20260813)
+    pool = [f"line {i}" for i in range(30)] + ["", "   ", "\tunique-ish"]
+    docs = [
+        (i, "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 12))))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines_kept, r.n_lines_dropped)
+        for r in dedup_corpus_lines(df).collect()
+    }
+    assert got == _line_dedup_reference(docs)
