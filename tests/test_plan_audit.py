@@ -72,3 +72,22 @@ def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
     # the bench shingle index is small by construction — the train corpus
     # must stream through a map-side hash join, never shuffle its shingles
     plans.assert_broadcast_join(QUERIES["x2e_contamination"][0](spark, sf_dir))
+
+
+def test_no_query_plans_pathological_exchange_counts(spark, sf_dir):
+    # the census that caught x1b's lineage blowup (600+ Exchanges from an
+    # uncheckpointed iterative loop): every registered query's executed
+    # plan must stay within a sane shuffle budget. Ceiling chosen well
+    # above the legitimate maximum (x2/x3c at 3) but far below any
+    # lineage-accumulation pathology.
+    import re
+
+    from pulfa_sausage_factory_spark.queries import QUERIES
+
+    offenders = {}
+    for name, (fn, _sql) in QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        n = len(re.findall(r"Exchange (hash|range|SinglePartition)", plan))
+        if n > 8:
+            offenders[name] = n
+    assert not offenders, offenders
