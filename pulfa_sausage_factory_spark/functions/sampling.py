@@ -28,6 +28,44 @@ def hash_bucket(key: Column | str) -> Column:
     )
 
 
+#: fine-grained bucket space for per-domain keep rates that can be far
+#: below 1/BUCKETS (temperature resampling of heavily skewed corpora)
+FINE_BUCKETS = 100_000_000
+
+
+def _hash_bucket_fine(key: Column | str) -> Column:
+    """Stable bucket in [0, FINE_BUCKETS): 12 md5 hex digits (48 bits) so
+    the modulus stays uniform. Separate from :func:`hash_bucket` on purpose
+    — the coarse function's bucket assignment is pinned by oracle SQL."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast("long"),
+        F.lit(FINE_BUCKETS),
+    )
+
+
+def _threshold_expr(
+    col: str,
+    fractions: dict,
+    default_fraction: float,
+    buckets: int,
+    floor_one: bool = False,
+) -> Column:
+    """Shared per-value threshold chain for bucketed keep/drop filters.
+    ``eqNullSafe`` so a NULL stratum/domain named in ``fractions`` gets its
+    rate instead of silently falling through to the default; ``floor_one``
+    guarantees a named value is downsampled, never truncated to zero."""
+    threshold = F.lit(int(default_fraction * buckets))
+    for value, frac in fractions.items():
+        t = int(frac * buckets)
+        if floor_one:
+            t = max(1, t)
+        threshold = F.when(
+            F.col(col).eqNullSafe(F.lit(value)), F.lit(t)
+        ).otherwise(threshold)
+    return threshold
+
+
 def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by key hash — reproducible on any
     engine/cluster/retry (unlike ``df.sample``)."""
@@ -91,12 +129,10 @@ def stratified_sample(
     ones) with the same retry-stable hash-bucket rule as
     ``deterministic_sample``; strata not named get ``default_fraction``.
     One narrow projection, no shuffle, no RNG state."""
-    threshold = F.lit(int(default_fraction * BUCKETS))
-    for value, frac in fractions.items():
-        threshold = F.when(
-            F.col(strata_col) == value, F.lit(int(frac * BUCKETS))
-        ).otherwise(threshold)
-    return df.filter(hash_bucket(key) < threshold)
+    return df.filter(
+        hash_bucket(key)
+        < _threshold_expr(strata_col, fractions, default_fraction, BUCKETS)
+    )
 
 
 def temperature_resample(
@@ -126,14 +162,13 @@ def temperature_resample(
     total = sum(counts.values())
     if not counts or total == 0:
         return df
-    rel = {d: (c / total) ** (alpha - 1.0) if c else 0.0 for d, c in counts.items()}
+    rel = {d: (c / total) ** (alpha - 1.0) for d, c in counts.items()}
     top = max(rel.values())
     fractions = {d: w / top for d, w in rel.items()}
-    threshold = F.lit(0)
-    for value, frac in fractions.items():
-        # eqNullSafe: a NULL domain is a real (counted) domain and must get
-        # its own keep rate, not fall through to the drop-all default
-        threshold = F.when(
-            F.col(domain_col).eqNullSafe(F.lit(value)), F.lit(int(frac * BUCKETS))
-        ).otherwise(threshold)
-    return df.filter(hash_bucket(key) < threshold)
+    # FINE granularity: domain skew routinely exceeds 1/BUCKETS (10^4) at
+    # low alpha — int(frac * 10^4) would truncate the dominant domain's
+    # keep rate to zero and silently DROP the majority of the corpus
+    return df.filter(
+        _hash_bucket_fine(key)
+        < _threshold_expr(domain_col, fractions, 0.0, FINE_BUCKETS, floor_one=True)
+    )

@@ -466,25 +466,36 @@ def dedup_corpus_lines(
     distinct from the within-doc repetition signals in
     ``functions.text.repetition_signals``.
 
-    Scale shape: lines are keyed by ``xxhash64`` of the trimmed line (raw
-    text never shuffles for the count), first-occurrence is one
-    ``row_number`` window over the hash, and the doc rebuild is one
-    aggregation on ``id_col`` — two shuffles total, both on compact keys.
+    Scale shape: first-occurrence is one ``row_number`` window partitioned
+    on ``(xxhash64(norm), norm)`` — the hash distributes, the raw line in
+    the key makes 64-bit collisions harmless (two distinct lines colliding
+    on the hash would otherwise dedup against each other, near-certain at
+    ~10¹¹ lines by the birthday bound; the line rides the shuffle as row
+    payload regardless, so the extra key column costs nothing). The doc
+    rebuild is one aggregation on ``id_col`` — two shuffles total.
     Trimmed lines shorter than ``min_dedup_chars`` (default: empty lines)
-    are exempt from dedup and always kept: they would be the corpus's most
-    viral keys, and a single hot hash partition is exactly the skew this
-    module avoids everywhere else.
+    are exempt from dedup AND salted out of the hot partition: they are
+    re-keyed by ``(doc, line_no)`` so the corpus's blank lines never funnel
+    through one reducer.
 
     Returns ``(id_col, clean_text, n_lines_kept, n_lines_dropped)`` — one
-    row per input document (documents whose every line is dropped still
-    appear, with empty ``clean_text``).
+    row per input document; NULL text behaves as an empty document (kept,
+    empty ``clean_text``, zero counts).
     """
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
+            "line_no", "line"
+        ),
     ).withColumn("norm", F.trim("line"))
-    dedupable = F.length("norm") >= min_dedup_chars
-    first = Window.partitionBy(F.xxhash64("norm")).orderBy(id_col, "line_no")
+    real = F.col("line").isNotNull()
+    dedupable = real & (F.length("norm") >= min_dedup_chars)
+    # exempt rows get a per-row salt key: they skip dedup anyway, and the
+    # empty-line key would otherwise be the corpus's hottest partition
+    pkey = F.when(dedupable, F.xxhash64("norm")).otherwise(
+        F.xxhash64(F.col(id_col).cast("string"), F.col("line_no"))
+    )
+    first = Window.partitionBy(pkey, "norm").orderBy(id_col, "line_no")
     kept = lines.withColumn(
         "keep",
         (~dedupable) | (F.row_number().over(first) == 1),
@@ -496,7 +507,7 @@ def dedup_corpus_lines(
                 F.array_sort(
                     F.collect_list(
                         F.when(
-                            F.col("keep"),
+                            F.col("keep") & real,
                             F.struct(F.col("line_no"), F.col("line")),
                         )
                     )
@@ -504,6 +515,8 @@ def dedup_corpus_lines(
                 lambda s: s.line,
             ),
         ).alias("clean_text"),
-        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_lines_kept"),
-        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_lines_dropped"),
+        F.sum(F.when(F.col("keep") & real, 1).otherwise(0)).alias("n_lines_kept"),
+        F.sum(F.when(~F.col("keep") & real, 1).otherwise(0)).alias(
+            "n_lines_dropped"
+        ),
     )

@@ -152,9 +152,13 @@ def resize_image(
                     from PIL import Image
 
                     # one corrupt blob must yield a null row, not kill the
-                    # task (and with it the stage, after 4 retries)
+                    # task (and with it the stage, after 4 retries).
+                    # Image.open is lazy (header-only) — load() forces the
+                    # pixel decode HERE so truncated bodies fail inside
+                    # this try, not later at resize()/save()
                     try:
                         im = Image.open(io.BytesIO(b))
+                        im.load()
                         w0, h0 = im.size
                     except Exception:
                         im = None
@@ -169,10 +173,13 @@ def resize_image(
                 w1 = max(1, int(w0 * scale + 0.5))
                 h1 = max(1, int(h0 * scale + 0.5))
                 if im is not None:  # pragma: no cover
-                    out = io.BytesIO()
-                    im.resize((w1, h1)).save(out, format=im.format or "PNG")
-                    digest = hashlib.sha1(out.getvalue()).hexdigest()
-                else:
+                    try:
+                        out = io.BytesIO()
+                        im.resize((w1, h1)).save(out, format=im.format or "PNG")
+                        digest = hashlib.sha1(out.getvalue()).hexdigest()
+                    except Exception:
+                        im = None
+                if im is None:
                     digest = hashlib.sha1(b + struct.pack(">II", w1, h1)).hexdigest()
                 rows.append((int(i), w1, h1, digest, im is not None))
             yield pd.DataFrame(
@@ -355,9 +362,12 @@ def image_ops(
                     from PIL import Image
 
                     # one corrupt blob must yield a null row, not kill the
-                    # task; sniffed dims remain the fallback
+                    # task; sniffed dims remain the fallback. load() forces
+                    # the lazy pixel decode inside this try — truncated
+                    # bodies would otherwise still raise at resize()/save()
                     try:
                         im = Image.open(io.BytesIO(b))
+                        im.load()
                         w0, h0 = im.size
                     except Exception:
                         im = None
@@ -372,10 +382,13 @@ def image_ops(
                 w1 = max(1, int(w0 * scale + 0.5))
                 h1 = max(1, int(h0 * scale + 0.5))
                 if im is not None:  # pragma: no cover
-                    out = io.BytesIO()
-                    im.resize((w1, h1)).save(out, format=im.format or "PNG")
-                    digest = hashlib.sha1(out.getvalue()).hexdigest()
-                else:
+                    try:
+                        out = io.BytesIO()
+                        im.resize((w1, h1)).save(out, format=im.format or "PNG")
+                        digest = hashlib.sha1(out.getvalue()).hexdigest()
+                    except Exception:
+                        im = None
+                if im is None:
                     digest = hashlib.sha1(b + struct.pack(">II", w1, h1)).hexdigest()
                 rows.append(
                     (int(i), mime, w0, h0, len(b), sha1, w1, h1, digest, im is not None)

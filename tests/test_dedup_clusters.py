@@ -168,3 +168,18 @@ def test_corpus_line_dedup_randomized_equality(spark):
         for r in dedup_corpus_lines(df).collect()
     }
     assert got == _line_dedup_reference(docs)
+
+
+def test_corpus_line_dedup_null_text_and_collision_key(spark):
+    from pulfa_sausage_factory_spark.operators.dedup import dedup_corpus_lines
+
+    docs = [(1, "shared line\nown line"), (2, None), (3, "shared line")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines_kept, r.n_lines_dropped)
+        for r in dedup_corpus_lines(df).collect()
+    }
+    # NULL text behaves as an empty doc and still yields a row
+    assert got[2] == ("", 0, 0)
+    assert got[1] == ("shared line\nown line", 2, 0)
+    assert got[3] == ("", 0, 1)

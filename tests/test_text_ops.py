@@ -162,11 +162,14 @@ def test_temperature_resample_flattens_domains(spark):
 def _bpe_reference(texts, num_merges, min_pair_count=2):
     # independent straight-line Sennrich BPE: word freq dict, overlapping
     # adjacent-pair counts, argmax with (count desc, pair asc) tie-break
+    import re
     from collections import Counter
 
+    # Java \s is ASCII-only: mirror tokens()'s split exactly, not Python
+    # str.split()'s Unicode whitespace
     words = Counter()
     for t in texts:
-        for w in t.lower().split():
+        for w in re.split(r"[ \t\n\x0b\f\r]+", t.lower()):
             if w:
                 words[w] += 1
     vocab = {tuple(w): c for w, c in words.items()}
@@ -226,3 +229,19 @@ def test_bpe_train_releases_superseded_rounds(spark):
     assert vocab.count() > 0
     after = jsc.getPersistentRDDs().size()
     assert after - before <= 1  # only the final dictionary survives
+
+
+def test_temperature_resample_extreme_skew_keeps_majority_domain(spark):
+    # domain skew beyond 1/BUCKETS: coarse 10^4 bucket granularity would
+    # truncate the majority domain's keep rate to zero and drop it entirely
+    from pulfa_sausage_factory_spark.functions.sampling import (
+        temperature_resample,
+    )
+
+    rows = [(i, "web") for i in range(60_000)] + [(10_000_000, "rare")]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    flat = temperature_resample(df, "doc_id", "domain", alpha=0.0)
+    got = {r[0]: r[1] for r in flat.groupBy("domain").count().collect()}
+    assert got.get("rare") == 1
+    # ideal expected count is 1 per domain; hash noise allowed, zero is not
+    assert 1 <= got.get("web", 0) <= 40
