@@ -1,0 +1,115 @@
+"""N-gram language-model scoring (extension surface — the CCNet/KenLM-style
+quality gate: train a token LM on a trusted reference corpus, score
+candidate documents by perplexity, filter or tier by the score).
+
+Scale design (100 TB):
+- Training is two corpus-sized aggregations (unigram and bigram counts) —
+  the LM tables that come out are vocabulary-sized, orders of magnitude
+  smaller than the corpus.
+- Scoring explodes candidate docs into bigrams and equi-joins the LM
+  tables on token keys. Frequent-token keys ("the", punctuation runs) are
+  skewed by nature; AQE skew-join splitting handles the join, and the
+  unigram table is broadcast when it fits (token vocabularies usually do —
+  the bigram table is the big one).
+- Everything is JVM-side column arithmetic; no Python in the hot path.
+- Probabilities are add-k smoothed, so unseen bigrams score finitely and
+  the model never emits -inf for out-of-domain text — it just prices it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: sentence-start marker (gives the first token a conditioning context)
+BOS = "<s>"
+
+
+def _tokens(text_col):
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def _bigrams(df: DataFrame, text_col: str, extra_cols: list[str]) -> DataFrame:
+    """(extra_cols..., a, b) — one row per bigram occurrence, BOS-prefixed,
+    empty/whitespace-only docs contribute nothing."""
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    padded = F.concat(F.array(F.lit(BOS)), toks)
+    pairs = F.when(
+        F.size(padded) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(padded) - 1),
+            lambda i: F.struct(
+                F.element_at(padded, i).alias("a"),
+                F.element_at(padded, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return df.select(*extra_cols, F.explode(pairs).alias("p")).select(
+        *extra_cols, "p.a", "p.b"
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Count-based bigram LM over whitespace tokens (lowercased), with a
+    BOS context marker. Returns ``(bigrams, unigrams, vocab_size)`` where
+    ``bigrams`` is ``(a, b, cnt)``, ``unigrams`` is ``(a, cnt)`` (contexts,
+    i.e. including BOS), and ``vocab_size`` counts distinct NEXT-tokens
+    (the smoothing denominator's event space).
+
+    Two corpus-sized aggregations; the returned tables are vocab-sized."""
+    bg = _bigrams(df, text_col, [])
+    bigrams = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    unigrams = bg.groupBy("a").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab_size = bigrams.select("b").distinct().count()
+    return bigrams, unigrams, vocab_size
+
+
+def perplexity_score(
+    df: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document bigram perplexity under the trained LM:
+
+        P(b | a) = (c(a,b) + k) / (c(a) + k*V)
+
+    (add-k smoothing; unseen bigrams and unseen contexts both price
+    finitely). Returns ``(id_col, n_bigrams, log2_ppl)`` with one row per
+    input document; docs with no tokens get ``n_bigrams = 0`` and NULL
+    score. ``log2_ppl`` (mean negative log2 probability) rather than the
+    exponentiated perplexity: it is the number pipelines threshold on, and
+    it stays in float range for any document length."""
+    bg = _bigrams(df, text_col, [id_col])
+    joined = (
+        bg.join(bigrams.withColumnRenamed("cnt", "c_ab"), ["a", "b"], "left")
+        .join(unigrams.withColumnRenamed("cnt", "c_a"), ["a"], "left")
+        .select(
+            id_col,
+            (
+                F.log2(
+                    (F.coalesce("c_ab", F.lit(0)) + F.lit(add_k))
+                    / (F.coalesce("c_a", F.lit(0)) + F.lit(add_k * vocab_size))
+                )
+            ).alias("lp"),
+        )
+    )
+    scored = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.avg("lp")).alias("log2_ppl"),
+    )
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "log2_ppl",
+        )
+    )
