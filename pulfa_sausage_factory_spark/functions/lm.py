@@ -58,11 +58,22 @@ def train_bigram_lm(
     i.e. including BOS), and ``vocab_size`` counts distinct NEXT-tokens
     (the smoothing denominator's event space).
 
-    Two corpus-sized aggregations; the returned tables are vocab-sized."""
+    ONE corpus-sized aggregation: the context (unigram) counts are exactly
+    ``sum_b c(a, b)`` — every context occurrence has one next token — so
+    they derive from the vocab-sized bigram table instead of re-aggregating
+    the corpus. The bigram table is persisted before the vocab count so
+    training runs the corpus once and scoring reuses the materialized
+    tables instead of recomputing them."""
+    from pyspark import StorageLevel
+
     bg = _bigrams(df, text_col, [])
-    bigrams = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt"))
-    unigrams = bg.groupBy("a").agg(F.count(F.lit(1)).alias("cnt"))
-    vocab_size = bigrams.select("b").distinct().count()
+    bigrams = (
+        bg.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vocab_size = bigrams.select("b").distinct().count()  # materializes too
+    unigrams = bigrams.groupBy("a").agg(F.sum("cnt").alias("cnt"))
     return bigrams, unigrams, vocab_size
 
 
@@ -79,12 +90,15 @@ def perplexity_score(
 
         P(b | a) = (c(a,b) + k) / (c(a) + k*V)
 
-    (add-k smoothing; unseen bigrams and unseen contexts both price
-    finitely). Returns ``(id_col, n_bigrams, log2_ppl)`` with one row per
+    (add-k smoothing, ``add_k`` must be > 0: at k=0 an unseen bigram's
+    probability is 0 and ``log2(0)`` is NULL in Spark — ``avg`` would then
+    silently skip exactly the bigrams that make gibberish expensive,
+    inverting the gate; asserted). Returns ``(id_col, n_bigrams, log2_ppl)`` with one row per
     input document; docs with no tokens get ``n_bigrams = 0`` and NULL
     score. ``log2_ppl`` (mean negative log2 probability) rather than the
     exponentiated perplexity: it is the number pipelines threshold on, and
     it stays in float range for any document length."""
+    assert add_k > 0, f"add_k={add_k}: smoothing must be positive (see doc)"
     bg = _bigrams(df, text_col, [id_col])
     joined = (
         bg.join(bigrams.withColumnRenamed("cnt", "c_ab"), ["a", "b"], "left")

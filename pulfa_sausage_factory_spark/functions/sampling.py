@@ -18,14 +18,24 @@ from pyspark.sql import functions as F
 BUCKETS = 10_000
 
 
+def _bucket(key: Column | str, hex_digits: int, buckets: int) -> Column:
+    """Shared md5 bucket chain: first ``hex_digits`` md5 hex digits → int →
+    mod ``buckets``. One implementation for both granularities so a fix to
+    the hashing applies everywhere; callers pin their own (digits, buckets)
+    pairs because the coarse assignment is reproduced by oracle SQL."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(
+        F.conv(F.substring(F.md5(c.cast("string")), 1, hex_digits), 16, 10).cast(
+            "long"
+        ),
+        F.lit(buckets),
+    )
+
+
 def hash_bucket(key: Column | str) -> Column:
     """Stable bucket in [0, BUCKETS): first 8 md5 hex digits of the key →
     int → mod. Uniform for any reasonably-entropic key."""
-    c = F.col(key) if isinstance(key, str) else key
-    return F.pmod(
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
-        F.lit(BUCKETS),
-    )
+    return _bucket(key, 8, BUCKETS)
 
 
 #: fine-grained bucket space for per-domain keep rates that can be far
@@ -35,13 +45,9 @@ FINE_BUCKETS = 100_000_000
 
 def _hash_bucket_fine(key: Column | str) -> Column:
     """Stable bucket in [0, FINE_BUCKETS): 12 md5 hex digits (48 bits) so
-    the modulus stays uniform. Separate from :func:`hash_bucket` on purpose
-    — the coarse function's bucket assignment is pinned by oracle SQL."""
-    c = F.col(key) if isinstance(key, str) else key
-    return F.pmod(
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast("long"),
-        F.lit(FINE_BUCKETS),
-    )
+    the modulus stays uniform. Separate from :func:`hash_bucket` because
+    the coarse assignment is pinned by oracle SQL; the chain is shared."""
+    return _bucket(key, 12, FINE_BUCKETS)
 
 
 def _threshold_expr(
@@ -167,7 +173,11 @@ def temperature_resample(
     fractions = {d: w / top for d, w in rel.items()}
     # FINE granularity: domain skew routinely exceeds 1/BUCKETS (10^4) at
     # low alpha — int(frac * 10^4) would truncate the dominant domain's
-    # keep rate to zero and silently DROP the majority of the corpus
+    # keep rate to zero and silently DROP the majority of the corpus.
+    # Resolution bound: keep rates below 1/FINE_BUCKETS (1e-8) floor at one
+    # bucket, over-keeping such a domain relative to the ideal mix — only
+    # reachable when one domain outweighs another by >1e8:1; beyond that,
+    # pre-partition the corpus by domain instead of resampling in one pass
     return df.filter(
         _hash_bucket_fine(key)
         < _threshold_expr(domain_col, fractions, 0.0, FINE_BUCKETS, floor_one=True)

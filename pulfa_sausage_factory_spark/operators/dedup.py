@@ -487,7 +487,14 @@ def dedup_corpus_lines(
         F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
             "line_no", "line"
         ),
-    ).withColumn("norm", F.trim("line"))
+    ).withColumn(
+        # full ASCII-whitespace strip (Java \s), NOT F.trim (space-only):
+        # with CRLF corpora a blank line is "\r", which trim would leave
+        # dedupable — one viral xxhash64("\r") key and corpus-wide
+        # paragraph-break deletion
+        "norm",
+        F.regexp_replace("line", r"^\s+|\s+$", ""),
+    )
     real = F.col("line").isNotNull()
     dedupable = real & (F.length("norm") >= min_dedup_chars)
     # exempt rows get a per-row salt key: they skip dedup anyway, and the

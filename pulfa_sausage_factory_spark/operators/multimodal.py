@@ -143,45 +143,52 @@ def resize_image(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
+        def fake_row(i: int, b: bytes):
+            # the deterministic-fake contract: dims from the header sniff,
+            # digest from content + target dims — never from PIL state, so
+            # real_decode=false rows are always oracle-reproducible
+            _, w0, h0 = sniff_image_meta(b)
+            if w0 is None:
+                return (int(i), None, None, None, False)
+            scale = target / max(w0, h0)
+            # half-up (not Python banker's round): floor(x+0.5) is
+            # reproducible in ANSI SQL for the oracle
+            w1 = max(1, int(w0 * scale + 0.5))
+            h1 = max(1, int(h0 * scale + 0.5))
+            digest = hashlib.sha1(b + struct.pack(">II", w1, h1)).hexdigest()
+            return (int(i), w1, h1, digest, False)
+
         for pdf in it:
             rows = []
             for i, blob in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(blob)
-                im = None
+                row = None
                 if has_pil:  # pragma: no cover
                     from PIL import Image
 
-                    # one corrupt blob must yield a null row, not kill the
-                    # task (and with it the stage, after 4 retries).
-                    # Image.open is lazy (header-only) — load() forces the
-                    # pixel decode HERE so truncated bodies fail inside
-                    # this try, not later at resize()/save()
+                    # the WHOLE real-decode path is one try: Image.open is
+                    # lazy (header-only), so load() forces the pixel decode
+                    # here, and resize()/save() failures (exotic modes,
+                    # encode-only formats) also drop to the complete fake
+                    # path — one corrupt blob must never kill the task,
+                    # and fallback rows must never mix PIL-derived dims
+                    # with the fake digest rule
                     try:
                         im = Image.open(io.BytesIO(b))
                         im.load()
                         w0, h0 = im.size
-                    except Exception:
-                        im = None
-                if im is None:
-                    _, w0, h0 = sniff_image_meta(b)
-                    if w0 is None:
-                        rows.append((int(i), None, None, None, False))
-                        continue
-                scale = target / max(w0, h0)
-                # half-up (not Python banker's round): floor(x+0.5) is
-                # reproducible in ANSI SQL for the oracle
-                w1 = max(1, int(w0 * scale + 0.5))
-                h1 = max(1, int(h0 * scale + 0.5))
-                if im is not None:  # pragma: no cover
-                    try:
+                        scale = target / max(w0, h0)
+                        w1 = max(1, int(w0 * scale + 0.5))
+                        h1 = max(1, int(h0 * scale + 0.5))
                         out = io.BytesIO()
                         im.resize((w1, h1)).save(out, format=im.format or "PNG")
                         digest = hashlib.sha1(out.getvalue()).hexdigest()
+                        row = (int(i), w1, h1, digest, True)
                     except Exception:
-                        im = None
-                if im is None:
-                    digest = hashlib.sha1(b + struct.pack(">II", w1, h1)).hexdigest()
-                rows.append((int(i), w1, h1, digest, im is not None))
+                        row = None
+                if row is None:
+                    row = fake_row(i, b)
+                rows.append(row)
             yield pd.DataFrame(
                 rows, columns=["id", "width", "height", "resized_sha1", "real_decode"]
             )
@@ -351,48 +358,56 @@ def image_ops(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
+        def fake_row(i: int, b: bytes, mime: str, sha1: str):
+            # complete sniff-derived row: dims, digest rule, and the
+            # real_decode=false marker all follow the documented fake
+            # contract — never mixed with PIL-derived state
+            _, w0, h0 = sniff_image_meta(b)
+            if w0 is None:
+                return (
+                    int(i), mime, None, None, len(b), sha1,
+                    None, None, None, False,
+                )
+            scale = target / max(w0, h0)
+            # half-up rounding (floor(x+0.5)) — reproducible in ANSI SQL
+            w1 = max(1, int(w0 * scale + 0.5))
+            h1 = max(1, int(h0 * scale + 0.5))
+            digest = hashlib.sha1(b + struct.pack(">II", w1, h1)).hexdigest()
+            return (int(i), mime, w0, h0, len(b), sha1, w1, h1, digest, False)
+
         for pdf in it:
             rows = []
             for i, blob in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(blob)
-                mime, w0, h0 = sniff_image_meta(b)
+                mime = sniff_image_meta(b)[0]
                 sha1 = hashlib.sha1(b).hexdigest()
-                im = None
+                row = None
                 if has_pil:  # pragma: no cover
                     from PIL import Image
 
-                    # one corrupt blob must yield a null row, not kill the
-                    # task; sniffed dims remain the fallback. load() forces
-                    # the lazy pixel decode inside this try — truncated
-                    # bodies would otherwise still raise at resize()/save()
+                    # whole real path in one try (open+load+resize+save):
+                    # a corrupt blob, truncated body, or unencodable mode
+                    # drops to the complete fake path instead of killing
+                    # the task or emitting mixed-provenance rows
                     try:
                         im = Image.open(io.BytesIO(b))
                         im.load()
                         w0, h0 = im.size
-                    except Exception:
-                        im = None
-                if w0 is None:
-                    rows.append(
-                        (int(i), mime, None, None, len(b), sha1,
-                         None, None, None, False)
-                    )
-                    continue
-                scale = target / max(w0, h0)
-                # half-up rounding (floor(x+0.5)) — reproducible in ANSI SQL
-                w1 = max(1, int(w0 * scale + 0.5))
-                h1 = max(1, int(h0 * scale + 0.5))
-                if im is not None:  # pragma: no cover
-                    try:
+                        scale = target / max(w0, h0)
+                        w1 = max(1, int(w0 * scale + 0.5))
+                        h1 = max(1, int(h0 * scale + 0.5))
                         out = io.BytesIO()
                         im.resize((w1, h1)).save(out, format=im.format or "PNG")
                         digest = hashlib.sha1(out.getvalue()).hexdigest()
+                        row = (
+                            int(i), mime, w0, h0, len(b), sha1,
+                            w1, h1, digest, True,
+                        )
                     except Exception:
-                        im = None
-                if im is None:
-                    digest = hashlib.sha1(b + struct.pack(">II", w1, h1)).hexdigest()
-                rows.append(
-                    (int(i), mime, w0, h0, len(b), sha1, w1, h1, digest, im is not None)
-                )
+                        row = None
+                if row is None:
+                    row = fake_row(i, b, mime, sha1)
+                rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_OPS_SCHEMA])
 
     return df.select(F.col(id_col).alias(id_col), content_col).mapInPandas(

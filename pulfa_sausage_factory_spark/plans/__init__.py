@@ -8,3 +8,5 @@ from pulfa_sausage_factory_spark.plans.audit import (  # noqa: F401
 from pulfa_sausage_factory_spark.plans.audit import assert_no_exchange  # noqa: F401,E402
 from pulfa_sausage_factory_spark.plans.audit import assert_take_ordered  # noqa: F401,E402
 from pulfa_sausage_factory_spark.plans.audit import assert_partition_pruned  # noqa: F401,E402
+from pulfa_sausage_factory_spark.plans.audit import count_exchanges  # noqa: F401,E402
+from pulfa_sausage_factory_spark.plans.audit import assert_max_exchanges  # noqa: F401,E402

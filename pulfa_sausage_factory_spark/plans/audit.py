@@ -97,3 +97,23 @@ def assert_no_exchange(df: DataFrame) -> None:
     bucketed-join property: the shuffle was paid at write time, not now."""
     plan = explain_formatted(df)
     assert "Exchange" not in plan, f"plan shuffles:\n{plan}"
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the executed plan — the
+    single plan-string regex all shuffle-budget asserts share (a Spark
+    plan-format change is fixed here, not in every test)."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(
+        re.findall(r"Exchange (hash|range)partitioning|Exchange SinglePartition", plan)
+    )
+
+
+def assert_max_exchanges(df: DataFrame, n: int) -> None:
+    """Shuffle-budget pin: the plan must not exceed ``n`` Exchanges —
+    catches the lineage-accumulation class of bug (an uncheckpointed
+    iterative loop once planned 600+)."""
+    got = count_exchanges(df)
+    assert got <= n, f"plan has {got} Exchanges, budget {n}"

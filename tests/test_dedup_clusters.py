@@ -106,7 +106,7 @@ def _line_dedup_reference(docs, min_dedup_chars=1):
     for doc_id, text in sorted(docs):
         kept, dropped = [], 0
         for line in text.split("\n"):
-            norm = line.strip()
+            norm = line.strip(" \t\n\x0b\f\r")  # ASCII \s, mirrors Spark
             if len(norm) < min_dedup_chars:
                 kept.append(line)
                 continue
@@ -146,9 +146,9 @@ def test_corpus_line_dedup_at_sf(spark, sf_dir):
     out = dedup_corpus_lines(docs)
     assert out.count() == docs.count()  # one row per document, always
     # two shuffles total: line-hash window + doc rebuild (scale contract)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    import re
-    assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 2
+    from pulfa_sausage_factory_spark.plans import audit
+
+    assert audit.count_exchanges(out) == 2
 
 
 def test_corpus_line_dedup_randomized_equality(spark):

@@ -80,14 +80,11 @@ def test_no_query_plans_pathological_exchange_counts(spark, sf_dir):
     # plan must stay within a sane shuffle budget. Ceiling chosen well
     # above the legitimate maximum (x2/x3c at 3) but far below any
     # lineage-accumulation pathology.
-    import re
-
     from pulfa_sausage_factory_spark.queries import QUERIES
 
     offenders = {}
     for name, (fn, _sql) in QUERIES.items():
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        n = len(re.findall(r"Exchange (hash|range|SinglePartition)", plan))
+        n = plans.count_exchanges(fn(spark, sf_dir))
         if n > 8:
             offenders[name] = n
     assert not offenders, offenders

@@ -155,8 +155,9 @@ def test_temperature_resample_flattens_domains(spark):
     assert a == b
 
     # the corpus-side plan is a narrow filter: no Exchange on the big side
-    plan = mid._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    from pulfa_sausage_factory_spark.plans import audit
+
+    assert audit.count_exchanges(mid) == 0
 
 
 def _bpe_reference(texts, num_merges, min_pair_count=2):
