@@ -1,0 +1,100 @@
+"""Amplified-scale stress harness: salt-replicate the driver tables N× and
+run the engine's heaviest operators end-to-end.
+
+The sf0.01/sf0.1 correctness gates prove the SEMANTICS; this script
+exercises the SCALE CLAIMS empirically — candidate generation stays
+output-sensitive, iterative loops stay constant-plan, skewed keys stay
+split — by actually running the operators at 10–100× the bench volume on
+the same machine. Replication salts the document/user ids (and perturbs
+text with the replica tag) so dedup/session keys do not collapse into one
+giant duplicate class.
+
+Usage:
+    python stress.py [AMPLIFY]          # default 10 (× sf0.1)
+    SPARK_GRAFT_SF_DIR=... python stress.py 50
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from pulfa_sausage_factory_spark import io
+from pulfa_sausage_factory_spark.operators import dedup, events, similarity
+from pulfa_sausage_factory_spark.session import get_spark
+
+
+def amplify_docs(docs, n: int):
+    """N salted replicas: ids offset per replica and EVERY token salted
+    with the replica tag — near-dup structure is preserved exactly WITHIN
+    a replica (all docs in a replica get the same transformation) while
+    replicas share no shingles/bits with each other, so dedup output
+    scales LINEARLY with the amplification factor (same dup density, N×
+    the volume) instead of quadratically (replicas near-dupping each
+    other)."""
+    reps = F.explode(F.sequence(F.lit(0), F.lit(n - 1)).cast("array<long>")).alias("rep")
+    base = docs.select("doc_id", "text", reps)
+    salted = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda t: F.concat(t, F.lit("_"), F.col("rep").cast("string")),
+        ),
+        " ",
+    )
+    return base.select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        salted.alias("text"),
+    )
+
+
+def amplify_events(ev, n: int):
+    reps = F.explode(F.sequence(F.lit(0), F.lit(n - 1)).cast("array<long>")).alias("rep")
+    return ev.select(
+        "event_id", "user_id", "ts", "event_type", "value", reps
+    ).select(
+        (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
+        (F.col("user_id") + F.col("rep") * 10_000_000).alias("user_id"),
+        "ts", "event_type", "value",
+    )
+
+
+def main() -> None:
+    amp = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = amplify_docs(io.load_table(spark, sf_dir, "documents"), amp)
+    ev = amplify_events(io.load_table(spark, sf_dir, "events"), amp)
+    n_docs, n_ev = docs.count(), ev.count()
+    out = {"amplify": amp, "n_docs": n_docs, "n_events": n_ev, "ops": {}}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        n = fn().count()
+        dt = round(time.perf_counter() - t0, 2)
+        out["ops"][name] = {"rows": n, "sec": dt}
+        print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
+
+    run("exact_dedup", lambda: dedup.exact_dedup(docs))
+    run("minhash_lsh_pairs", lambda: dedup.minhash_lsh_pairs(docs))
+    run("simhash_neardup", lambda: dedup.simhash_neardup_pairs(docs))
+    run("line_dedup", lambda: dedup.dedup_corpus_lines(docs))
+    run("sessionize", lambda: events.sessionize(ev, gap_minutes=30))
+    run(
+        "knn_lsh",
+        lambda: similarity.knn_lsh(
+            io.load_table(spark, sf_dir, "embeddings"),
+            io.load_table(spark, sf_dir, "embeddings").limit(50),
+            k=10,
+        ),
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
