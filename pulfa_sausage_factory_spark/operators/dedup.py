@@ -65,6 +65,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    storage_level: "StorageLevel | None" = None,
 ) -> DataFrame:
     """X2 (exact variant) — all pairs with n-gram-shingle Jaccard >=
     threshold, via an inverted shingle index instead of a cross join:
@@ -82,7 +83,14 @@ def ngram_jaccard_pairs(
     construction), so with a cap well above the near-dup cluster size the
     >=threshold result set is unchanged (asserted on the test fixture);
     ``None`` (default) is the exact all-shingles computation.
+
+    ``storage_level`` controls the shingle-index materialization (it feeds
+    the self-join AND the per-doc sizes): defaults to MEMORY_AND_DISK so a
+    100 TB shingle set degrades to disk instead of evicting — the same
+    policy as the LSH signature cache.
     """
+    from pyspark import StorageLevel
+
     sh = word_shingles(df, text_col, id_col, n)
     if max_shingle_df is not None:
         # One count-over-window pass keyed the same as the self-join below,
@@ -93,7 +101,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= max_shingle_df)
             .drop("_df")
         )
-    sh = sh.cache()
+    sh = sh.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
