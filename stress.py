@@ -45,10 +45,13 @@ def amplify_docs(docs, n: int):
         ),
         " ",
     )
+    # a real 100 TB source arrives as thousands of splits; the sf0.1 file
+    # is one row group, so the amplified frame would inherit ONE partition
+    # and serialize every Arrow UDF onto a single core without this
     return base.select(
         (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
         salted.alias("text"),
-    )
+    ).repartition(64)
 
 
 def amplify_events(ev, n: int):
@@ -59,7 +62,7 @@ def amplify_events(ev, n: int):
         (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
         (F.col("user_id") + F.col("rep") * 10_000_000).alias("user_id"),
         "ts", "event_type", "value",
-    )
+    ).repartition(64)
 
 
 def main() -> None:
