@@ -183,3 +183,23 @@ def test_corpus_line_dedup_null_text_and_collision_key(spark):
     assert got[2] == ("", 0, 0)
     assert got[1] == ("shared line\nown line", 2, 0)
     assert got[3] == ("", 0, 1)
+
+
+def test_minhash_lsh_recall_and_precision_vs_exact(spark, sf_dir):
+    # the 64-bit rolling shingle hash must track exact string-shingle
+    # jaccard: the earlier 32-bit shingle space collapsed distinct shingles
+    # at corpus scale (1M+ collision-born false pairs at 500k docs)
+    from pulfa_sausage_factory_spark.io import load_table
+    from pulfa_sausage_factory_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    approx = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert exact, "fixture must contain near-dup pairs"
+    recall = len(exact & approx) / len(exact)
+    precision = len(exact & approx) / max(len(approx), 1)
+    assert recall >= 0.95, (recall, len(exact), len(approx))
+    assert precision >= 0.95, (precision, len(exact), len(approx))
