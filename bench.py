@@ -110,20 +110,31 @@ def main() -> None:
     # this host has heavy CPU-steal variance (round-2 showed ±40% swings on
     # unchanged queries), and a single steady pass conflates that with real
     # regressions. Cold times go to stderr.
+    # Fault isolation (round-3 lesson): one broken query must not zero out
+    # the evidence for the other 13 — each query runs under try/except,
+    # failures record null, and the JSON line ALWAYS prints.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    per_query: dict[str, float] = {}
-    cold: dict[str, float] = {}
+    per_query: dict[str, float | None] = {}
+    cold: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = _EXTRA.get(name) or QUERIES[name][0]
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        cold[name] = round(time.perf_counter() - t0, 3)
-        times = []
-        for _ in range(reps):
+        try:
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
-            times.append(time.perf_counter() - t0)
+            cold[name] = round(time.perf_counter() - t0, 3)
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                times.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            per_query[name] = None
+            cold.setdefault(name, None)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: FAILED — {errors[name]}", file=sys.stderr)
+            continue
         dt = sorted(times)[len(times) // 2]
         per_query[name] = round(dt, 3)
         total += dt
@@ -134,18 +145,17 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_wall_time",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "cold_queries": cold,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_set_wall_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "cold_queries": cold,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

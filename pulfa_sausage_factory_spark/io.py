@@ -34,40 +34,55 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table. Plain parquet scan → full pushdown support.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
-    as a nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``); it is
-    converted here to a microsecond timestamp — integer-division truncation,
-    the same semantics DuckDB applies when reading ns into its µs timestamps.
+    ``events.ts`` is stored as parquet TIMESTAMP(µs) without a timezone,
+    which Spark 4 infers as TIMESTAMP_NTZ by default
+    (``spark.sql.parquet.inferTimestampNTZ.enabled``). Event-time operators
+    (``unix_micros``, ``withWatermark``) require TIMESTAMP, so this loader is
+    the one canonical place that normalizes ``ts`` to TIMESTAMP — under the
+    UTC session timezone the cast is wall-clock-preserving and matches how
+    the DuckDB oracle reads the same file (naive µs timestamps). Works for
+    any caller-provided SparkSession (the correctness driver's vanilla
+    session included); no session conf is touched on the normal path.
+
+    Legacy fallback: older fixtures stored TIMESTAMP(NANOS), which Spark
+    refuses to read unless ``spark.sql.legacy.parquet.nanosAsLong`` is on.
+    If the plain read fails, the loader retries with that conf set (restoring
+    the caller's value afterwards) and converts the nanosecond long to a µs
+    timestamp via integer division — the same truncation DuckDB applies when
+    reading ns parquet into its µs timestamps.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    # Self-heal for caller-provided vanilla sessions: events.parquet stores
-    # TIMESTAMP(NANOS), which Spark refuses to read unless nanosAsLong is on.
-    # session.get_spark() presets it, but any external SparkSession (e.g. the
-    # correctness driver's) would otherwise fail with PARQUET_TYPE_ILLEGAL.
-    # The conf is consulted at schema-inference time and captured into the
-    # plan (verified: the returned DataFrame executes correctly after the
-    # conf reverts), so restore the caller's value instead of leaving a
-    # session-wide behavior change behind.
-    key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = None
+    path = os.path.join(sf_dir, f"{name}.parquet")
     try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # TIMESTAMP(NANOS) footer: retry with nanosAsLong. The conf is
+        # consulted at schema-inference time and captured into the plan
+        # (verified: the returned DataFrame executes correctly after the
+        # conf reverts), so restore the caller's value instead of leaving a
+        # session-wide behavior change behind.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
         prev = spark.conf.get(key, None)
         spark.conf.set(key, "true")
-    except Exception:
-        pass  # read-only conf entry on some sessions; the read will tell us
-    try:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    finally:
         try:
-            if prev is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prev)
-        except Exception:
-            pass
+            df = spark.read.parquet(path)
+        finally:
+            try:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
+            except Exception:
+                pass
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        if field.name != "ts":
+            continue
+        kind = field.dataType.simpleString()
+        if kind == "timestamp_ntz":
+            # value-preserving under the UTC session tz (asserted in tests)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif kind == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

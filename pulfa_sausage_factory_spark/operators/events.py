@@ -12,6 +12,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _ts_as_timestamp(events: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP. Parquet µs-without-tz
+    arrives as TIMESTAMP_NTZ on vanilla Spark 4 sessions, and instant-based
+    functions (``unix_micros``) and ``withWatermark`` reject NTZ.
+    ``io.load_table`` already normalizes driver tables; this guards frames
+    built elsewhere. No-op (no plan node added) when already TIMESTAMP."""
+    if isinstance(events.schema[col].dataType, T.TimestampNTZType):
+        return events.withColumn(col, F.col(col).cast("timestamp"))
+    return events
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -71,6 +83,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     those get salted pre-aggregation or the Structured Streaming
     ``session_window`` path which spills state to the state store.
     """
+    events = _ts_as_timestamp(events)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond-precision gap (unix_timestamp truncates to seconds)
     gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))

@@ -36,9 +36,11 @@ def get_spark(app_name: str = "pulfa-sausage-factory-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # parquet TIMESTAMP(NANOS) (events.ts) reads as long; io.load_table
-        # converts ns → µs timestamp to match DuckDB's truncation semantics
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NOTE: no parquet-timestamp confs here on purpose. events.ts
+        # (µs-without-tz → TIMESTAMP_NTZ on Spark 4) is normalized to
+        # TIMESTAMP in io.load_table so the fix also covers external
+        # sessions (the correctness driver builds its own vanilla session —
+        # a conf set only in this builder would never reach it).
         # split file scans aggressively for local parallelism: test-scale
         # parquet is single-file, and CPU-bound UDF stages (minhash, knn)
         # otherwise run on one core. At cluster scale this is a deploy-time

@@ -10,13 +10,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.events import _ts_as_timestamp
+
 
 def tumbling(stream: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Tumbling event-time counts/sums per event_type; late rows beyond the
     watermark are dropped and their windows finalized (state eviction —
     the property that keeps state bounded at 100 TB/day)."""
     return (
-        stream.withWatermark("ts", watermark)
+        _ts_as_timestamp(stream).withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
@@ -30,7 +32,7 @@ def sliding(
     watermark: str = "2 hours",
 ) -> DataFrame:
     return (
-        stream.withWatermark("ts", watermark)
+        _ts_as_timestamp(stream).withWatermark("ts", watermark)
         .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
@@ -44,7 +46,7 @@ def sessions(
     window merge in the state store). Batch twin: operators.events.sessionize
     (same sessions for gap-based definitions)."""
     return (
-        stream.withWatermark("ts", watermark)
+        _ts_as_timestamp(stream).withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -212,16 +212,35 @@ def test_jdbc_queue_scan_derby_pushdown(spark, tmp_path):
 
 
 def test_load_table_restores_session_conf(spark, sf_dir):
-    # load_table self-heals nanosAsLong for the events read but must not
-    # leave a session-wide conf change behind (an external caller's later
-    # nanos-parquet reads would silently change behavior)
+    # load_table normalizes events.ts (µs-without-tz parquet → TIMESTAMP_NTZ
+    # on Spark 4) to TIMESTAMP without touching session conf; the legacy
+    # nanosAsLong retry path must likewise never leave a conf change behind.
     key = "spark.sql.legacy.parquet.nanosAsLong"
     before = spark.conf.get(key, None)
     df = load_table(spark, sf_dir, "events")
     assert spark.conf.get(key, None) == before
-    # and the returned frame still executes with ts converted to µs
+    # the returned frame executes with ts normalized to instant TIMESTAMP
     assert df.schema["ts"].dataType.simpleString() == "timestamp"
     assert df.count() > 0
+
+
+def test_load_table_ntz_normalization_preserves_wall_clock(spark, sf_dir):
+    # The NTZ→TIMESTAMP cast must be wall-clock-preserving (UTC session tz):
+    # raw NTZ read and normalized read agree on every value, so the DuckDB
+    # oracle (which reads the same file as naive µs timestamps) stays in
+    # lock-step. Guards the cast against a non-UTC session tz sneaking in.
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
+    norm = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    if raw.schema["ts"].dataType.simpleString() != "timestamp_ntz":
+        import pytest
+
+        pytest.skip("fixture no longer NTZ — nothing to compare")
+    a = {r.event_id: r.ts for r in raw.filter("event_id % 97 = 0").collect()}
+    b = {
+        r.event_id: r.ts.replace(tzinfo=None)
+        for r in norm.filter("event_id % 97 = 0").collect()
+    }
+    assert len(a) > 0 and a == b
 
 
 def test_nanos_timestamp_truncation_matches_duckdb(spark, tmp_path):
