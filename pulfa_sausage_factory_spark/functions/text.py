@@ -328,6 +328,7 @@ def bpe_train_merges(
     text_col: str = "text",
     num_merges: int = 50,
     min_pair_count: int = 2,
+    word_sample_fraction: float = 1.0,
 ):
     """X4 follow-through — corpus-scale BPE merge training (Sennrich-style
     vocabulary induction), the step that turns ``bpe_tokens``'s fixed
@@ -347,10 +348,20 @@ def bpe_train_merges(
     Ties break deterministically: highest count, then lexicographically
     smallest (a, b) — mirrored by the reference model in the tests.
 
+    Practical cap: each merge round is one Spark job plus a bounded 1-row
+    collect, so driver round-trips scale linearly with ``num_merges`` —
+    fine for the hundreds-to-low-thousands of merges a tokenizer needs, but
+    vocabulary induction at 100 TB does NOT need the full corpus: set
+    ``word_sample_fraction`` to train on a deterministic hash-bucket sample
+    of the word *dictionary* (frequencies are already aggregated, so a 1-10%
+    word sample preserves the high-frequency pairs that drive early merges;
+    sampling is retry-stable — same words every run).
+
     Returns ``(merges, vocab_df)``: the ordered merge list and the final
     ``(syms, freq)`` dictionary DataFrame.
     """
     from ..session import release_local_checkpoint
+    from .sampling import deterministic_sample
 
     words = (
         df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
@@ -358,6 +369,8 @@ def bpe_train_merges(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    if word_sample_fraction < 1.0:
+        words = deterministic_sample(words, "word", word_sample_fraction)
     syms = words.select(
         F.split("word", "").alias("syms"), "freq"
     ).localCheckpoint()

@@ -187,6 +187,79 @@ def embedding_neardup(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    sample_fraction: float = 0.1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sampled Lloyd's k-means for IVF coarse centroids (cosine geometry).
+
+    The 100 TB recipe: train on a deterministic hash-bucket sample (k-means
+    quality saturates far below full-corpus size — a 10⁵-10⁶-vector sample
+    trains 16-64k cells fine), broadcast the small centroid table each
+    round, and run a handful of Lloyd's iterations:
+
+      1. assign every sampled vector to its max-cosine centroid
+         (broadcast fan-out join + argmax window — no all-pairs);
+      2. recompute each cell's mean element-wise via ``posexplode`` →
+         ``groupBy(cell, dim)`` — the shuffle carries sample_n × dim
+         scalar rows, map-side combined;
+      3. collect the ``n_cells`` new centroids (bounded: n_cells × dim
+         doubles) and broadcast them into the next round. Cells that lost
+         all members keep their previous centroid.
+
+    Init is the first ``n_cells`` sampled vectors by id — fully
+    deterministic end-to-end (hash sample, no RNG), so trained centroids
+    are reproducible across runs/sessions.
+
+    Returns a small DataFrame ``(cell_id int, cent array<double>)`` for
+    ``knn_ivf(..., centroids=...)``.
+    """
+    spark = corpus.sparkSession
+    vecs = corpus.select(
+        F.col(id_col).alias("sid"), as_double_array(vec_col).alias("v")
+    )
+    if sample_fraction < 1.0:
+        pct = max(1, int(round(sample_fraction * 10_000)))
+        vecs = vecs.filter(F.pmod(F.xxhash64(F.col("sid")), F.lit(10_000)) < pct)
+    vecs = vecs.localCheckpoint(eager=False)  # reused iters+1 times
+
+    cent_rows = [
+        (i, r.v)
+        for i, r in enumerate(vecs.orderBy("sid").limit(n_cells).collect())
+    ]
+    schema = "cell_id int, cent array<double>"
+    for _ in range(max(0, iters)):
+        cent_df = spark.createDataFrame(cent_rows, schema)
+        w = Window.partitionBy("sid").orderBy(
+            F.col("cell_cos").desc(), F.col("cell_id")
+        )
+        best = (
+            vecs.crossJoin(F.broadcast(cent_df))
+            .withColumn("cell_cos", cosine(F.col("v"), F.col("cent")))
+            .withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") == 1)
+        )
+        means = (
+            best.select("cell_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("cent")
+            )
+        )
+        new = {r.cell_id: list(r.cent) for r in means.collect()}
+        cent_rows = [(cid, new.get(cid, old)) for cid, old in cent_rows]
+    return spark.createDataFrame(cent_rows, schema)
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -195,13 +268,16 @@ def knn_ivf(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """X3 (IVF variant) — inverted-file ANN: coarse-quantize the corpus into
     ``n_cells`` cells, search only the ``n_probe`` cells nearest each query.
 
-    Centroids here are the first ``n_cells`` corpus vectors by id — a
-    deterministic stand-in for k-means-trained centroids (training is an
-    offline job at scale; the serving plan below is identical either way):
+    Default centroids are the first ``n_cells`` corpus vectors by id — a
+    deterministic stand-in kept as the oracle-checkable mode; pass
+    ``centroids=train_ivf_centroids(...)`` for k-means-trained cells
+    (training is an offline/sampled job at scale; the serving plan below is
+    identical either way):
 
       1. broadcast centroids; assign every corpus vector to its max-cosine
          cell (window argmin over the small fan-out join);
@@ -213,11 +289,16 @@ def knn_ivf(
     candidate join is output-sensitive. Recall < 1 by construction —
     ``knn_bruteforce`` is the exactness baseline.
     """
-    centroids = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(F.col(id_col).alias("cell_id"), as_double_array(vec_col).alias("cent"))
-    )
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cell_id"), as_double_array(vec_col).alias("cent")
+            )
+        )
+    else:
+        centroids = centroids.select("cell_id", "cent")
 
     def assign(df: DataFrame, out_id: str, top: int) -> DataFrame:
         scored = (

@@ -57,6 +57,48 @@ def test_embedding_neardup_crossjoin_requires_opt_in(spark, sf_dir):
     assert df.count() >= 0  # opted-in baseline still runs
 
 
+def test_ivf_trained_centroids_lift_recall(spark, sf_dir):
+    # k-means-trained cells must not lose to the first-N stand-in at equal
+    # (n_cells, n_probe) budget — measured vs the brute-force ground truth.
+    # (sf0.001 fixture: first-N 0.320/0.505, trained 0.350/0.555.)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(emb, queries, k=10).collect()
+    }
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    cent = similarity.train_ivf_centroids(
+        emb, n_cells=16, iters=2, sample_fraction=1.0
+    )
+    for n_probe in (2, 4):
+        first = recall(
+            similarity.knn_ivf(emb, queries, k=10, n_cells=16, n_probe=n_probe)
+        )
+        trained = recall(
+            similarity.knn_ivf(
+                emb, queries, k=10, n_cells=16, n_probe=n_probe, centroids=cent
+            )
+        )
+        assert trained >= first, (n_probe, trained, first)
+
+
+def test_ivf_training_is_deterministic(spark, sf_dir):
+    # hash-bucket sample + first-N init + fixed iteration count → the
+    # trained centroids are bit-identical across runs (no RNG anywhere)
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = similarity.train_ivf_centroids(emb, n_cells=8, iters=2, sample_fraction=0.5)
+    b = similarity.train_ivf_centroids(emb, n_cells=8, iters=2, sample_fraction=0.5)
+    ra = sorted((r.cell_id, tuple(r.cent)) for r in a.collect())
+    rb = sorted((r.cell_id, tuple(r.cent)) for r in b.collect())
+    assert ra == rb
+    assert len(ra) == 8
+
+
 def test_knn_ivf_centroid_pick_is_take_ordered(spark, sf_dir):
     # the deterministic centroid pick is orderBy(id).limit(n) — it must
     # compile to TakeOrderedAndProject (per-partition k-heap + driver merge

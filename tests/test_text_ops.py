@@ -173,6 +173,12 @@ def _bpe_reference(texts, num_merges, min_pair_count=2):
         for w in re.split(r"[ \t\n\x0b\f\r]+", t.lower()):
             if w:
                 words[w] += 1
+    return _bpe_merge_loop(words, num_merges, min_pair_count)
+
+
+def _bpe_merge_loop(words, num_merges, min_pair_count=2):
+    from collections import Counter
+
     vocab = {tuple(w): c for w, c in words.items()}
     merges = []
     for _ in range(num_merges):
@@ -215,6 +221,43 @@ def test_bpe_train_matches_reference(spark, sf_dir):
     # the dictionary stays exact: total frequency == corpus word count
     total = vocab.agg({"freq": "sum"}).first()[0]
     assert total == sum(len(t.lower().split()) for t in texts)
+
+
+def test_bpe_sampled_training_matches_reference_on_sampled_dict(spark, sf_dir):
+    # word_sample_fraction trains on a deterministic hash-bucket sample of
+    # the word DICTIONARY (the 100 TB mode — vocabulary induction never
+    # needs the full corpus). The merge sequence must equal the reference
+    # model run over exactly the surviving words, pinning both the sampling
+    # rule and the merge arithmetic.
+    from pulfa_sausage_factory_spark.functions.sampling import (
+        deterministic_sample,
+    )
+    from pulfa_sausage_factory_spark.functions.text import (
+        bpe_train_merges,
+        tokens,
+    )
+    from pulfa_sausage_factory_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    sampled = {
+        r.word: r.freq
+        for r in deterministic_sample(words, "word", 0.5).collect()
+    }
+    full = {r.word: r.freq for r in words.collect()}
+    assert 0 < len(sampled) < len(full)  # the sample really is a subset
+
+    want = _bpe_merge_loop(sampled, num_merges=10)
+    got, vocab = bpe_train_merges(docs, num_merges=10, word_sample_fraction=0.5)
+    assert got == want
+    # and the returned dictionary is the sampled one, not the full corpus
+    assert vocab.count() == len(sampled)
 
 
 def test_bpe_train_releases_superseded_rounds(spark):
