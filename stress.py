@@ -57,11 +57,29 @@ def amplify_docs(docs, n: int):
 def amplify_events(ev, n: int):
     reps = F.explode(F.sequence(F.lit(0), F.lit(n - 1)).cast("array<long>")).alias("rep")
     return ev.select(
-        "event_id", "user_id", "ts", "event_type", "value", reps
+        "event_id", "user_id", "ts", "event_type", "value", "props", reps
     ).select(
         (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
         (F.col("user_id") + F.col("rep") * 10_000_000).alias("user_id"),
-        "ts", "event_type", "value",
+        "ts", "event_type", "value", "props",
+    ).repartition(64)
+
+
+def amplify_embeddings(emb, n: int):
+    """N replicas with distinct ids and a replica-dependent nudge on the
+    first dimension — keeps realistic cosine geometry (cells stay
+    meaningful) without making replicas bit-identical."""
+    reps = F.explode(F.sequence(F.lit(0), F.lit(n - 1)).cast("array<long>")).alias("rep")
+    nudged = F.concat(
+        F.array(
+            F.element_at("embedding", 1).cast("double")
+            + F.col("rep").cast("double") / (2.0 * n)
+        ),
+        F.slice(F.col("embedding").cast("array<double>"), 2, 100_000),
+    )
+    return emb.select("vec_id", "embedding", reps).select(
+        (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+        nudged.alias("embedding"),
     ).repartition(64)
 
 
@@ -87,13 +105,38 @@ def main() -> None:
     run("minhash_lsh_pairs", lambda: dedup.minhash_lsh_pairs(docs))
     run("simhash_neardup", lambda: dedup.simhash_neardup_pairs(docs))
     run("line_dedup", lambda: dedup.dedup_corpus_lines(docs))
+    # event-time surface at amplified scale: shuffle on user_id
+    # (sessionize — per-user sorted pass), pre-combined window aggs
+    # (tumbling/sliding fan-out happens JVM-side before the shuffle), and
+    # the one-shuffle exact + sketch profiles
     run("sessionize", lambda: events.sessionize(ev, gap_minutes=30))
+    run("tumbling_counts", lambda: events.tumbling_counts(ev, "1 hour"))
+    run(
+        "sliding_counts",
+        lambda: events.sliding_counts(ev, size="1 hour", slide="30 minutes"),
+    )
+    run("event_profile", lambda: events.event_profile(ev))
+    run("approx_profile", lambda: events.approx_profile(ev))
     run(
         "knn_lsh",
         lambda: similarity.knn_lsh(
             io.load_table(spark, sf_dir, "embeddings"),
             io.load_table(spark, sf_dir, "embeddings").limit(50),
             k=10,
+        ),
+    )
+    emb_amp = amplify_embeddings(io.load_table(spark, sf_dir, "embeddings"), amp)
+    run(
+        "knn_ivf_trained",
+        lambda: similarity.knn_ivf(
+            emb_amp,
+            io.load_table(spark, sf_dir, "embeddings").limit(50),
+            k=10,
+            n_cells=32,
+            n_probe=2,
+            centroids=similarity.train_ivf_centroids(
+                emb_amp, n_cells=32, iters=2, sample_fraction=0.05
+            ),
         ),
     )
     print(json.dumps(out))
