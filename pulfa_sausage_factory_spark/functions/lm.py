@@ -127,3 +127,63 @@ def perplexity_score(
             "log2_ppl",
         )
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights,
+    dim: int,
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clf_score",
+) -> DataFrame:
+    """fastText-style linear text-classifier inference (the model-based
+    quality/toxicity/domain gate): hashed bag-of-words features scored by a
+    weight table, squashed through a sigmoid.
+
+        z(doc)   = bias + Σ_tok w[xxhash64(tok) mod dim]
+        score    = 1 / (1 + exp(-z))
+
+    Expressed as a pure JVM plan — model inference IS a broadcast join:
+    explode tokens, hash to ``feature_id`` (``xxhash64`` — Spark-
+    deterministic), broadcast-join the weight table (``dim`` rows — a
+    2^18-bucket model is ~2 MB), partial-sum per document. The shuffle
+    carries map-side-combined per-doc partials, never raw tokens; no
+    Python anywhere. Returns ``(id_col, n_features, out_col)``, one row
+    per input document — a decision table callers semi-join against, so
+    the corpus itself never reshuffles (the contamination-gate shape).
+
+    ``weights``: dict ``{feature_id: w}`` or a DataFrame
+    ``(feature_id bigint, w double)``. Unhit buckets weigh 0; docs with no
+    tokens score ``sigmoid(bias)``.
+    """
+    spark = df.sparkSession
+    if isinstance(weights, dict):
+        weights = spark.createDataFrame(
+            list(weights.items()), "feature_id bigint, w double"
+        )
+    feats = (
+        df.select(id_col, F.explode(_tokens(F.col(text_col))).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .withColumn("feature_id", F.pmod(F.xxhash64("tok"), F.lit(dim)))
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "feature_id", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(F.coalesce("w", F.lit(0.0))).alias("z"),
+        )
+    )
+    z = F.coalesce("z", F.lit(0.0)) + F.lit(bias)
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_features", F.lit(0)).alias("n_features"),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(out_col),
+        )
+    )

@@ -407,3 +407,103 @@ def bpe_train_merges(
         release_local_checkpoint(syms)
         syms = new_syms
     return merges, syms
+
+
+def bpe_vocab(df, merges, text_col: str = "text") -> dict[str, int]:
+    """Symbol → id table for ``bpe_encode``: the corpus base alphabet
+    (sorted, ids 0..n-1) followed by each merge's output symbol in merge
+    order. The alphabet scan is one distinct over exploded characters — a
+    tiny aggregate (alphabet-sized result) even at corpus scale."""
+    chars = (
+        df.select(
+            F.explode(
+                F.split(F.array_join(tokens(F.lower(F.col(text_col))), ""), "")
+            ).alias("ch")
+        )
+        .filter(F.length("ch") > 0)
+        .distinct()
+        .collect()
+    )
+    vocab = {c: i for i, c in enumerate(sorted(r.ch for r in chars))}
+    for a, b in merges:
+        sym = a + b
+        if sym not in vocab:
+            vocab[sym] = len(vocab)
+    return vocab
+
+
+def bpe_encode(
+    df,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    out_col: str = "token_ids",
+):
+    """Apply a trained BPE vocabulary: text → ``array<int>`` token ids.
+    Completes the tokenizer loop (``bpe_train_merges`` → encode →
+    ``sampling.pack_sequences`` on exact token counts).
+
+    Encoding is the classic ranked-merge algorithm: split each word to
+    characters, repeatedly apply the lowest-rank applicable merge until
+    none applies — which reproduces, for every word, exactly the symbol
+    sequence the training loop left in its dictionary (pinned by test).
+    Symbols outside ``vocab`` (unseen characters) map to -1.
+
+    Scale shape: embarrassingly parallel, Arrow-batched ``pandas_udf`` —
+    Python is unavoidable here (per-word loop with data-dependent control
+    flow, the same hot loop every production tokenizer runs native); the
+    merge table rides a broadcast variable, and a per-batch word cache
+    exploits the Zipfian word distribution (each distinct word is encoded
+    once per batch, not once per occurrence)."""
+    import re
+
+    import pandas as pd
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    bc = df.sparkSession.sparkContext.broadcast((ranks, dict(vocab)))
+    # mirror tokens()'s Java \s split: ASCII whitespace only
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def encode(s):
+        rk, vb = bc.value
+        cache: dict[str, list[int]] = {}
+
+        def word_ids(word: str) -> list[int]:
+            got = cache.get(word)
+            if got is None:
+                syms = list(word)
+                while len(syms) >= 2:
+                    best = None
+                    for i in range(len(syms) - 1):
+                        r = rk.get((syms[i], syms[i + 1]))
+                        if r is not None and (best is None or r < best):
+                            best = r
+                    if best is None:
+                        break
+                    a, b = merges_local[best]
+                    out, i = [], 0
+                    while i < len(syms):
+                        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                got = cache[word] = [vb.get(x, -1) for x in syms]
+            return got
+
+        merges_local = [None] * len(rk)
+        for pair, r in rk.items():
+            merges_local[r] = pair
+        out = []
+        for t in s:
+            ids: list[int] = []
+            for w in ws.split((t or "").lower()):
+                if w:
+                    ids.extend(word_ids(w))
+            out.append(ids)
+        return pd.Series(out)
+
+    encode.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return df.withColumn(out_col, F.pandas_udf(encode, "array<int>")(F.col(text_col)))

@@ -257,6 +257,11 @@ def train_ivf_centroids(
         )
         new = {r.cell_id: list(r.cent) for r in means.collect()}
         cent_rows = [(cid, new.get(cid, old)) for cid, old in cent_rows]
+    # the sample checkpoint is only needed during training — release its
+    # blocks eagerly rather than pinning them until driver GC
+    from ..session import release_local_checkpoint
+
+    release_local_checkpoint(vecs)
     return spark.createDataFrame(cent_rows, schema)
 
 

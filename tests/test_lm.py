@@ -75,3 +75,57 @@ def test_perplexity_matches_reference_and_ranks_gibberish(spark, sf_dir):
     # the quality-gate property itself: in-domain text prices far below
     # out-of-domain gibberish
     assert got[1][1] < got[2][1]
+
+
+def test_hashed_linear_score_matches_reference(spark, sf_dir):
+    # fastText-style inference: the Spark broadcast-join plan must agree
+    # with a straight-line reference computed over the SAME feature ids
+    # (feature hashing is Spark's deterministic xxhash64 — extracted once
+    # via a tiny query, then the arithmetic is replayed in Python)
+    from pulfa_sausage_factory_spark.functions import lm
+    from pulfa_sausage_factory_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    dim, bias = 64, -0.25
+    weights = {i: ((i * 37) % 21 - 10) / 10.0 for i in range(0, dim, 3)}
+
+    docs = load_table(spark, sf_dir, "documents").limit(30).select("doc_id", "text")
+    got = {
+        r.doc_id: (r.n_features, r.clf_score)
+        for r in lm.hashed_linear_score(docs, weights, dim, bias=bias).collect()
+    }
+
+    feats = (
+        docs.select("doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .withColumn("fid", F.pmod(F.xxhash64("tok"), F.lit(dim)))
+        .collect()
+    )
+    z = {r.doc_id: bias for r in docs.select("doc_id").collect()}
+    n = dict.fromkeys(z, 0)
+    for r in feats:
+        z[r.doc_id] += weights.get(r.fid, 0.0)
+        n[r.doc_id] += 1
+    assert set(got) == set(z) and len(got) == 30
+    for d in got:
+        assert got[d][0] == n[d]
+        assert got[d][1] == pytest.approx(1.0 / (1.0 + math.exp(-z[d])), rel=1e-12)
+
+
+def test_hashed_linear_score_plan_and_empty_docs(spark):
+    # weight join broadcasts; empty docs still get a row at sigmoid(bias)
+    from pulfa_sausage_factory_spark.functions import lm
+
+    df = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    out = lm.hashed_linear_score(df, {0: 1.0}, dim=4, bias=0.5)
+    got = {r.doc_id: (r.n_features, r.clf_score) for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+    for d in (2, 3):
+        assert got[d][0] == 0
+        assert got[d][1] == pytest.approx(1.0 / (1.0 + math.exp(-0.5)))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the weight-table side is explicitly hinted broadcast
+    assert "broadcast" in out._jdf.queryExecution().logical().toString().lower()

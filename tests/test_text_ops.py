@@ -260,6 +260,85 @@ def test_bpe_sampled_training_matches_reference_on_sampled_dict(spark, sf_dir):
     assert vocab.count() == len(sampled)
 
 
+def test_bpe_encode_reproduces_training_segmentation(spark, sf_dir):
+    # ranked-merge encoding must leave every dictionary word segmented
+    # exactly as the training loop left it, and ids must round-trip
+    # through the vocab back to the original text
+    from pulfa_sausage_factory_spark.functions.text import (
+        bpe_encode,
+        bpe_train_merges,
+        bpe_vocab,
+    )
+    from pulfa_sausage_factory_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    merges, syms_df = bpe_train_merges(docs, num_merges=15)
+    vocab = bpe_vocab(docs, merges)
+    inv = {i: s for s, i in vocab.items()}
+
+    # training's final per-word segmentation
+    want = {"".join(r.syms): list(r.syms) for r in syms_df.collect()}
+
+    encoded = bpe_encode(docs, merges, vocab).select("text", "token_ids").collect()
+    assert len(encoded) == 60
+    import re
+
+    for r in encoded:
+        toks = [inv[i] for i in r.token_ids]  # KeyError if any -1 leaked
+        # ids concatenate back to the whitespace-normalized lowered text
+        words = [w for w in re.split(r"[ \t\n\x0b\f\r]+", r.text.lower()) if w]
+        assert "".join(toks) == "".join(words)
+        # and each word's segmentation matches the training dictionary
+        i = 0
+        for w in words:
+            seg = want[w]
+            assert toks[i : i + len(seg)] == seg, (w, seg, toks[i : i + len(seg)])
+            i += len(seg)
+        assert i == len(toks)
+
+
+def test_bpe_encode_oov_chars_map_to_minus_one(spark):
+    from pulfa_sausage_factory_spark.functions.text import bpe_encode
+
+    df = spark.createDataFrame([(1, "ab zz")], "doc_id long, text string")
+    got = bpe_encode(df, merges=[("a", "b")], vocab={"a": 0, "b": 1, "ab": 2}).first()
+    assert got.token_ids == [2, -1, -1]
+
+
+def test_tokenizer_loop_feeds_packing_with_exact_counts(spark, sf_dir):
+    # the full pre-training assembly line: train merges -> encode to ids ->
+    # pack on EXACT token counts (not the regex approximation)
+    from pulfa_sausage_factory_spark.functions.sampling import (
+        hash_bucket,
+        pack_greedy,
+    )
+    from pulfa_sausage_factory_spark.functions.text import (
+        bpe_encode,
+        bpe_train_merges,
+        bpe_vocab,
+    )
+    from pulfa_sausage_factory_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    merges, _ = bpe_train_merges(docs, num_merges=8)
+    ids = bpe_encode(docs, merges, bpe_vocab(docs, merges)).withColumn(
+        "n_tokens", F.size("token_ids")
+    ).withColumn("shard", hash_bucket("doc_id") % 4)
+    packed = pack_greedy(ids, "n_tokens", budget=2000, part_col="shard", order_col="doc_id")
+    rows = packed.select("shard", "pack_id", "n_tokens").collect()
+    assert all(r.n_tokens > 0 for r in rows)
+    # offset rule: every pack except a shard's last is filled past nothing —
+    # pack start offsets are monotone and each pack holds >= 1 doc
+    per_pack = {}
+    for r in rows:
+        per_pack.setdefault((r.shard, r.pack_id), 0)
+        per_pack[(r.shard, r.pack_id)] += r.n_tokens
+    # a pack overshoots the budget by at most one document's tokens
+    max_doc = max(r.n_tokens for r in rows)
+    assert all(tot <= 2000 + max_doc for tot in per_pack.values())
+
+
 def test_bpe_train_releases_superseded_rounds(spark):
     from pulfa_sausage_factory_spark.functions.text import bpe_train_merges
 
