@@ -80,6 +80,22 @@ def test_event_time_operator_tolerates_raw_ntz_frame(ntz_spark, sf_dir, op):
     assert op(raw).count() > 0
 
 
+def test_ts_filter_pushdown_survives_normalization(ntz_spark, sf_dir):
+    # the NTZ->TIMESTAMP cast must not cost event-time scans their parquet
+    # predicate pushdown — Catalyst unwraps the cast comparison back onto
+    # the stored NTZ column (verified: PushedFilters carries the ts range).
+    # At 100 TB an un-pushed time-range filter reads the whole table.
+    from pyspark.sql import functions as F
+
+    ev = load_table(ntz_spark, sf_dir, "events").filter(
+        F.col("ts") >= "2024-01-02 00:00:00"
+    )
+    plan = ev._jdf.queryExecution().executedPlan().toString()
+    if "timestamp_ntz" not in plan:
+        pytest.skip("fixture no longer NTZ — unwrap not exercised")
+    assert "GreaterThanOrEqual(ts," in plan.split("PushedFilters:")[1].split("]")[0]
+
+
 def test_sessionize_matches_between_ntz_and_timestamp_inputs(ntz_spark, sf_dir):
     # Value-level pin: sessionizing the raw NTZ frame and the normalized
     # frame must produce identical sessions (the cast is wall-clock
