@@ -129,6 +129,46 @@ def perplexity_score(
     )
 
 
+def hashed_linear_logit_expr(weights: dict, dim: int, col) -> "F.Column":
+    """Expression-mode twin of ``hashed_linear_score`` for SMALL models:
+    the weight table is inlined as a 64-to-few-thousand-element array
+    literal and each token's md5-hashed bucket indexes it directly —
+    a pure per-row column expression, ZERO shuffles, no join, no Python.
+    This is the right 100 TB shape when the model fits in an expression
+    (the corpus scan stays a map-only stage); ``hashed_linear_score``'s
+    broadcast-join mode covers large dims. Accumulation is exact decimal,
+    so logits are bit-identical to the join mode and to the DuckDB oracle.
+    """
+    arr = F.array(
+        *[
+            F.lit(float(weights.get(i, 0.0))).cast("decimal(18,9)")
+            for i in range(dim)
+        ]
+    )
+    toks = F.filter(_tokens(F.col(col) if isinstance(col, str) else col),
+                    lambda t: t != "")
+    s = F.aggregate(
+        toks,
+        F.lit(0).cast("decimal(28,9)"),
+        lambda acc, t: (
+            acc
+            + F.element_at(
+                arr,
+                (
+                    F.pmod(
+                        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                            "bigint"
+                        ),
+                        F.lit(dim),
+                    )
+                    + 1
+                ).cast("int"),
+            )
+        ).cast("decimal(28,9)"),
+    )
+    return s.cast("double")
+
+
 def hashed_linear_score(
     df: DataFrame,
     weights,
@@ -137,6 +177,8 @@ def hashed_linear_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "clf_score",
+    hasher: str = "xxhash64",
+    output: str = "score",
 ) -> DataFrame:
     """fastText-style linear text-classifier inference (the model-based
     quality/toxicity/domain gate): hashed bag-of-words features scored by a
@@ -157,26 +199,46 @@ def hashed_linear_score(
     ``weights``: dict ``{feature_id: w}`` or a DataFrame
     ``(feature_id bigint, w double)``. Unhit buckets weigh 0; docs with no
     tokens score ``sigmoid(bias)``.
+
+    ``hasher``: ``"xxhash64"`` (default — fastest, JVM-native) or
+    ``"md5"`` (first 15 hex chars → bigint; bit-for-bit reproducible in
+    any engine with md5 — the cross-engine-auditable mode the DuckDB
+    oracle checks). ``output="logit"`` skips the sigmoid and returns the
+    raw margin — weight sums are accumulated in exact decimal either way,
+    so logits are bit-identical regardless of partitioning/merge order.
     """
     spark = df.sparkSession
     if isinstance(weights, dict):
         weights = spark.createDataFrame(
             list(weights.items()), "feature_id bigint, w double"
         )
+    if hasher == "md5":
+        fid = F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"),
+            F.lit(dim),
+        )
+    elif hasher == "xxhash64":
+        fid = F.pmod(F.xxhash64("tok"), F.lit(dim))
+    else:
+        raise ValueError(f"hasher must be 'xxhash64' or 'md5', got {hasher!r}")
     feats = (
         df.select(id_col, F.explode(_tokens(F.col(text_col))).alias("tok"))
         .filter(F.length("tok") > 0)
-        .withColumn("feature_id", F.pmod(F.xxhash64("tok"), F.lit(dim)))
+        .withColumn("feature_id", fid)
     )
     scored = (
         feats.join(F.broadcast(weights), "feature_id", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_features"),
-            F.sum(F.coalesce("w", F.lit(0.0))).alias("z"),
+            # exact decimal accumulation: the sum is independent of row
+            # order and partitioning, so scores are deterministic at any
+            # parallelism (and engine-portable for the oracle)
+            F.sum(F.coalesce("w", F.lit(0.0)).cast("decimal(18,9)")).alias("zd"),
         )
     )
-    z = F.coalesce("z", F.lit(0.0)) + F.lit(bias)
+    z = F.coalesce(F.col("zd").cast("double"), F.lit(0.0)) + F.lit(bias)
+    result = z if output == "logit" else F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return (
         df.select(id_col)
         .distinct()
@@ -184,6 +246,6 @@ def hashed_linear_score(
         .select(
             id_col,
             F.coalesce("n_features", F.lit(0)).alias("n_features"),
-            (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(out_col),
+            result.alias(out_col),
         )
     )

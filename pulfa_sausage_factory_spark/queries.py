@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pulfa_sausage_factory_spark.functions import sampling, scalars, skew, text
+from pulfa_sausage_factory_spark.functions import lm, sampling, scalars, skew, text
 from pulfa_sausage_factory_spark.io import load_table
 from pulfa_sausage_factory_spark.operators import (
     asof,
@@ -1366,19 +1366,46 @@ def x6c_media_segments(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# X4 — BPE-ish token counting (the LLM-pipeline budgeting basis) and a
-# composite quality score; both bit-identical in DuckDB
+# X4 — BPE-ish token counting (the LLM-pipeline budgeting basis), a composite
+# quality score, and a hashed-linear-classifier logit (X4m: fastText-style
+# model gate in md5 oracle mode); all bit-identical in DuckDB
 # ---------------------------------------------------------------------------
+#: fixed audit model for the x4e driver check: every one of the 64 hash
+#: buckets carries a deterministic one-decimal weight, so the logit is an
+#: exact-decimal sum both engines reproduce bit-for-bit
+_CLF_DIM = 64
+_CLF_WEIGHTS = {i: ((i * 37) % 21 - 10) / 10.0 for i in range(_CLF_DIM)}
+_CLF_VALUES_SQL = ", ".join(
+    f"({i}, {w:.1f})" for i, w in _CLF_WEIGHTS.items()
+)
+
+
 @register(
     "x4e_bpe_quality",
-    r"""
+    rf"""
     WITH m AS (
       SELECT doc_id,
              length(text) AS n_chars,
              len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
              length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
                AS n_punct
-      FROM documents)
+      FROM documents),
+    wt(feature_id, w) AS (VALUES {_CLF_VALUES_SQL}),
+    tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {_CLF_DIM}
+               AS feature_id
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS tok
+            FROM documents)
+      WHERE length(tok) > 0),
+    clf AS (
+      SELECT t.doc_id,
+             CAST(COALESCE(SUM(CAST(wt.w AS DECIMAL(18,9))), 0) AS DOUBLE)
+               AS clf_logit
+      FROM tok t LEFT JOIN wt ON t.feature_id = wt.feature_id
+      GROUP BY t.doc_id)
     SELECT d.doc_id,
            len(regexp_extract_all(lower(d.text), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+'))
              AS n_bpe_tokens,
@@ -1391,13 +1418,18 @@ def x6c_media_segments(spark, sf_dir):
                   + CASE WHEN CAST(m.n_chars AS DOUBLE)
                               / CAST(GREATEST(m.n_words, 1) AS DOUBLE)
                               BETWEEN 3.0 AND 12.0
-                         THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
-    FROM documents d JOIN m ON d.doc_id = m.doc_id
+                         THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality,
+           COALESCE(c.clf_logit, 0.0) AS clf_logit
+    FROM documents d
+    JOIN m ON d.doc_id = m.doc_id
+    LEFT JOIN clf c ON d.doc_id = c.doc_id
     """,
 )
 def x4e_bpe_quality(spark, sf_dir):
     # BPE-ish token counting + composite quality score in one projection
-    # (x4f absorbed here in round 3); both bit-identical in DuckDB
+    # (x4f absorbed in round 3), plus the X4m hashed-linear-classifier
+    # logit in md5 oracle mode (round 4) — decimal-exact sums make the
+    # logit bit-identical across engines and partitionings
     docs = _t(spark, sf_dir, "documents")
     toks = text.bpe_tokens("text")
     return docs.select(
@@ -1405,6 +1437,11 @@ def x4e_bpe_quality(spark, sf_dir):
         F.size(toks).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
         text.quality_score("text").alias("quality"),
+        # expression-mode classifier: the 64-bucket model is inlined, so
+        # this stays a pure map-only projection (zero Exchanges — audited)
+        lm.hashed_linear_logit_expr(_CLF_WEIGHTS, _CLF_DIM, "text").alias(
+            "clf_logit"
+        ),
     )
 
 

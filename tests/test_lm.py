@@ -129,3 +129,31 @@ def test_hashed_linear_score_plan_and_empty_docs(spark):
     assert "CartesianProduct" not in plan
     # the weight-table side is explicitly hinted broadcast
     assert "broadcast" in out._jdf.queryExecution().logical().toString().lower()
+
+
+def test_expression_mode_matches_join_mode_and_never_shuffles(spark, sf_dir):
+    # the inlined-weights expression must produce bit-identical logits to
+    # the broadcast-join mode (same md5 hashing, same decimal sums) while
+    # compiling to a map-only plan
+    from pulfa_sausage_factory_spark.functions import lm
+    from pulfa_sausage_factory_spark.io import load_table
+    from pulfa_sausage_factory_spark.plans import audit
+
+    dim = 32
+    weights = {i: ((i * 11) % 9 - 4) / 10.0 for i in range(dim)}
+    docs = load_table(spark, sf_dir, "documents").limit(50).select("doc_id", "text")
+
+    from pyspark.sql import functions as F
+
+    expr_df = docs.select(
+        "doc_id", lm.hashed_linear_logit_expr(weights, dim, "text").alias("z")
+    )
+    assert audit.count_exchanges(expr_df) == 0
+    a = {r.doc_id: r.z for r in expr_df.collect()}
+    b = {
+        r.doc_id: r.clf_logit
+        for r in lm.hashed_linear_score(
+            docs, weights, dim, hasher="md5", output="logit", out_col="clf_logit"
+        ).collect()
+    }
+    assert a == b and len(a) == 50
