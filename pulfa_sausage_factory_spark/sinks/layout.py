@@ -92,6 +92,40 @@ def compact(
     shutil.rmtree(old)
 
 
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    rows_per_shard: int = 1_000_000,
+    mode: str = "overwrite",
+) -> int:
+    """Training-data shard export: write the dataset as globally ordered,
+    size-bounded parquet shards — the final assembly stage a data loader
+    consumes (shards read in partition order reproduce the packing order
+    from ``sampling.pack_greedy``).
+
+    ``repartitionByRange(order_col)`` gives disjoint, globally ordered key
+    ranges across shards (one sampling pass + one shuffle);
+    ``sortWithinPartitions`` + ``maxRecordsPerFile`` make every emitted
+    file internally sorted and at most ``rows_per_shard`` rows. The one
+    ``count()`` sizes the shard count — a metadata-cheap aggregate
+    relative to the write itself. Returns the shard (range-partition)
+    count.
+    """
+    import math
+
+    n = df.count()
+    shards = max(1, math.ceil(n / rows_per_shard))
+    (
+        df.repartitionByRange(shards, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", rows_per_shard)
+        .parquet(path)
+    )
+    return shards
+
+
 def parquet_file_count(path: str) -> int:
     """Data files under a parquet root (ignores _SUCCESS/metadata)."""
     n = 0

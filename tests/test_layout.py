@@ -91,3 +91,33 @@ def test_compaction_recovers_mid_swap_crash(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == before
     assert not os.path.exists(out + ".__old__")
     assert not os.path.exists(out + ".__compact__")
+
+
+def test_sharded_write_is_ordered_and_disjoint(spark, sf_dir, tmp_path):
+    # training-shard export: every emitted file is internally sorted, file
+    # key-ranges are pairwise disjoint (global order across shards), sizes
+    # respect the per-shard cap, and nothing is lost or duplicated
+    import glob
+
+    import pyarrow.parquet as pq
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    total = docs.count()
+    shards = layout.write_sharded(
+        docs, str(tmp_path / "shards"), "doc_id", rows_per_shard=100
+    )
+    assert shards == (total + 99) // 100
+
+    files = sorted(glob.glob(str(tmp_path / "shards" / "*.parquet")))
+    assert len(files) >= shards
+    ranges, seen = [], 0
+    for f in files:
+        ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+        assert 0 < len(ids) <= 100
+        assert ids == sorted(ids)
+        ranges.append((ids[0], ids[-1]))
+        seen += len(ids)
+    assert seen == total
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # disjoint key ranges -> deterministic global order
