@@ -1,0 +1,168 @@
+"""End-to-end corpus curation pipeline — the LLM-data assembly line this
+engine's extension operators exist for, composed the way the reference
+composes its 7-stage EAD pipeline (staged DAG, per-stage materialization,
+run-report diagnostics; cf. ``bin/main.py:649-711`` → ``ead_pipeline.py``).
+
+Stages (each optional via config, each reported):
+
+  clean → quality/language/classifier gates → exact dedup → near-dup
+  dedup (MinHash LSH + connected components, keep canonical) →
+  benchmark decontamination → deterministic sampling → sequence packing
+  → ordered shard export
+
+Scale design: every gate is a narrow projection or a decision-table
+semi/anti-join (the corpus never reshuffles for a gate); dedup shuffles
+digests/signatures, not text; the contamination index broadcasts; packing
+is one window pass per shard; the final write is the only globally ordered
+shuffle. Stage boundaries ``localCheckpoint`` (superseded stages released
+eagerly) so each stage computes once and the plan stays constant-size —
+at 100 TB swap for reliable ``checkpoint``/parquet stage dirs, exactly as
+``ead_pipeline`` documents for its stages.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import lm, sampling, text
+from ..operators import dedup
+from ..session import release_local_checkpoint
+from ..sinks import layout
+
+
+@dataclass
+class CurationConfig:
+    """Knobs for one curation run; defaults keep every stage on."""
+
+    min_quality: float = 0.3
+    allowed_langs: tuple[str, ...] = ()  # empty = no language gate
+    clf_weights: dict | None = None  # None = no classifier gate
+    clf_dim: int = 64
+    clf_min_logit: float = 0.0
+    neardup_threshold: float = 0.5
+    contamination_min_shared: int = 5
+    sample_fraction: float = 1.0
+    pack_budget: int = 2048
+    pack_shards: int = 32
+    rows_per_shard: int = 100_000
+    out_dir: str | None = None
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    extra_cols: tuple[str, ...] = field(default_factory=tuple)
+
+
+def run_curation(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: CurationConfig,
+    bench: DataFrame | None = None,
+) -> dict:
+    """Run the curation DAG over ``docs``; returns the run report
+    (per-stage row counts + drop counts + output paths) — the C3
+    run-report analog for the LLM surface."""
+    tcol, icol = cfg.text_col, cfg.id_col
+    stages: list[dict] = []
+    prev_ckpt: DataFrame | None = None
+    prev_rows: int | None = None
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        nonlocal prev_ckpt, prev_rows
+        out = df.localCheckpoint()
+        n = out.count()
+        stages.append(
+            {
+                "stage": name,
+                "rows": n,
+                "dropped": (prev_rows - n) if prev_rows is not None else 0,
+            }
+        )
+        if prev_ckpt is not None:
+            release_local_checkpoint(prev_ckpt)
+        prev_ckpt, prev_rows = out, n
+        return out
+
+    cur = stage("input", docs.select(icol, tcol, *cfg.extra_cols))
+
+    # 1. clean: PII redaction + whitespace normalization; drop empties
+    cleaned = cur.withColumn(
+        tcol, F.trim(F.regexp_replace(text.redact_pii(F.col(tcol)), r"\s+", " "))
+    ).filter(F.length(tcol) > 0)
+    cur = stage("clean", cleaned)
+
+    # 2. gates — pure column predicates (plus the inlined classifier for
+    # small models); a single narrow filter pass
+    cond = text.quality_score(F.col(tcol)) >= cfg.min_quality
+    if cfg.allowed_langs:
+        cond = cond & text.langid_expr(F.col(tcol)).isin(*cfg.allowed_langs)
+    if cfg.clf_weights is not None:
+        cond = cond & (
+            lm.hashed_linear_logit_expr(cfg.clf_weights, cfg.clf_dim, F.col(tcol))
+            >= cfg.clf_min_logit
+        )
+    cur = stage("quality_gate", cur.filter(cond))
+
+    # 3. exact dedup (digest shuffle, lowest id survives)
+    cur = stage("exact_dedup", dedup.exact_dedup(cur, tcol, icol))
+
+    # 4. near-dup dedup: LSH candidates → connected components → keep each
+    # component's canonical (minimum-id) member. The corpus side exits via
+    # one anti-join against the non-canonical decision table.
+    pairs = dedup.minhash_lsh_pairs(
+        cur, text_col=tcol, id_col=icol, threshold=cfg.neardup_threshold
+    ).select("id_a", "id_b")
+    losers = (
+        dedup.dedup_clusters(pairs)  # (doc_id, canonical_id) per clustered doc
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select(F.col("doc_id").alias(icol))
+    )
+    cur = stage("neardup_dedup", cur.join(losers, icol, "left_anti"))
+
+    # 5. benchmark decontamination (eval-leakage gate): broadcast bench
+    # shingle index, anti-join the contaminated train ids out
+    if bench is not None:
+        dirty = (
+            dedup.contamination_pairs(
+                cur, bench, text_col=tcol, id_col=icol,
+                min_shared=cfg.contamination_min_shared,
+            )
+            .select(F.col("train_id").alias(icol))
+            .distinct()
+        )
+        cur = stage("decontaminate", cur.join(dirty, icol, "left_anti"))
+
+    # 6. deterministic subsampling (retry-stable hash buckets)
+    if cfg.sample_fraction < 1.0:
+        cur = stage(
+            "sample", sampling.deterministic_sample(cur, icol, cfg.sample_fraction)
+        )
+
+    # 7. sequence packing on BPE-ish token counts (per-shard window pass)
+    packed = (
+        cur.withColumn("n_tokens", F.size(text.bpe_tokens(F.col(tcol))))
+        .withColumn("shard", sampling.hash_bucket(icol) % cfg.pack_shards)
+    )
+    packed = sampling.pack_greedy(
+        packed, "n_tokens", cfg.pack_budget, part_col="shard", order_col=icol
+    )
+    cur = stage("pack", packed)
+
+    # 8. ordered shard export (the one globally ordered shuffle)
+    n_shards = None
+    if cfg.out_dir:
+        n_shards = layout.write_sharded(
+            cur, cfg.out_dir, icol, rows_per_shard=cfg.rows_per_shard
+        )
+
+    report = {
+        "stages": stages,
+        "input_rows": stages[0]["rows"],
+        "output_rows": stages[-1]["rows"],
+        "out_dir": cfg.out_dir,
+        "n_shards": n_shards,
+    }
+    if prev_ckpt is not None:
+        release_local_checkpoint(prev_ckpt)
+    return report

@@ -1,0 +1,83 @@
+"""End-to-end corpus curation pipeline: clean → gates → dedup → decontam →
+pack → shard export, with run-report diagnostics (C1/C3 analog for the LLM
+surface)."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from pulfa_sausage_factory_spark.io import load_table
+from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+    CurationConfig,
+    run_curation,
+)
+
+
+def test_curation_end_to_end(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # benchmark slice drawn FROM the corpus — contaminated by construction,
+    # so decontamination must remove exactly these surviving ids
+    bench = docs.filter(F.col("doc_id") % 100 == 7).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+
+    out_dir = str(tmp_path / "corpus")
+    cfg = CurationConfig(min_quality=0.0, rows_per_shard=50, out_dir=out_dir)
+    report = run_curation(spark, docs, cfg, bench=bench)
+
+    names = [s["stage"] for s in report["stages"]]
+    assert names == [
+        "input", "clean", "quality_gate", "exact_dedup", "neardup_dedup",
+        "decontaminate", "pack",
+    ]
+    # monotone: no stage invents rows, drops are consistent
+    rows = [s["rows"] for s in report["stages"]]
+    assert all(a >= b for a, b in zip(rows, rows[1:]))
+    for prev, s in zip(report["stages"], report["stages"][1:]):
+        assert s["dropped"] == prev["rows"] - s["rows"]
+    assert report["input_rows"] == docs.count()
+    assert report["output_rows"] > 0
+
+    # the bench docs' verbatim twins are gone from the output shards
+    files = sorted(glob.glob(f"{out_dir}/*.parquet"))
+    assert files and report["n_shards"] >= 1
+    out_ids = set()
+    total = 0
+    for f in files:
+        t = pq.read_table(f, columns=["doc_id", "pack_id", "n_tokens"])
+        out_ids.update(t.column("doc_id").to_pylist())
+        total += t.num_rows
+    assert total == report["output_rows"]
+    bench_sources = {r.doc_id - 1_000_000 for r in bench.collect()}
+    assert not (out_ids & bench_sources)
+
+    # decontamination actually fired (bench ⊂ corpus ⇒ overlaps existed for
+    # every bench source that survived the earlier stages)
+    decon = next(s for s in report["stages"] if s["stage"] == "decontaminate")
+    assert decon["dropped"] > 0
+
+
+def test_curation_is_deterministic(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").limit(200).select("doc_id", "text")
+    cfg = CurationConfig(min_quality=0.2, sample_fraction=0.8)
+    a = run_curation(spark, docs, cfg)
+    b = run_curation(spark, docs, cfg)
+    assert a["stages"] == b["stages"]  # hash gates + dedup: no RNG anywhere
+
+
+def test_curation_classifier_gate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(100).select("doc_id", "text")
+    # all-negative weights + positive threshold → classifier rejects all
+    cfg = CurationConfig(
+        min_quality=0.0,
+        clf_weights={i: -1.0 for i in range(16)},
+        clf_dim=16,
+        clf_min_logit=0.5,
+    )
+    report = run_curation(spark, docs, cfg)
+    gate = next(s for s in report["stages"] if s["stage"] == "quality_gate")
+    assert gate["rows"] == 0
+    assert report["output_rows"] == 0
