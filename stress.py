@@ -139,6 +139,29 @@ def main() -> None:
             ),
         ),
     )
+
+    # the COMPOSED curation DAG at amplified scale: gates + both dedups +
+    # decontamination + packing chained end-to-end (no shard write — the
+    # ops, not local disk, are what is under test)
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        CurationConfig,
+        run_curation,
+    )
+
+    t0 = time.perf_counter()
+    rep = run_curation(
+        spark,
+        docs,
+        CurationConfig(min_quality=0.0),
+        bench=io.load_table(spark, sf_dir, "documents").limit(200),
+    )
+    dt = round(time.perf_counter() - t0, 2)
+    out["ops"]["curation_pipeline"] = {
+        "rows": rep["output_rows"],
+        "sec": dt,
+        "stages": {s["stage"]: s["rows"] for s in rep["stages"]},
+    }
+    print(f"# curation_pipeline: {rep['output_rows']} rows in {dt}s", file=sys.stderr)
     print(json.dumps(out))
 
 
