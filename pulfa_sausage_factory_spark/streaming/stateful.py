@@ -123,3 +123,55 @@ def running_user_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_stats_tws(
+    stream: DataFrame, user_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Spark-4-native twin of ``running_user_stats`` on the
+    ``transformWithStateInPandas`` API (StatefulProcessor + typed
+    ``ValueState``): same lifetime per-user counters, same output schema.
+
+    Why both exist: ``applyInPandasWithState`` is the long-stable API;
+    ``transformWithState`` is its successor with composable typed state
+    (value/list/map state, timers, TTL) and is where new Spark state
+    features land. The engine exposes the same operator on each so a
+    deployment can choose per cluster version. Requires the RocksDB state
+    store provider (``spark.sql.streaming.stateStore.providerClass`` →
+    ``RocksDBStateStoreProvider``) — the store transformWithState is
+    built on; that is also the right production store for 100 TB state
+    (incremental checkpoints, no JVM-heap state residency). Also requires
+    the ``protobuf`` Python package (the TWS driver↔worker channel is
+    protobuf-framed); environments without it fail query start with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE — the test suite skips
+    there (this container: protobuf absent, same class of principled skip
+    as the xerial JDBC jar).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", STATS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, s = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf[value_col].sum())
+            self._agg.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(user_col).transformWithStateInPandas(
+        statefulProcessor=_RunningStats(),
+        outputStructType=STATS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
