@@ -441,7 +441,7 @@ def bpe_encode(
 ):
     """Apply a trained BPE vocabulary: text → ``array<int>`` token ids.
     Completes the tokenizer loop (``bpe_train_merges`` → encode →
-    ``sampling.pack_sequences`` on exact token counts).
+    ``sampling.pack_greedy`` on exact token counts).
 
     Encoding is the classic ranked-merge algorithm: split each word to
     characters, repeatedly apply the lowest-rank applicable merge until
