@@ -148,11 +148,14 @@ _SHINGLE_POS_MULT = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
 def _minhash_sig_udf(num_hashes: int = 32, n: int = 3, seed: int = 42):
     """Arrow-batched pandas UDF: text → array<long> minhash signature.
 
-    Tokenize, crc32 each DISTINCT token once (dict cache amortized across
-    the batch — corpus vocabulary ≪ token stream), then form each
-    n-token shingle's 64-bit hash as a position-weighted rolling combine
-    of the token hashes (numpy slicing, uint64 wraparound) and run all
-    ``num_hashes`` affine permutations as one broadcast min-reduce.
+    Tokenize, hash each DISTINCT token once (md5-low-32 — like
+    ``exact_dedup``, md5 rather than a faster non-cryptographic hash so
+    the DuckDB oracle can reproduce the whole signature chain bit-for-bit;
+    the dict cache amortizes it across the batch — corpus vocabulary ≪
+    token stream), then form each n-token shingle's 64-bit hash as a
+    position-weighted rolling combine of the token hashes (numpy slicing,
+    uint64 wraparound) and run all ``num_hashes`` affine permutations as
+    one broadcast min-reduce.
     Profiled at 500k docs: building shingle STRINGS and hashing them
     dominated the old signature pass (~45 s); the rolling combine needs no
     per-shingle string at all. The shingle hash only has to be a uniform
@@ -162,7 +165,7 @@ def _minhash_sig_udf(num_hashes: int = 32, n: int = 3, seed: int = 42):
     array cost ~5 s at sf0.1 vs sub-second here). At cluster scale the UDF
     stays embarrassingly parallel (per-batch numpy, no cross-task state),
     so the tradeoff holds at 100 TB, not just locally."""
-    import zlib
+    import hashlib
 
     import numpy as np
     import pandas as pd
@@ -171,11 +174,12 @@ def _minhash_sig_udf(num_hashes: int = 32, n: int = 3, seed: int = 42):
     a = params[:, 0][:, None]
     b = params[:, 1][:, None]
     pos_mult = np.array(_SHINGLE_POS_MULT[:n], dtype=np.uint64)
+    md5 = hashlib.md5
 
     def sig(text):
         out = []
-        crc_cache: dict[str, int] = {}
-        cached_crc = crc_cache.get
+        tok_cache: dict[str, int] = {}
+        cached_hash = tok_cache.get
         for t in text:
             toks = t.lower().split(" ")
             L = len(toks)
@@ -184,10 +188,11 @@ def _minhash_sig_udf(num_hashes: int = 32, n: int = 3, seed: int = 42):
                 continue
             tc = np.empty(L, dtype=np.uint64)
             for j, tok in enumerate(toks):
-                v = cached_crc(tok)
+                v = cached_hash(tok)
                 if v is None:
-                    v = zlib.crc32(tok.encode("utf-8"))
-                    crc_cache[tok] = v
+                    # == int(md5 hexdigest[:8], 16): oracle-reproducible
+                    v = int.from_bytes(md5(tok.encode("utf-8")).digest()[:4], "big")
+                    tok_cache[tok] = v
                 tc[j] = v
             h = tc[: L - n + 1] * pos_mult[0]
             for i in range(1, n):
@@ -292,8 +297,10 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     Vectorized numpy UDF for the same reason as the minhash signatures: the
     pure-expression form (64 interpreted ``aggregate`` folds over the token
     hashes, outside whole-stage codegen) cost ~2 s per 5k docs; the numpy
-    bit-matrix vote is ~50× cheaper and scales per-batch on executors."""
-    import zlib
+    bit-matrix vote is ~50× cheaper and scales per-batch on executors.
+    Token hash is md5-high-64 (oracle-reproducible, like the minhash
+    signatures), cached per distinct token per batch."""
+    import hashlib
 
     import numpy as np
     import pandas as pd
@@ -301,14 +308,15 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     shifts = np.arange(64, dtype=np.uint64)
 
     powers = (np.uint64(1) << shifts).astype(np.uint64)
+    md5 = hashlib.md5
 
     def sim(text):
         out = []
         # 64-bit token hash cached per batch: the vocabulary is orders of
-        # magnitude smaller than the token stream, so the two crc32 calls
-        # per token amortize to near-zero (same trick as the minhash UDF)
-        crc_cache: dict[str, int] = {}
-        cached = crc_cache.get
+        # magnitude smaller than the token stream, so the md5 call per
+        # token amortizes to near-zero (same trick as the minhash UDF)
+        tok_cache: dict[str, int] = {}
+        cached = tok_cache.get
         for t in text:
             toks = {w for w in t.lower().split()} - {""}
             if not toks:
@@ -318,9 +326,9 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             for j, w in enumerate(toks):
                 v = cached(w)
                 if v is None:
-                    b = w.encode("utf-8")
-                    v = zlib.crc32(b) | (zlib.crc32(b + b"#") << 32)
-                    crc_cache[w] = v
+                    # == int(md5 hexdigest[:16], 16): oracle-reproducible
+                    v = int.from_bytes(md5(w.encode("utf-8")).digest()[:8], "big")
+                    tok_cache[w] = v
                 h[j] = v
             bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
             votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)

@@ -613,13 +613,112 @@ def x2_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
 
 
-# X2 scale paths — MinHash LSH (xxhash64 signatures, banded bucket join)
-# and SimHash hamming pairs via pigeonhole banding (crc32 signatures), as a
-# tagged union (merged registration, round 3; simhash64 fingerprints are
-# computed inside the neardup path). Rows-only: both signature families use
-# hash functions DuckDB lacks; LSH≡brute-force equivalence is pinned in
-# tests/test_dedup_clusters.py / test_text_ops.py instead.
-@register("x2b_hash_neardup", None)
+# X2 scale paths — MinHash LSH (banded bucket join) and SimHash hamming
+# pairs via pigeonhole banding, as a tagged union (merged registration,
+# round 3). Fully oracle-checked since round 4: token hashes are
+# md5-derived (like exact_dedup — md5 so DuckDB can reproduce them), and
+# the rest of both chains is integer-exact: the oracle replays the
+# position-weighted shingle combine and the 32 affine permutations in
+# HUGEINT arithmetic mod 2^64, re-bands the signatures, and re-derives
+# candidates from band-tuple equality (Spark's xxhash64 bucket key is
+# only a join key — pairs agree iff the band tuples agree, up to a
+# negligible 64-bit hash collision). Quality properties (LSH vs exact
+# Jaccard, banding vs brute-force hamming) stay pinned in
+# tests/test_dedup_clusters.py / test_text_ops.py.
+_MINHASH_PARAMS_SQL = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup._perm_params(32, 42))
+)
+_POW64_SQL = ", ".join(f"({k}, {1 << k})" for k in range(64))
+_SIMHASH_BANDPOW_SQL = ", ".join(f"({b}, {1 << (16 * b)})" for b in range(4))
+_M64 = 1 << 64
+
+
+@register(
+    "x2b_hash_neardup",
+    rf"""
+    WITH params(i, a, b) AS (VALUES {_MINHASH_PARAMS_SQL}),
+    pow(k, p) AS (VALUES {_POW64_SQL}),
+    bandpow(band_no, bp) AS (VALUES {_SIMHASH_BANDPOW_SQL}),
+    base AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+             FROM documents),
+    tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+            FROM base),
+    th AS (SELECT doc_id, pos,
+                  CAST(('0x' || substr(md5(toks[pos]), 1, 8)) AS BIGINT) AS h
+           FROM tok),
+    sh0 AS (SELECT doc_id, h, lead(h, 1) OVER w AS h1, lead(h, 2) OVER w AS h2
+            FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    shingle AS (
+      SELECT DISTINCT doc_id,
+             CAST((CAST(h AS HUGEINT) * {dedup._SHINGLE_POS_MULT[0]}
+                   + CAST(h1 AS HUGEINT) * {dedup._SHINGLE_POS_MULT[1]}
+                   + CAST(h2 AS HUGEINT) * {dedup._SHINGLE_POS_MULT[2]})
+                  % {_M64} AS HUGEINT) AS sh
+      FROM sh0 WHERE h2 IS NOT NULL),
+    sig AS (
+      SELECT doc_id, p.i,
+             CAST(min((CAST(p.a AS HUGEINT) * sh + p.b) % {_M64}) // 2
+                  AS BIGINT) AS s
+      FROM shingle CROSS JOIN params p GROUP BY doc_id, p.i),
+    fullsig AS (SELECT doc_id, list(s ORDER BY i) AS sig FROM sig
+                GROUP BY doc_id),
+    band AS (SELECT doc_id, i // 4 AS band_no, list(s ORDER BY i) AS key
+             FROM sig GROUP BY doc_id, i // 4),
+    mh_cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM band x JOIN band y
+        ON x.band_no = y.band_no AND x.key = y.key AND x.doc_id < y.doc_id),
+    mh AS (
+      SELECT 'minhash' AS kind, id_a, id_b, score FROM (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_filter(generate_series(1, 32),
+                                    k -> sa.sig[k] = sb.sig[k])) AS DOUBLE)
+                 / 32.0 AS score
+        FROM mh_cand c
+        JOIN fullsig sa ON c.id_a = sa.doc_id
+        JOIN fullsig sb ON c.id_b = sb.doc_id)
+      WHERE score >= 0.2),
+    stok AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        FROM documents)
+      WHERE tok <> ''),
+    sth AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)::HUGEINT
+               * 4294967296
+             + CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h
+      FROM stok),
+    votes AS (
+      SELECT doc_id, pow.k,
+             SUM(CASE WHEN (h // pow.p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      FROM sth CROSS JOIN pow GROUP BY doc_id, pow.k),
+    simh AS (
+      SELECT v.doc_id, COALESCE(SUM(pow.p) FILTER (WHERE v.v > 0), 0) AS u
+      FROM votes v JOIN pow ON v.k = pow.k GROUP BY v.doc_id),
+    simh2 AS (
+      SELECT doc_id, u,
+             CAST(CASE WHEN u >= 9223372036854775808 THEN u - {_M64}
+                       ELSE u END AS BIGINT) AS simhash
+      FROM simh),
+    sband AS (
+      SELECT doc_id, band_no, CAST((u // bp) % 65536 AS BIGINT) AS band_bits
+      FROM simh2 CROSS JOIN bandpow),
+    sh_cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM sband x JOIN sband y
+        ON x.band_no = y.band_no AND x.band_bits = y.band_bits
+           AND x.doc_id < y.doc_id),
+    shp AS (
+      SELECT 'simhash' AS kind, c.id_a, c.id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS DOUBLE) AS score
+      FROM sh_cand c
+      JOIN simh2 a ON c.id_a = a.doc_id
+      JOIN simh2 b ON c.id_b = b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+    SELECT * FROM mh UNION ALL SELECT * FROM shp
+    """,
+)
 def x2b_hash_neardup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     mh = dedup.minhash_lsh_pairs(docs, threshold=0.2).select(
