@@ -145,9 +145,68 @@ def event_profile(events: DataFrame) -> DataFrame:
 def approx_profile(events: DataFrame) -> DataFrame:
     """X7 — approximate distinct/quantiles per event_type. HLL++ and
     KLL-style sketches are mergeable → partial aggregation, one shuffle of
-    sketch bytes, never of raw values. (Approx values are engine-specific,
-    so the driver records a rows-only check for this one.)"""
+    sketch bytes, never of raw values. (Approx values are engine-specific
+    — the portable twin below is the oracle-checked surface; this one is
+    pinned by a tolerance-vs-exact test.)"""
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("value_quantiles"),
     )
+
+
+def approx_profile_portable(
+    events: DataFrame, k: int = 64, sample_mod: int = 10
+) -> DataFrame:
+    """X7 (portable variant) — the same approximate profile built from
+    engine-portable, deterministic approximation algorithms, so a DuckDB
+    oracle reproduces every output bit-for-bit:
+
+    - **KMV distinct sketch** (k-minimum-values): md5-hash each user id to
+      a 60-bit integer, keep each type's k-th smallest distinct hash;
+      ``est ≈ (k-1) · 2^60 / h_k``. KMV is mergeable (min-k of a union =
+      min-k of merged min-k sets), so at 100 TB it partial-aggregates
+      exactly like HLL — the shuffle carries k hashes per group, never
+      raw ids. Exact below k distinct (the estimator returns the count).
+    - **Deterministic-sample quantiles**: exact interpolated percentiles
+      over the ~1/``sample_mod`` hash-bucket sample of events (same
+      retry-stable rule as ``sampling.deterministic_sample``) — the
+      classic sample-quantile estimator with a reproducible sample.
+
+    All arithmetic is integer-derived (md5 → BIGINT, one double division
+    with exactly-representable operands), hence identical across engines
+    and partitionings."""
+    h_user = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("h")
+    kmv = (
+        events.select("event_type", h_user.alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
+        )
+        .select(
+            "event_type",
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+            .otherwise(F.lit(float((k - 1) * (1 << 60))) / F.col("kth"))
+            .alias("est_users"),
+        )
+    )
+    h_event = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    quants = (
+        events.filter(F.pmod(h_event, F.lit(sample_mod)) == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+    )
+    return kmv.join(quants, "event_type")

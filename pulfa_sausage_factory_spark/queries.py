@@ -1004,22 +1004,52 @@ def x6_multimodal_meta(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# X7 — approximate sketches (rows-only; the exact-distinct twin is under
-# oracle inside x5_event_profile)
+# X7 — approximate sketches. Oracle-checked since round 4 via the PORTABLE
+# sketch pair (KMV k-minimum-values distinct estimation + deterministic-
+# hash-sample quantiles — real mergeable approximation algorithms whose
+# outputs are integer/float-exact across engines). The engine-native
+# HLL++/KLL twin (events.approx_profile) stays a library op pinned by a
+# tolerance-vs-exact test; the exact-distinct twin is under oracle inside
+# x5_event_profile.
 # ---------------------------------------------------------------------------
-@register("x7_approx_profile", None)
+@register(
+    "x7_approx_profile",
+    f"""
+    WITH kmv AS (
+      SELECT event_type,
+             COUNT(*) AS n_kept,
+             MAX(CASE WHEN rn = 64 THEN h END) AS kth
+      FROM (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM (
+          SELECT DISTINCT event_type,
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS h
+          FROM events))
+      WHERE rn <= 64 GROUP BY event_type),
+    est AS (
+      SELECT event_type,
+             CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                  ELSE {float(63 * (1 << 60))!r} / kth END AS est_users
+      FROM kmv),
+    quants AS (
+      SELECT event_type,
+             COUNT(*) AS n_sampled,
+             quantile_cont(value, 0.5) AS p50,
+             quantile_cont(value, 0.95) AS p95,
+             quantile_cont(value, 0.99) AS p99
+      FROM events
+      WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 10 = 0
+      GROUP BY event_type)
+    SELECT e.event_type, e.est_users, q.n_sampled, q.p50, q.p95, q.p99
+    FROM est e JOIN quants q ON e.event_type = q.event_type
+    """,
+)
 def x7_approx_profile(spark, sf_dir):
-    # Quantile array serialized to fixed-precision CSV — the driver's
-    # rows-only canonicalizer can't hash list cells (same as x6e).
     ev = _t(spark, sf_dir, "events")
-    prof = events.approx_profile(ev)
-    return prof.withColumn(
-        "value_quantiles",
-        F.array_join(
-            F.transform("value_quantiles", lambda x: F.format_string("%.4f", x)),
-            ",",
-        ),
-    )
+    return events.approx_profile_portable(ev, k=64, sample_mod=10)
 
 
 # ---------------------------------------------------------------------------

@@ -170,3 +170,33 @@ def test_approx_sketches_within_tolerance(spark, sf_dir):
         assert abs(a.approx_users - e.n_users) <= max(1, 0.05 * e.n_users), et
         q50, q95, q99 = a.value_quantiles
         assert e.lo <= q50 <= q95 <= q99 <= e.hi, et
+
+
+def test_portable_kmv_sketch_within_tolerance(spark, sf_dir):
+    """The oracle-checked portable sketches must still be good ESTIMATES:
+    KMV distinct within 25% of exact (k=64 -> ~1/sqrt(62) ~ 13% expected
+    error), sampled quantiles inside the true value range and ordered."""
+    from pulfa_sausage_factory_spark.io import load_table
+    from pulfa_sausage_factory_spark.operators import events as ev_ops
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {r.event_type: r for r in ev_ops.approx_profile_portable(ev).collect()}
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact) and len(got) > 0
+    for t, r in got.items():
+        e = exact[t]
+        assert abs(r.est_users - e.n_users) <= 0.25 * e.n_users, (
+            t, r.est_users, e.n_users,
+        )
+        assert e.lo <= r.p50 <= r.p95 <= r.p99 <= e.hi
+        assert r.n_sampled > 0
