@@ -42,7 +42,9 @@ class CurationConfig:
     clf_weights: dict | None = None  # None = no classifier gate
     clf_dim: int = 64
     clf_min_logit: float = 0.0
-    neardup_threshold: float = 0.5
+    neardup_method: str = "minhash"  # "minhash" | "simhash" | "none"
+    neardup_threshold: float = 0.5  # minhash est-Jaccard floor
+    neardup_max_hamming: int = 3  # simhash bit budget
     contamination_min_shared: int = 5
     sample_fraction: float = 1.0
     pack_budget: int = 2048
@@ -107,18 +109,32 @@ def run_curation(
     # 3. exact dedup (digest shuffle, lowest id survives)
     cur = stage("exact_dedup", dedup.exact_dedup(cur, tcol, icol))
 
-    # 4. near-dup dedup: LSH candidates → connected components → keep each
-    # component's canonical (minimum-id) member. The corpus side exits via
-    # one anti-join against the non-canonical decision table.
-    pairs = dedup.minhash_lsh_pairs(
-        cur, text_col=tcol, id_col=icol, threshold=cfg.neardup_threshold
-    ).select("id_a", "id_b")
-    losers = (
-        dedup.dedup_clusters(pairs)  # (doc_id, canonical_id) per clustered doc
-        .filter(F.col("doc_id") != F.col("canonical_id"))
-        .select(F.col("doc_id").alias(icol))
-    )
-    cur = stage("neardup_dedup", cur.join(losers, icol, "left_anti"))
+    # 4. near-dup dedup: candidate pairs (MinHash LSH or SimHash banding,
+    # per config) → connected components → keep each component's canonical
+    # (minimum-id) member. The corpus side exits via one anti-join against
+    # the non-canonical decision table.
+    if cfg.neardup_method == "minhash":
+        pairs = dedup.minhash_lsh_pairs(
+            cur, text_col=tcol, id_col=icol, threshold=cfg.neardup_threshold
+        ).select("id_a", "id_b")
+    elif cfg.neardup_method == "simhash":
+        pairs = dedup.simhash_neardup_pairs(
+            cur, text_col=tcol, id_col=icol, max_hamming=cfg.neardup_max_hamming
+        ).select("id_a", "id_b")
+    elif cfg.neardup_method == "none":
+        pairs = None
+    else:
+        raise ValueError(
+            f"neardup_method must be minhash|simhash|none, got "
+            f"{cfg.neardup_method!r}"
+        )
+    if pairs is not None:
+        losers = (
+            dedup.dedup_clusters(pairs)  # (doc_id, canonical_id) per doc
+            .filter(F.col("doc_id") != F.col("canonical_id"))
+            .select(F.col("doc_id").alias(icol))
+        )
+        cur = stage("neardup_dedup", cur.join(losers, icol, "left_anti"))
 
     # 5. benchmark decontamination (eval-leakage gate): broadcast bench
     # shingle index, anti-join the contaminated train ids out

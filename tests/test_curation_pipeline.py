@@ -81,3 +81,23 @@ def test_curation_classifier_gate(spark, sf_dir):
     gate = next(s for s in report["stages"] if s["stage"] == "quality_gate")
     assert gate["rows"] == 0
     assert report["output_rows"] == 0
+
+
+def test_curation_neardup_method_knob(spark, sf_dir):
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").limit(150).select("doc_id", "text")
+    by_method = {}
+    for m in ("minhash", "simhash", "none"):
+        rep = run_curation(
+            spark, docs, CurationConfig(min_quality=0.0, neardup_method=m)
+        )
+        names = [s["stage"] for s in rep["stages"]]
+        assert ("neardup_dedup" in names) == (m != "none")
+        by_method[m] = rep["output_rows"]
+    # skipping near-dup keeps at least as many rows as running it
+    assert by_method["none"] >= max(by_method["minhash"], by_method["simhash"])
+    with pytest.raises(ValueError, match="neardup_method"):
+        run_curation(
+            spark, docs, CurationConfig(neardup_method="bogus")
+        )
