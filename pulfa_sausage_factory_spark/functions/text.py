@@ -243,6 +243,16 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+[0-9]{1,2} \([0-9]{3}\) [0-9]{3}-[0-9]{4}"
 
 
+def collapse_repeated_lines(col: Column | str, sep: str = "\n") -> Column:
+    """Within-document repeated-line removal (the doc-local half of C4-style
+    line dedup; the corpus-level half is ``dedup.dedup_corpus_lines``):
+    keep each distinct line's FIRST occurrence, preserving order.
+    ``array_distinct`` keeps first-occurrence order by contract, so this is
+    a pure per-row expression — no shuffle, no UDF, scales as a map stage."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.array_distinct(F.split(c, sep)), sep)
+
+
 def count_matches(col: Column | str, pattern: str) -> Column:
     """Occurrences of ``pattern`` (regexp_extract_all + size — JVM-side)."""
     return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))

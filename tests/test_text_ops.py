@@ -368,3 +368,33 @@ def test_temperature_resample_extreme_skew_keeps_majority_domain(spark):
     assert got.get("rare") == 1
     # ideal expected count is 1 per domain; hash noise allowed, zero is not
     assert 1 <= got.get("web", 0) <= 40
+
+
+def test_collapse_repeated_lines_matches_reference(spark):
+    from pulfa_sausage_factory_spark.functions.text import (
+        collapse_repeated_lines,
+    )
+    from pulfa_sausage_factory_spark.plans import audit
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a\nb\na\nc\nb"),
+        (2, "x\nx\nx"),
+        (3, "only one line"),
+        (4, ""),
+        (5, "a\n\na\n\nb"),  # blank lines dedupe like any other line
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select("doc_id", collapse_repeated_lines("text").alias("t"))
+    assert audit.count_exchanges(out) == 0  # pure map stage
+
+    def ref(t):
+        seen, keep = set(), []
+        for line in t.split("\n"):
+            if line not in seen:
+                seen.add(line)
+                keep.append(line)
+        return "\n".join(keep)
+
+    got = {r.doc_id: r.t for r in out.collect()}
+    assert got == {i: ref(t) for i, t in rows}
