@@ -413,13 +413,15 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("canonical_id"))
 
 
-def simhash_neardup_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def hamming_neardup_pairs(
+    hashes: DataFrame,
+    hash_col: str = "simhash",
+    id_col: str = "id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """X2 — SimHash near-dup pairs within ``max_hamming`` bit flips.
+    """Generic 64-bit-fingerprint near-dup pairs within ``max_hamming`` bit
+    flips — the banding core shared by text SimHash and image perceptual
+    hashes (``operators.multimodal.image_dhash``).
 
     Pigeonhole banding: split the 64-bit fingerprint into
     ``max_hamming + 1`` bands — any pair within the distance budget agrees
@@ -430,16 +432,18 @@ def simhash_neardup_pairs(
     budget (pigeonhole is exact, unlike probabilistic LSH)."""
     n_bands = max_hamming + 1
     width = 64 // n_bands  # 16 bits per band for the default budget
-    sims = simhash64(df, text_col, id_col).cache()
+    sims = hashes.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("_h")
+    ).cache()
     banded = sims.select(
         "id",
-        "simhash",
+        "_h",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_no"),
-                        F.shiftrightunsigned("simhash", b * width)
+                        F.shiftrightunsigned("_h", b * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("band_bits"),
                     )
@@ -447,8 +451,8 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("id", "simhash", "band.band_no", "band.band_bits")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ).select("id", "_h", "band.band_no", "band.band_bits")
+    hamming = F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
     return (
         banded.alias("a")
         .join(banded.alias("b"), ["band_no", "band_bits"])
@@ -461,6 +465,22 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .groupBy("id_a", "id_b")
         .agg(F.first("hamming").alias("hamming"))
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """X2 — SimHash near-dup pairs within ``max_hamming`` bit flips (see
+    ``hamming_neardup_pairs`` for the banding design)."""
+    return hamming_neardup_pairs(
+        simhash64(df, text_col, id_col),
+        hash_col="simhash",
+        id_col="id",
+        max_hamming=max_hamming,
     )
 
 
@@ -492,6 +512,162 @@ def contamination_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def _window_hash_udf(k: int, seed: int = 7):
+    """Arrow-batched pandas UDF: text → ``array<struct<h1,h2>>`` of 128-bit
+    (two independent 64-bit) rolling hashes, one per k-token window start.
+
+    Same numpy shape as ``_minhash_sig_udf``: per-token md5-low-32 hashes
+    cached per distinct token per batch, then every k-window's hash is a
+    position-weighted rolling combine (uint64 wraparound) — no per-window
+    string is ever built, which is what made shingle-string hashing the
+    dominant cost in the minhash profile. TWO independent position-multiplier
+    sets give an effective 128-bit window key: at 100 TB (~10¹² windows) a
+    single 64-bit key would see birthday collisions — two distinct substrings
+    deduping against each other — while 128 bits keeps the expected collision
+    count ≪ 1 without shipping window text through the shuffle."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    # k odd 64-bit multipliers per hash lane, from the same deterministic LCG
+    # as the minhash permutations (distinct seeds → independent lanes)
+    lanes = []
+    for lane_seed in (seed, seed + 104729):
+        state = lane_seed
+        mults = np.empty(k, dtype=np.uint64)
+        for i in range(k):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            mults[i] = (state >> 3) | 1
+        lanes.append(mults)
+    md5 = hashlib.md5
+
+    def win_hashes(text):
+        out = []
+        tok_cache: dict[str, int] = {}
+        cached = tok_cache.get
+        for t in text:
+            if t is None:
+                out.append(None)
+                continue
+            toks = t.split(" ")
+            L = len(toks)
+            if L < k:
+                out.append([])
+                continue
+            tc = np.empty(L, dtype=np.uint64)
+            for j, tok in enumerate(toks):
+                v = cached(tok)
+                if v is None:
+                    v = int.from_bytes(md5(tok.encode("utf-8")).digest()[:4], "big")
+                    tok_cache[tok] = v
+                tc[j] = v
+            n_win = L - k + 1
+            hs = []
+            for mults in lanes:
+                h = tc[:n_win] * mults[0]
+                for i in range(1, k):
+                    h = h + tc[i : n_win + i] * mults[i]  # uint64 wraparound
+                hs.append((h >> np.uint64(1)).astype(np.int64))
+            out.append(
+                [{"h1": int(a), "h2": int(b)} for a, b in zip(hs[0], hs[1])]
+            )
+        return pd.Series(out)
+
+    win_hashes.__annotations__ = {"text": pd.Series, "return": pd.Series}
+    return F.pandas_udf(win_hashes, "array<struct<h1: long, h2: long>>")
+
+
+def dedup_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """X2 follow-through — EXACT substring deduplication across the corpus
+    (the Lee et al. 2022 *"Deduplicating Training Data Makes Language Models
+    Better"* ExactSubstr operator): every duplicated token span of length
+    >= ``k`` tokens is kept only at its first corpus occurrence (ordered by
+    ``(doc_id, position)``) and its tokens are removed everywhere else.
+    Catches verbatim boilerplate / license blocks / quoted passages that
+    document-level near-dup (MinHash/SimHash) never sees because the
+    containing documents differ.
+
+    The reference algorithm builds a corpus-wide suffix array — inherently
+    single-machine. The Spark-first re-expression uses the window-anchoring
+    identity: a maximal duplicated substring of length L >= k is exactly the
+    union of its L-k+1 duplicated k-token windows, so
+
+        per-doc window hashes (one narrow Arrow pass, no shuffle)
+        → posexplode → first-occurrence ``row_number`` over the 128-bit
+          window key                                 [shuffle 1: by hash]
+        → non-first duplicated starts join back to the token frame
+                                                     [shuffle 2: by doc]
+        → per-token coverage = ``max(start-flag)`` over a k-row sliding
+          window → tokens under any covered window drop
+        → doc rebuild via ``collect_list`` on the SAME doc partitioning
+          (no extra exchange).
+
+    Every step is an equi-join / window over uniformly-hashed keys — no
+    cross join, no driver-side state, output-sensitive in the number of
+    duplicated windows. Viral windows (a passage repeated millions of
+    times) put all their occurrences in one hash partition for the
+    ``row_number`` — bounded by AQE skew handling, and each occurrence is
+    one 24-byte row, not document text.
+
+    Returns ``(id_col, clean_text, n_tokens_kept, n_tokens_dropped)`` —
+    one row per input document (docs shorter than ``k`` tokens, empty and
+    NULL texts pass through kept-whole).
+    """
+    src = df.select(F.col(id_col), F.col(text_col).alias("_text"))
+    win = src.select(
+        id_col, F.posexplode(_window_hash_udf(k)("_text")).alias("pos", "h")
+    )
+    wkey = Window.partitionBy("h.h1", "h.h2")
+    first = wkey.orderBy(id_col, "pos")
+    # count + row_number share the same partitioning → one exchange
+    dup_starts = (
+        win.withColumn("_occ", F.count(F.lit(1)).over(wkey))
+        .withColumn("_rn", F.row_number().over(first))
+        .filter((F.col("_occ") > 1) & (F.col("_rn") > 1))
+        .select(id_col, "pos", F.lit(1).alias("_dup_start"))
+    )
+    toks = src.select(
+        id_col, F.posexplode_outer(F.split(F.col("_text"), " ")).alias("pos", "tok")
+    )
+    cov = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(k - 1), 0)
+    marked = (
+        toks.join(dup_starts, [id_col, "pos"], "left")
+        .withColumn(
+            "_drop", F.max(F.coalesce("_dup_start", F.lit(0))).over(cov) == 1
+        )
+    )
+    rebuilt = marked.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_drop") & F.col("tok").isNotNull(),
+                            F.struct(F.col("pos"), F.col("tok")),
+                        )
+                    )
+                ),
+                lambda s: s.tok,
+            ),
+        ).alias("clean_text"),
+        F.sum(
+            F.when(~F.col("_drop") & F.col("tok").isNotNull(), 1).otherwise(0)
+        ).alias("n_tokens_kept"),
+        F.sum(F.when(F.col("_drop"), 1).otherwise(0)).alias("n_tokens_dropped"),
+    )
+    # NULL-text docs never produce token rows with non-null tok; they come
+    # back from posexplode_outer as a single null-token row → empty rebuild,
+    # matching dedup_corpus_lines' NULL contract.
+    return rebuilt
 
 
 def dedup_corpus_lines(

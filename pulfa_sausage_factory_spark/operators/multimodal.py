@@ -415,6 +415,112 @@ def image_ops(
     )
 
 
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("real_decode", T.BooleanType()),
+    ]
+)
+
+
+def _dhash_from_grid(grid) -> int:
+    """Difference hash over a 9×8 luminance grid: bit (r,c) = 1 iff
+    ``grid[r][c+1] > grid[r][c]`` — 64 bits, returned as signed int64
+    (two's complement) so it lands in a Spark ``long``."""
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            bits = (bits << 1) | (1 if grid[r][c + 1] > grid[r][c] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def fake_luminance_grid(blob: bytes) -> list[list[int]]:
+    """Deterministic fake 'decode' for the dHash path: resample the blob's
+    bytes onto the 9×8 grid by even stride indexing. NOT a real decode —
+    but it preserves the property a perceptual hash needs from one: a
+    small change to the content perturbs only the few grid cells that map
+    onto the changed bytes, so near-identical blobs get near-identical
+    hashes (hamming distance small). That makes the downstream banding
+    operator genuinely exercisable without an image library."""
+    n = len(blob)
+    if n == 0:
+        return [[0] * 9 for _ in range(8)]
+    return [
+        [blob[((r * 9 + c) * n) // 72] for c in range(9)] for r in range(8)
+    ]
+
+
+def image_dhash(
+    df: DataFrame, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """X6/X2 bridge — perceptual image hash (dHash): image → 64-bit
+    gradient fingerprint; visually-near-identical images (re-encodes,
+    small crops, watermarks) land within a few bit flips, so image-level
+    near-dup runs through the SAME pigeonhole hamming banding as text
+    SimHash (``operators.dedup.hamming_neardup_pairs``) — one narrow
+    Arrow pass here, then equi-joins only.
+
+    Real decode path (Pillow): grayscale → 9×8 resample → dHash — the
+    standard algorithm. Without an image library the luminance grid is a
+    DETERMINISTIC FAKE (byte resampling, see ``fake_luminance_grid``)
+    marked ``real_decode=false``; the hash RULE and all Spark plumbing are
+    identical in both paths."""
+    try:  # pragma: no cover - Pillow absent in this container
+        from PIL import Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in it:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(blob)
+                row = None
+                if has_pil:  # pragma: no cover
+                    from PIL import Image
+
+                    try:
+                        im = Image.open(io.BytesIO(b)).convert("L").resize((9, 8))
+                        px = list(im.getdata())
+                        grid = [px[r * 9 : (r + 1) * 9] for r in range(8)]
+                        row = (int(i), _dhash_from_grid(grid), True)
+                    except Exception:
+                        row = None
+                if row is None:
+                    row = (int(i), _dhash_from_grid(fake_luminance_grid(b)), False)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["id", "dhash", "real_decode"])
+
+    return df.select(F.col(id_col).alias(id_col), content_col).mapInPandas(
+        batches, DHASH_SCHEMA
+    )
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup pairs within ``max_hamming`` dHash bit flips —
+    ``image_dhash`` composed with the shared pigeonhole banding. Candidate
+    generation is equi-join only (no cross join); recall within the budget
+    is exact by the pigeonhole argument."""
+    from .dedup import hamming_neardup_pairs
+
+    return hamming_neardup_pairs(
+        image_dhash(df, content_col, id_col),
+        hash_col="dhash",
+        id_col="id",
+        max_hamming=max_hamming,
+    )
+
+
 FEATURIZE_META_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType()),

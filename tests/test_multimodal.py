@@ -151,3 +151,74 @@ def test_featurize_with_meta_matches_unfused(spark):
         assert fused[i]["features"] == plain[i], i
         assert fused[i]["byte_len"] == len(blob), i
         assert fused[i]["digest"] == hashlib.md5(blob).hexdigest(), i
+
+
+# ---- perceptual dHash + image near-dup (X6/X2 bridge) ----------------------
+
+
+def test_dhash_deterministic_and_sensitive(spark):
+    # n=720 → fake grid cell c samples byte 10*c exactly; tweaking ONE
+    # sampled byte must flip the adjacent comparison bits and nothing else
+    base = bytes(720)
+    tweaked = bytearray(base)
+    tweaked[10] = 255  # grid cell (0,1)
+    rows = [(1, base), (2, bytes(base)), (3, bytes(tweaked))]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {r.id: r for r in mm.image_dhash(df).collect()}
+    # identical content → identical hash; fake path marked
+    assert out[1].dhash == out[2].dhash
+    assert out[1].real_decode is out[2].real_decode
+    # all-zero grid has no ascending pair; 255 at (0,1) turns exactly the
+    # (0,0)<(0,1) comparison on — near-identical, NOT identical
+    ham = bin((out[1].dhash ^ out[3].dhash) & ((1 << 64) - 1)).count("1")
+    assert ham == 1
+
+
+def test_dhash_matches_grid_reference():
+    grid = [[(r * 13 + c * 7) % 256 for c in range(9)] for r in range(8)]
+    expect = 0
+    for r in range(8):
+        for c in range(8):
+            expect = (expect << 1) | (1 if grid[r][c + 1] > grid[r][c] else 0)
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    assert mm._dhash_from_grid(grid) == expect
+
+
+def test_image_neardup_banding_equals_bruteforce(spark):
+    import random
+
+    rng = random.Random(5)
+    blobs = []
+    for i in range(20):
+        blobs.append((i, bytes(rng.randrange(256) for _ in range(400))))
+    # plant near-dups: single-byte tweaks of blob 0 and 7
+    for j, src in [(20, 0), (21, 0), (22, 7)]:
+        b = bytearray(blobs[src][1])
+        b[100 + j] ^= 1
+        blobs.append((j, bytes(b)))
+    df = spark.createDataFrame(blobs, "id long, content binary")
+    hashes = {r.id: r.dhash for r in mm.image_dhash(df).collect()}
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.image_neardup_pairs(df, max_hamming=6).collect()
+    }
+    expect = {}
+    ids = sorted(hashes)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            h = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 6:
+                expect[(a, b)] = h
+    assert got == expect
+    assert any((a, b) in got for a, b in [(0, 20), (0, 21), (7, 22)])
+
+
+def test_image_neardup_plan_no_cartesian(spark):
+    from pulfa_sausage_factory_spark.plans.audit import assert_no_cartesian
+
+    df = spark.createDataFrame(
+        [(i, bytes([i] * 64)) for i in range(4)], "id long, content binary"
+    )
+    assert_no_cartesian(mm.image_neardup_pairs(df))
