@@ -182,3 +182,54 @@ def temperature_resample(
         _hash_bucket_fine(key)
         < _threshold_expr(domain_col, fractions, 0.0, FINE_BUCKETS, floor_one=True)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Long-document splitting into fixed-budget token chunks with overlap
+    — the context-window preparation step between cleaning and packing
+    (``pack_greedy`` then packs the CHUNKS): chunk ``i`` covers tokens
+    ``[i*stride, i*stride + max_tokens)`` with ``stride = max_tokens -
+    overlap``, so consecutive chunks share exactly ``overlap`` tokens and
+    every token is covered.
+
+    Pure column expressions (split → sequence explode → slice): a NARROW
+    op — no shuffle, parallelism follows source partitioning, output rows
+    = Σ ceil. NULL text behaves as an empty document (one empty chunk),
+    matching the dedup operators' NULL contract.
+
+    Returns ``(id_col, chunk_no, chunk_text, n_tokens)``.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    n = F.size(toks)
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        (F.lit(1) + F.ceil((n - max_tokens) / F.lit(stride))).cast("int")
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.explode(
+                F.sequence(F.lit(0), n_chunks - 1)
+            ).alias("chunk_no"),
+        )
+        .select(
+            id_col,
+            "chunk_no",
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("chunk_no") * stride + 1, max_tokens),
+                " ",
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(F.col("_toks"), F.col("chunk_no") * stride + 1, max_tokens)
+            ).alias("n_tokens"),
+        )
+    )

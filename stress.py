@@ -105,6 +105,25 @@ def main() -> None:
     run("minhash_lsh_pairs", lambda: dedup.minhash_lsh_pairs(docs))
     run("simhash_neardup", lambda: dedup.simhash_neardup_pairs(docs))
     run("line_dedup", lambda: dedup.dedup_corpus_lines(docs))
+    # exact substring dedup: window-hash pass + hash-key window + doc-side
+    # coverage/rebuild — the token frame is the largest intermediate
+    # (n_docs × doc_len rows), so this op stresses the per-token path
+    run("substring_dedup", lambda: dedup.dedup_substrings(docs, k=20))
+    # perceptual image near-dup: dHash Arrow pass + pigeonhole banding —
+    # binary content fabricated from the salted text (same convention as
+    # the x6 driver queries), so replicas share no fingerprints
+    from pulfa_sausage_factory_spark.operators import multimodal
+
+    run(
+        "image_neardup",
+        lambda: multimodal.image_neardup_pairs(
+            docs.select(
+                F.col("doc_id").alias("id"),
+                F.encode("text", "utf-8").alias("content"),
+            ),
+            max_hamming=3,
+        ),
+    )
     # event-time surface at amplified scale: shuffle on user_id
     # (sessionize — per-user sorted pass), pre-combined window aggs
     # (tumbling/sliding fan-out happens JVM-side before the shuffle), and

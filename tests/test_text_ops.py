@@ -398,3 +398,76 @@ def test_collapse_repeated_lines_matches_reference(spark):
 
     got = {r.doc_id: r.t for r in out.collect()}
     assert got == {i: ref(t) for i, t in rows}
+
+
+# ---- chunk_documents (context-window splitting) ----------------------------
+
+
+def _ref_chunks(text, max_tokens, overlap):
+    toks = (text or "").split(" ")
+    stride = max_tokens - overlap
+    out = []
+    i = 0
+    while True:
+        out.append(toks[i * stride : i * stride + max_tokens])
+        if i * stride + max_tokens >= len(toks):
+            break
+        i += 1
+    return out
+
+
+def test_chunk_documents_reference_equality(spark):
+    from pulfa_sausage_factory_spark.functions.sampling import chunk_documents
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(25))),
+        (2, "short doc"),
+        (3, None),
+        (4, " ".join(f"u{i}" for i in range(10))),  # exactly max_tokens
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, max_tokens=10, overlap=3).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_no, r.chunk_text, r.n_tokens))
+    for doc_id, text in docs:
+        expect = _ref_chunks(text, 10, 3)
+        chunks = sorted(got[doc_id])
+        assert [c[1] for c in chunks] == [" ".join(t) for t in expect]
+        assert [c[2] for c in chunks] == [len(t) for t in expect]
+        assert [c[0] for c in chunks] == list(range(len(expect)))
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from pulfa_sausage_factory_spark.functions.sampling import chunk_documents
+
+    n_tok, mx, ov = 57, 12, 4
+    df = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(n_tok)))], "doc_id long, text string"
+    )
+    chunks = sorted(
+        (r.chunk_no, r.chunk_text.split(" "))
+        for r in chunk_documents(df, max_tokens=mx, overlap=ov).collect()
+    )
+    seen = [t for _, toks in chunks for t in toks]
+    assert sorted(set(int(t) for t in seen)) == list(range(n_tok))  # lossless
+    for (_, a), (_, b) in zip(chunks, chunks[1:]):
+        assert a[-ov:] == b[:ov]  # consecutive chunks share exactly overlap
+        assert len(b) >= 1
+
+
+def test_chunk_documents_is_narrow(spark):
+    from pulfa_sausage_factory_spark.functions.sampling import chunk_documents
+    from pulfa_sausage_factory_spark.plans.audit import assert_no_exchange
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    assert_no_exchange(chunk_documents(df, max_tokens=3, overlap=1))
+
+
+def test_chunk_documents_validates_overlap(spark):
+    import pytest as _pytest
+
+    from pulfa_sausage_factory_spark.functions.sampling import chunk_documents
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=5, overlap=5)
