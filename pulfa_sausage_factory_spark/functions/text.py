@@ -517,3 +517,76 @@ def bpe_encode(
 
     encode.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return df.withColumn(out_col, F.pandas_udf(encode, "array<int>")(F.col(text_col)))
+
+
+def gopher_rules(
+    col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """X4 — the Gopher quality-filter rule set (Rae et al. 2021, App. A),
+    as one struct of named boolean gates plus the conjunction:
+
+    ``struct(word_count_ok, mean_word_len_ok, symbol_ratio_ok,
+    bullet_lines_ok, ellipsis_lines_ok, alpha_words_ok, stopwords_ok,
+    pass)`` — per-rule booleans survive into the run report so a corpus
+    audit can see WHICH rule dominates rejections, not just how many.
+
+    Every rule is a pure column expression (counts and ratios over the
+    token/line splits — codegen'd, zero UDFs, no shuffle); thresholds are
+    the published defaults, overridable per corpus.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(c, r"\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size(toks)
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    # total non-whitespace chars / words — whole-stage-codegen form of the
+    # per-token length fold (no HOF re-evaluation)
+    n_chars_in_words = F.length(F.regexp_replace(c, r"\s", ""))
+    mean_word_len = n_chars_in_words.cast("double") / safe_words
+    n_symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), 0))
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*([-*•]|\d+[.)])\s"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]")))
+    sw_hits = stopword_hits(c, "en")
+
+    word_count_ok = (n_words >= min_words) & (n_words <= max_words)
+    mean_word_len_ok = (mean_word_len >= min_mean_word_len) & (
+        mean_word_len <= max_mean_word_len
+    )
+    symbol_ratio_ok = n_symbols.cast("double") / safe_words <= max_symbol_ratio
+    bullet_lines_ok = bullet_lines.cast("double") / n_lines <= max_bullet_line_frac
+    ellipsis_lines_ok = (
+        ellipsis_lines.cast("double") / n_lines <= max_ellipsis_line_frac
+    )
+    alpha_words_ok = alpha_words.cast("double") / safe_words >= min_alpha_word_frac
+    stopwords_ok = sw_hits >= min_stopword_hits
+    return F.struct(
+        word_count_ok.alias("word_count_ok"),
+        mean_word_len_ok.alias("mean_word_len_ok"),
+        symbol_ratio_ok.alias("symbol_ratio_ok"),
+        bullet_lines_ok.alias("bullet_lines_ok"),
+        ellipsis_lines_ok.alias("ellipsis_lines_ok"),
+        alpha_words_ok.alias("alpha_words_ok"),
+        stopwords_ok.alias("stopwords_ok"),
+        (
+            word_count_ok
+            & mean_word_len_ok
+            & symbol_ratio_ok
+            & bullet_lines_ok
+            & ellipsis_lines_ok
+            & alpha_words_ok
+            & stopwords_ok
+        ).alias("pass"),
+    )

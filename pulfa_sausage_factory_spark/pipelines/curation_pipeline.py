@@ -38,6 +38,8 @@ class CurationConfig:
     """Knobs for one curation run; defaults keep every stage on."""
 
     min_quality: float = 0.3
+    use_gopher_gates: bool = False  # Rae et al. 2021 named rule set
+    gopher_overrides: dict | None = None  # threshold kwargs for gopher_rules
     allowed_langs: tuple[str, ...] = ()  # empty = no language gate
     clf_weights: dict | None = None  # None = no classifier gate
     clf_dim: int = 64
@@ -46,6 +48,9 @@ class CurationConfig:
     neardup_threshold: float = 0.5  # minhash est-Jaccard floor
     neardup_max_hamming: int = 3  # simhash bit budget
     contamination_min_shared: int = 5
+    substring_dedup_k: int | None = None  # None = no substring-dedup stage
+    chunk_max_tokens: int | None = None  # None = no chunking stage
+    chunk_overlap: int = 0
     sample_fraction: float = 1.0
     pack_budget: int = 2048
     pack_shards: int = 32
@@ -97,6 +102,10 @@ def run_curation(
     # 2. gates — pure column predicates (plus the inlined classifier for
     # small models); a single narrow filter pass
     cond = text.quality_score(F.col(tcol)) >= cfg.min_quality
+    if cfg.use_gopher_gates:
+        cond = cond & text.gopher_rules(
+            F.col(tcol), **(cfg.gopher_overrides or {})
+        )["pass"]
     if cfg.allowed_langs:
         cond = cond & text.langid_expr(F.col(tcol)).isin(*cfg.allowed_langs)
     if cfg.clf_weights is not None:
@@ -149,10 +158,49 @@ def run_curation(
         )
         cur = stage("decontaminate", cur.join(dirty, icol, "left_anti"))
 
+    # 5b. exact substring dedup (Lee et al. ExactSubstr): duplicated
+    # k-token spans removed everywhere but their first corpus occurrence;
+    # the cleaned text joins back on the id (extra cols ride along)
+    if cfg.substring_dedup_k is not None:
+        cleaned_subs = dedup.dedup_substrings(
+            cur.select(icol, tcol), text_col=tcol, id_col=icol,
+            k=cfg.substring_dedup_k,
+        ).select(icol, F.col("clean_text"))
+        cur = stage(
+            "substring_dedup",
+            cur.join(cleaned_subs, icol)
+            .withColumn(tcol, F.col("clean_text"))
+            .drop("clean_text")
+            .filter(F.length(tcol) > 0),
+        )
+
     # 6. deterministic subsampling (retry-stable hash buckets)
     if cfg.sample_fraction < 1.0:
         cur = stage(
             "sample", sampling.deterministic_sample(cur, icol, cfg.sample_fraction)
+        )
+
+    # 6b. context-window chunking: long documents split into
+    # max_tokens-sized chunks with overlap; chunk ids stay traceable to the
+    # source doc (doc_id·10⁶ + chunk_no — chunk counts are bounded far
+    # below 10⁶ by construction since doc length ≪ 10⁶·stride)
+    if cfg.chunk_max_tokens is not None:
+        chunks = sampling.chunk_documents(
+            cur.select(icol, tcol),
+            max_tokens=cfg.chunk_max_tokens,
+            overlap=cfg.chunk_overlap,
+            text_col=tcol,
+            id_col=icol,
+        )
+        if cfg.extra_cols:  # doc-level columns replicate onto every chunk
+            chunks = chunks.join(cur.select(icol, *cfg.extra_cols), icol)
+        cur = stage(
+            "chunk",
+            chunks.select(
+                (F.col(icol) * 1_000_000 + F.col("chunk_no")).alias(icol),
+                F.col("chunk_text").alias(tcol),
+                *cfg.extra_cols,
+            ),
         )
 
     # 7. sequence packing on BPE-ish token counts (per-shard window pass)

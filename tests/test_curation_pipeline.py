@@ -101,3 +101,40 @@ def test_curation_neardup_method_knob(spark, sf_dir):
         run_curation(
             spark, docs, CurationConfig(neardup_method="bogus")
         )
+
+
+def test_curation_gopher_substring_and_chunk_stages(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cfg = CurationConfig(
+        min_quality=0.0,
+        use_gopher_gates=True,
+        gopher_overrides={"min_words": 5, "min_stopword_hits": 0,
+                          "min_alpha_word_frac": 0.0},
+        neardup_method="none",
+        substring_dedup_k=8,
+        chunk_max_tokens=64,
+        chunk_overlap=8,
+    )
+    report = run_curation(spark, docs, cfg)
+    names = [s["stage"] for s in report["stages"]]
+    assert "substring_dedup" in names and "chunk" in names
+    by = {s["stage"]: s for s in report["stages"]}
+    # chunking splits long docs: at least as many chunks as surviving docs
+    assert by["chunk"]["rows"] >= by["substring_dedup"]["rows"] > 0
+    # gopher gate actually dropped something on this corpus
+    assert by["quality_gate"]["rows"] <= by["clean"]["rows"]
+
+
+def test_curation_chunk_carries_extra_cols(spark):
+    rows = [(i, "tok " * 300 + "end", f"src{i % 2}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    cfg = CurationConfig(
+        min_quality=0.0,
+        neardup_method="none",
+        chunk_max_tokens=50,
+        chunk_overlap=5,
+        extra_cols=("source",),
+    )
+    report = run_curation(spark, docs, cfg)
+    by = {s["stage"]: s for s in report["stages"]}
+    assert by["chunk"]["rows"] > 6  # long docs actually split

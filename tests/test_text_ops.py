@@ -471,3 +471,55 @@ def test_chunk_documents_validates_overlap(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(df, max_tokens=5, overlap=5)
+
+
+# ---- gopher_rules (Rae et al. 2021 quality gates) --------------------------
+
+
+def test_gopher_rules_each_gate(spark):
+    from pulfa_sausage_factory_spark.functions.text import gopher_rules
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        * 5
+    ).strip()
+    docs = [
+        (1, good),  # passes everything
+        (2, "too short"),  # word_count
+        (3, " ".join(["supercalifragilisticexpialidocious"] * 60)),  # mean_word_len + stopwords
+        (4, good + " " + "# " * 40),  # symbol ratio
+        (5, "\n".join(f"- bullet {i} the and" for i in range(10))),  # bullets (+wc)
+        (6, "\n".join(f"line {i} the and of to in is...," for i in range(4))),
+        (7, " ".join(["1234"] * 80)),  # alpha words + stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r.g.asDict()
+        for r in df.select("doc_id", gopher_rules("text").alias("g")).collect()
+    }
+    assert out[1]["pass"] is True and all(out[1].values())
+    assert out[2]["word_count_ok"] is False and out[2]["pass"] is False
+    assert out[3]["mean_word_len_ok"] is False and out[3]["stopwords_ok"] is False
+    assert out[4]["symbol_ratio_ok"] is False
+    assert out[5]["bullet_lines_ok"] is False
+    assert out[7]["alpha_words_ok"] is False and out[7]["pass"] is False
+
+
+def test_gopher_rules_ellipsis_gate(spark):
+    from pulfa_sausage_factory_spark.functions.text import gopher_rules
+
+    text = "\n".join(
+        [f"the and of line {i} keeps going fine here today" for i in range(5)]
+        + [f"and then it trails off number {i}..." for i in range(5)]
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    g = df.select(gopher_rules("text", min_words=10).alias("g")).collect()[0].g
+    assert g.ellipsis_lines_ok is False  # 50% of lines end with ...
+
+
+def test_gopher_rules_no_exchange(spark):
+    from pulfa_sausage_factory_spark.functions.text import gopher_rules
+    from pulfa_sausage_factory_spark.plans.audit import assert_no_exchange
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert_no_exchange(df.select(gopher_rules("text").alias("g")))
