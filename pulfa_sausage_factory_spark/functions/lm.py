@@ -129,6 +129,88 @@ def perplexity_score(
     )
 
 
+def train_hashed_nb_weights(
+    df: DataFrame,
+    dim: int,
+    text_col: str = "text",
+    label_col: str = "label",
+    add_k: float = 0.5,
+    hasher: str = "xxhash64",
+) -> tuple[DataFrame, float]:
+    """Train the hashed quality classifier IN-ENGINE: multinomial Naive
+    Bayes over hashed bag-of-words features, emitted as the exact
+    ``(feature_id, w)`` weight table + bias that ``hashed_linear_score``
+    consumes. This closes the loop — the fastText-style gate's model no
+    longer has to arrive from outside the engine.
+
+    NB is the right trainer for this shape because it is *count-based*:
+    the whole fit is ONE corpus-sized aggregation (token → hashed bucket →
+    per-class counts) + arithmetic on the vocabulary-sized count table.
+    No gradient loop, no iterative driver round-trips — at 100 TB the
+    corpus is read once and the model that comes back is ``dim`` rows.
+
+        w[f]  = log((c1[f] + k) / (N1 + k·dim)) − log((c0[f] + k) / (N0 + k·dim))
+        bias  = log(P(y=1) / P(y=0))
+
+    so ``sigmoid(bias + Σ w[f])`` from ``hashed_linear_score`` IS the NB
+    posterior P(y=1 | doc). ``label_col`` must be 0/1. ``hasher`` must
+    match what inference will use (md5 for the cross-engine-auditable
+    chain). Returns ``(weights_df(feature_id bigint, w double), bias)``.
+    """
+    import math
+
+    assert add_k > 0, "add_k must be positive (unsmoothed NB emits -inf weights)"
+    if hasher == "md5":
+        fid = F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"),
+            F.lit(dim),
+        )
+    elif hasher == "xxhash64":
+        fid = F.pmod(F.xxhash64("tok"), F.lit(dim))
+    else:
+        raise ValueError(f"hasher must be 'xxhash64' or 'md5', got {hasher!r}")
+    counts = (
+        df.select(
+            F.col(label_col).cast("int").alias("y"),
+            F.explode(_tokens(F.col(text_col))).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .withColumn("feature_id", fid)
+        .groupBy("feature_id")
+        .agg(
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("c0"),
+        )
+    )
+    # class token totals + doc priors: two tiny aggregates off the same scan
+    totals = counts.agg(
+        F.sum("c1").alias("n1"), F.sum("c0").alias("n0")
+    ).collect()[0]
+    n1, n0 = float(totals.n1 or 0), float(totals.n0 or 0)
+    docs = df.groupBy(F.col(label_col).cast("int").alias("y")).count()
+    d = {r.y: r["count"] for r in docs.collect()}
+    if not d.get(1) or not d.get(0):
+        raise ValueError("training needs both classes present (labels 0 and 1)")
+    bias = math.log(d[1] / d[0])
+    denom1, denom0 = n1 + add_k * dim, n0 + add_k * dim
+    # emit ALL dim buckets, not just training-hit ones: an unseen bucket's
+    # smoothed NB weight is log(denom0/denom1), not 0 — padding the table
+    # makes sigmoid(bias + Σw) the exact NB posterior on ANY input doc
+    weights = (
+        df.sparkSession.range(dim)
+        .select(F.col("id").alias("feature_id"))
+        .join(counts, "feature_id", "left")
+        .select(
+            "feature_id",
+            (
+                F.log((F.coalesce("c1", F.lit(0)) + F.lit(add_k)) / F.lit(denom1))
+                - F.log((F.coalesce("c0", F.lit(0)) + F.lit(add_k)) / F.lit(denom0))
+            ).alias("w"),
+        )
+    )
+    return weights, bias
+
+
 def hashed_linear_logit_expr(weights: dict, dim: int, col) -> "F.Column":
     """Expression-mode twin of ``hashed_linear_score`` for SMALL models:
     the weight table is inlined as a 64-to-few-thousand-element array

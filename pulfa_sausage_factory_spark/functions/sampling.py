@@ -233,3 +233,161 @@ def chunk_documents(
             ).alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169). Select raw-corpus documents that look like a small
+# trusted target corpus: fit hashed-n-gram bag distributions over both,
+# score every raw doc with the log importance ratio, then draw a k-document
+# sample without replacement via deterministic Gumbel-top-k.
+#
+# Scale shape (100 TB): the two distribution fits are single corpus-sized
+# aggregations whose outputs are ``dim`` rows each; scoring is the
+# hashed-classifier plan (explode → broadcast-join the dim-row ratio table →
+# map-side-combined per-doc sums); selection is a TakeOrdered top-k over the
+# one-row-per-doc importance table. No iteration, no driver loops.
+# ---------------------------------------------------------------------------
+
+
+def _hashed_ngram_ids(col: Column | str, dim: int) -> Column:
+    """Array of hashed feature ids for DSIR's unigram+bigram bag: whitespace
+    tokens (lowercased) hashed with xxhash64 into ``dim`` buckets, plus each
+    adjacent pair hashed as ``"a b"``. Pure column expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != "")
+    uni = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)))
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.pmod(
+                F.xxhash64(
+                    F.concat(
+                        F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                    )
+                ),
+                F.lit(dim),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.concat(uni, bi)
+
+
+def dsir_feature_counts(df: DataFrame, dim: int, text_col: str = "text") -> DataFrame:
+    """One corpus-sized aggregation → the ``dim``-bucket hashed-n-gram count
+    table ``(feature_id, cnt)`` (only hit buckets present)."""
+    return (
+        df.select(F.explode(_hashed_ngram_ids(text_col, dim)).alias("feature_id"))
+        .groupBy("feature_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_log_ratio(
+    target_counts: DataFrame, raw_counts: DataFrame, dim: int, lam: float = 0.01
+) -> DataFrame:
+    """The ``dim``-row importance table: per bucket,
+    ``lr = log p_target[f] − log q_raw[f]`` where each distribution is the
+    normalized bucket histogram mixed with the uniform distribution,
+    ``p̃ = (1−λ)·c/N + λ/dim``.
+
+    Mixture (not add-k) smoothing is load-bearing here: with add-k and a
+    raw corpus much larger than the target (the ONLY regime DSIR runs in),
+    a feature unseen in both corpora scores ``log(N_raw/N_target) > 0`` —
+    unique-gibberish documents would then OUTRANK target-like text. Under
+    the uniform mixture an unseen-in-both bucket scores ≈ 0 and a
+    rare-in-raw-only bucket scores slightly negative, which is the behavior
+    the importance estimate needs. Both count tables are bucket-sized — the
+    range join below is driver-cheap and the result broadcasts into scoring."""
+    assert 0 < lam < 1, "lam must be in (0,1) (uniform-mixture weight)"
+    spark = target_counts.sparkSession
+    nt = max(1.0, float(target_counts.agg(F.sum("cnt")).collect()[0][0] or 0))
+    nr = max(1.0, float(raw_counts.agg(F.sum("cnt")).collect()[0][0] or 0))
+    u = lam / dim
+
+    def p(cnt_col, n):
+        return F.lit(1.0 - lam) * F.coalesce(cnt_col, F.lit(0)) / F.lit(n) + F.lit(u)
+
+    return (
+        spark.range(dim)
+        .select(F.col("id").alias("feature_id"))
+        .join(target_counts.withColumnRenamed("cnt", "ct"), "feature_id", "left")
+        .join(raw_counts.withColumnRenamed("cnt", "cr"), "feature_id", "left")
+        .select(
+            "feature_id",
+            (F.log(p(F.col("ct"), nt)) - F.log(p(F.col("cr"), nr))).alias("lr"),
+        )
+    )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    ratio: DataFrame,
+    dim: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document log importance weight ``log w(x) = Σ_f c_f(x)·lr[f]`` —
+    explode features, broadcast-join the ``dim``-row ratio table, sum per
+    doc. Accumulation is exact decimal so weights are independent of
+    partitioning (and of Spark's aggregation order). Returns
+    ``(id_col, n_features, log_w)``, one row per raw doc (featureless docs
+    weigh 0)."""
+    feats = raw.select(
+        id_col, F.explode(_hashed_ngram_ids(text_col, dim)).alias("feature_id")
+    )
+    scored = (
+        feats.join(F.broadcast(ratio), "feature_id", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(F.coalesce("lr", F.lit(0.0)).cast("decimal(28,12)")).alias("lw"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_features", F.lit(0)).alias("n_features"),
+            F.coalesce(F.col("lw").cast("double"), F.lit(0.0)).alias("log_w"),
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    dim: int = 8192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.01,
+) -> DataFrame:
+    """DSIR end-to-end: fit target/raw hashed-n-gram distributions, score
+    raw docs, and draw ``k`` of them without replacement with probability
+    ∝ w(x) via Gumbel-top-k — the Gumbel noise is derived from the doc id's
+    md5 hash (``−log(−log(u))``, u from the fine bucket chain), so the
+    sample is bit-reproducible across runs, engines, and task retries,
+    exactly like every other sampler in this module.
+
+    Returns the selected raw rows (all original columns) plus ``log_w``
+    and the selection key ``gumbel_key``; ordered by key descending.
+    """
+    ratio = dsir_log_ratio(
+        dsir_feature_counts(target, dim, text_col),
+        dsir_feature_counts(raw, dim, text_col),
+        dim,
+        lam,
+    )
+    imp = dsir_importance(raw, ratio, dim, text_col, id_col)
+    u = (_hash_bucket_fine(F.col(id_col)) + F.lit(0.5)) / F.lit(float(FINE_BUCKETS))
+    keyed = imp.select(
+        id_col,
+        "log_w",
+        (F.col("log_w") - F.log(-F.log(u))).alias("gumbel_key"),
+    )
+    top = keyed.orderBy(F.col("gumbel_key").desc(), F.col(id_col)).limit(k)
+    return raw.join(top, id_col).orderBy(F.col("gumbel_key").desc(), F.col(id_col))

@@ -265,6 +265,103 @@ def train_ivf_centroids(
     return spark.createDataFrame(cent_rows, schema)
 
 
+def semdedup(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "low_centroid_sim",
+) -> DataFrame:
+    """X2 (semantic variant) — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    prune semantically-duplicate examples by embedding similarity, clustered
+    so the quadratic part stays inside k-means cells.
+
+    The published algorithm, re-expressed as a Spark plan:
+
+      1. coarse-cluster the embeddings (``centroids`` from
+         ``train_ivf_centroids``, or the deterministic first-N stand-in) —
+         assignment is the same broadcast-centroid argmax join as
+         ``knn_ivf``; the per-vector cosine to its own centroid
+         (``cent_sim``) falls out of the argmax for free;
+      2. rank vectors within each cell into a keep-priority order
+         (the paper keeps LOW-centroid-similarity examples — they carry the
+         cluster's diversity; ``keep="high_centroid_sim"`` inverts it;
+         ties broken by id for determinism);
+      3. self-equi-join each cell (a.prio < b.prio) and mark ``b`` removed
+         when cos(a, b) ≥ threshold. This is exactly the reference
+         implementation's upper-triangular max-similarity test — removal
+         keys off ALL higher-priority neighbors, kept or not, so no
+         sequential dependency exists and the whole step is one join +
+         one aggregation.
+
+    Scale: the only quadratic work is within-cell; at corpus scale
+    ``n_cells`` grows ~√n (the paper uses 50k clusters for LAION-scale),
+    holding cell populations bounded, and both join sides shuffle once on
+    ``cell_id`` (co-partitioned). No all-pairs path exists.
+
+    Returns ``(id, cell_id, cent_sim, removed)`` — one row per corpus
+    vector; callers keep ``removed = false``.
+    """
+    if keep not in ("low_centroid_sim", "high_centroid_sim"):
+        raise ValueError(f"keep must be low_centroid_sim|high_centroid_sim, got {keep!r}")
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cell_id"), as_double_array(vec_col).alias("cent")
+            )
+        )
+    else:
+        centroids = centroids.select("cell_id", "cent")
+    w_assign = Window.partitionBy("id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell_id")
+    )
+    assigned = (
+        corpus.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("cell_cos", cosine(F.col("v"), F.col("cent")))
+        .withColumn("crk", F.row_number().over(w_assign))
+        .filter(F.col("crk") == 1)
+        .select("id", "v", "cell_id", F.col("cell_cos").alias("cent_sim"))
+    )
+    order = (
+        [F.col("cent_sim").asc(), F.col("id").asc()]
+        if keep == "low_centroid_sim"
+        else [F.col("cent_sim").desc(), F.col("id").asc()]
+    )
+    ranked = assigned.withColumn(
+        "prio", F.row_number().over(Window.partitionBy("cell_id").orderBy(*order))
+    )
+    a = ranked.select(
+        F.col("cell_id"), F.col("prio").alias("prio_a"), F.col("v").alias("va")
+    )
+    b = ranked.select(
+        F.col("cell_id"),
+        F.col("prio").alias("prio_b"),
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+    )
+    removed_ids = (
+        a.join(b, "cell_id")
+        .filter(F.col("prio_a") < F.col("prio_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        ranked.join(removed_ids.withColumn("_rm", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            "cell_id",
+            F.round("cent_sim", 6).alias("cent_sim"),
+            F.coalesce("_rm", F.lit(False)).alias("removed"),
+        )
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,

@@ -131,6 +131,88 @@ def test_hashed_linear_score_plan_and_empty_docs(spark):
     assert "broadcast" in out._jdf.queryExecution().logical().toString().lower()
 
 
+def _nb_reference(labeled, dim, add_k, fids):
+    """Straight-line multinomial NB over pre-extracted hashed feature ids
+    (``fids``: doc_id → list of bucket ids, extracted via the same Spark
+    hash so only the arithmetic is under test)."""
+    c1 = dict.fromkeys(range(dim), 0)
+    c0 = dict.fromkeys(range(dim), 0)
+    d1 = d0 = 0
+    for doc_id, _text, y in labeled:
+        if y == 1:
+            d1 += 1
+        else:
+            d0 += 1
+        for f in fids.get(doc_id, []):
+            (c1 if y == 1 else c0)[f] += 1
+    n1, n0 = sum(c1.values()), sum(c0.values())
+    den1, den0 = n1 + add_k * dim, n0 + add_k * dim
+    w = {
+        f: math.log((c1[f] + add_k) / den1) - math.log((c0[f] + add_k) / den0)
+        for f in range(dim)
+    }
+    return w, math.log(d1 / d0)
+
+
+def test_nb_trainer_matches_reference_and_feeds_inference(spark):
+    # train → weights table identical to the straight-line NB fit, and the
+    # trained model actually separates in-domain from junk when plugged
+    # into hashed_linear_score (the full train→gate loop, in-engine)
+    from pulfa_sausage_factory_spark.functions import lm
+    from pyspark.sql import functions as F
+
+    dim, add_k = 32, 0.5
+    good = ["the quiet archive holds many letters", "letters from the old archive",
+            "a finding aid describes the archive series", "the series holds letters"]
+    junk = ["zzz qqq xxx spam spam", "buy buy zzz qqq spam", "xxx zzz buy spam qqq"]
+    labeled = [(i, t, 1) for i, t in enumerate(good)] + [
+        (100 + i, t, 0) for i, t in enumerate(junk)
+    ]
+    df = spark.createDataFrame(labeled, "doc_id long, text string, label int")
+
+    feats = (
+        df.select("doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .withColumn("fid", F.pmod(F.xxhash64("tok"), F.lit(dim)))
+        .collect()
+    )
+    fids = {}
+    for r in feats:
+        fids.setdefault(r.doc_id, []).append(r.fid)
+    ref_w, ref_bias = _nb_reference(labeled, dim, add_k, fids)
+
+    weights, bias = lm.train_hashed_nb_weights(df, dim, add_k=add_k)
+    got_w = {r.feature_id: r.w for r in weights.collect()}
+    assert bias == pytest.approx(ref_bias, rel=1e-12)
+    assert set(got_w) == set(range(dim))  # ALL buckets emitted, not just hit ones
+    for f in range(dim):
+        assert got_w[f] == pytest.approx(ref_w[f], rel=1e-9), f
+
+    scored = lm.hashed_linear_score(
+        spark.createDataFrame(
+            [(1, "letters from the archive"), (2, "zzz spam buy qqq")],
+            "doc_id long, text string",
+        ),
+        weights,
+        dim,
+        bias=bias,
+    )
+    s = {r.doc_id: r.clf_score for r in scored.collect()}
+    assert s[1] > 0.5 > s[2]
+
+
+def test_nb_trainer_validates_inputs(spark):
+    from pulfa_sausage_factory_spark.functions import lm
+
+    one_class = spark.createDataFrame(
+        [(1, "aa bb", 1), (2, "cc dd", 1)], "doc_id long, text string, label int"
+    )
+    with pytest.raises(ValueError, match="both classes"):
+        lm.train_hashed_nb_weights(one_class, dim=8)
+    with pytest.raises(ValueError, match="hasher"):
+        lm.train_hashed_nb_weights(one_class, dim=8, hasher="sha9")
+
+
 def test_expression_mode_matches_join_mode_and_never_shuffles(spark, sf_dir):
     # the inlined-weights expression must produce bit-identical logits to
     # the broadcast-join mode (same md5 hashing, same decimal sums) while

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pulfa_sausage_factory_spark import plans
 from pulfa_sausage_factory_spark.io import load_table
 from pulfa_sausage_factory_spark.operators import similarity
+from pulfa_sausage_factory_spark.functions.vectors import as_double_array
 from pulfa_sausage_factory_spark.operators.similarity import (
     knn_bruteforce,
     knn_lsh,
@@ -97,6 +98,116 @@ def test_ivf_training_is_deterministic(spark, sf_dir):
     rb = sorted((r.cell_id, tuple(r.cent)) for r in b.collect())
     assert ra == rb
     assert len(ra) == 8
+
+
+def _semdedup_reference(rows, n_cells, threshold, keep="low_centroid_sim"):
+    """Straight-line SemDeDup (Abbas et al. 2023): first-N centroids, argmax
+    assignment, within-cell priority order, upper-triangular removal.
+    Arithmetic mirrors functions/vectors.py exactly (sequential folds)."""
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def nrm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return acc ** 0.5
+
+    def cos(a, b):
+        return dot(a, b) / (nrm(a) * nrm(b))
+
+    cents = {cid: vecs[cid] for cid in sorted(vecs)[:n_cells]}
+    assign, cent_sim = {}, {}
+    for vid, v in vecs.items():
+        best = max(
+            sorted(cents), key=lambda c: (cos(v, cents[c]), -c)
+        )  # max cos, tiebreak LOWER cell_id
+        assign[vid] = best
+        cent_sim[vid] = cos(v, cents[best])
+    removed = set()
+    for cell in set(assign.values()):
+        members = [vid for vid in vecs if assign[vid] == cell]
+        rev = keep == "high_centroid_sim"
+        members.sort(key=lambda i: (-cent_sim[i] if rev else cent_sim[i], i))
+        for j, vid in enumerate(members):
+            if any(
+                cos(vecs[earlier], vecs[vid]) >= threshold
+                for earlier in members[:j]
+            ):
+                removed.add(vid)
+    return assign, removed
+
+
+def _with_planted_dups(spark, sf_dir, n=120, n_dups=15):
+    """Fixture corpus + near-copies of every 8th vector (slightly scaled +
+    one perturbed coordinate) so semantic duplicates exist by construction."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(n)
+    rows = emb.select("vec_id", "embedding").collect()
+    planted = []
+    for r in rows[::8][:n_dups]:
+        v = [float(x) * 1.01 for x in r.embedding]
+        v[0] += 0.05
+        planted.append((100_000 + r.vec_id, v))
+    dup_df = spark.createDataFrame(planted, "vec_id long, embedding array<double>")
+    base = emb.select("vec_id", as_double_array("embedding").alias("embedding"))
+    return base.union(dup_df)
+
+
+def test_semdedup_matches_reference(spark, sf_dir):
+    from pulfa_sausage_factory_spark.operators.similarity import semdedup
+
+    corpus = _with_planted_dups(spark, sf_dir)
+    rows = corpus.collect()
+    for threshold in (0.85, 0.95):
+        ref_assign, ref_removed = _semdedup_reference(rows, 8, threshold)
+        got = semdedup(corpus, n_cells=8, threshold=threshold).collect()
+        assert {r.id: r.cell_id for r in got} == ref_assign
+        assert {r.id for r in got if r.removed} == ref_removed
+    # the planted near-copies guarantee real pruning at 0.95, and a tighter
+    # threshold can only shrink the removal set
+    loose = {r.id for r in semdedup(corpus, n_cells=8, threshold=0.85).collect() if r.removed}
+    tight = {r.id for r in semdedup(corpus, n_cells=8, threshold=0.95).collect() if r.removed}
+    assert len(tight) >= 10 and tight <= loose
+    # every planted near-copy pair loses exactly one member (they are
+    # mutually ≥0.95 and nothing else in the fixture is): for each planted
+    # id, precisely one of {original, copy} is in the removal set
+    planted = {r.vec_id - 100_000 for r in rows if r.vec_id >= 100_000}
+    for orig in planted:
+        assert (orig in tight) != (100_000 + orig in tight), orig
+
+
+def test_semdedup_keep_modes_and_plan(spark, sf_dir):
+    from pulfa_sausage_factory_spark.operators.similarity import semdedup
+
+    emb = _with_planted_dups(spark, sf_dir)
+    rows = emb.collect()
+    _, ref_removed = _semdedup_reference(rows, 8, 0.9, keep="high_centroid_sim")
+    got = semdedup(emb, n_cells=8, threshold=0.9, keep="high_centroid_sim")
+    assert {r.id for r in got.collect() if r.removed} == ref_removed
+    # the pair stage must be an equi-join on cell_id (blocked quadratic),
+    # never a shuffled cartesian; the centroid fan-out is broadcast
+    plans.assert_no_cartesian(got)
+    plans.assert_broadcast_join(got)
+    with pytest.raises(ValueError, match="keep"):
+        semdedup(emb, keep="nope")
+
+
+def test_semdedup_trained_centroids_compose(spark, sf_dir):
+    # trained cells plug into the same pruning plan; every vector still gets
+    # exactly one verdict row and removal stays deterministic across runs
+    from pulfa_sausage_factory_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    cent = similarity.train_ivf_centroids(emb, n_cells=8, iters=1, sample_fraction=1.0)
+    a = semdedup(emb, threshold=0.75, centroids=cent).collect()
+    b = semdedup(emb, threshold=0.75, centroids=cent).collect()
+    assert sorted((r.id, r.removed) for r in a) == sorted((r.id, r.removed) for r in b)
+    assert len(a) == emb.count()
 
 
 def test_knn_ivf_centroid_pick_is_take_ordered(spark, sf_dir):
