@@ -44,9 +44,13 @@ class CurationConfig:
     clf_weights: dict | None = None  # None = no classifier gate
     clf_dim: int = 64
     clf_min_logit: float = 0.0
-    neardup_method: str = "minhash"  # "minhash" | "simhash" | "none"
+    neardup_method: str = "minhash"  # "minhash" | "simhash" | "semantic" | "none"
     neardup_threshold: float = 0.5  # minhash est-Jaccard floor
     neardup_max_hamming: int = 3  # simhash bit budget
+    semdedup_threshold: float = 0.95  # semantic: cosine removal floor
+    semdedup_cells: int = 16  # semantic: k-means cell count
+    dsir_k: int | None = None  # DSIR target-matched selection (needs target=)
+    dsir_dim: int = 8192
     contamination_min_shared: int = 5
     substring_dedup_k: int | None = None  # None = no substring-dedup stage
     chunk_max_tokens: int | None = None  # None = no chunking stage
@@ -66,10 +70,19 @@ def run_curation(
     docs: DataFrame,
     cfg: CurationConfig,
     bench: DataFrame | None = None,
+    embeddings: DataFrame | None = None,
+    target: DataFrame | None = None,
 ) -> dict:
     """Run the curation DAG over ``docs``; returns the run report
     (per-stage row counts + drop counts + output paths) — the C3
-    run-report analog for the LLM surface."""
+    run-report analog for the LLM surface.
+
+    ``embeddings`` (``vec_id`` matching ``id_col``, ``embedding``) feeds the
+    ``neardup_method="semantic"`` SemDeDup stage; ``target`` (a small
+    trusted corpus with the same id/text columns) feeds the optional DSIR
+    importance-resampling stage (``cfg.dsir_k``). A classifier gate can be
+    trained in-engine too: collect ``lm.train_hashed_nb_weights`` output
+    into ``cfg.clf_weights`` and fold its bias into ``clf_min_logit``."""
     tcol, icol = cfg.text_col, cfg.id_col
     stages: list[dict] = []
     prev_ckpt: DataFrame | None = None
@@ -130,11 +143,34 @@ def run_curation(
         pairs = dedup.simhash_neardup_pairs(
             cur, text_col=tcol, id_col=icol, max_hamming=cfg.neardup_max_hamming
         ).select("id_a", "id_b")
+    elif cfg.neardup_method == "semantic":
+        if embeddings is None:
+            raise ValueError(
+                'neardup_method="semantic" needs the embeddings= DataFrame '
+                "(vec_id matching id_col, embedding array)"
+            )
+        pairs = None
+        from ..operators.similarity import semdedup
+
+        # SemDeDup emits a per-vector verdict directly (its own
+        # keep-one-representative rule) — no component pass needed; restrict
+        # verdicts to docs still alive so pruning keys off survivors only
+        alive = semdedup(
+            embeddings.join(
+                cur.select(F.col(icol).alias("vec_id")), "vec_id", "left_semi"
+            ),
+            n_cells=cfg.semdedup_cells,
+            threshold=cfg.semdedup_threshold,
+        )
+        losers_sem = alive.filter(F.col("removed")).select(
+            F.col("id").alias(icol)
+        )
+        cur = stage("neardup_dedup", cur.join(losers_sem, icol, "left_anti"))
     elif cfg.neardup_method == "none":
         pairs = None
     else:
         raise ValueError(
-            f"neardup_method must be minhash|simhash|none, got "
+            f"neardup_method must be minhash|simhash|semantic|none, got "
             f"{cfg.neardup_method!r}"
         )
     if pairs is not None:
@@ -172,6 +208,21 @@ def run_curation(
             .withColumn(tcol, F.col("clean_text"))
             .drop("clean_text")
             .filter(F.length(tcol) > 0),
+        )
+
+    # 5c. DSIR target-matched selection: keep the dsir_k documents that
+    # look most like the trusted target corpus (importance resampling,
+    # deterministic Gumbel-top-k) — runs after dedup/decontamination so
+    # duplicates can't spend the selection budget
+    if cfg.dsir_k is not None:
+        if target is None:
+            raise ValueError("cfg.dsir_k needs the target= trusted corpus")
+        cur = stage(
+            "dsir_select",
+            sampling.dsir_resample(
+                cur, target, k=cfg.dsir_k, dim=cfg.dsir_dim,
+                text_col=tcol, id_col=icol,
+            ).drop("log_w", "gumbel_key"),
         )
 
     # 6. deterministic subsampling (retry-stable hash buckets)

@@ -1264,7 +1264,14 @@ def q10_returned_items(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# X2 (embedding variant) — cosine near-dup pairs inside label blocks
+# X2 (embedding variants, merged registration round 4) — tagged union of
+#  part='pair': cosine near-dup pairs inside label blocks, and
+#  part='sem':  SemDeDup verdicts (operators/similarity.semdedup — first-16
+#               centroids, argmax cell assignment, within-cell priority by
+#               ascending centroid-sim, upper-triangular removal at the
+#               cosine threshold), the whole chain replayed in SQL.
+# Columns: id_a = vec_id, id_b = other id / cell id, val = cos / cent_sim,
+# flag = -1 sentinel / removed(0|1).
 # ---------------------------------------------------------------------------
 @register(
     "x2d_embedding_neardup",
@@ -1278,14 +1285,58 @@ def q10_returned_items(spark, sf_dir):
              list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
                / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
                   * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
-      FROM vecs a JOIN vecs b ON a.label = b.label AND a.vec_id < b.vec_id)
-    SELECT id_a, id_b, ROUND(cos, 6) AS cos
+      FROM vecs a JOIN vecs b ON a.label = b.label AND a.vec_id < b.vec_id),
+    cents AS (
+      SELECT vec_id AS cell_id, v AS cent FROM vecs ORDER BY vec_id LIMIT 16),
+    scored AS (
+      SELECT vecs.vec_id, vecs.v, cents.cell_id,
+             list_sum(list_transform(range(1, 65), i -> vecs.v[i] * cents.cent[i]))
+               / (sqrt(list_sum(list_transform(vecs.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(cents.cent, x -> x * x)))) AS cell_cos
+      FROM vecs CROSS JOIN cents),
+    ranked AS (
+      SELECT vec_id, v, cell_id, cell_cos AS cent_sim,
+             ROW_NUMBER() OVER (PARTITION BY cell_id
+                                ORDER BY cell_cos ASC, vec_id) AS prio
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cell_cos DESC, cell_id) AS crk
+        FROM scored) WHERE crk = 1),
+    removed AS (
+      SELECT DISTINCT b.vec_id AS id
+      FROM ranked a JOIN ranked b
+        ON a.cell_id = b.cell_id AND a.prio < b.prio
+      WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+              / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                 * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.3)
+    SELECT 'pair' AS part, id_a, id_b, ROUND(cos, 6) AS val, -1 AS flag
     FROM pairs WHERE cos >= 0.25
+    UNION ALL
+    SELECT 'sem' AS part, r.vec_id AS id_a, r.cell_id AS id_b,
+           ROUND(r.cent_sim, 6) AS val,
+           CASE WHEN rm.id IS NULL THEN 0 ELSE 1 END AS flag
+    FROM ranked r LEFT JOIN removed rm ON r.vec_id = rm.id
     """,
 )
 def x2d_embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup(emb, threshold=0.25, block_col="label")
+    pairs = similarity.embedding_neardup(emb, threshold=0.25, block_col="label")
+    sem = similarity.semdedup(emb, n_cells=16, threshold=0.3)
+    return pairs.select(
+        F.lit("pair").alias("part"),
+        "id_a",
+        "id_b",
+        F.col("cos").alias("val"),
+        F.lit(-1).alias("flag"),
+    ).unionByName(
+        sem.select(
+            F.lit("sem").alias("part"),
+            F.col("id").alias("id_a"),
+            F.col("cell_id").cast("long").alias("id_b"),
+            F.col("cent_sim").alias("val"),
+            F.col("removed").cast("int").alias("flag"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,7 @@ import time
 from pyspark.sql import functions as F
 
 from pulfa_sausage_factory_spark import io
+from pulfa_sausage_factory_spark.functions import sampling
 from pulfa_sausage_factory_spark.operators import dedup, events, similarity
 from pulfa_sausage_factory_spark.session import get_spark
 
@@ -156,6 +157,26 @@ def main() -> None:
             centroids=similarity.train_ivf_centroids(
                 emb_amp, n_cells=32, iters=2, sample_fraction=0.05
             ),
+        ),
+    )
+
+    # SemDeDup at amplified scale: cell count grows with the corpus (the
+    # paper's √n-ish rule) so within-cell quadratics stay bounded
+    run(
+        "semdedup",
+        lambda: similarity.semdedup(
+            emb_amp, n_cells=max(32, 4 * amp), threshold=0.95
+        ).filter(F.col("removed")),
+    )
+    # DSIR selection over the amplified corpus against a small target —
+    # two corpus-sized distribution fits + broadcast-join scoring + top-k
+    run(
+        "dsir_resample",
+        lambda: sampling.dsir_resample(
+            docs,
+            io.load_table(spark, sf_dir, "documents").limit(500),
+            k=10_000,
+            dim=8192,
         ),
     )
 

@@ -138,3 +138,62 @@ def test_curation_chunk_carries_extra_cols(spark):
     report = run_curation(spark, docs, cfg)
     by = {s["stage"]: s for s in report["stages"]}
     assert by["chunk"]["rows"] > 6  # long docs actually split
+
+
+def test_curation_semantic_neardup_stage(spark, sf_dir):
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").limit(120).select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # embeddings key on vec_id == doc_id for the fixture's first docs; plant
+    # a guaranteed near-copy pair inside the corpus so the stage must prune
+    rows = emb.limit(120).select("vec_id", "embedding").collect()
+    planted = []
+    for r in rows[:10]:
+        v = [float(x) * 1.01 for x in r.embedding]
+        v[0] += 0.05
+        planted.append((10_000 + r.vec_id, v))
+    emb_all = emb.limit(120).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")
+    ).union(spark.createDataFrame(planted, "vec_id long, embedding array<double>"))
+    docs_all = docs.union(
+        docs.limit(10).select((F.col("doc_id") + 10_000).alias("doc_id"),
+                              F.concat(F.lit("copy "), F.col("text")).alias("text"))
+    )
+
+    with pytest.raises(ValueError, match="embeddings"):
+        run_curation(spark, docs_all, CurationConfig(neardup_method="semantic"))
+
+    rep = run_curation(
+        spark, docs_all,
+        CurationConfig(min_quality=0.0, neardup_method="semantic",
+                       semdedup_threshold=0.95, semdedup_cells=8),
+        embeddings=emb_all,
+    )
+    by = {s["stage"]: s for s in rep["stages"]}
+    # each planted (orig, copy) embedding pair loses exactly one member
+    assert by["neardup_dedup"]["dropped"] >= 10
+
+
+def test_curation_dsir_stage(spark, sf_dir):
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").limit(150).select("doc_id", "text")
+    target = docs.limit(25)
+
+    with pytest.raises(ValueError, match="target"):
+        run_curation(
+            spark, docs, CurationConfig(neardup_method="none", dsir_k=10)
+        )
+
+    rep = run_curation(
+        spark, docs,
+        CurationConfig(min_quality=0.0, neardup_method="none",
+                       dsir_k=40, dsir_dim=2048),
+        target=target,
+    )
+    names = [s["stage"] for s in rep["stages"]]
+    assert "dsir_select" in names
+    by = {s["stage"]: s for s in rep["stages"]}
+    assert by["dsir_select"]["rows"] == 40
+    assert rep["output_rows"] == 40
