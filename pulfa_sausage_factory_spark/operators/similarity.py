@@ -17,7 +17,11 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pulfa_sausage_factory_spark.functions.vectors import as_double_array, cosine
+from pulfa_sausage_factory_spark.functions.vectors import (
+    as_double_array,
+    cosine,
+    dot,
+)
 
 
 def knn_bruteforce(
@@ -427,4 +431,213 @@ def knn_ivf(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "rk", F.round("cos", 6).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the ANN memory story at 100 TB: a 64-dim
+# float32 embedding (256 B) compresses to m small code ids (m bytes at
+# 256 codes), and scoring against a query needs only per-subspace lookup
+# tables (ADC — asymmetric distance computation, Jégou et al. 2011).
+# Composes with the IVF surface: coarse cells prune the corpus, PQ codes
+# score the survivors without touching raw vectors.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 3,
+    sample_fraction: float = 0.1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-subspace sampled Lloyd's (L2): split each vector into ``m``
+    contiguous subvectors, k-means each subspace independently. Same 100 TB
+    recipe as ``train_ivf_centroids`` — deterministic hash sample, broadcast
+    centroid updates, a handful of iterations; the model that comes back is
+    ``m × n_codes`` rows. Init is the first ``n_codes`` sampled vectors'
+    subvectors (deterministic, no RNG). Returns
+    ``(sub int, code int, cent array<double>)``."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must divide into m={m} subspaces")
+    sublen = dim // m
+    spark = corpus.sparkSession
+    vecs = corpus.select(
+        F.col(id_col).alias("sid"), as_double_array(vec_col).alias("v")
+    )
+    if sample_fraction < 1.0:
+        pct = max(1, int(round(sample_fraction * 10_000)))
+        vecs = vecs.filter(F.pmod(F.xxhash64(F.col("sid")), F.lit(10_000)) < pct)
+    subs = vecs.select(
+        "sid",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("sub"),
+                    F.slice("v", s * sublen + 1, sublen).alias("sv"),
+                ),
+            )
+        ).alias("e"),
+    ).select("sid", "e.sub", "e.sv")
+    subs = subs.localCheckpoint(eager=False)  # reused iters+1 times
+
+    init = subs.join(
+        subs.select("sid").distinct().orderBy("sid").limit(n_codes)
+        .withColumn("code", F.row_number().over(Window.orderBy("sid")) - 1),
+        "sid",
+    ).select("sub", "code", F.col("sv").alias("cent"))
+    cent_rows = [(r.sub, r.code, list(r.cent)) for r in init.collect()]
+    schema = "sub int, code int, cent array<double>"
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    for _ in range(max(0, iters)):
+        cent_df = spark.createDataFrame(cent_rows, schema)
+        w = Window.partitionBy("sid", "sub").orderBy(F.col("d2").asc(), F.col("code"))
+        best = (
+            subs.join(F.broadcast(cent_df), "sub")
+            .withColumn("d2", l2(F.col("sv"), F.col("cent")))
+            .withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") == 1)
+        )
+        means = (
+            best.select("sub", "code", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("val").alias("mv"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda s: s.mv,
+                ).alias("cent")
+            )
+        )
+        new = {(r.sub, r.code): list(r.cent) for r in means.collect()}
+        cent_rows = [(s, c, new.get((s, c), old)) for s, c, old in cent_rows]
+    from ..session import release_local_checkpoint
+
+    release_local_checkpoint(subs)
+    return spark.createDataFrame(cent_rows, schema)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize every vector to its ``m`` nearest-subspace-centroid code ids
+    — one Arrow-batched numpy pass (the signature-workload idiom: m×n_codes
+    distance evaluations per vector belong in numpy, not interpreted HOF
+    lambdas). The codebook broadcasts via closure capture (m·n_codes·sublen
+    doubles — KBs). Returns ``(id, codes array<int>)``."""
+    import numpy as np
+    import pandas as pd
+
+    rows = codebooks.orderBy("sub", "code").collect()
+    m = 1 + max(r.sub for r in rows)
+    n_codes = 1 + max(r.code for r in rows)
+    sublen = len(rows[0].cent)
+    cb = np.zeros((m, n_codes, sublen), dtype=np.float64)
+    for r in rows:
+        cb[r.sub, r.code] = r.cent
+
+    def enc(vs):
+        out = []
+        for v in vs:
+            x = np.asarray(v, dtype=np.float64).reshape(m, 1, sublen)
+            d2 = ((x - cb) ** 2).sum(axis=-1)  # (m, n_codes)
+            out.append(d2.argmin(axis=-1).astype(np.int32))
+        return pd.Series(out)
+
+    enc.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(enc, "array<int>")
+    return corpus.select(
+        F.col(id_col).alias("id"), udf(as_double_array(vec_col)).alias("codes")
+    )
+
+
+def knn_pq_adc(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k by inner product: per query, precompute the ``m × n_codes``
+    lookup table ``lut[sub][code] = ⟨q_sub, cent⟩`` (a tiny broadcast
+    fan-out over the codebook), then score every coded corpus row with a
+    pure-expression fold ``Σ_sub lut[sub][codes[sub]]`` — the corpus side
+    never touches raw vectors or Python. Returns
+    ``(query_id, neighbor_id, rk, score)``."""
+    m = codebooks.agg(F.max("sub")).collect()[0][0] + 1
+    sublen = len(codebooks.limit(1).collect()[0].cent)
+    qsub = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    ).select(
+        "query_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("sub"),
+                    F.slice("qv", s * sublen + 1, sublen).alias("qs"),
+                ),
+            )
+        ).alias("e"),
+    ).select("query_id", "e.sub", "e.qs")
+    lut = (
+        qsub.join(F.broadcast(codebooks), "sub")
+        .withColumn("val", dot(F.col("qs"), F.col("cent")))
+        .groupBy("query_id", "sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "val"))),
+                lambda s: s.val,
+            ).alias("vals")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "vals"))),
+                lambda s: s.vals,
+            ).alias("lut")
+        )
+    )
+    scored = (
+        codes_df.crossJoin(F.broadcast(lut))
+        .filter(F.col("query_id") != F.col("id"))
+        .withColumn(
+            "score",
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(m)),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.element_at(
+                    F.element_at("lut", i.cast("int")),
+                    (F.element_at("codes", i.cast("int")) + 1).cast("int"),
+                ),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "rk",
+            F.round("score", 6).alias("score"),
+        )
     )

@@ -65,6 +65,25 @@ class CurationConfig:
     extra_cols: tuple[str, ...] = field(default_factory=tuple)
 
 
+def _gate_condition(cfg: CurationConfig, tcol: str):
+    """The quality-gate predicate (quality score / Gopher rules / language /
+    inlined classifier) as ONE column expression — shared by the batch DAG
+    and the incremental ingest so both admit exactly the same documents."""
+    cond = text.quality_score(F.col(tcol)) >= cfg.min_quality
+    if cfg.use_gopher_gates:
+        cond = cond & text.gopher_rules(
+            F.col(tcol), **(cfg.gopher_overrides or {})
+        )["pass"]
+    if cfg.allowed_langs:
+        cond = cond & text.langid_expr(F.col(tcol)).isin(*cfg.allowed_langs)
+    if cfg.clf_weights is not None:
+        cond = cond & (
+            lm.hashed_linear_logit_expr(cfg.clf_weights, cfg.clf_dim, F.col(tcol))
+            >= cfg.clf_min_logit
+        )
+    return cond
+
+
 def run_curation(
     spark: SparkSession,
     docs: DataFrame,
@@ -114,19 +133,7 @@ def run_curation(
 
     # 2. gates — pure column predicates (plus the inlined classifier for
     # small models); a single narrow filter pass
-    cond = text.quality_score(F.col(tcol)) >= cfg.min_quality
-    if cfg.use_gopher_gates:
-        cond = cond & text.gopher_rules(
-            F.col(tcol), **(cfg.gopher_overrides or {})
-        )["pass"]
-    if cfg.allowed_langs:
-        cond = cond & text.langid_expr(F.col(tcol)).isin(*cfg.allowed_langs)
-    if cfg.clf_weights is not None:
-        cond = cond & (
-            lm.hashed_linear_logit_expr(cfg.clf_weights, cfg.clf_dim, F.col(tcol))
-            >= cfg.clf_min_logit
-        )
-    cur = stage("quality_gate", cur.filter(cond))
+    cur = stage("quality_gate", cur.filter(_gate_condition(cfg, tcol)))
 
     # 3. exact dedup (digest shuffle, lowest id survives)
     cur = stage("exact_dedup", dedup.exact_dedup(cur, tcol, icol))
@@ -281,3 +288,112 @@ def run_curation(
     if prev_ckpt is not None:
         release_local_checkpoint(prev_ckpt)
     return report
+
+
+def run_incremental_curation(
+    spark: SparkSession,
+    in_dir: str,
+    state_dir: str,
+    cfg: CurationConfig,
+    schema: str = "doc_id long, text string",
+) -> dict:
+    """Continuous-ingest curation — the T1/T2 incremental outer loop
+    (reference: ``bin/batch.sh:1-39``'s cron driver) applied to the LLM
+    corpus surface: JSONL shards LAND in ``in_dir`` over time; each call
+    drains every not-yet-processed shard (Structured Streaming file source,
+    ``Trigger.AvailableNow`` + checkpoint → exactly-once file discovery
+    across restarts), curates the micro-batch with the SAME gate predicate
+    as the batch DAG, and exact-dedups it against everything admitted in
+    ANY earlier batch or run via a persistent digest ledger.
+
+    State layout under ``state_dir``:
+      ``checkpoint/`` — stream source/offset checkpoint (the `.last_run`
+      analog, but exactly-once);
+      ``ledger/``     — parquet of md5 digests of every admitted text
+      (16-byte rows — at 100 TB the ledger is ~thousandths of corpus
+      size; the anti-join shuffles digests, never text);
+      ``corpus/``     — curated documents, appended per batch.
+
+    Corrupt JSONL lines quarantine per micro-batch (PERMISSIVE corrupt
+    column) instead of killing the stream. Returns a run report:
+    per-batch admitted/dropped counts plus totals.
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    from ..sources.jsonl import CORRUPT_COL
+
+    sch = T.StructType.fromDDL(schema)
+    full = T.StructType(
+        list(sch.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    tcol, icol = cfg.text_col, cfg.id_col
+    ledger_dir = os.path.join(state_dir, "ledger")
+    corpus_dir = os.path.join(state_dir, "corpus")
+    ckpt_dir = os.path.join(state_dir, "checkpoint")
+    batches: list[dict] = []
+
+    def batch_fn(lines: DataFrame, batch_id: int) -> None:
+        parsed = lines.filter(F.length(F.trim("value")) > 0).withColumn(
+            "j",
+            F.from_json(
+                "value", full,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+            ),
+        )
+        n_corrupt = parsed.filter(
+            F.col("j").getField(CORRUPT_COL).isNotNull()
+        ).count()
+        docs = (
+            parsed.filter(F.col("j").getField(CORRUPT_COL).isNull())
+            .select(*[F.col("j").getField(f.name).alias(f.name) for f in sch.fields])
+            .filter(F.length(F.coalesce(tcol, F.lit(""))) > 0)
+        )
+        n_in = docs.count()
+        gated = docs.filter(_gate_condition(cfg, tcol))
+        # within-batch exact dedup, then cross-batch/run dedup against the
+        # ledger (anti-join on digests — text never reshuffles)
+        batch_d = dedup.exact_dedup(gated, tcol, icol).withColumn(
+            "_digest", F.md5(F.col(tcol))
+        )
+        try:
+            seen = spark.read.parquet(ledger_dir).select("digest")
+        except Exception:  # first batch ever: no ledger yet
+            seen = None
+        if seen is not None:
+            batch_d = batch_d.join(
+                seen.withColumnRenamed("digest", "_digest"), "_digest", "left_anti"
+            )
+        admitted = batch_d.localCheckpoint()  # read once, write twice below
+        n_admit = admitted.count()
+        admitted.select(F.col("_digest").alias("digest")).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        admitted.drop("_digest").write.mode("append").parquet(corpus_dir)
+        release_local_checkpoint(admitted)
+        batches.append(
+            {
+                "batch_id": batch_id,
+                "corrupt_lines": n_corrupt,
+                "input_rows": n_in,
+                "admitted": n_admit,
+                "dropped": n_in - n_admit,
+            }
+        )
+
+    (
+        spark.readStream.format("text")
+        .load(in_dir)
+        .writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return {
+        "batches": batches,
+        "total_admitted": sum(b["admitted"] for b in batches),
+        "corpus_dir": corpus_dir,
+        "ledger_dir": ledger_dir,
+    }

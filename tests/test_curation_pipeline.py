@@ -197,3 +197,82 @@ def test_curation_dsir_stage(spark, sf_dir):
     by = {s["stage"]: s for s in rep["stages"]}
     assert by["dsir_select"]["rows"] == 40
     assert rep["output_rows"] == 40
+
+
+def test_incremental_curation_ingest(spark, tmp_path):
+    import json
+
+    import pyarrow.parquet as pq_  # noqa: F401
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        run_incremental_curation,
+    )
+
+    in_dir = tmp_path / "landing"
+    in_dir.mkdir()
+    state = str(tmp_path / "state")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none")
+
+    def jl(doc_id, text):
+        return json.dumps({"doc_id": doc_id, "text": text})
+
+    (in_dir / "batch1.jsonl").write_text(
+        "\n".join(
+            [jl(1, "alpha bravo charlie"), jl(2, "delta echo foxtrot"),
+             jl(3, "golf hotel india"), "{this is not json",
+             jl(4, "juliet kilo lima"), jl(5, "mike november oscar")]
+        )
+    )
+    rep1 = run_incremental_curation(spark, str(in_dir), state, cfg)
+    assert rep1["total_admitted"] == 5
+    assert sum(b["corrupt_lines"] for b in rep1["batches"]) == 1
+    assert spark.read.parquet(rep1["corpus_dir"]).count() == 5
+
+    # idempotent re-run: same checkpoint, no new files → nothing admitted
+    rep2 = run_incremental_curation(spark, str(in_dir), state, cfg)
+    assert rep2["total_admitted"] == 0
+    assert spark.read.parquet(rep1["corpus_dir"]).count() == 5
+
+    # batch 2: one cross-run duplicate (same text as doc 1, new id), one
+    # within-batch duplicate pair, two genuinely new docs
+    (in_dir / "batch2.jsonl").write_text(
+        "\n".join(
+            [jl(6, "papa quebec romeo"), jl(7, "alpha bravo charlie"),
+             jl(8, "sierra tango uniform"), jl(9, "sierra tango uniform")]
+        )
+    )
+    rep3 = run_incremental_curation(spark, str(in_dir), state, cfg)
+    assert rep3["total_admitted"] == 2  # 7 = ledger dup; 9 = in-batch dup
+    corpus = spark.read.parquet(rep1["corpus_dir"])
+    assert corpus.count() == 7
+    ids = {r.doc_id for r in corpus.collect()}
+    assert ids == {1, 2, 3, 4, 5, 6, 8}
+    # the ledger holds exactly one digest per admitted text
+    assert spark.read.parquet(rep1["ledger_dir"]).distinct().count() == 7
+
+
+def test_incremental_curation_applies_gates(spark, tmp_path):
+    import json
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        run_incremental_curation,
+    )
+
+    in_dir = tmp_path / "landing"
+    in_dir.mkdir()
+    good = "the quick brown fox jumps over the lazy dog near the river bank"
+    (in_dir / "b.jsonl").write_text(
+        "\n".join([
+            json.dumps({"doc_id": 1, "text": good}),
+            json.dumps({"doc_id": 2, "text": "x"}),  # fails word-count gate
+        ])
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, neardup_method="none",
+        use_gopher_gates=True,
+        gopher_overrides={"min_words": 5, "min_stopword_hits": 0,
+                          "min_alpha_word_frac": 0.0},
+    )
+    rep = run_incremental_curation(spark, str(in_dir), str(tmp_path / "s"), cfg)
+    assert rep["total_admitted"] == 1
+    assert {r.doc_id for r in spark.read.parquet(rep["corpus_dir"]).collect()} == {1}

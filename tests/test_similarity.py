@@ -217,3 +217,96 @@ def test_knn_ivf_centroid_pick_is_take_ordered(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     df = similarity.knn_ivf(emb, emb.filter(F.col("vec_id") < 5), k=5)
     plans.assert_take_ordered(df)
+
+
+def test_pq_encode_matches_numpy_reference(spark, sf_dir):
+    # quantization codes pinned against the same numpy expressions the UDF
+    # runs, over trained codebooks; training itself must be deterministic
+    import numpy as np
+
+    from pulfa_sausage_factory_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    cb = train_pq_codebooks(emb, m=8, n_codes=8, iters=2, sample_fraction=1.0)
+    cb2 = train_pq_codebooks(emb, m=8, n_codes=8, iters=2, sample_fraction=1.0)
+    assert sorted((r.sub, r.code, tuple(r.cent)) for r in cb.collect()) == \
+        sorted((r.sub, r.code, tuple(r.cent)) for r in cb2.collect())
+
+    rows = cb.orderBy("sub", "code").collect()
+    m, n_codes, sublen = 8, 8, 8
+    cbm = np.zeros((m, n_codes, sublen))
+    for r in rows:
+        cbm[r.sub, r.code] = r.cent
+    got = {r.id: list(r.codes) for r in pq_encode(emb, cb).collect()}
+    for r in emb.collect():
+        x = np.asarray([float(v) for v in r.embedding]).reshape(m, 1, sublen)
+        want = ((x - cbm) ** 2).sum(axis=-1).argmin(axis=-1)
+        assert got[r.vec_id] == list(want), r.vec_id
+    with pytest.raises(ValueError, match="subspaces"):
+        train_pq_codebooks(emb, m=7)
+
+
+def test_pq_adc_scores_and_recall(spark, sf_dir):
+    # ADC top-k: scores must equal the lookup-table sums exactly, and
+    # recall vs exact inner-product top-k must improve with codebook size
+    import numpy as np
+
+    from pulfa_sausage_factory_spark.operators.similarity import (
+        knn_pq_adc,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    queries = emb.limit(6)
+    vecs = {r.vec_id: [float(v) for v in r.embedding] for r in emb.collect()}
+    qids = [r.vec_id for r in queries.select("vec_id").collect()]
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    exact = {}
+    for q in qids:
+        scored = sorted(
+            ((seq_dot(vecs[q], v), i) for i, v in vecs.items() if i != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        exact[q] = {i for _, i in scored[:10]}
+
+    recalls = {}
+    for n_codes in (4, 32):
+        cb = train_pq_codebooks(
+            emb, m=8, n_codes=n_codes, iters=2, sample_fraction=1.0
+        )
+        codes = pq_encode(emb, cb)
+        got = knn_pq_adc(codes, queries, cb, k=10)
+        by_q = {}
+        for r in got.collect():
+            by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recalls[n_codes] = sum(
+            len(by_q.get(q, set()) & exact[q]) / 10 for q in qids
+        ) / len(qids)
+
+        # score exactness for one (query, neighbor): replay lut-sum
+        cbrows = cb.orderBy("sub", "code").collect()
+        cbm = {}
+        for r in cbrows:
+            cbm[(r.sub, r.code)] = list(r.cent)
+        code_map = {r.id: list(r.codes) for r in codes.collect()}
+        sample = got.limit(5).collect()
+        for r in sample:
+            qv = vecs[r.query_id]
+            want = 0.0
+            for sub in range(8):
+                qs = qv[sub * 8 : (sub + 1) * 8]
+                want = want + seq_dot(qs, cbm[(sub, code_map[r.neighbor_id][sub])])
+            assert r.score == pytest.approx(round(want, 6), abs=2e-6)
+
+    assert recalls[32] >= recalls[4]
+    assert recalls[32] >= 0.2, recalls
