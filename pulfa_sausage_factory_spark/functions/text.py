@@ -590,3 +590,137 @@ def gopher_rules(
             & stopwords_ok
         ).alias("pass"),
     )
+
+
+#: Gopher repetition thresholds (Rae et al. 2021, Table A1): signal → max
+#: allowed value. dup_* are duplicate line/paragraph occurrence and
+#: character fractions; top{n}_char is the most-frequent-n-gram char share;
+#: dupn{n}_char is the char mass covered by duplicated n-gram windows.
+GOPHER_REPETITION_MAX = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top2_char_frac": 0.20,
+    "top3_char_frac": 0.18,
+    "top4_char_frac": 0.16,
+    "dup5_char_frac": 0.15,
+    "dup6_char_frac": 0.14,
+    "dup7_char_frac": 0.13,
+    "dup8_char_frac": 0.12,
+    "dup9_char_frac": 0.11,
+    "dup10_char_frac": 0.10,
+}
+
+
+def repetition_signals(col: Column | str) -> Column:
+    """X4 — the full Gopher repetition-signal family (Rae et al. 2021,
+    Table A1) as one struct of 13 doubles per document.
+
+    Every signal is WITHIN-document, so the scale-correct shape is a single
+    Arrow-batched pandas UDF: one pass over the corpus, embarrassingly
+    parallel, zero shuffles — per-doc Counters beat 13 separate
+    explode+groupBy plans (each of which would reshuffle the token frame)
+    and interpreted HOF lambdas alike.
+
+    Definitions (documented because the paper leaves them loose):
+    - lines = text.split("\\n"), paragraphs = split("\\n\\n"), blank
+      segments dropped; ``dup_*_frac`` = occurrences beyond the first /
+      total; ``dup_*_char_frac`` = the same, char-weighted.
+    - tokens = lowercased whitespace split; char mass of a token/n-gram is
+      its non-space character count.
+    - ``top{n}_char_frac`` (n=2,3,4): count(most frequent n-gram) × its
+      char mass / total token char mass (ties: lexicographically first).
+    - ``dup{n}_char_frac`` (n=5..10): char mass of token POSITIONS covered
+      by at least one n-gram window occurring more than once, / total —
+      exact position coverage, not the over-counting occurrence sum.
+    Empty/short docs yield 0.0 for signals they cannot express.
+    """
+    import pandas as pd
+
+    def sigs(s):
+        from collections import Counter
+
+        out = []
+        for t in s:
+            t = t or ""
+            row = {}
+            for key, sep in (("line", "\n"), ("para", "\n\n")):
+                segs = [x for x in (p.strip() for p in t.split(sep)) if x]
+                total = len(segs)
+                chars = sum(len(x) for x in segs)
+                if total:
+                    cnt = Counter(segs)
+                    dup_occ = total - len(cnt)
+                    dup_chars = chars - sum(len(x) for x in cnt)
+                    row[f"dup_{key}_frac"] = dup_occ / total
+                    row[f"dup_{key}_char_frac"] = (
+                        dup_chars / chars if chars else 0.0
+                    )
+                else:
+                    row[f"dup_{key}_frac"] = 0.0
+                    row[f"dup_{key}_char_frac"] = 0.0
+            toks = [w for w in t.lower().split() if w]
+            lens = [len(w) for w in toks]
+            total_chars = sum(lens)
+            for n in (2, 3, 4):
+                k = f"top{n}_char_frac"
+                if len(toks) < n or not total_chars:
+                    row[k] = 0.0
+                    continue
+                cnt = Counter(
+                    tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+                best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+                row[k] = best[1] * sum(len(w) for w in best[0]) / total_chars
+            for n in range(5, 11):
+                k = f"dup{n}_char_frac"
+                if len(toks) < n or not total_chars:
+                    row[k] = 0.0
+                    continue
+                grams = [
+                    tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                ]
+                cnt = Counter(grams)
+                covered = [False] * len(toks)
+                for i, g in enumerate(grams):
+                    if cnt[g] > 1:
+                        for p in range(i, i + n):
+                            covered[p] = True
+                row[k] = (
+                    sum(l for l, c in zip(lens, covered) if c) / total_chars
+                )
+            out.append(row)
+        return pd.DataFrame(out)
+
+    import pandas as pd  # noqa: F811 — annotation objects for pandas_udf
+
+    sigs.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    schema = ", ".join(f"{k} double" for k in GOPHER_REPETITION_MAX)
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pandas_udf(sigs, schema)(c)
+
+
+def repetition_rules(col: Column | str, overrides: dict | None = None) -> Column:
+    """X4 — Gopher repetition gates: the 13 signals from
+    :func:`repetition_signals` each compared against its Table-A1 maximum
+    (overridable via ``overrides``), plus the conjunction, mirroring
+    :func:`gopher_rules`' struct-of-named-gates shape:
+
+    ``struct(<signal>_ok ×13, pass)`` — per-rule booleans survive into run
+    reports so corpus audits see WHICH repetition class dominates."""
+    limits = dict(GOPHER_REPETITION_MAX)
+    if overrides:
+        unknown = set(overrides) - set(limits)
+        if unknown:
+            raise ValueError(f"unknown repetition signals: {sorted(unknown)}")
+        limits.update(overrides)
+    sig = repetition_signals(col)
+    gates = [
+        (sig.getField(k) <= F.lit(v)).alias(f"{k}_ok") for k, v in limits.items()
+    ]
+    ok = None
+    for k, v in limits.items():
+        g = sig.getField(k) <= F.lit(v)
+        ok = g if ok is None else (ok & g)
+    return F.struct(*gates, ok.alias("pass"))

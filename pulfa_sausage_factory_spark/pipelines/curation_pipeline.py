@@ -40,6 +40,8 @@ class CurationConfig:
     min_quality: float = 0.3
     use_gopher_gates: bool = False  # Rae et al. 2021 named rule set
     gopher_overrides: dict | None = None  # threshold kwargs for gopher_rules
+    use_repetition_gates: bool = False  # Gopher Table-A1 repetition family
+    repetition_overrides: dict | None = None  # signal → max overrides
     allowed_langs: tuple[str, ...] = ()  # empty = no language gate
     clf_weights: dict | None = None  # None = no classifier gate
     clf_dim: int = 64
@@ -73,6 +75,10 @@ def _gate_condition(cfg: CurationConfig, tcol: str):
     if cfg.use_gopher_gates:
         cond = cond & text.gopher_rules(
             F.col(tcol), **(cfg.gopher_overrides or {})
+        )["pass"]
+    if cfg.use_repetition_gates:
+        cond = cond & text.repetition_rules(
+            F.col(tcol), cfg.repetition_overrides
         )["pass"]
     if cfg.allowed_langs:
         cond = cond & text.langid_expr(F.col(tcol)).isin(*cfg.allowed_langs)

@@ -523,3 +523,128 @@ def test_gopher_rules_no_exchange(spark):
 
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     assert_no_exchange(df.select(gopher_rules("text").alias("g")))
+
+
+# ---- repetition_signals / repetition_rules (Gopher Table A1) ---------------
+
+
+def _rep_reference(t):
+    """Independent straight-line implementation of the 13 repetition
+    signals (set arithmetic where the engine uses Counters)."""
+    row = {}
+    for key, sep in (("line", "\n"), ("para", "\n\n")):
+        segs = [x for x in (p.strip() for p in t.split(sep)) if x]
+        uniq = set(segs)
+        total, chars = len(segs), sum(map(len, segs))
+        row[f"dup_{key}_frac"] = (total - len(uniq)) / total if total else 0.0
+        row[f"dup_{key}_char_frac"] = (
+            (chars - sum(map(len, uniq))) / chars if chars else 0.0
+        )
+    toks = t.lower().split()
+    total_chars = sum(map(len, toks))
+    for n in (2, 3, 4):
+        grams = [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if not grams or not total_chars:
+            row[f"top{n}_char_frac"] = 0.0
+            continue
+        from collections import Counter
+        cnt = Counter(grams)
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        row[f"top{n}_char_frac"] = best[1] * sum(map(len, best[0])) / total_chars
+    for n in range(5, 11):
+        grams = [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if not grams or not total_chars:
+            row[f"dup{n}_char_frac"] = 0.0
+            continue
+        from collections import Counter
+        cnt = Counter(grams)
+        cov = set()
+        for i, g in enumerate(grams):
+            if cnt[g] > 1:
+                cov.update(range(i, i + n))
+        row[f"dup{n}_char_frac"] = sum(len(toks[p]) for p in cov) / total_chars
+    return row
+
+
+def test_repetition_signals_match_reference(spark, sf_dir):
+    from pulfa_sausage_factory_spark.functions.text import repetition_signals
+    from pulfa_sausage_factory_spark.io import load_table
+
+    crafted = [
+        (1, ""),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "spam spam spam spam spam spam spam spam"),
+        (4, "line a\nline b\nline a\nline b\nline c"),
+        (5, "para one here\n\npara one here\n\npara two here"),
+        (6, "a b c d e f g h a b c d e f g h x y z w"),
+    ]
+    docs = load_table(spark, sf_dir, "documents").limit(40).collect()
+    rows = crafted + [(100 + i, r.text) for i, r in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.s.asDict()
+        for r in df.select("doc_id", repetition_signals("text").alias("s")).collect()
+    }
+    import pytest as pt
+
+    for doc_id, t in rows:
+        want = _rep_reference(t)
+        for k, v in want.items():
+            assert got[doc_id][k] == pt.approx(v, abs=1e-12), (doc_id, k)
+    # crafted sanity: the all-same-token doc is maximally repetitive
+    # (top-n-gram char frac legitimately EXCEEDS 1 for overlapping repeats
+    # of the same token — count x gram_chars / total, the Gopher formula)
+    assert got[3]["dup5_char_frac"] == 1.0 and got[3]["top2_char_frac"] > 1.0
+    # the duplicated-line doc triggers the line family (tokens split on
+    # ALL whitespace, so repeated lines also light up the n-gram family)
+    assert got[4]["dup_line_frac"] > 0.3
+    assert got[5]["dup_para_frac"] > 0.3
+
+
+def test_repetition_rules_gate_and_overrides(spark):
+    import pytest as pt
+
+    from pulfa_sausage_factory_spark.functions.text import repetition_rules
+
+    clean = " ".join(f"w{i}" for i in range(60))
+    spammy = "buy now " * 30
+    df = spark.createDataFrame(
+        [(1, clean), (2, spammy)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.g.asDict()
+        for r in df.select("doc_id", repetition_rules("text").alias("g")).collect()
+    }
+    assert got[1]["pass"] is True
+    assert got[2]["pass"] is False and got[2]["top2_char_frac_ok"] is False
+    # loosening every threshold to 1.0 admits the spam
+    loose = {k[:-3]: 10.0 for k in got[2] if k != "pass"}  # strip _ok suffix
+    got2 = {
+        r.doc_id: r.g["pass"]
+        for r in df.select(
+            "doc_id", repetition_rules("text", loose).alias("g")
+        ).collect()
+    }
+    assert got2[2] is True
+    with pt.raises(ValueError, match="unknown repetition"):
+        repetition_rules("text", {"nope": 0.5})
+
+
+def test_repetition_gate_in_curation(spark):
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        CurationConfig,
+        run_curation,
+    )
+
+    clean = " ".join(f"word{i}" for i in range(60))
+    spammy = "buy now " * 40
+    docs = spark.createDataFrame(
+        [(1, clean), (2, spammy)], "doc_id long, text string"
+    )
+    rep = run_curation(
+        spark, docs,
+        CurationConfig(min_quality=0.0, neardup_method="none",
+                       use_repetition_gates=True),
+    )
+    by = {s["stage"]: s for s in rep["stages"]}
+    assert by["quality_gate"]["rows"] == 1
