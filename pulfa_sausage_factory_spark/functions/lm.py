@@ -331,3 +331,49 @@ def hashed_linear_score(
             result.alias(out_col),
         )
     )
+
+
+def perplexity_tiers(
+    scored: DataFrame,
+    n_tiers: int = 3,
+    score_col: str = "log2_ppl",
+    by: str | None = None,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet-style quality tiering (Wenzek et al. 2020): split documents
+    into ``n_tiers`` equal-population buckets by LM score — tier 0 = the
+    lowest-perplexity "head", the last tier = the "tail" (CCNet keeps
+    head+middle for training, drops or down-weights tail).
+
+    ``by`` computes tier boundaries per group (CCNet does per-language
+    percentiles) via one tiny aggregation broadcast-joined back, so the
+    corpus-sized frame never reshuffles. ``exact=False`` (default) uses
+    ``approx_percentile`` — the mergeable-sketch scale path; ``exact=True``
+    is the test-scale oracle twin. NULL scores (unscorable docs) get a
+    NULL tier. Appends a ``tier`` int column.
+    """
+    fracs = [i / n_tiers for i in range(1, n_tiers)]
+    fn = "percentile" if exact else "approx_percentile"
+    args = f"{score_col}, array({', '.join(str(f) for f in fracs)})"
+    if not exact:
+        args += f", {accuracy}"
+    cuts_expr = F.expr(f"{fn}({args})").alias("cuts")
+    if by is None:
+        cuts = scored.agg(cuts_expr).collect()[0].cuts
+        tier = F.lit(0)
+        for c in cuts or []:
+            tier = tier + F.when(F.col(score_col) > F.lit(float(c)), 1).otherwise(0)
+        return scored.withColumn(
+            "tier", F.when(F.col(score_col).isNull(), None).otherwise(tier)
+        )
+    cut_tbl = scored.filter(F.col(score_col).isNotNull()).groupBy(by).agg(cuts_expr)
+    joined = scored.join(F.broadcast(cut_tbl), by, "left")
+    tier = F.aggregate(
+        F.coalesce("cuts", F.array().cast("array<double>")),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col(score_col) > c, 1).otherwise(0),
+    )
+    return joined.withColumn(
+        "tier", F.when(F.col(score_col).isNull(), None).otherwise(tier)
+    ).drop("cuts")

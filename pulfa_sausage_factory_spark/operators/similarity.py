@@ -641,3 +641,119 @@ def knn_pq_adc(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def knn_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The composed IVF-PQ serving plan (Jégou et al. 2011): coarse cells
+    prune the corpus (only ``n_probe`` cells per query are touched), PQ
+    codes score the survivors by ADC — so the hot path reads m-byte codes,
+    never raw vectors. This is the 100 TB ANN shape: the index is
+    (cell_id, codes) per vector — ~1-2% of raw embedding bytes — and the
+    scoring join is an equi-join on cell_id against a broadcast of
+    per-query lookup tables.
+
+    Steps: assign corpus → 1 cell each / queries → ``n_probe`` cells
+    (broadcast-centroid argmax, exactly ``knn_ivf``); ``pq_encode`` the
+    corpus once; build each query's ``m × n_codes`` inner-product LUT;
+    equi-join on cell; fold LUT over code ids; per-query top-k window.
+    Recall < exact by both quantizations — ``knn_bruteforce`` is the
+    baseline, ``knn_ivf`` isolates the coarse-cell loss.
+    """
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cell_id"), as_double_array(vec_col).alias("cent")
+            )
+        )
+    else:
+        centroids = centroids.select("cell_id", "cent")
+
+    def assign(df: DataFrame, out_id: str, top: int) -> DataFrame:
+        scored = (
+            df.select(F.col(id_col).alias(out_id), as_double_array(vec_col).alias("v"))
+            .crossJoin(F.broadcast(centroids))
+            .withColumn("cell_cos", cosine(F.col("v"), F.col("cent")))
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("cell_cos").desc(), F.col("cell_id"))
+        return (
+            scored.withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= top)
+            .select(out_id, "v", "cell_id")
+        )
+
+    m = codebooks.agg(F.max("sub")).collect()[0][0] + 1
+    sublen = len(codebooks.limit(1).collect()[0].cent)
+    coded = assign(corpus, "id", 1).drop("v").join(
+        pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col), "id"
+    )
+    q = assign(queries, "query_id", n_probe)
+    qsub = q.select(
+        "query_id",
+        "cell_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("sub"),
+                    F.slice("v", s * sublen + 1, sublen).alias("qs"),
+                ),
+            )
+        ).alias("e"),
+    ).select("query_id", "cell_id", "e.sub", "e.qs")
+    lut = (
+        qsub.join(F.broadcast(codebooks), "sub")
+        .withColumn("val", dot(F.col("qs"), F.col("cent")))
+        .groupBy("query_id", "cell_id", "sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "val"))),
+                lambda s: s.val,
+            ).alias("vals")
+        )
+        .groupBy("query_id", "cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "vals"))),
+                lambda s: s.vals,
+            ).alias("lut")
+        )
+    )
+    scored = (
+        coded.join(F.broadcast(lut), "cell_id")
+        .filter(F.col("query_id") != F.col("id"))
+        .withColumn(
+            "score",
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(m)),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.element_at(
+                    F.element_at("lut", i.cast("int")),
+                    (F.element_at("codes", i.cast("int")) + 1).cast("int"),
+                ),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "rk",
+            F.round("score", 6).alias("score"),
+        )
+    )

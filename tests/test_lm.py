@@ -239,3 +239,36 @@ def test_expression_mode_matches_join_mode_and_never_shuffles(spark, sf_dir):
         ).collect()
     }
     assert a == b and len(a) == 50
+
+
+def test_perplexity_tiers_exact_and_grouped(spark):
+    from pulfa_sausage_factory_spark.functions import lm
+
+    rows = [(i, float(i), "en" if i % 2 == 0 else "fr") for i in range(1, 10)]
+    rows.append((99, None, "en"))
+    df = spark.createDataFrame(rows, "doc_id long, log2_ppl double, lang string")
+
+    got = {
+        r.doc_id: r.tier
+        for r in lm.perplexity_tiers(df, n_tiers=3, exact=True).collect()
+    }
+    # exact thirds over 1..9: {1,2,3}=head, {4,5,6}=middle, {7,8,9}=tail
+    assert [got[i] for i in range(1, 10)] == [0, 0, 0, 1, 1, 1, 2, 2, 2]
+    assert got[99] is None
+
+    # per-language boundaries: en scores {2,4,6,8}, fr {1,3,5,7,9} — each
+    # language tiers independently on its own distribution
+    g = {
+        r.doc_id: r.tier
+        for r in lm.perplexity_tiers(df, n_tiers=2, by="lang", exact=True).collect()
+    }
+    assert g[2] == 0 and g[4] == 0 and g[8] == 1
+    assert g[1] == 0 and g[5] == 0 and g[9] == 1
+    assert g[99] is None
+
+    # the sketch path agrees with exact on this tiny frame
+    a = {
+        r.doc_id: r.tier
+        for r in lm.perplexity_tiers(df, n_tiers=3, exact=False).collect()
+    }
+    assert a == got

@@ -310,3 +310,40 @@ def test_pq_adc_scores_and_recall(spark, sf_dir):
 
     assert recalls[32] >= recalls[4]
     assert recalls[32] >= 0.2, recalls
+
+
+def test_ivf_pq_composition(spark, sf_dir):
+    # probing ALL cells removes the coarse pruning entirely, so IVF-PQ must
+    # then equal plain full-corpus ADC bit-for-bit; with few probes it
+    # returns a (possibly lossy) subset-ranking — and the plan stays
+    # cartesian-free with the LUT side broadcast
+    from pulfa_sausage_factory_spark.operators.similarity import (
+        knn_ivf_pq,
+        knn_pq_adc,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    queries = emb.limit(5)
+    cb = train_pq_codebooks(emb, m=8, n_codes=16, iters=1, sample_fraction=1.0)
+
+    full_adc = knn_pq_adc(pq_encode(emb, cb), queries, cb, k=10)
+    all_probed = knn_ivf_pq(
+        emb, queries, cb, k=10, n_cells=8, n_probe=8
+    )
+    a = sorted(map(tuple, full_adc.collect()))
+    b = sorted(map(tuple, all_probed.collect()))
+    assert a == b and len(a) == 50
+
+    pruned = knn_ivf_pq(emb, queries, cb, k=10, n_cells=8, n_probe=2)
+    plans.assert_no_cartesian(pruned)
+    plans.assert_broadcast_join(pruned)
+    got = pruned.collect()
+    assert len(got) == 50
+    # pruned candidates score identically where they overlap the full ADC
+    full_scores = {(r.query_id, r.neighbor_id): r.score for r in full_adc.collect()}
+    overlap = [r for r in got if (r.query_id, r.neighbor_id) in full_scores]
+    assert overlap and all(
+        r.score == full_scores[(r.query_id, r.neighbor_id)] for r in overlap
+    )
