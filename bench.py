@@ -145,12 +145,63 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Round-4 extension operators, measured OUTSIDE the headline total so
+    # `value` stays comparable across rounds: SemDeDup pruning, DSIR
+    # selection, and the PQ/ADC serving path (codebooks pre-trained — an
+    # offline job in any real deployment; the serving plan is what repeats).
+    from pulfa_sausage_factory_spark.functions import sampling  # noqa: E402
+    from pulfa_sausage_factory_spark.operators import similarity  # noqa: E402
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    try:
+        _cb = similarity.train_pq_codebooks(
+            emb, m=8, n_codes=16, iters=1, sample_fraction=1.0
+        ).cache()
+        _cb.count()
+    except Exception:  # noqa: BLE001
+        _cb = None
+
+    def _x2g_semdedup(spark, sf_dir):
+        return similarity.semdedup(emb, n_cells=16, threshold=0.9)
+
+    def _x8d_dsir(spark, sf_dir):
+        return sampling.dsir_resample(
+            docs, docs.limit(200), k=500, dim=8192
+        )
+
+    def _x3p_pq_adc(spark, sf_dir):
+        return similarity.knn_pq_adc(
+            similarity.pq_encode(emb, _cb), emb.limit(20), _cb, k=10
+        )
+
+    extras: dict[str, float | None] = {}
+    for name, fn in (
+        ("x2g_semdedup", _x2g_semdedup),
+        ("x8d_dsir_select", _x8d_dsir),
+        ("x3p_pq_adc", _x3p_pq_adc),
+    ):
+        try:
+            fn(spark, sf_dir).count()  # untimed warmup, same JMH shape
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                times.append(time.perf_counter() - t0)
+            extras[name] = round(sorted(times)[len(times) // 2], 3)
+            print(f"# extra {name}: {extras[name]:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            extras[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# extra {name}: FAILED — {errors[name]}", file=sys.stderr)
+
     out = {
         "metric": "headline_query_set_wall_time",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
         "cold_queries": cold,
+        "extra_queries": extras,
         "sf": sf,
     }
     if errors:

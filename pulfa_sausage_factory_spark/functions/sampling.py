@@ -250,35 +250,74 @@ def chunk_documents(
 # ---------------------------------------------------------------------------
 
 
-def _hashed_ngram_ids(col: Column | str, dim: int) -> Column:
+def _hashed_ngram_ids(col: Column | str, dim: int, impl: str = "arrow") -> Column:
     """Array of hashed feature ids for DSIR's unigram+bigram bag: whitespace
-    tokens (lowercased) hashed with xxhash64 into ``dim`` buckets, plus each
-    adjacent pair hashed as ``"a b"``. Pure column expression."""
+    tokens (lowercased) hashed into ``dim`` buckets (first 8 md5 hex digits
+    → int → mod — the module's standard engine-portable chain), plus each
+    adjacent pair hashed as ``"a b"``.
+
+    ``impl="arrow"`` (default) computes the whole bag in one Arrow-batched
+    pandas pass with a per-batch token hash cache — the signature-workload
+    idiom; the equivalent pure-expression form (``impl="expr"``, kept for
+    oracle replay) runs its per-token lambdas INTERPRETED and measured
+    ~20× slower on the bench corpus. Both produce identical ids (pinned by
+    test)."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.filter(F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != "")
-    uni = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)))
-    bi = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.pmod(
-                F.xxhash64(
-                    F.concat(
-                        F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-                    )
-                ),
+    if impl == "expr":
+        def h(s):
+            return F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
                 F.lit(dim),
+            )
+
+        toks = F.filter(F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != "")
+        uni = F.transform(toks, lambda t: h(t))
+        bi = F.when(
+            F.size(toks) >= 2,
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: h(F.concat(a, F.lit(" "), b)),
             ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return F.concat(uni, bi)
+        ).otherwise(F.array().cast("array<bigint>"))
+        return F.concat(uni, bi)
+    if impl != "arrow":
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    import hashlib
+
+    import pandas as pd
+
+    md5 = hashlib.md5
+
+    def ids(s):
+        out = []
+        cache: dict[str, int] = {}
+        for t in s:
+            toks = [w for w in (t or "").lower().split() if w]
+            row = []
+            for g in toks + [
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            ]:
+                v = cache.get(g)
+                if v is None:
+                    # == int(md5 hexdigest[:8], 16) % dim: oracle-replayable
+                    v = int.from_bytes(md5(g.encode("utf-8")).digest()[:4], "big") % dim
+                    cache[g] = v
+                row.append(v)
+            out.append(row)
+        return pd.Series(out)
+
+    ids.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(ids, "array<bigint>")(c)
 
 
-def dsir_feature_counts(df: DataFrame, dim: int, text_col: str = "text") -> DataFrame:
+def dsir_feature_counts(
+    df: DataFrame, dim: int, text_col: str = "text", impl: str = "arrow"
+) -> DataFrame:
     """One corpus-sized aggregation → the ``dim``-bucket hashed-n-gram count
     table ``(feature_id, cnt)`` (only hit buckets present)."""
     return (
-        df.select(F.explode(_hashed_ngram_ids(text_col, dim)).alias("feature_id"))
+        df.select(F.explode(_hashed_ngram_ids(text_col, dim, impl)).alias("feature_id"))
         .groupBy("feature_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -327,6 +366,7 @@ def dsir_importance(
     dim: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-document log importance weight ``log w(x) = Σ_f c_f(x)·lr[f]`` —
     explode features, broadcast-join the ``dim``-row ratio table, sum per
@@ -335,7 +375,7 @@ def dsir_importance(
     ``(id_col, n_features, log_w)``, one row per raw doc (featureless docs
     weigh 0)."""
     feats = raw.select(
-        id_col, F.explode(_hashed_ngram_ids(text_col, dim)).alias("feature_id")
+        id_col, F.explode(_hashed_ngram_ids(text_col, dim, impl)).alias("feature_id")
     )
     scored = (
         feats.join(F.broadcast(ratio), "feature_id", "left")
@@ -365,6 +405,7 @@ def dsir_resample(
     text_col: str = "text",
     id_col: str = "doc_id",
     lam: float = 0.01,
+    impl: str = "arrow",
 ) -> DataFrame:
     """DSIR end-to-end: fit target/raw hashed-n-gram distributions, score
     raw docs, and draw ``k`` of them without replacement with probability
@@ -377,12 +418,12 @@ def dsir_resample(
     and the selection key ``gumbel_key``; ordered by key descending.
     """
     ratio = dsir_log_ratio(
-        dsir_feature_counts(target, dim, text_col),
-        dsir_feature_counts(raw, dim, text_col),
+        dsir_feature_counts(target, dim, text_col, impl),
+        dsir_feature_counts(raw, dim, text_col, impl),
         dim,
         lam,
     )
-    imp = dsir_importance(raw, ratio, dim, text_col, id_col)
+    imp = dsir_importance(raw, ratio, dim, text_col, id_col, impl)
     u = (_hash_bucket_fine(F.col(id_col)) + F.lit(0.5)) / F.lit(float(FINE_BUCKETS))
     keyed = imp.select(
         id_col,

@@ -139,3 +139,27 @@ def test_dsir_importance_plan_broadcasts_ratio(spark):
     imp = sampling.dsir_importance(raw, ratio, 32)
     plans.assert_no_cartesian(imp)
     plans.assert_broadcast_join(imp)
+
+
+def test_dsir_feature_impls_agree(spark, sf_dir):
+    # the Arrow fast path and the oracle-replayable expression form must
+    # emit IDENTICAL feature-id bags for real corpus text
+    from pulfa_sausage_factory_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60).select("doc_id", "text")
+    a = {
+        r.doc_id: list(r.f)
+        for r in docs.select(
+            "doc_id", sampling._hashed_ngram_ids("text", 512, "arrow").alias("f")
+        ).collect()
+    }
+    b = {
+        r.doc_id: list(r.f)
+        for r in docs.select(
+            "doc_id", sampling._hashed_ngram_ids("text", 512, "expr").alias("f")
+        ).collect()
+    }
+    assert a == b and len(a) == 60
+    import pytest as pt
+    with pt.raises(ValueError, match="impl"):
+        sampling._hashed_ngram_ids("text", 512, "numpy")
