@@ -163,7 +163,7 @@ def main() -> None:
         _cb = None
 
     def _x2g_semdedup(spark, sf_dir):
-        return similarity.semdedup(emb, n_cells=16, threshold=0.9)
+        return similarity.semdedup(emb, n_cells=16, threshold=0.9, impl="arrow")
 
     def _x8d_dsir(spark, sf_dir):
         return sampling.dsir_resample(

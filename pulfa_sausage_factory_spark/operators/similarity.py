@@ -277,6 +277,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep: str = "low_centroid_sim",
+    impl: str = "expr",
 ) -> DataFrame:
     """X2 (semantic variant) — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
     prune semantically-duplicate examples by embedding similarity, clustered
@@ -305,11 +306,23 @@ def semdedup(
     holding cell populations bounded, and both join sides shuffle once on
     ``cell_id`` (co-partitioned). No all-pairs path exists.
 
+    ``impl`` selects the pair stage only (assignment/ranking are identical
+    expressions either way): ``"expr"`` (default) evaluates pair cosines as
+    sequential-fold column expressions — bit-reproducible in ANSI SQL, the
+    oracle-checked mode; ``"arrow"`` runs one ``applyInPandas`` per cell
+    (the published implementation's own shape: normalize rows, one BLAS
+    ``X @ X.T``, upper-triangular max per priority order) — ~10× on the
+    stress corpus. BLAS dot accumulation order differs from the fold in the
+    last ulp, which can only matter for a pair sitting exactly AT the
+    threshold; equality on real data is pinned by test.
+
     Returns ``(id, cell_id, cent_sim, removed)`` — one row per corpus
     vector; callers keep ``removed = false``.
     """
     if keep not in ("low_centroid_sim", "high_centroid_sim"):
         raise ValueError(f"keep must be low_centroid_sim|high_centroid_sim, got {keep!r}")
+    if impl not in ("expr", "arrow"):
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
     if centroids is None:
         centroids = (
             corpus.orderBy(id_col)
@@ -320,17 +333,52 @@ def semdedup(
         )
     else:
         centroids = centroids.select("cell_id", "cent")
-    w_assign = Window.partitionBy("id").orderBy(
-        F.col("cell_cos").desc(), F.col("cell_id")
-    )
-    assigned = (
-        corpus.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("cell_cos", cosine(F.col("v"), F.col("cent")))
-        .withColumn("crk", F.row_number().over(w_assign))
-        .filter(F.col("crk") == 1)
-        .select("id", "v", "cell_id", F.col("cell_cos").alias("cent_sim"))
-    )
+    if impl == "arrow":
+        # assignment in numpy too: the broadcast-argmax over interpreted
+        # HOF cosines is |corpus|×n_cells lambda evaluations — one BLAS
+        # X @ C.T per Arrow batch replaces all of them. Centroid matrix
+        # rides the closure (n_cells × dim doubles — MBs at 50k cells).
+        import numpy as np
+        import pandas as pd
+
+        crows = centroids.orderBy("cell_id").collect()
+        cell_ids = np.array([r.cell_id for r in crows], dtype=np.int64)
+        C = np.stack([np.asarray(r.cent, dtype=np.float64) for r in crows])
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn == 0] = 1.0
+        Cn = (C / cn[:, None]).T  # (dim, n_cells)
+
+        def assign(vs):
+            out = []
+            for v in vs:
+                x = np.asarray(v, dtype=np.float64)
+                nx = np.linalg.norm(x) or 1.0
+                cos = (x / nx) @ Cn
+                j = int(np.argmax(cos))  # first max → lowest cell_id on ties
+                out.append({"cell_id": int(cell_ids[j]), "cent_sim": float(cos[j])})
+            return pd.DataFrame(out)
+
+        assign.__annotations__ = {"vs": pd.Series, "return": pd.DataFrame}
+        audf = F.pandas_udf(assign, "cell_id long, cent_sim double")
+        assigned = (
+            corpus.select(
+                F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+            )
+            .withColumn("a", audf("v"))
+            .select("id", "v", F.col("a.cell_id"), F.col("a.cent_sim"))
+        )
+    else:
+        w_assign = Window.partitionBy("id").orderBy(
+            F.col("cell_cos").desc(), F.col("cell_id")
+        )
+        assigned = (
+            corpus.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
+            .crossJoin(F.broadcast(centroids))
+            .withColumn("cell_cos", cosine(F.col("v"), F.col("cent")))
+            .withColumn("crk", F.row_number().over(w_assign))
+            .filter(F.col("crk") == 1)
+            .select("id", "v", "cell_id", F.col("cell_cos").alias("cent_sim"))
+        )
     order = (
         [F.col("cent_sim").asc(), F.col("id").asc()]
         if keep == "low_centroid_sim"
@@ -339,6 +387,34 @@ def semdedup(
     ranked = assigned.withColumn(
         "prio", F.row_number().over(Window.partitionBy("cell_id").orderBy(*order))
     )
+    if impl == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values("prio")
+            X = np.stack(pdf["v"].to_numpy())
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0] = 1.0
+            X = X / norms[:, None]
+            S = X @ X.T
+            # removed[j] = any i<j with cos >= threshold (upper triangle)
+            mask = np.triu(S >= threshold, k=1)
+            removed = mask.any(axis=0)
+            return pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy().astype("int64"),
+                    # trained centroids carry int32 cell ids; default mode
+                    # uses vec_ids (int64) — normalize to the output schema
+                    "cell_id": pdf["cell_id"].to_numpy().astype("int64"),
+                    "cent_sim": np.round(pdf["cent_sim"].to_numpy(), 6),
+                    "removed": removed,
+                }
+            )
+
+        return ranked.groupBy("cell_id").applyInPandas(
+            prune, "id long, cell_id long, cent_sim double, removed boolean"
+        )
     a = ranked.select(
         F.col("cell_id"), F.col("prio").alias("prio_a"), F.col("v").alias("va")
     )

@@ -51,6 +51,7 @@ class CurationConfig:
     neardup_max_hamming: int = 3  # simhash bit budget
     semdedup_threshold: float = 0.95  # semantic: cosine removal floor
     semdedup_cells: int = 16  # semantic: k-means cell count
+    semdedup_impl: str = "arrow"  # per-cell numpy (scale default) | "expr"
     dsir_k: int | None = None  # DSIR target-matched selection (needs target=)
     dsir_dim: int = 8192
     contamination_min_shared: int = 5
@@ -174,6 +175,7 @@ def run_curation(
             ),
             n_cells=cfg.semdedup_cells,
             threshold=cfg.semdedup_threshold,
+            impl=cfg.semdedup_impl,
         )
         losers_sem = alive.filter(F.col("removed")).select(
             F.col("id").alias(icol)

@@ -165,7 +165,7 @@ def main() -> None:
     run(
         "semdedup",
         lambda: similarity.semdedup(
-            emb_amp, n_cells=max(32, 4 * amp), threshold=0.95
+            emb_amp, n_cells=max(32, 4 * amp), threshold=0.95, impl="arrow"
         ).filter(F.col("removed")),
     )
     # DSIR selection over the amplified corpus against a small target —

@@ -347,3 +347,29 @@ def test_ivf_pq_composition(spark, sf_dir):
     assert overlap and all(
         r.score == full_scores[(r.query_id, r.neighbor_id)] for r in overlap
     )
+
+
+def test_semdedup_arrow_impl_matches_expr(spark, sf_dir):
+    # the per-cell numpy fast path must agree with the oracle-checked
+    # expression mode on real data (planted dups included) — verdicts,
+    # assignments, and rounded cent_sims all identical; validate impl arg
+    from pulfa_sausage_factory_spark.operators.similarity import semdedup
+
+    corpus = _with_planted_dups(spark, sf_dir, n=200)
+    for threshold, keep in ((0.9, "low_centroid_sim"), (0.75, "high_centroid_sim")):
+        e = sorted(map(tuple, semdedup(
+            corpus, n_cells=8, threshold=threshold, keep=keep, impl="expr"
+        ).collect()))
+        a = sorted(map(tuple, semdedup(
+            corpus, n_cells=8, threshold=threshold, keep=keep, impl="arrow"
+        ).collect()))
+        assert e == a
+    cent = similarity.train_ivf_centroids(corpus, n_cells=8, iters=1,
+                                          sample_fraction=1.0)
+    e = sorted(map(tuple, semdedup(corpus, threshold=0.8, centroids=cent).collect()))
+    a = sorted(map(tuple, semdedup(
+        corpus, threshold=0.8, centroids=cent, impl="arrow"
+    ).collect()))
+    assert e == a
+    with pytest.raises(ValueError, match="impl"):
+        semdedup(corpus, impl="numpy")
