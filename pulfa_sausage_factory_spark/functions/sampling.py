@@ -432,3 +432,42 @@ def dsir_resample(
     )
     top = keyed.orderBy(F.col("gumbel_key").desc(), F.col(id_col)).limit(k)
     return raw.join(top, id_col).orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+
+
+def materialize_packs(
+    df: DataFrame,
+    ids_col: str = "token_ids",
+    pack_col: str = "pack_id",
+    part_col: str = "shard",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """The terminal step of the tokenize → pack → train-tensor story:
+    assemble each pack's documents into one concatenated ``input_ids``
+    sequence plus the per-document span metadata a trainer needs for
+    attention masking / example tracking.
+
+    One aggregation keyed ``(part_col, pack_col)`` — the shuffle moves each
+    token id exactly once, grouped by destination pack; in-pack document
+    order is pinned by ``order_col`` (``array_sort`` on the collected
+    structs, so the result is partition-order-independent). Returns
+    ``(part_col, pack_col, n_docs, doc_ids, doc_lens, input_ids)`` where
+    ``doc_lens[i]`` is document i's token count — span offsets are its
+    prefix sums, left to the (driver-side, per-pack) consumer.
+    """
+    s = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(order_col).alias("o"), F.col(ids_col).alias("ids"))
+        )
+    )
+    return (
+        df.groupBy(part_col, pack_col)
+        .agg(s.alias("s"))
+        .select(
+            part_col,
+            pack_col,
+            F.size("s").alias("n_docs"),
+            F.transform("s", lambda x: x.o).alias("doc_ids"),
+            F.transform("s", lambda x: F.size(x.ids)).alias("doc_lens"),
+            F.flatten(F.transform("s", lambda x: x.ids)).alias("input_ids"),
+        )
+    )

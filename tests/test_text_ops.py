@@ -648,3 +648,35 @@ def test_repetition_gate_in_curation(spark):
     )
     by = {s["stage"]: s for s in rep["stages"]}
     assert by["quality_gate"]["rows"] == 1
+
+
+def test_materialize_packs_end_to_end(spark):
+    # docs → BPE ids → budgeted pack assignment → packed tensors: the
+    # concatenation must be lossless and ordered, spans must add up
+    from pulfa_sausage_factory_spark.functions import sampling, text
+    from pyspark.sql import functions as F
+
+    rows = [(i, "ab ab bc " * (i + 1)) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, _ = text.bpe_train_merges(docs, num_merges=3)
+    enc = text.bpe_encode(docs, merges, text.bpe_vocab(docs, merges))
+    packed = sampling.pack_greedy(
+        enc.withColumn("n_tokens", F.size("token_ids"))
+        .withColumn("shard", sampling.hash_bucket("doc_id") % 2),
+        "n_tokens", budget=40, part_col="shard", order_col="doc_id",
+    )
+    out = sampling.materialize_packs(packed).collect()
+    by_doc = {r.doc_id: list(r.token_ids) for r in enc.collect()}
+
+    seen_docs = []
+    for r in out:
+        assert r.n_docs == len(r.doc_ids) == len(r.doc_lens)
+        # spans partition input_ids exactly, in doc_id order
+        assert sorted(r.doc_ids) == list(r.doc_ids)
+        assert sum(r.doc_lens) == len(r.input_ids)
+        off = 0
+        for d, ln in zip(r.doc_ids, r.doc_lens):
+            assert list(r.input_ids[off:off + ln]) == by_doc[d], d
+            off += ln
+        seen_docs += list(r.doc_ids)
+    assert sorted(seen_docs) == sorted(by_doc)  # lossless, no dup/loss
