@@ -52,6 +52,7 @@ class CurationConfig:
     semdedup_threshold: float = 0.95  # semantic: cosine removal floor
     semdedup_cells: int = 16  # semantic: k-means cell count
     semdedup_impl: str = "arrow"  # per-cell numpy (scale default) | "expr"
+    neardup_ledger: bool = False  # incremental ingest: cross-run MinHash dedup
     dsir_k: int | None = None  # DSIR target-matched selection (needs target=)
     dsir_dim: int = 8192
     contamination_min_shared: int = 5
@@ -322,6 +323,17 @@ def run_incremental_curation(
       size; the anti-join shuffles digests, never text);
       ``corpus/``     — curated documents, appended per batch.
 
+    With ``cfg.neardup_ledger`` on, the same cross-batch/run guarantee
+    extends to NEAR-duplicates: each admitted document's MinHash signature
+    and its banded bucket keys persist (``sigs/`` + ``bands/``), and every
+    new batch's docs are checked by the standard LSH chain — band-bucket
+    equi-join against the ledger for candidates, then signature-agreement
+    estimated Jaccard ≥ ``cfg.neardup_threshold`` to confirm. Within-batch
+    near-dups collapse through ``minhash_lsh_pairs`` first (lowest id
+    kept). Storage is ~8·num_hashes bytes + bands×16 bytes per admitted
+    doc — thousandths of corpus size, and the per-batch work is
+    output-sensitive (bucket collisions), never a scan of old text.
+
     Corrupt JSONL lines quarantine per micro-batch (PERMISSIVE corrupt
     column) instead of killing the stream. Returns a run report:
     per-batch admitted/dropped counts plus totals.
@@ -330,6 +342,7 @@ def run_incremental_curation(
 
     from pyspark.sql import types as T
 
+    from ..operators.dedup import _minhash_sig_udf
     from ..sources.jsonl import CORRUPT_COL
 
     sch = T.StructType.fromDDL(schema)
@@ -340,6 +353,22 @@ def run_incremental_curation(
     ledger_dir = os.path.join(state_dir, "ledger")
     corpus_dir = os.path.join(state_dir, "corpus")
     ckpt_dir = os.path.join(state_dir, "checkpoint")
+    sigs_dir = os.path.join(state_dir, "sigs")
+    bands_dir = os.path.join(state_dir, "bands")
+    num_hashes, n_bands = 32, 8
+    rows_per_band = num_hashes // n_bands
+    sig_udf = _minhash_sig_udf(num_hashes=num_hashes, n=3)
+
+    def _band_keys(sig_col):
+        return F.array(
+            *[
+                F.xxhash64(
+                    F.lit(b), F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
+                )
+                for b in range(n_bands)
+            ]
+        )
+
     batches: list[dict] = []
 
     def batch_fn(lines: DataFrame, batch_id: int) -> None:
@@ -373,12 +402,68 @@ def run_incremental_curation(
             batch_d = batch_d.join(
                 seen.withColumnRenamed("digest", "_digest"), "_digest", "left_anti"
             )
-        admitted = batch_d.localCheckpoint()  # read once, write twice below
+        if cfg.neardup_ledger:
+            # within-batch near-dups first (lowest id survives) ...
+            losers = (
+                dedup.minhash_lsh_pairs(
+                    batch_d, text_col=tcol, id_col=icol,
+                    threshold=cfg.neardup_threshold,
+                )
+                .select(F.greatest("id_a", "id_b").alias(icol))
+                .distinct()
+            )
+            batch_d = batch_d.join(losers, icol, "left_anti").withColumn(
+                "_sig", sig_udf(F.col(tcol))
+            )
+            # ... then cross-batch/run: band-bucket candidates vs the
+            # ledger, confirmed by signature-agreement est-Jaccard
+            try:
+                old_bands = spark.read.parquet(bands_dir)
+                old_sigs = spark.read.parquet(sigs_dir)
+            except Exception:  # first near-dup batch: no ledgers yet
+                old_bands = old_sigs = None
+            if old_bands is not None:
+                cand = (
+                    batch_d.filter(F.col("_sig").isNotNull())
+                    .select(icol, "_sig", F.explode(_band_keys("_sig")).alias("bucket"))
+                    .join(old_bands, "bucket")
+                    .select(icol, "_sig", F.col("old_id"))
+                    .distinct()
+                    .join(old_sigs.withColumnRenamed("id", "old_id"), "old_id")
+                )
+                est = F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("_sig"), F.col("old_sig"),
+                            lambda x, y: (x == y).cast("int"),
+                        ),
+                        lambda v: v == 1,
+                    )
+                ).cast("double") / F.lit(float(num_hashes))
+                near = (
+                    cand.filter(est >= F.lit(cfg.neardup_threshold))
+                    .select(icol)
+                    .distinct()
+                )
+                batch_d = batch_d.join(near, icol, "left_anti")
+        admitted = batch_d.localCheckpoint()  # read once, write 2-4x below
         n_admit = admitted.count()
         admitted.select(F.col("_digest").alias("digest")).write.mode(
             "append"
         ).parquet(ledger_dir)
-        admitted.drop("_digest").write.mode("append").parquet(corpus_dir)
+        if cfg.neardup_ledger:
+            with_sig = admitted.filter(F.col("_sig").isNotNull())
+            with_sig.select(
+                F.col(icol).alias("id"), F.col("_sig").alias("old_sig")
+            ).write.mode("append").parquet(sigs_dir)
+            with_sig.select(
+                F.col(icol).alias("old_id"),
+                F.explode(_band_keys("_sig")).alias("bucket"),
+            ).write.mode("append").parquet(bands_dir)
+            admitted_out = admitted.drop("_sig")
+        else:
+            admitted_out = admitted
+        admitted_out.drop("_digest").write.mode("append").parquet(corpus_dir)
         release_local_checkpoint(admitted)
         batches.append(
             {

@@ -276,3 +276,53 @@ def test_incremental_curation_applies_gates(spark, tmp_path):
     rep = run_incremental_curation(spark, str(in_dir), str(tmp_path / "s"), cfg)
     assert rep["total_admitted"] == 1
     assert {r.doc_id for r in spark.read.parquet(rep["corpus_dir"]).collect()} == {1}
+
+
+def test_incremental_curation_neardup_ledger(spark, tmp_path):
+    import json
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        run_incremental_curation,
+    )
+
+    in_dir = tmp_path / "landing"
+    in_dir.mkdir()
+    state = str(tmp_path / "state")
+    cfg = CurationConfig(
+        min_quality=0.0, neardup_method="none",
+        neardup_ledger=True, neardup_threshold=0.5,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the quiet green forest by the river bank tonight")
+
+    def jl(doc_id, text):
+        return json.dumps({"doc_id": doc_id, "text": text})
+
+    (in_dir / "b1.jsonl").write_text(
+        "\n".join([
+            jl(1, base),
+            jl(2, "completely different text about archives letters and aids "
+                  "from the princeton collection of finding materials today"),
+            # within-batch near-copy of doc 1 (one word changed): must lose
+            jl(3, base.replace("quiet", "loud")),
+        ])
+    )
+    rep1 = run_incremental_curation(spark, str(in_dir), state, cfg)
+    assert rep1["total_admitted"] == 2
+    ids1 = {r.doc_id for r in spark.read.parquet(rep1["corpus_dir"]).collect()}
+    assert ids1 == {1, 2}
+
+    # batch 2: a near-copy of batch-1's doc 1 (different digest — exact
+    # ledger can't catch it), plus a genuinely new doc
+    (in_dir / "b2.jsonl").write_text(
+        "\n".join([
+            jl(10, base.replace("tonight", "yesterday")),
+            jl(11, "unrelated fresh content with nothing shared at all here "
+                   "describing completely novel things never written before"),
+        ])
+    )
+    rep2 = run_incremental_curation(spark, str(in_dir), state, cfg)
+    assert rep2["total_admitted"] == 1
+    ids2 = {r.doc_id for r in spark.read.parquet(rep1["corpus_dir"]).collect()}
+    assert ids2 == {1, 2, 11}
