@@ -490,3 +490,48 @@ def run_incremental_curation(
         "corpus_dir": corpus_dir,
         "ledger_dir": ledger_dir,
     }
+
+
+def compact_ingest_state(
+    spark: SparkSession, state_dir: str, max_files: int = 64
+) -> dict:
+    """Maintenance for the incremental-ingest ledgers: every micro-batch
+    appends a few small parquet files to ``ledger/``/``sigs/``/``bands/``,
+    and after thousands of batches the anti-join pays file-listing +
+    per-file-footer overhead far exceeding the data read (the classic
+    small-file problem). Rewrite any state dir exceeding ``max_files``
+    down to a bounded file count with the same crash-safe tmp/old swap as
+    ``sinks/layout.compact`` — run it off the ingest path (the reference's
+    log-rotation analog, ``etc/logging.conf:27``). Returns
+    ``{dir: (files_before, files_after)}`` for dirs it touched."""
+    import os
+    import shutil
+
+    from ..sinks.layout import parquet_file_count
+
+    done: dict[str, tuple[int, int]] = {}
+    for sub in ("ledger", "sigs", "bands"):
+        path = os.path.join(state_dir, sub)
+        if not os.path.isdir(path):
+            continue
+        before = parquet_file_count(path)
+        if before <= max_files:
+            continue
+        tmp, old = path + ".__compact__", path + ".__old__"
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)  # recover a prior killed swap
+        for stale in (tmp, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        spark.read.parquet(path).repartition(
+            max(1, max_files // 8)
+        ).write.mode("overwrite").parquet(tmp)
+        os.rename(path, old)
+        try:
+            os.rename(tmp, path)
+        except BaseException:
+            os.rename(old, path)
+            raise
+        shutil.rmtree(old)
+        done[sub] = (before, parquet_file_count(path))
+    return done

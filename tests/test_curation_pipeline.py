@@ -326,3 +326,103 @@ def test_incremental_curation_neardup_ledger(spark, tmp_path):
     assert rep2["total_admitted"] == 1
     ids2 = {r.doc_id for r in spark.read.parquet(rep1["corpus_dir"]).collect()}
     assert ids2 == {1, 2, 11}
+
+
+def test_compact_ingest_state(spark, tmp_path):
+    import json
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        compact_ingest_state,
+        run_incremental_curation,
+    )
+
+    in_dir = tmp_path / "landing"
+    in_dir.mkdir()
+    state = str(tmp_path / "state")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none")
+    # several runs → several appended ledger files
+    for b in range(3):
+        (in_dir / f"b{b}.jsonl").write_text(
+            "\n".join(
+                json.dumps({"doc_id": b * 100 + i, "text": f"doc {b} {i} unique words here"})
+                for i in range(4)
+            )
+        )
+        run_incremental_curation(spark, str(in_dir), state, cfg)
+
+    ledger = str(tmp_path / "state" / "ledger")
+    before = {r.digest for r in spark.read.parquet(ledger).collect()}
+    touched = compact_ingest_state(spark, state, max_files=1)
+    assert "ledger" in touched and touched["ledger"][1] < touched["ledger"][0]
+    after = {r.digest for r in spark.read.parquet(ledger).collect()}
+    assert after == before  # lossless
+    # below-threshold dirs are left alone
+    assert compact_ingest_state(spark, state, max_files=10_000) == {}
+    # the compacted ledger still dedups a re-submitted text
+    (in_dir / "b9.jsonl").write_text(
+        json.dumps({"doc_id": 999, "text": "doc 0 0 unique words here"})
+    )
+    rep = run_incremental_curation(spark, str(in_dir), state, cfg)
+    assert rep["total_admitted"] == 0
+
+
+def test_curation_all_stages_on(spark, sf_dir, tmp_path):
+    # EVERY optional stage enabled in one run: gopher + repetition +
+    # classifier gates, semantic near-dup, substring dedup, decontam,
+    # DSIR selection, sampling, chunking, packing, shard export — the
+    # stage-composition order itself is the thing under test
+    from pulfa_sausage_factory_spark.functions import lm
+    from pulfa_sausage_factory_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200).select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").limit(200).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")
+    )
+    labeled = docs.limit(40).withColumn("label", F.lit(1)).union(
+        spark.createDataFrame(
+            [(900 + i, "zzz qqq spam " * 5, 0) for i in range(10)],
+            "doc_id long, text string, label int",
+        )
+    )
+    weights, bias = lm.train_hashed_nb_weights(labeled, dim=64)
+    wdict = {r.feature_id: r.w for r in weights.collect()}
+
+    cfg = CurationConfig(
+        min_quality=0.0,
+        use_gopher_gates=True,
+        gopher_overrides={"min_words": 3, "min_stopword_hits": 0,
+                          "min_alpha_word_frac": 0.0},
+        use_repetition_gates=True,
+        repetition_overrides={k: 1.0 for k in (
+            "top2_char_frac", "top3_char_frac", "top4_char_frac")},
+        clf_weights=wdict,
+        clf_dim=64,
+        clf_min_logit=bias - 50.0,  # permissive: composition, not the gate
+        neardup_method="semantic",
+        semdedup_threshold=0.99,
+        dsir_k=60,
+        dsir_dim=1024,
+        substring_dedup_k=10,
+        chunk_max_tokens=64,
+        chunk_overlap=8,
+        sample_fraction=0.9,
+        pack_budget=256,
+        rows_per_shard=40,
+        out_dir=str(tmp_path / "out"),
+    )
+    rep = run_curation(
+        spark, docs, cfg,
+        bench=docs.limit(5),
+        embeddings=emb,
+        target=docs.limit(30),
+    )
+    names = [s["stage"] for s in rep["stages"]]
+    assert names == [
+        "input", "clean", "quality_gate", "exact_dedup", "neardup_dedup",
+        "decontaminate", "substring_dedup", "dsir_select", "sample",
+        "chunk", "pack",
+    ]
+    assert rep["output_rows"] > 0 and rep["n_shards"] >= 1
+    by = {s["stage"]: s for s in rep["stages"]}
+    assert by["dsir_select"]["rows"] == 60
+    assert by["decontaminate"]["dropped"] > 0  # bench ⊂ corpus fired

@@ -373,3 +373,31 @@ def test_semdedup_arrow_impl_matches_expr(spark, sf_dir):
     assert e == a
     with pytest.raises(ValueError, match="impl"):
         semdedup(corpus, impl="numpy")
+
+
+def test_new_operator_plan_shapes(spark, sf_dir):
+    # pq_encode is map-only (zero Exchange); materialize_packs moves each
+    # token id exactly once (one Exchange); semdedup's arrow path is
+    # narrow-assign + cell-keyed window/apply (bounded Exchanges, no
+    # cartesian)
+    from pulfa_sausage_factory_spark import plans
+    from pulfa_sausage_factory_spark.functions import sampling
+    from pulfa_sausage_factory_spark.operators.similarity import (
+        pq_encode,
+        semdedup,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    cb = train_pq_codebooks(emb, m=8, n_codes=4, iters=0, sample_fraction=1.0)
+    plans.assert_no_exchange(pq_encode(emb, cb))
+
+    df = spark.createDataFrame(
+        [(1, 0, 0, [1, 2]), (2, 0, 0, [3])],
+        "doc_id long, pack_id long, shard int, token_ids array<int>",
+    )
+    assert plans.count_exchanges(sampling.materialize_packs(df)) == 1
+
+    sem = semdedup(emb, n_cells=4, threshold=0.9, impl="arrow")
+    plans.assert_no_cartesian(sem)
+    plans.assert_max_exchanges(sem, 3)
