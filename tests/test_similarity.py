@@ -401,3 +401,56 @@ def test_new_operator_plan_shapes(spark, sf_dir):
     sem = semdedup(emb, n_cells=4, threshold=0.9, impl="arrow")
     plans.assert_no_cartesian(sem)
     plans.assert_max_exchanges(sem, 3)
+
+
+def test_hashed_text_embedding_drives_semdedup_from_raw_text(spark, sf_dir):
+    # the no-model embedder: deterministic, near-copies land close in
+    # cosine, unrelated texts do not — and the whole text → embed →
+    # semdedup chain prunes the planted near-copy
+    from pulfa_sausage_factory_spark.functions.vectors import (
+        cosine,
+        hashed_text_embedding,
+    )
+    from pulfa_sausage_factory_spark.operators.similarity import semdedup
+
+    base = ("the quick brown fox jumps over the lazy dog near the wide "
+            "river bank tonight while owls watch from the old oak tree")
+    rows = [
+        (1, base),
+        (2, base.replace("tonight", "yesterday")),  # near-copy of 1
+        (3, "completely different archival finding aid describing boxes "
+            "of letters manuscripts and photographs from the collection"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = df.select("doc_id", hashed_text_embedding("text").alias("embedding"))
+
+    a = {r.doc_id: list(r.embedding) for r in emb.collect()}
+    b = {r.doc_id: list(r.embedding) for r in emb.collect()}
+    assert a == b  # deterministic across executions
+    assert len(a[1]) == 64 and a[4] == [0.0] * 64
+
+    nz = emb.filter(F.col("doc_id") != 4)  # ANSI: cosine(0-vector) divides by 0
+    sims = (
+        nz.alias("x").join(nz.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("i"), F.col("y.doc_id").alias("j"),
+            cosine(F.col("x.embedding"), F.col("y.embedding")).alias("cos"),
+        )
+        .collect()
+    )
+    s = {(r.i, r.j): r.cos for r in sims}
+    assert s[(1, 2)] > 0.9 > s[(1, 3)]
+
+    verdict = semdedup(
+        df.select(F.col("doc_id").alias("vec_id"),
+                  hashed_text_embedding("text").alias("embedding")),
+        # n_cells=1: with 2 cells docs 1 and 2 would each BE a centroid
+        # and land in separate cells, never compared — small-n artifact
+        n_cells=1, threshold=0.9, impl="arrow",
+    )
+    removed = {r.id for r in verdict.collect() if r.removed}
+    # exactly ONE of the near-copy pair loses (keep="low_centroid_sim"
+    # keeps doc 2 — doc 1 IS the centroid, cent_sim 1.0, lowest priority);
+    # the unrelated and empty docs survive
+    assert removed == {1}
