@@ -471,3 +471,14 @@ def materialize_packs(
             F.flatten(F.transform("s", lambda x: x.ids)).alias("input_ids"),
         )
     )
+
+
+def deterministic_shuffle_key(key: Column | str, seed: int = 0) -> Column:
+    """Training-order randomization that survives retries: a pseudo-random
+    but fully deterministic sort key (``xxhash64(seed, key)``). Order by it
+    (or pass as ``write_sharded``'s order column) to get a reproducible
+    global shuffle of the corpus — ``ORDER BY rand()`` changes across task
+    retries and reruns, which silently breaks resumable training-data
+    builds. Different ``seed`` → an independent permutation per epoch."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.xxhash64(F.lit(seed), c)

@@ -55,6 +55,8 @@ class CurationConfig:
     neardup_ledger: bool = False  # incremental ingest: cross-run MinHash dedup
     dsir_k: int | None = None  # DSIR target-matched selection (needs target=)
     dsir_dim: int = 8192
+    keep_tiers: tuple[int, ...] | None = None  # CCNet tier gate (needs scores=)
+    tier_count: int = 3
     contamination_min_shared: int = 5
     substring_dedup_k: int | None = None  # None = no substring-dedup stage
     chunk_max_tokens: int | None = None  # None = no chunking stage
@@ -99,6 +101,7 @@ def run_curation(
     bench: DataFrame | None = None,
     embeddings: DataFrame | None = None,
     target: DataFrame | None = None,
+    scores: DataFrame | None = None,
 ) -> dict:
     """Run the curation DAG over ``docs``; returns the run report
     (per-stage row counts + drop counts + output paths) — the C3
@@ -107,9 +110,13 @@ def run_curation(
     ``embeddings`` (``vec_id`` matching ``id_col``, ``embedding``) feeds the
     ``neardup_method="semantic"`` SemDeDup stage; ``target`` (a small
     trusted corpus with the same id/text columns) feeds the optional DSIR
-    importance-resampling stage (``cfg.dsir_k``). A classifier gate can be
-    trained in-engine too: collect ``lm.train_hashed_nb_weights`` output
-    into ``cfg.clf_weights`` and fold its bias into ``clf_min_logit``."""
+    importance-resampling stage (``cfg.dsir_k``). ``scores`` (one row per
+    doc: ``id_col, log2_ppl`` from ``lm.perplexity_score``) feeds the
+    optional CCNet tier gate (``cfg.keep_tiers`` — e.g. ``(0, 1)`` keeps
+    head+middle; docs without a score are dropped by that gate). A
+    classifier gate can be trained in-engine too: collect
+    ``lm.train_hashed_nb_weights`` output into ``cfg.clf_weights`` and
+    fold its bias into ``clf_min_logit``."""
     tcol, icol = cfg.text_col, cfg.id_col
     stages: list[dict] = []
     prev_ckpt: DataFrame | None = None
@@ -142,6 +149,20 @@ def run_curation(
     # 2. gates — pure column predicates (plus the inlined classifier for
     # small models); a single narrow filter pass
     cur = stage("quality_gate", cur.filter(_gate_condition(cfg, tcol)))
+
+    # 2b. CCNet perplexity-tier gate: equal-population buckets over the LM
+    # score table; keep the named tiers via one semi-join (the corpus
+    # never reshuffles — the tier table is the decision table)
+    if cfg.keep_tiers is not None:
+        if scores is None:
+            raise ValueError("cfg.keep_tiers needs the scores= table "
+                             f"({icol}, log2_ppl from lm.perplexity_score)")
+        keep_ids = (
+            lm.perplexity_tiers(scores, n_tiers=cfg.tier_count)
+            .filter(F.col("tier").isin(*cfg.keep_tiers))
+            .select(icol)
+        )
+        cur = stage("ppl_tier_gate", cur.join(keep_ids, icol, "left_semi"))
 
     # 3. exact dedup (digest shuffle, lowest id survives)
     cur = stage("exact_dedup", dedup.exact_dedup(cur, tcol, icol))

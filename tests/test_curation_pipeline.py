@@ -426,3 +426,63 @@ def test_curation_all_stages_on(spark, sf_dir, tmp_path):
     by = {s["stage"]: s for s in rep["stages"]}
     assert by["dsir_select"]["rows"] == 60
     assert by["decontaminate"]["dropped"] > 0  # bench ⊂ corpus fired
+
+
+def test_curation_perplexity_tier_gate(spark, sf_dir):
+    import pytest
+
+    from pulfa_sausage_factory_spark.functions import lm
+    from pulfa_sausage_factory_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(90).select("doc_id", "text")
+    bigrams, unigrams, vocab = lm.train_bigram_lm(docs)
+    scores = lm.perplexity_score(docs, bigrams, unigrams, vocab)
+
+    with pytest.raises(ValueError, match="scores"):
+        run_curation(
+            spark, docs,
+            CurationConfig(min_quality=0.0, neardup_method="none",
+                           keep_tiers=(0, 1)),
+        )
+
+    rep = run_curation(
+        spark, docs,
+        CurationConfig(min_quality=0.0, neardup_method="none",
+                       keep_tiers=(0, 1), tier_count=3),
+        scores=scores,
+    )
+    by = {s["stage"]: s for s in rep["stages"]}
+    # head+middle of 3 equal-population tiers ≈ 2/3 of the corpus
+    assert 50 <= by["ppl_tier_gate"]["rows"] <= 70
+    assert by["ppl_tier_gate"]["dropped"] >= 20
+
+
+def test_deterministic_shuffle_key_orders_shards(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    from pulfa_sausage_factory_spark.functions.sampling import (
+        deterministic_shuffle_key,
+    )
+    from pulfa_sausage_factory_spark.sinks.layout import write_sharded
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(500)], "doc_id long, text string"
+    ).withColumn("shuffle_key", deterministic_shuffle_key("doc_id", seed=7))
+    out = str(tmp_path / "shards")
+    write_sharded(df, out, "shuffle_key", rows_per_shard=100)
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    ids = []
+    for f in files:
+        ids += pq_.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+    assert sorted(ids) == list(range(500))  # lossless
+    assert ids != list(range(500))  # genuinely permuted
+    # reproducible: same seed → same order; different seed → different
+    df2 = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(500)], "doc_id long, text string"
+    )
+    k7 = [r.k for r in df2.select(deterministic_shuffle_key("doc_id", 7).alias("k")).collect()]
+    k7b = [r.k for r in df2.select(deterministic_shuffle_key("doc_id", 7).alias("k")).collect()]
+    k8 = [r.k for r in df2.select(deterministic_shuffle_key("doc_id", 8).alias("k")).collect()]
+    assert k7 == k7b and k7 != k8
