@@ -355,6 +355,18 @@ def run_incremental_curation(
     doc — thousandths of corpus size, and the per-batch work is
     output-sensitive (bucket collisions), never a scan of old text.
 
+    Crash safety / exactly-once effect: ``foreachBatch`` is at-least-once
+    (a batch killed mid-write REPLAYS on restart with the same batch id),
+    so every state write goes to its batch's own hive partition dir
+    (``.../batch_id=N``, mode overwrite) and every state READ excludes the
+    current batch id — a replay recomputes the same admission decision
+    against exactly the pre-batch state and overwrites its own partial
+    output, never appending twice and never losing a batch to a
+    half-recorded ledger. Corpus/ledger readers therefore see a
+    ``batch_id`` provenance column. (``state_dir`` binds the stream
+    checkpoint and the ledgers together: batch ids are unique per
+    checkpoint, so never point two checkpoints at one state dir.)
+
     Corrupt JSONL lines quarantine per micro-batch (PERMISSIVE corrupt
     column) instead of killing the stream. Returns a run report:
     per-batch admitted/dropped counts plus totals.
@@ -363,17 +375,67 @@ def run_incremental_curation(
 
     from pyspark.sql import types as T
 
+    sch = T.StructType.fromDDL(schema)
+    ckpt_dir = os.path.join(state_dir, "checkpoint")
+    batches: list[dict] = []
+
+    def batch_fn(lines: DataFrame, batch_id: int) -> None:
+        batches.append(
+            _ingest_batch(spark, lines, batch_id, cfg, state_dir, sch)
+        )
+
+    (
+        spark.readStream.format("text")
+        .load(in_dir)
+        .writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return {
+        "batches": batches,
+        "total_admitted": sum(b["admitted"] for b in batches),
+        "corpus_dir": os.path.join(state_dir, "corpus"),
+        "ledger_dir": os.path.join(state_dir, "ledger"),
+    }
+
+
+def _read_state(spark: SparkSession, path: str, exclude_batch: int):
+    """Read a state dir (hive-partitioned by batch_id), EXCLUDING the
+    current batch's own partition so a replayed batch decides against
+    exactly the pre-batch state. Returns None if the dir doesn't exist."""
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return None
+    return df.filter(F.col("batch_id") != exclude_batch).drop("batch_id")
+
+
+def _ingest_batch(
+    spark: SparkSession,
+    lines: DataFrame,
+    batch_id: int,
+    cfg: CurationConfig,
+    state_dir: str,
+    sch,
+) -> dict:
+    """One micro-batch of the incremental ingest (module-level so replay
+    semantics are directly testable: calling it twice with the same
+    ``batch_id`` must be a no-op the second time modulo overwrites)."""
+    import os
+
+    from pyspark.sql import types as T
+
     from ..operators.dedup import _minhash_sig_udf
     from ..sources.jsonl import CORRUPT_COL
 
-    sch = T.StructType.fromDDL(schema)
     full = T.StructType(
         list(sch.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
     )
     tcol, icol = cfg.text_col, cfg.id_col
     ledger_dir = os.path.join(state_dir, "ledger")
     corpus_dir = os.path.join(state_dir, "corpus")
-    ckpt_dir = os.path.join(state_dir, "checkpoint")
     sigs_dir = os.path.join(state_dir, "sigs")
     bands_dir = os.path.join(state_dir, "bands")
     num_hashes, n_bands = 32, 8
@@ -390,126 +452,106 @@ def run_incremental_curation(
             ]
         )
 
-    batches: list[dict] = []
+    def _part(d: str) -> str:
+        return os.path.join(d, f"batch_id={batch_id}")
 
-    def batch_fn(lines: DataFrame, batch_id: int) -> None:
-        parsed = lines.filter(F.length(F.trim("value")) > 0).withColumn(
-            "j",
-            F.from_json(
-                "value", full,
-                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-            ),
+    parsed = lines.filter(F.length(F.trim("value")) > 0).withColumn(
+        "j",
+        F.from_json(
+            "value", full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ),
+    )
+    n_corrupt = parsed.filter(
+        F.col("j").getField(CORRUPT_COL).isNotNull()
+    ).count()
+    docs = (
+        parsed.filter(F.col("j").getField(CORRUPT_COL).isNull())
+        .select(*[F.col("j").getField(f.name).alias(f.name) for f in sch.fields])
+        .filter(F.length(F.coalesce(tcol, F.lit(""))) > 0)
+    )
+    n_in = docs.count()
+    gated = docs.filter(_gate_condition(cfg, tcol))
+    # within-batch exact dedup, then cross-batch/run dedup against the
+    # ledger (anti-join on digests — text never reshuffles)
+    batch_d = dedup.exact_dedup(gated, tcol, icol).withColumn(
+        "_digest", F.md5(F.col(tcol))
+    )
+    seen = _read_state(spark, ledger_dir, batch_id)
+    if seen is not None:
+        batch_d = batch_d.join(
+            seen.select("digest").withColumnRenamed("digest", "_digest"),
+            "_digest",
+            "left_anti",
         )
-        n_corrupt = parsed.filter(
-            F.col("j").getField(CORRUPT_COL).isNotNull()
-        ).count()
-        docs = (
-            parsed.filter(F.col("j").getField(CORRUPT_COL).isNull())
-            .select(*[F.col("j").getField(f.name).alias(f.name) for f in sch.fields])
-            .filter(F.length(F.coalesce(tcol, F.lit(""))) > 0)
-        )
-        n_in = docs.count()
-        gated = docs.filter(_gate_condition(cfg, tcol))
-        # within-batch exact dedup, then cross-batch/run dedup against the
-        # ledger (anti-join on digests — text never reshuffles)
-        batch_d = dedup.exact_dedup(gated, tcol, icol).withColumn(
-            "_digest", F.md5(F.col(tcol))
-        )
-        try:
-            seen = spark.read.parquet(ledger_dir).select("digest")
-        except Exception:  # first batch ever: no ledger yet
-            seen = None
-        if seen is not None:
-            batch_d = batch_d.join(
-                seen.withColumnRenamed("digest", "_digest"), "_digest", "left_anti"
+    if cfg.neardup_ledger:
+        # within-batch near-dups first (lowest id survives) ...
+        losers = (
+            dedup.minhash_lsh_pairs(
+                batch_d, text_col=tcol, id_col=icol,
+                threshold=cfg.neardup_threshold,
             )
-        if cfg.neardup_ledger:
-            # within-batch near-dups first (lowest id survives) ...
-            losers = (
-                dedup.minhash_lsh_pairs(
-                    batch_d, text_col=tcol, id_col=icol,
-                    threshold=cfg.neardup_threshold,
+            .select(F.greatest("id_a", "id_b").alias(icol))
+            .distinct()
+        )
+        batch_d = batch_d.join(losers, icol, "left_anti").withColumn(
+            "_sig", sig_udf(F.col(tcol))
+        )
+        # ... then cross-batch/run: band-bucket candidates vs the
+        # ledger, confirmed by signature-agreement est-Jaccard
+        old_bands = _read_state(spark, bands_dir, batch_id)
+        old_sigs = _read_state(spark, sigs_dir, batch_id)
+        if old_bands is not None and old_sigs is not None:
+            cand = (
+                batch_d.filter(F.col("_sig").isNotNull())
+                .select(icol, "_sig", F.explode(_band_keys("_sig")).alias("bucket"))
+                .join(old_bands, "bucket")
+                .select(icol, "_sig", F.col("old_id"))
+                .distinct()
+                .join(old_sigs.withColumnRenamed("id", "old_id"), "old_id")
+            )
+            est = F.size(
+                F.filter(
+                    F.zip_with(
+                        F.col("_sig"), F.col("old_sig"),
+                        lambda x, y: (x == y).cast("int"),
+                    ),
+                    lambda v: v == 1,
                 )
-                .select(F.greatest("id_a", "id_b").alias(icol))
+            ).cast("double") / F.lit(float(num_hashes))
+            near = (
+                cand.filter(est >= F.lit(cfg.neardup_threshold))
+                .select(icol)
                 .distinct()
             )
-            batch_d = batch_d.join(losers, icol, "left_anti").withColumn(
-                "_sig", sig_udf(F.col(tcol))
-            )
-            # ... then cross-batch/run: band-bucket candidates vs the
-            # ledger, confirmed by signature-agreement est-Jaccard
-            try:
-                old_bands = spark.read.parquet(bands_dir)
-                old_sigs = spark.read.parquet(sigs_dir)
-            except Exception:  # first near-dup batch: no ledgers yet
-                old_bands = old_sigs = None
-            if old_bands is not None:
-                cand = (
-                    batch_d.filter(F.col("_sig").isNotNull())
-                    .select(icol, "_sig", F.explode(_band_keys("_sig")).alias("bucket"))
-                    .join(old_bands, "bucket")
-                    .select(icol, "_sig", F.col("old_id"))
-                    .distinct()
-                    .join(old_sigs.withColumnRenamed("id", "old_id"), "old_id")
-                )
-                est = F.size(
-                    F.filter(
-                        F.zip_with(
-                            F.col("_sig"), F.col("old_sig"),
-                            lambda x, y: (x == y).cast("int"),
-                        ),
-                        lambda v: v == 1,
-                    )
-                ).cast("double") / F.lit(float(num_hashes))
-                near = (
-                    cand.filter(est >= F.lit(cfg.neardup_threshold))
-                    .select(icol)
-                    .distinct()
-                )
-                batch_d = batch_d.join(near, icol, "left_anti")
-        admitted = batch_d.localCheckpoint()  # read once, write 2-4x below
-        n_admit = admitted.count()
-        admitted.select(F.col("_digest").alias("digest")).write.mode(
-            "append"
-        ).parquet(ledger_dir)
-        if cfg.neardup_ledger:
-            with_sig = admitted.filter(F.col("_sig").isNotNull())
-            with_sig.select(
-                F.col(icol).alias("id"), F.col("_sig").alias("old_sig")
-            ).write.mode("append").parquet(sigs_dir)
-            with_sig.select(
-                F.col(icol).alias("old_id"),
-                F.explode(_band_keys("_sig")).alias("bucket"),
-            ).write.mode("append").parquet(bands_dir)
-            admitted_out = admitted.drop("_sig")
-        else:
-            admitted_out = admitted
-        admitted_out.drop("_digest").write.mode("append").parquet(corpus_dir)
-        release_local_checkpoint(admitted)
-        batches.append(
-            {
-                "batch_id": batch_id,
-                "corrupt_lines": n_corrupt,
-                "input_rows": n_in,
-                "admitted": n_admit,
-                "dropped": n_in - n_admit,
-            }
-        )
-
-    (
-        spark.readStream.format("text")
-        .load(in_dir)
-        .writeStream.foreachBatch(batch_fn)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+            batch_d = batch_d.join(near, icol, "left_anti")
+    admitted = batch_d.localCheckpoint()  # read once, write 2-4x below
+    n_admit = admitted.count()
+    admitted.select(F.col("_digest").alias("digest")).write.mode(
+        "overwrite"
+    ).parquet(_part(ledger_dir))
+    if cfg.neardup_ledger:
+        with_sig = admitted.filter(F.col("_sig").isNotNull())
+        with_sig.select(
+            F.col(icol).alias("id"), F.col("_sig").alias("old_sig")
+        ).write.mode("overwrite").parquet(_part(sigs_dir))
+        with_sig.select(
+            F.col(icol).alias("old_id"),
+            F.explode(_band_keys("_sig")).alias("bucket"),
+        ).write.mode("overwrite").parquet(_part(bands_dir))
+        admitted_out = admitted.drop("_sig")
+    else:
+        admitted_out = admitted
+    admitted_out.drop("_digest").write.mode("overwrite").parquet(
+        _part(corpus_dir)
     )
+    release_local_checkpoint(admitted)
     return {
-        "batches": batches,
-        "total_admitted": sum(b["admitted"] for b in batches),
-        "corpus_dir": corpus_dir,
-        "ledger_dir": ledger_dir,
+        "batch_id": batch_id,
+        "corrupt_lines": n_corrupt,
+        "input_rows": n_in,
+        "admitted": n_admit,
+        "dropped": n_in - n_admit,
     }
 
 
@@ -520,11 +562,16 @@ def compact_ingest_state(
     appends a few small parquet files to ``ledger/``/``sigs/``/``bands/``,
     and after thousands of batches the anti-join pays file-listing +
     per-file-footer overhead far exceeding the data read (the classic
-    small-file problem). Rewrite any state dir exceeding ``max_files``
-    down to a bounded file count with the same crash-safe tmp/old swap as
-    ``sinks/layout.compact`` — run it off the ingest path (the reference's
-    log-rotation analog, ``etc/logging.conf:27``). Returns
-    ``{dir: (files_before, files_after)}`` for dirs it touched."""
+    small-file problem). Collapse every per-batch partition dir into one
+    ``batch_id=-1`` archive partition with a bounded file count, via the
+    same crash-safe tmp/old swap as ``sinks/layout.compact``. The archive
+    id is -1 so the ingest's own-batch exclusion filter (real batch ids
+    are ≥ 0) always keeps it; run compaction BETWEEN ingest runs only —
+    a batch that replays after its partition dir was archived would
+    re-admit into a fresh dir and double its rows (the reference's
+    log-rotation analog, ``etc/logging.conf:27``, has the same
+    stop-the-world contract). Returns ``{dir: (files_before,
+    files_after)}`` for dirs it touched."""
     import os
     import shutil
 
@@ -544,9 +591,9 @@ def compact_ingest_state(
         for stale in (tmp, old):
             if os.path.exists(stale):
                 shutil.rmtree(stale)
-        spark.read.parquet(path).repartition(
+        spark.read.parquet(path).drop("batch_id").repartition(
             max(1, max_files // 8)
-        ).write.mode("overwrite").parquet(tmp)
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "batch_id=-1"))
         os.rename(path, old)
         try:
             os.rename(tmp, path)

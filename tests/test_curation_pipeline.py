@@ -486,3 +486,67 @@ def test_deterministic_shuffle_key_orders_shards(spark, tmp_path):
     k7b = [r.k for r in df2.select(deterministic_shuffle_key("doc_id", 7).alias("k")).collect()]
     k8 = [r.k for r in df2.select(deterministic_shuffle_key("doc_id", 8).alias("k")).collect()]
     assert k7 == k7b and k7 != k8
+
+
+def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    # foreachBatch is at-least-once: re-running a batch with the same id
+    # (the crash-replay case) must decide against the PRE-batch state and
+    # overwrite its own partition — identical corpus/ledger afterwards,
+    # even though the first attempt already wrote the ledger
+    import json
+
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+    )
+
+    state = str(tmp_path / "state")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none",
+                         neardup_ledger=True, neardup_threshold=0.5)
+    sch = T.StructType.fromDDL("doc_id long, text string")
+
+    def lines(rows):
+        return spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "value string"
+        )
+
+    b0 = lines([
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog today"},
+        {"doc_id": 2, "text": "totally different archival text about letters here"},
+    ])
+    r0 = _ingest_batch(spark, b0, 0, cfg, state, sch)
+    assert r0["admitted"] == 2
+    snap = sorted(
+        (r.doc_id, r.batch_id)
+        for r in spark.read.parquet(f"{state}/corpus").collect()
+    )
+    ledger_snap = sorted(
+        (r.digest, r.batch_id)
+        for r in spark.read.parquet(f"{state}/ledger").collect()
+    )
+
+    # replay batch 0 (same id, same lines): the ledger ALREADY contains
+    # these digests from the first attempt — the exclusion filter must
+    # ignore them and re-admit identically
+    r0b = _ingest_batch(spark, b0, 0, cfg, state, sch)
+    assert r0b["admitted"] == 2
+    assert sorted(
+        (r.doc_id, r.batch_id)
+        for r in spark.read.parquet(f"{state}/corpus").collect()
+    ) == snap
+    assert sorted(
+        (r.digest, r.batch_id)
+        for r in spark.read.parquet(f"{state}/ledger").collect()
+    ) == ledger_snap
+
+    # a NEW batch still dedups against batch 0 (exact + near)
+    b1 = lines([
+        {"doc_id": 10, "text": "the quick brown fox jumps over the lazy dog today"},
+        {"doc_id": 11, "text": "the quick brown fox jumps over the lazy dog tonight"},
+        {"doc_id": 12, "text": "fresh unrelated content never before seen anywhere"},
+    ])
+    r1 = _ingest_batch(spark, b1, 1, cfg, state, sch)
+    assert r1["admitted"] == 1
+    ids = {r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()}
+    assert ids == {1, 2, 12}
