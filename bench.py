@@ -149,18 +149,24 @@ def main() -> None:
     # `value` stays comparable across rounds: SemDeDup pruning, DSIR
     # selection, and the PQ/ADC serving path (codebooks pre-trained — an
     # offline job in any real deployment; the serving plan is what repeats).
-    from pulfa_sausage_factory_spark.functions import sampling  # noqa: E402
-    from pulfa_sausage_factory_spark.operators import similarity  # noqa: E402
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    docs = load_table(spark, sf_dir, "documents")
+    # the WHOLE extras preamble is fault-isolated too: a missing/corrupt
+    # table here must not abort the process before the guaranteed JSON
+    # line (the exact round-3 failure mode the per-query isolation above
+    # exists to prevent)
+    emb = docs = _cb = None
     try:
+        from pulfa_sausage_factory_spark.functions import sampling  # noqa: E402
+        from pulfa_sausage_factory_spark.operators import similarity  # noqa: E402
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        docs = load_table(spark, sf_dir, "documents")
         _cb = similarity.train_pq_codebooks(
             emb, m=8, n_codes=16, iters=1, sample_fraction=1.0
         ).cache()
         _cb.count()
-    except Exception:  # noqa: BLE001
-        _cb = None
+    except Exception as exc:  # noqa: BLE001 — record, don't die silently
+        errors["extras_setup"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"# extras setup FAILED — {errors['extras_setup']}", file=sys.stderr)
 
     def _x2g_semdedup(spark, sf_dir):
         return similarity.semdedup(emb, n_cells=16, threshold=0.9, impl="arrow")
@@ -181,6 +187,9 @@ def main() -> None:
         ("x8d_dsir_select", _x8d_dsir),
         ("x3p_pq_adc", _x3p_pq_adc),
     ):
+        if emb is None or (name == "x3p_pq_adc" and _cb is None):
+            extras[name] = None  # root cause already in errors["extras_setup"]
+            continue
         try:
             fn(spark, sf_dir).count()  # untimed warmup, same JMH shape
             times = []

@@ -154,8 +154,14 @@ def train_hashed_nb_weights(
 
     so ``sigmoid(bias + Σ w[f])`` from ``hashed_linear_score`` IS the NB
     posterior P(y=1 | doc). ``label_col`` must be 0/1. ``hasher`` must
-    match what inference will use (md5 for the cross-engine-auditable
-    chain). Returns ``(weights_df(feature_id bigint, w double), bias)``.
+    match what inference will use — ``hashed_linear_score`` defaults to
+    xxhash64, but ``hashed_linear_logit_expr`` (the inlined expression
+    mode the curation gate runs) hashes with md5 ONLY: weights trained
+    under a different hasher land in permuted buckets and the gate
+    scores garbage with no error anywhere. Train with ``hasher="md5"``
+    whenever the model feeds ``cfg.clf_weights`` or any expr-mode/
+    cross-engine consumer. Returns
+    ``(weights_df(feature_id bigint, w double), bias)``.
     """
     import math
 

@@ -442,6 +442,98 @@ def semdedup(
     )
 
 
+
+def _first_n_centroids(corpus, n_cells, id_col, vec_col):
+    """Deterministic first-N-by-id coarse centroids — the oracle-checkable
+    stand-in shared by every IVF-family operator."""
+    return (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell_id"), as_double_array(vec_col).alias("cent")
+        )
+    )
+
+
+def _assign_cells(
+    df: DataFrame, centroids: DataFrame, out_id: str, top: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """Broadcast-centroid argmax assignment (max cosine, ties to the lower
+    cell id): ``(out_id, v, cell_id)`` with ``top`` cells per vector —
+    shared by knn_ivf and knn_ivf_pq so tie-breaking can never drift
+    between the exact and quantized serving plans."""
+    scored = (
+        df.select(F.col(id_col).alias(out_id), as_double_array(vec_col).alias("v"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("cell_cos", cosine(F.col("v"), F.col("cent")))
+    )
+    w = Window.partitionBy(out_id).orderBy(F.col("cell_cos").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= top)
+        .select(out_id, "v", "cell_id")
+    )
+
+
+def _sub_slices(vec_col_name: str, m: int, sublen: int) -> "F.Column":
+    """Explode expression: vector column → (sub, slice) structs."""
+    return F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.struct(
+                s.alias("sub"),
+                F.slice(vec_col_name, s * sublen + 1, sublen).alias("qs"),
+            ),
+        )
+    )
+
+
+def _query_luts(
+    q: DataFrame, codebooks: DataFrame, m: int, sublen: int,
+    vec_col: str = "qv",
+) -> DataFrame:
+    """Per-query ADC lookup table ``(query_id, lut array<array<double>>)``:
+    ``lut[sub][code] = <q_sub, cent>``. Built ONCE per query — callers
+    needing it per probed cell join their probe map onto this instead of
+    recomputing the dot products n_probe times."""
+    qsub = q.select("query_id", _sub_slices(vec_col, m, sublen).alias("e")).select(
+        "query_id", "e.sub", "e.qs"
+    )
+    return (
+        qsub.join(F.broadcast(codebooks), "sub")
+        .withColumn("val", dot(F.col("qs"), F.col("cent")))
+        .groupBy("query_id", "sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "val"))),
+                lambda s: s.val,
+            ).alias("vals")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "vals"))),
+                lambda s: s.vals,
+            ).alias("lut")
+        )
+    )
+
+
+def _adc_score(m: int) -> "F.Column":
+    """The ADC fold: Σ_sub lut[sub][codes[sub]] over the ``lut`` and
+    ``codes`` columns — the only per-corpus-row work in PQ scoring."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(
+            F.element_at("lut", i.cast("int")),
+            (F.element_at("codes", i.cast("int")) + 1).cast("int"),
+        ),
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -472,31 +564,14 @@ def knn_ivf(
     ``knn_bruteforce`` is the exactness baseline.
     """
     if centroids is None:
-        centroids = (
-            corpus.orderBy(id_col)
-            .limit(n_cells)
-            .select(
-                F.col(id_col).alias("cell_id"), as_double_array(vec_col).alias("cent")
-            )
-        )
+        centroids = _first_n_centroids(corpus, n_cells, id_col, vec_col)
     else:
         centroids = centroids.select("cell_id", "cent")
 
-    def assign(df: DataFrame, out_id: str, top: int) -> DataFrame:
-        scored = (
-            df.select(F.col(id_col).alias(out_id), as_double_array(vec_col).alias("v"))
-            .crossJoin(F.broadcast(centroids))
-            .withColumn("cell_cos", cosine(F.col("v"), F.col("cent")))
-        )
-        w = Window.partitionBy(out_id).orderBy(F.col("cell_cos").desc(), F.col("cell_id"))
-        return (
-            scored.withColumn("crk", F.row_number().over(w))
-            .filter(F.col("crk") <= top)
-            .select(out_id, "v", "cell_id")
-        )
-
-    c = assign(corpus, "neighbor_id", 1).withColumnRenamed("v", "cv")
-    q = assign(queries, "query_id", n_probe).withColumnRenamed("v", "qv")
+    c = _assign_cells(corpus, centroids, "neighbor_id", 1, id_col, vec_col
+                      ).withColumnRenamed("v", "cv")
+    q = _assign_cells(queries, centroids, "query_id", n_probe, id_col, vec_col
+                      ).withColumnRenamed("v", "qv")
     scored = (
         c.join(F.broadcast(q), "cell_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -658,53 +733,16 @@ def knn_pq_adc(
     ``(query_id, neighbor_id, rk, score)``."""
     m = codebooks.agg(F.max("sub")).collect()[0][0] + 1
     sublen = len(codebooks.limit(1).collect()[0].cent)
-    qsub = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-    ).select(
-        "query_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.struct(
-                    s.alias("sub"),
-                    F.slice("qv", s * sublen + 1, sublen).alias("qs"),
-                ),
-            )
-        ).alias("e"),
-    ).select("query_id", "e.sub", "e.qs")
-    lut = (
-        qsub.join(F.broadcast(codebooks), "sub")
-        .withColumn("val", dot(F.col("qs"), F.col("cent")))
-        .groupBy("query_id", "sub")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("code", "val"))),
-                lambda s: s.val,
-            ).alias("vals")
-        )
-        .groupBy("query_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "vals"))),
-                lambda s: s.vals,
-            ).alias("lut")
-        )
+    lut = _query_luts(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+        ),
+        codebooks, m, sublen,
     )
     scored = (
         codes_df.crossJoin(F.broadcast(lut))
         .filter(F.col("query_id") != F.col("id"))
-        .withColumn(
-            "score",
-            F.aggregate(
-                F.sequence(F.lit(1), F.lit(m)),
-                F.lit(0.0),
-                lambda acc, i: acc
-                + F.element_at(
-                    F.element_at("lut", i.cast("int")),
-                    (F.element_at("codes", i.cast("int")) + 1).cast("int"),
-                ),
-            ),
-        )
+        .withColumn("score", _adc_score(m))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id"))
     return (
@@ -746,81 +784,27 @@ def knn_ivf_pq(
     baseline, ``knn_ivf`` isolates the coarse-cell loss.
     """
     if centroids is None:
-        centroids = (
-            corpus.orderBy(id_col)
-            .limit(n_cells)
-            .select(
-                F.col(id_col).alias("cell_id"), as_double_array(vec_col).alias("cent")
-            )
-        )
+        centroids = _first_n_centroids(corpus, n_cells, id_col, vec_col)
     else:
         centroids = centroids.select("cell_id", "cent")
 
-    def assign(df: DataFrame, out_id: str, top: int) -> DataFrame:
-        scored = (
-            df.select(F.col(id_col).alias(out_id), as_double_array(vec_col).alias("v"))
-            .crossJoin(F.broadcast(centroids))
-            .withColumn("cell_cos", cosine(F.col("v"), F.col("cent")))
-        )
-        w = Window.partitionBy(out_id).orderBy(F.col("cell_cos").desc(), F.col("cell_id"))
-        return (
-            scored.withColumn("crk", F.row_number().over(w))
-            .filter(F.col("crk") <= top)
-            .select(out_id, "v", "cell_id")
-        )
-
     m = codebooks.agg(F.max("sub")).collect()[0][0] + 1
     sublen = len(codebooks.limit(1).collect()[0].cent)
-    coded = assign(corpus, "id", 1).drop("v").join(
-        pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col), "id"
+    coded = _assign_cells(corpus, centroids, "id", 1, id_col, vec_col).drop(
+        "v"
+    ).join(pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col), "id")
+    q = _assign_cells(queries, centroids, "query_id", n_probe, id_col, vec_col)
+    # the LUT is independent of the probed cell: build it ONCE per query,
+    # then replicate onto the (query, cell) probe map — n_probe× less dot
+    # work and a broadcast with one LUT copy per probe row, not per build
+    lut = _query_luts(
+        q.select("query_id", F.col("v").alias("qv")).distinct(), codebooks, m, sublen
     )
-    q = assign(queries, "query_id", n_probe)
-    qsub = q.select(
-        "query_id",
-        "cell_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.struct(
-                    s.alias("sub"),
-                    F.slice("v", s * sublen + 1, sublen).alias("qs"),
-                ),
-            )
-        ).alias("e"),
-    ).select("query_id", "cell_id", "e.sub", "e.qs")
-    lut = (
-        qsub.join(F.broadcast(codebooks), "sub")
-        .withColumn("val", dot(F.col("qs"), F.col("cent")))
-        .groupBy("query_id", "cell_id", "sub")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("code", "val"))),
-                lambda s: s.val,
-            ).alias("vals")
-        )
-        .groupBy("query_id", "cell_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "vals"))),
-                lambda s: s.vals,
-            ).alias("lut")
-        )
-    )
+    probe_lut = q.select("query_id", "cell_id").join(lut, "query_id")
     scored = (
-        coded.join(F.broadcast(lut), "cell_id")
+        coded.join(F.broadcast(probe_lut), "cell_id")
         .filter(F.col("query_id") != F.col("id"))
-        .withColumn(
-            "score",
-            F.aggregate(
-                F.sequence(F.lit(1), F.lit(m)),
-                F.lit(0.0),
-                lambda acc, i: acc
-                + F.element_at(
-                    F.element_at("lut", i.cast("int")),
-                    (F.element_at("codes", i.cast("int")) + 1).cast("int"),
-                ),
-            ),
-        )
+        .withColumn("score", _adc_score(m))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id"))
     return (

@@ -115,8 +115,10 @@ def run_curation(
     optional CCNet tier gate (``cfg.keep_tiers`` — e.g. ``(0, 1)`` keeps
     head+middle; docs without a score are dropped by that gate). A
     classifier gate can be trained in-engine too: collect
-    ``lm.train_hashed_nb_weights`` output into ``cfg.clf_weights`` and
-    fold its bias into ``clf_min_logit``."""
+    ``lm.train_hashed_nb_weights(..., hasher="md5")`` output into
+    ``cfg.clf_weights`` and fold its bias into ``clf_min_logit`` —
+    md5 is REQUIRED because the gate runs the inlined expression mode,
+    which hashes tokens with md5 only."""
     tcol, icol = cfg.text_col, cfg.id_col
     stages: list[dict] = []
     prev_ckpt: DataFrame | None = None
@@ -350,8 +352,8 @@ def run_incremental_curation(
     new batch's docs are checked by the standard LSH chain — band-bucket
     equi-join against the ledger for candidates, then signature-agreement
     estimated Jaccard ≥ ``cfg.neardup_threshold`` to confirm. Within-batch
-    near-dups collapse through ``minhash_lsh_pairs`` first (lowest id
-    kept). Storage is ~8·num_hashes bytes + bands×16 bytes per admitted
+    near-dups collapse through the same LSH-pairs → connected-components
+    canonical rule as the batch DAG (component minimum id survives). Storage is ~8·num_hashes bytes + bands×16 bytes per admitted
     doc — thousandths of corpus size, and the per-batch work is
     output-sensitive (bucket collisions), never a scan of old text.
 
@@ -404,11 +406,15 @@ def run_incremental_curation(
 def _read_state(spark: SparkSession, path: str, exclude_batch: int):
     """Read a state dir (hive-partitioned by batch_id), EXCLUDING the
     current batch's own partition so a replayed batch decides against
-    exactly the pre-batch state. Returns None if the dir doesn't exist."""
-    try:
-        df = spark.read.parquet(path)
-    except Exception:
+    exactly the pre-batch state. Returns None ONLY when the dir doesn't
+    exist yet (first batch); any other read failure (corrupt footer, FS
+    error) re-raises — mapping those to None would silently disable
+    cross-run dedup and re-admit duplicates with no error anywhere."""
+    import os
+
+    if not os.path.isdir(path):
         return None
+    df = spark.read.parquet(path)
     return df.filter(F.col("batch_id") != exclude_batch).drop("batch_id")
 
 
@@ -461,7 +467,7 @@ def _ingest_batch(
             "value", full,
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
         ),
-    )
+    ).persist()  # counted twice + feeds the admission pipeline: parse once
     n_corrupt = parsed.filter(
         F.col("j").getField(CORRUPT_COL).isNotNull()
     ).count()
@@ -471,6 +477,13 @@ def _ingest_batch(
         .filter(F.length(F.coalesce(tcol, F.lit(""))) > 0)
     )
     n_in = docs.count()
+    # SAME clean stage as the batch DAG (PII redaction + whitespace
+    # normalization) — gate/digest/signature decisions must match
+    # run_curation on identical documents, and the corpus must never
+    # admit unredacted PII through the incremental path
+    docs = docs.withColumn(
+        tcol, F.trim(F.regexp_replace(text.redact_pii(F.col(tcol)), r"\s+", " "))
+    ).filter(F.length(tcol) > 0)
     gated = docs.filter(_gate_condition(cfg, tcol))
     # within-batch exact dedup, then cross-batch/run dedup against the
     # ledger (anti-join on digests — text never reshuffles)
@@ -485,14 +498,19 @@ def _ingest_batch(
             "left_anti",
         )
     if cfg.neardup_ledger:
-        # within-batch near-dups first (lowest id survives) ...
+        # within-batch near-dups first — the SAME connected-components
+        # canonical rule as the batch DAG (per-pair greatest-id removal
+        # would admit a different survivor set from identical input:
+        # pairs (1,3),(2,3) keep {1,2} pairwise but only {1} as one
+        # component)
+        pairs = dedup.minhash_lsh_pairs(
+            batch_d, text_col=tcol, id_col=icol,
+            threshold=cfg.neardup_threshold,
+        ).select("id_a", "id_b")
         losers = (
-            dedup.minhash_lsh_pairs(
-                batch_d, text_col=tcol, id_col=icol,
-                threshold=cfg.neardup_threshold,
-            )
-            .select(F.greatest("id_a", "id_b").alias(icol))
-            .distinct()
+            dedup.dedup_clusters(pairs)
+            .filter(F.col("doc_id") != F.col("canonical_id"))
+            .select(F.col("doc_id").alias(icol))
         )
         batch_d = batch_d.join(losers, icol, "left_anti").withColumn(
             "_sig", sig_udf(F.col(tcol))
@@ -546,6 +564,7 @@ def _ingest_batch(
         _part(corpus_dir)
     )
     release_local_checkpoint(admitted)
+    parsed.unpersist()
     return {
         "batch_id": batch_id,
         "corrupt_lines": n_corrupt,
@@ -580,14 +599,17 @@ def compact_ingest_state(
     done: dict[str, tuple[int, int]] = {}
     for sub in ("ledger", "sigs", "bands"):
         path = os.path.join(state_dir, sub)
+        tmp, old = path + ".__compact__", path + ".__old__"
+        # recover a prior killed swap FIRST — after a crash between the two
+        # renames, `path` is gone and `.__old__` holds the only copy; an
+        # existence check before this recovery would skip the dir forever
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
         if not os.path.isdir(path):
             continue
         before = parquet_file_count(path)
         if before <= max_files:
             continue
-        tmp, old = path + ".__compact__", path + ".__old__"
-        if not os.path.exists(path) and os.path.exists(old):
-            os.rename(old, path)  # recover a prior killed swap
         for stale in (tmp, old):
             if os.path.exists(stale):
                 shutil.rmtree(stale)

@@ -384,7 +384,10 @@ def test_curation_all_stages_on(spark, sf_dir, tmp_path):
             "doc_id long, text string, label int",
         )
     )
-    weights, bias = lm.train_hashed_nb_weights(labeled, dim=64)
+    # md5 hasher REQUIRED: the curation gate runs the inlined expression
+    # mode which hashes with md5 — xxhash64-trained weights would land in
+    # permuted buckets and score garbage
+    weights, bias = lm.train_hashed_nb_weights(labeled, dim=64, hasher="md5")
     wdict = {r.feature_id: r.w for r in weights.collect()}
 
     cfg = CurationConfig(
@@ -397,7 +400,7 @@ def test_curation_all_stages_on(spark, sf_dir, tmp_path):
             "top2_char_frac", "top3_char_frac", "top4_char_frac")},
         clf_weights=wdict,
         clf_dim=64,
-        clf_min_logit=bias - 50.0,  # permissive: composition, not the gate
+        clf_min_logit=-bias,  # NB posterior 0.5 decision boundary
         neardup_method="semantic",
         semdedup_threshold=0.99,
         dsir_k=60,
