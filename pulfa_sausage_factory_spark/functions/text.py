@@ -724,3 +724,42 @@ def repetition_rules(col: Column | str, overrides: dict | None = None) -> Column
         g = sig.getField(k) <= F.lit(v)
         ok = g if ok is None else (ok & g)
     return F.struct(*gates, ok.alias("pass"))
+
+
+def normalize_unicode(col: Column | str, form: str = "NFC") -> Column:
+    """X4h companion — Unicode normalization for the clean stage: apply
+    ``unicodedata.normalize(form, ·)`` (NFC/NFKC/NFD/NFKD) and strip
+    control characters (except \\t \\n \\r) and zero-width/BOM code points
+    (ZWSP/ZWNJ/ZWJ/FEFF). Web-crawl text arrives in mixed compositions —
+    without this, visually identical strings hash to different digests and
+    exact dedup silently misses them (the same reason C4/CCNet normalize
+    before fingerprinting).
+
+    Spark has no built-in Unicode normalizer, so this is one Arrow-batched
+    pandas pass (str.translate + unicodedata — no per-row Python UDF).
+    """
+    import unicodedata
+
+    import pandas as pd
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form must be NFC|NFKC|NFD|NFKD, got {form!r}")
+    keep = {0x09, 0x0A, 0x0D}
+    # Cc is exactly C0 (00-1F) + DEL + C1 (7F-9F); plus zero-width/BOM
+    drop = {
+        cp: None
+        for cp in (*range(0x00, 0x20), *range(0x7F, 0xA0),
+                   0x200B, 0x200C, 0x200D, 0xFEFF)
+        if cp not in keep
+    }
+
+    def norm(s):
+        return s.map(
+            lambda t: unicodedata.normalize(form, t).translate(drop)
+            if t is not None
+            else None
+        )
+
+    norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pandas_udf(norm, "string")(c)

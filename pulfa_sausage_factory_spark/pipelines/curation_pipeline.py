@@ -61,6 +61,7 @@ class CurationConfig:
     substring_dedup_k: int | None = None  # None = no substring-dedup stage
     chunk_max_tokens: int | None = None  # None = no chunking stage
     chunk_overlap: int = 0
+    unicode_form: str | None = None  # NFC/NFKC normalization in the clean stage
     sample_fraction: float = 1.0
     pack_budget: int = 2048
     pack_shards: int = 32
@@ -142,8 +143,15 @@ def run_curation(
 
     cur = stage("input", docs.select(icol, tcol, *cfg.extra_cols))
 
-    # 1. clean: PII redaction + whitespace normalization; drop empties
-    cleaned = cur.withColumn(
+    # 1. clean: optional Unicode normalization (mixed compositions hash to
+    # different digests and dodge exact dedup), PII redaction, whitespace
+    # normalization; drop empties
+    cleaned = cur
+    if cfg.unicode_form:
+        cleaned = cleaned.withColumn(
+            tcol, text.normalize_unicode(F.col(tcol), cfg.unicode_form)
+        )
+    cleaned = cleaned.withColumn(
         tcol, F.trim(F.regexp_replace(text.redact_pii(F.col(tcol)), r"\s+", " "))
     ).filter(F.length(tcol) > 0)
     cur = stage("clean", cleaned)
@@ -477,10 +485,14 @@ def _ingest_batch(
         .filter(F.length(F.coalesce(tcol, F.lit(""))) > 0)
     )
     n_in = docs.count()
-    # SAME clean stage as the batch DAG (PII redaction + whitespace
-    # normalization) — gate/digest/signature decisions must match
-    # run_curation on identical documents, and the corpus must never
-    # admit unredacted PII through the incremental path
+    # SAME clean stage as the batch DAG (Unicode + PII redaction +
+    # whitespace normalization) — gate/digest/signature decisions must
+    # match run_curation on identical documents, and the corpus must
+    # never admit unredacted PII through the incremental path
+    if cfg.unicode_form:
+        docs = docs.withColumn(
+            tcol, text.normalize_unicode(F.col(tcol), cfg.unicode_form)
+        )
     docs = docs.withColumn(
         tcol, F.trim(F.regexp_replace(text.redact_pii(F.col(tcol)), r"\s+", " "))
     ).filter(F.length(tcol) > 0)

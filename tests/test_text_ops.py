@@ -680,3 +680,70 @@ def test_materialize_packs_end_to_end(spark):
             off += ln
         seen_docs += list(r.doc_ids)
     assert sorted(seen_docs) == sorted(by_doc)  # lossless, no dup/loss
+
+
+# ---- normalize_unicode (clean-stage Unicode hygiene) -----------------------
+
+
+def test_normalize_unicode_forms_and_stripping(spark):
+    import unicodedata
+
+    import pytest as pt
+
+    from pulfa_sausage_factory_spark.functions.text import normalize_unicode
+
+    decomposed = "café näive"          # e + combining acute, etc.
+    composed = unicodedata.normalize("NFC", decomposed)
+    rows = [
+        (1, decomposed),
+        (2, "zero​width‌joined‍﻿end"),
+        (3, "ctrl\x00chars\x1fremoved\x7fbut\ttabs\nand\rnewlines stay"),
+        (4, "ﬁne ﬂow ①"),                          # ligatures+circled: NFKC-only
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nfc = {
+        r.doc_id: r.t
+        for r in df.select("doc_id", normalize_unicode("text").alias("t")).collect()
+    }
+    assert nfc[1] == composed and "́" not in nfc[1]
+    assert nfc[2] == "zerowidthjoinedend"
+    assert nfc[3] == "ctrlcharsremovedbut\ttabs\nand\rnewlines stay"
+    assert nfc[4] == "ﬁne ﬂow ①"  # NFC keeps compatibility chars
+    assert nfc[5] is None
+    nfkc = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", normalize_unicode("text", "NFKC").alias("t")
+        ).collect()
+    }
+    assert nfkc[4] == "fine flow 1"
+    with pt.raises(ValueError, match="form"):
+        normalize_unicode("text", "NFX")
+
+
+def test_unicode_normalization_rescues_exact_dedup(spark):
+    # the reason the clean stage normalizes: visually identical texts in
+    # different compositions must collapse to ONE digest
+    import unicodedata
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        CurationConfig,
+        run_curation,
+    )
+
+    decomposed = "café society archive notes"
+    composed = unicodedata.normalize("NFC", decomposed)
+    docs = spark.createDataFrame(
+        [(1, composed), (2, decomposed)], "doc_id long, text string"
+    )
+    plain = run_curation(
+        spark, docs, CurationConfig(min_quality=0.0, neardup_method="none")
+    )
+    normed = run_curation(
+        spark, docs,
+        CurationConfig(min_quality=0.0, neardup_method="none",
+                       unicode_form="NFC"),
+    )
+    assert plain["output_rows"] == 2   # different bytes → both survive
+    assert normed["output_rows"] == 1  # normalized → exact dedup collapses
