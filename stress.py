@@ -202,6 +202,57 @@ def main() -> None:
         "stages": {s["stage"]: s["rows"] for s in rep["stages"]},
     }
     print(f"# curation_pipeline: {rep['output_rows']} rows in {dt}s", file=sys.stderr)
+
+    # the INCREMENTAL ingest loop at amplified scale: land the amplified
+    # corpus as JSONL shards, drain them through the streaming path with
+    # the exact-digest ledger on — second run must admit zero (the ledger
+    # anti-join at full volume, not just the 3-doc unit test)
+    import shutil
+    import tempfile
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        run_incremental_curation,
+    )
+
+    work = tempfile.mkdtemp(prefix="stress_ingest_")
+    try:
+        landing = f"{work}/landing"
+        docs.select(F.col("doc_id"), F.col("text")).write.mode(
+            "overwrite"
+        ).option("maxRecordsPerFile", 100_000).json(landing)
+        t0 = time.perf_counter()
+        irep = run_incremental_curation(
+            spark, landing, f"{work}/state",
+            CurationConfig(min_quality=0.0, neardup_method="none"),
+        )
+        dt = round(time.perf_counter() - t0, 2)
+        # land the SAME texts again as NEW files (shifted ids, append-mode
+        # part files): the second drain scans the full volume and the
+        # digest-ledger anti-join must reject every row — this exercises
+        # the cross-run dedup at scale, not just the checkpoint's
+        # no-new-files fast path
+        docs.select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"), F.col("text")
+        ).write.mode("append").option("maxRecordsPerFile", 100_000).json(landing)
+        t0 = time.perf_counter()
+        irep2 = run_incremental_curation(
+            spark, landing, f"{work}/state",
+            CurationConfig(min_quality=0.0, neardup_method="none"),
+        )
+        dt2 = round(time.perf_counter() - t0, 2)
+        out["ops"]["incremental_ingest"] = {
+            "rows": irep["total_admitted"],
+            "sec": dt,
+            "dup_rerun_admitted": irep2["total_admitted"],
+            "dup_rerun_sec": dt2,
+        }
+        print(
+            f"# incremental_ingest: {irep['total_admitted']} rows in {dt}s "
+            f"(dup re-land admitted {irep2['total_admitted']} in {dt2}s)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
 
 
