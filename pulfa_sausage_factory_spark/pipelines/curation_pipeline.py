@@ -476,6 +476,26 @@ def _ingest_batch(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
         ),
     ).persist()  # counted twice + feeds the admission pipeline: parse once
+    # (unpersisted in the finally below — a mid-batch failure must not pin
+    # the block until session GC)
+    try:
+        return _ingest_batch_body(
+            spark, parsed, batch_id, cfg, state_dir, sch,
+            ledger_dir, corpus_dir, sigs_dir, bands_dir,
+            sig_udf, _band_keys, _part, num_hashes,
+        )
+    finally:
+        parsed.unpersist()
+
+
+def _ingest_batch_body(
+    spark, parsed, batch_id, cfg, state_dir, sch,
+    ledger_dir, corpus_dir, sigs_dir, bands_dir,
+    sig_udf, _band_keys, _part, num_hashes,
+) -> dict:
+    from ..sources.jsonl import CORRUPT_COL
+
+    tcol, icol = cfg.text_col, cfg.id_col
     n_corrupt = parsed.filter(
         F.col("j").getField(CORRUPT_COL).isNotNull()
     ).count()
@@ -576,7 +596,6 @@ def _ingest_batch(
         _part(corpus_dir)
     )
     release_local_checkpoint(admitted)
-    parsed.unpersist()
     return {
         "batch_id": batch_id,
         "corrupt_lines": n_corrupt,
