@@ -187,7 +187,9 @@ def main() -> None:
         ("x8d_dsir_select", _x8d_dsir),
         ("x3p_pq_adc", _x3p_pq_adc),
     ):
-        if emb is None or (name == "x3p_pq_adc" and _cb is None):
+        needs = {"x2g_semdedup": (emb,), "x8d_dsir_select": (docs,),
+                 "x3p_pq_adc": (emb, _cb)}[name]
+        if any(dep is None for dep in needs):
             extras[name] = None  # root cause already in errors["extras_setup"]
             continue
         try:

@@ -217,15 +217,23 @@ def train_hashed_nb_weights(
     return weights, bias
 
 
-def hashed_linear_logit_expr(weights: dict, dim: int, col) -> "F.Column":
+def hashed_linear_logit_expr(
+    weights: dict, dim: int, col, hasher: str = "md5"
+) -> "F.Column":
     """Expression-mode twin of ``hashed_linear_score`` for SMALL models:
     the weight table is inlined as a 64-to-few-thousand-element array
-    literal and each token's md5-hashed bucket indexes it directly —
+    literal and each token's hashed bucket indexes it directly —
     a pure per-row column expression, ZERO shuffles, no join, no Python.
     This is the right 100 TB shape when the model fits in an expression
     (the corpus scan stays a map-only stage); ``hashed_linear_score``'s
     broadcast-join mode covers large dims. Accumulation is exact decimal,
     so logits are bit-identical to the join mode and to the DuckDB oracle.
+
+    ``hasher`` must match how the weights were TRAINED
+    (``train_hashed_nb_weights``'s hasher arg): "md5" (default —
+    oracle-replayable) or "xxhash64". Mismatched hashers read permuted
+    buckets and score garbage with no error — which is why this is a
+    parameter, not a fixed choice.
     """
     arr = F.array(
         *[
@@ -233,25 +241,24 @@ def hashed_linear_logit_expr(weights: dict, dim: int, col) -> "F.Column":
             for i in range(dim)
         ]
     )
+    if hasher == "md5":
+        def fid(t):
+            return F.pmod(
+                F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+                F.lit(dim),
+            )
+    elif hasher == "xxhash64":
+        def fid(t):
+            return F.pmod(F.xxhash64(t), F.lit(dim))
+    else:
+        raise ValueError(f"hasher must be 'xxhash64' or 'md5', got {hasher!r}")
     toks = F.filter(_tokens(F.col(col) if isinstance(col, str) else col),
                     lambda t: t != "")
     s = F.aggregate(
         toks,
         F.lit(0).cast("decimal(28,9)"),
         lambda acc, t: (
-            acc
-            + F.element_at(
-                arr,
-                (
-                    F.pmod(
-                        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
-                            "bigint"
-                        ),
-                        F.lit(dim),
-                    )
-                    + 1
-                ).cast("int"),
-            )
+            acc + F.element_at(arr, (fid(t) + 1).cast("int"))
         ).cast("decimal(28,9)"),
     )
     return s.cast("double")

@@ -754,8 +754,12 @@ def normalize_unicode(col: Column | str, form: str = "NFC") -> Column:
     }
 
     def norm(s):
+        # strip FIRST: a zero-width char between a base and its combining
+        # mark blocks composition (ccc=0), so normalize-then-strip would
+        # leave a decomposed sequence that still digests differently from
+        # its composed twin — the exact miss this function exists to fix
         return s.map(
-            lambda t: unicodedata.normalize(form, t).translate(drop)
+            lambda t: unicodedata.normalize(form, t.translate(drop))
             if t is not None
             else None
         )

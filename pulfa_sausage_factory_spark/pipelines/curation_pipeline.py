@@ -46,6 +46,7 @@ class CurationConfig:
     clf_weights: dict | None = None  # None = no classifier gate
     clf_dim: int = 64
     clf_min_logit: float = 0.0
+    clf_hasher: str = "md5"  # MUST match train_hashed_nb_weights' hasher
     neardup_method: str = "minhash"  # "minhash" | "simhash" | "semantic" | "none"
     neardup_threshold: float = 0.5  # minhash est-Jaccard floor
     neardup_max_hamming: int = 3  # simhash bit budget
@@ -72,6 +73,23 @@ class CurationConfig:
     extra_cols: tuple[str, ...] = field(default_factory=tuple)
 
 
+def _clean_docs(cfg: CurationConfig, df: DataFrame):
+    """The clean stage (optional Unicode normalization → PII redaction →
+    whitespace normalization → drop empties) as ONE shared transform —
+    byte-level agreement between the batch DAG and the incremental ingest
+    is load-bearing: a drift in either copy changes digests on one path
+    only and re-admits duplicates (same rationale as _gate_condition)."""
+    tcol = cfg.text_col
+    out = df
+    if cfg.unicode_form:
+        out = out.withColumn(
+            tcol, text.normalize_unicode(F.col(tcol), cfg.unicode_form)
+        )
+    return out.withColumn(
+        tcol, F.trim(F.regexp_replace(text.redact_pii(F.col(tcol)), r"\s+", " "))
+    ).filter(F.length(tcol) > 0)
+
+
 def _gate_condition(cfg: CurationConfig, tcol: str):
     """The quality-gate predicate (quality score / Gopher rules / language /
     inlined classifier) as ONE column expression — shared by the batch DAG
@@ -89,7 +107,9 @@ def _gate_condition(cfg: CurationConfig, tcol: str):
         cond = cond & text.langid_expr(F.col(tcol)).isin(*cfg.allowed_langs)
     if cfg.clf_weights is not None:
         cond = cond & (
-            lm.hashed_linear_logit_expr(cfg.clf_weights, cfg.clf_dim, F.col(tcol))
+            lm.hashed_linear_logit_expr(
+                cfg.clf_weights, cfg.clf_dim, F.col(tcol), cfg.clf_hasher
+            )
             >= cfg.clf_min_logit
         )
     return cond
@@ -143,18 +163,10 @@ def run_curation(
 
     cur = stage("input", docs.select(icol, tcol, *cfg.extra_cols))
 
-    # 1. clean: optional Unicode normalization (mixed compositions hash to
-    # different digests and dodge exact dedup), PII redaction, whitespace
-    # normalization; drop empties
-    cleaned = cur
-    if cfg.unicode_form:
-        cleaned = cleaned.withColumn(
-            tcol, text.normalize_unicode(F.col(tcol), cfg.unicode_form)
-        )
-    cleaned = cleaned.withColumn(
-        tcol, F.trim(F.regexp_replace(text.redact_pii(F.col(tcol)), r"\s+", " "))
-    ).filter(F.length(tcol) > 0)
-    cur = stage("clean", cleaned)
+    # 1. clean (shared _clean_docs: optional Unicode normalization — mixed
+    # compositions hash to different digests and dodge exact dedup — PII
+    # redaction, whitespace normalization, drop empties)
+    cur = stage("clean", _clean_docs(cfg, cur))
 
     # 2. gates — pure column predicates (plus the inlined classifier for
     # small models); a single narrow filter pass
@@ -414,15 +426,29 @@ def run_incremental_curation(
 def _read_state(spark: SparkSession, path: str, exclude_batch: int):
     """Read a state dir (hive-partitioned by batch_id), EXCLUDING the
     current batch's own partition so a replayed batch decides against
-    exactly the pre-batch state. Returns None ONLY when the dir doesn't
-    exist yet (first batch); any other read failure (corrupt footer, FS
-    error) re-raises — mapping those to None would silently disable
-    cross-run dedup and re-admit duplicates with no error anywhere."""
-    import os
+    exactly the pre-batch state.
 
-    if not os.path.isdir(path):
-        return None
-    df = spark.read.parquet(path)
+    Returns None only for the two "no usable state yet" error classes:
+    the path not existing (first batch) and no readable parquet footers
+    (a FIRST batch killed mid-write leaves only committer debris — the
+    replay's own overwrite heals it). Spark raises both, so this works on
+    any filesystem the session can read (hdfs://, s3a://, URIs — an
+    os.path check would silently disable cross-run dedup off local disk).
+    Anything else (corrupt footer among valid batches, FS errors)
+    re-raises: mapping those to None would re-admit duplicates with no
+    error anywhere."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as exc:
+        get = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", lambda: ""
+        )
+        cls = get() or str(exc)
+        if "PATH_NOT_FOUND" in cls or "UNABLE_TO_INFER_SCHEMA" in cls:
+            return None
+        raise
     return df.filter(F.col("batch_id") != exclude_batch).drop("batch_id")
 
 
@@ -480,7 +506,7 @@ def _ingest_batch(
     # the block until session GC)
     try:
         return _ingest_batch_body(
-            spark, parsed, batch_id, cfg, state_dir, sch,
+            spark, parsed, batch_id, cfg, sch,
             ledger_dir, corpus_dir, sigs_dir, bands_dir,
             sig_udf, _band_keys, _part, num_hashes,
         )
@@ -489,7 +515,7 @@ def _ingest_batch(
 
 
 def _ingest_batch_body(
-    spark, parsed, batch_id, cfg, state_dir, sch,
+    spark, parsed, batch_id, cfg, sch,
     ledger_dir, corpus_dir, sigs_dir, bands_dir,
     sig_udf, _band_keys, _part, num_hashes,
 ) -> dict:
@@ -505,17 +531,11 @@ def _ingest_batch_body(
         .filter(F.length(F.coalesce(tcol, F.lit(""))) > 0)
     )
     n_in = docs.count()
-    # SAME clean stage as the batch DAG (Unicode + PII redaction +
-    # whitespace normalization) — gate/digest/signature decisions must
-    # match run_curation on identical documents, and the corpus must
-    # never admit unredacted PII through the incremental path
-    if cfg.unicode_form:
-        docs = docs.withColumn(
-            tcol, text.normalize_unicode(F.col(tcol), cfg.unicode_form)
-        )
-    docs = docs.withColumn(
-        tcol, F.trim(F.regexp_replace(text.redact_pii(F.col(tcol)), r"\s+", " "))
-    ).filter(F.length(tcol) > 0)
+    # SAME clean stage as the batch DAG (shared _clean_docs) — gate/
+    # digest/signature decisions must match run_curation on identical
+    # documents, and the corpus must never admit unredacted PII through
+    # the incremental path
+    docs = _clean_docs(cfg, docs)
     gated = docs.filter(_gate_condition(cfg, tcol))
     # within-batch exact dedup, then cross-batch/run dedup against the
     # ledger (anti-join on digests — text never reshuffles)
@@ -576,6 +596,23 @@ def _ingest_batch_body(
             )
             batch_d = batch_d.join(near, icol, "left_anti")
     admitted = batch_d.localCheckpoint()  # read once, write 2-4x below
+    try:
+        n_admit = _write_admitted(admitted, cfg, icol, _part,
+                                  ledger_dir, corpus_dir, sigs_dir,
+                                  bands_dir, _band_keys)
+    finally:
+        release_local_checkpoint(admitted)
+    return {
+        "batch_id": batch_id,
+        "corrupt_lines": n_corrupt,
+        "input_rows": n_in,
+        "admitted": n_admit,
+        "dropped": n_in - n_admit,
+    }
+
+
+def _write_admitted(admitted, cfg, icol, _part, ledger_dir, corpus_dir,
+                    sigs_dir, bands_dir, _band_keys) -> int:
     n_admit = admitted.count()
     admitted.select(F.col("_digest").alias("digest")).write.mode(
         "overwrite"
@@ -595,14 +632,7 @@ def _ingest_batch_body(
     admitted_out.drop("_digest").write.mode("overwrite").parquet(
         _part(corpus_dir)
     )
-    release_local_checkpoint(admitted)
-    return {
-        "batch_id": batch_id,
-        "corrupt_lines": n_corrupt,
-        "input_rows": n_in,
-        "admitted": n_admit,
-        "dropped": n_in - n_admit,
-    }
+    return n_admit
 
 
 def compact_ingest_state(

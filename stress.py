@@ -215,7 +215,7 @@ def main() -> None:
     )
 
     work = tempfile.mkdtemp(prefix="stress_ingest_")
-    try:
+    try:  # guarded: a failure here must not discard the earlier ops' JSON
         landing = f"{work}/landing"
         docs.select(F.col("doc_id"), F.col("text")).write.mode(
             "overwrite"
@@ -251,6 +251,9 @@ def main() -> None:
             f"(dup re-land admitted {irep2['total_admitted']} in {dt2}s)",
             file=sys.stderr,
         )
+    except Exception as exc:  # noqa: BLE001 — record, keep the evidence
+        out["ops"]["incremental_ingest"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        print(f"# incremental_ingest FAILED — {exc}", file=sys.stderr)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))

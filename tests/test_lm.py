@@ -272,3 +272,42 @@ def test_perplexity_tiers_exact_and_grouped(spark):
         for r in lm.perplexity_tiers(df, n_tiers=3, exact=False).collect()
     }
     assert a == got
+
+
+def test_logit_expr_hasher_param_matches_join_mode(spark, sf_dir):
+    # the expression gate accepts BOTH hashers and must agree bit-for-bit
+    # with the broadcast-join mode under the SAME hasher — so weights
+    # trained with either hasher have a matching gate (the mismatch
+    # footgun is now a parameter, not a fixed md5)
+    from pulfa_sausage_factory_spark.functions import lm
+    from pulfa_sausage_factory_spark.io import load_table
+
+    dim = 32
+    weights = {i: ((i * 13) % 7 - 3) / 10.0 for i in range(dim)}
+    docs = load_table(spark, sf_dir, "documents").limit(40).select("doc_id", "text")
+    for hasher in ("md5", "xxhash64"):
+        a = {
+            r.doc_id: r.z
+            for r in docs.select(
+                "doc_id",
+                lm.hashed_linear_logit_expr(weights, dim, "text", hasher).alias("z"),
+            ).collect()
+        }
+        b = {
+            r.doc_id: r.clf_logit
+            for r in lm.hashed_linear_score(
+                docs, weights, dim, hasher=hasher, output="logit",
+                out_col="clf_logit",
+            ).collect()
+        }
+        assert a == b and len(a) == 40, hasher
+    # the two hashers genuinely permute buckets (scores differ)
+    md5_scores = docs.select(
+        lm.hashed_linear_logit_expr(weights, dim, "text", "md5").alias("z")
+    ).collect()
+    xx_scores = docs.select(
+        lm.hashed_linear_logit_expr(weights, dim, "text", "xxhash64").alias("z")
+    ).collect()
+    assert [r.z for r in md5_scores] != [r.z for r in xx_scores]
+    with pytest.raises(ValueError, match="hasher"):
+        lm.hashed_linear_logit_expr(weights, dim, "text", "sha1")

@@ -711,6 +711,14 @@ def test_normalize_unicode_forms_and_stripping(spark):
     assert nfc[3] == "ctrlcharsremovedbut\ttabs\nand\rnewlines stay"
     assert nfc[4] == "ﬁne ﬂow ①"  # NFC keeps compatibility chars
     assert nfc[5] is None
+    # zero-width char BETWEEN base and combining mark blocks composition:
+    # stripping must happen before normalization or the decomposed
+    # sequence survives and digests differently from its composed twin
+    ocr = spark.createDataFrame(
+        [(10, "cafe\u200b\u0301 society")], "doc_id long, text string"
+    )
+    got = ocr.select(normalize_unicode("text").alias("t")).collect()[0].t
+    assert got == "caf\u00e9 society"
     nfkc = {
         r.doc_id: r.t
         for r in df.select(
