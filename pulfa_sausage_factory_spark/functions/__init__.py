@@ -1,1 +1,9 @@
-from pulfa_sausage_factory_spark.functions import scalars, text, vectors  # noqa: F401
+from pulfa_sausage_factory_spark.functions import (  # noqa: F401
+    lm,
+    profiling,
+    sampling,
+    scalars,
+    skew,
+    text,
+    vectors,
+)
