@@ -1,0 +1,82 @@
+"""Hadoop FileSystem helpers — filesystem maintenance that works on ANY
+store the SparkSession can reach (``hdfs://``, ``s3a://``, ``file:``,
+plain local paths), not just the driver's local disk.
+
+Rationale: ``os.path`` / ``os.rename`` / ``shutil`` silently see nothing
+for non-local URIs, so a maintenance routine written against them
+silently no-ops on exactly the deployments (HDFS/S3 state dirs) where it
+matters — the failure mode ``_read_state`` was made FS-portable to avoid.
+These wrappers route the same operations through the JVM's
+``org.apache.hadoop.fs.FileSystem``, resolved per-path so mixed schemes
+work in one call.
+
+Caveat carried from the local implementation: rename-based swaps are
+atomic on HDFS and local disk but NOT on S3 (rename = copy+delete there);
+the crash-recovery ordering below is still correct — it just has a wider
+non-atomic window on object stores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_path(spark: SparkSession, path: str):
+    """Resolve (FileSystem, Path) for ``path`` via the session's Hadoop
+    configuration — the scheme (or lack of one) picks the store."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_path(spark, path)
+    return bool(fs.exists(p))
+
+
+def is_dir(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_path(spark, path)
+    return bool(fs.exists(p) and fs.getFileStatus(p).isDirectory())
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Rename ``src`` → ``dst``; raises on failure (Hadoop's ``rename``
+    returns False instead of throwing on some filesystems — e.g. dst's
+    parent missing, dst already present — and throws Java IOExceptions on
+    others; both normalize to OSError here)."""
+    from py4j.protocol import Py4JJavaError
+
+    fs, s = _fs_path(spark, src)
+    _, d = _fs_path(spark, dst)
+    try:
+        ok = fs.rename(s, d)
+    except Py4JJavaError as exc:
+        raise OSError(
+            f"rename failed: {src} -> {dst}: "
+            f"{exc.java_exception.getMessage()}"
+        ) from None
+    if not ok:
+        raise OSError(f"rename failed: {src} -> {dst}")
+
+
+def delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete; missing path is a no-op (matches the
+    ``shutil.rmtree``-after-existence-check idiom it replaces)."""
+    fs, p = _fs_path(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def parquet_file_count(spark: SparkSession, path: str) -> int:
+    """Recursive count of ``*.parquet`` data files under ``path`` (the
+    FS-portable twin of ``sinks.layout.parquet_file_count``)."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return 0
+    n = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n

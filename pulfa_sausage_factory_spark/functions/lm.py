@@ -129,6 +129,66 @@ def perplexity_score(
     )
 
 
+class HashedWeights(dict):
+    """A ``{feature_id: w}`` dict that also CARRIES the hasher/dim it was
+    trained under, so expression-mode consumers can mechanically refuse a
+    mismatched pairing (mismatched hashers read permuted buckets and score
+    garbage with no error anywhere — previously guarded by docstrings
+    only)."""
+
+    def __init__(self, data, hasher: str, dim: int):
+        super().__init__(data)
+        self.hasher = hasher
+        self.dim = dim
+
+
+class NBModel(tuple):
+    """``train_hashed_nb_weights`` result: unpacks as the historical
+    ``(weights_df, bias)`` 2-tuple AND exposes ``.weights`` / ``.bias`` /
+    ``.hasher`` / ``.dim`` so the trained pairing travels with the model.
+    ``weights_dict()`` collects the table into a :class:`HashedWeights`
+    (the form ``CurationConfig.clf_weights`` / ``hashed_linear_logit_expr``
+    consume) with the pairing attached."""
+
+    def __new__(cls, weights: DataFrame, bias: float, hasher: str, dim: int):
+        self = super().__new__(cls, (weights, bias))
+        self.weights, self.bias = weights, bias
+        self.hasher, self.dim = hasher, dim
+        # tag the DataFrame too, so the legacy `w, b = train_...()` unpack
+        # keeps the pairing check (best-effort: transformations of it
+        # produce fresh untagged DataFrames)
+        weights.hasher, weights.dim = hasher, dim
+        return self
+
+    def weights_dict(self) -> HashedWeights:
+        return HashedWeights(
+            {r.feature_id: r.w for r in self.weights.collect()},
+            hasher=self.hasher,
+            dim=self.dim,
+        )
+
+
+def _check_weight_pairing(weights, hasher: str, dim: int, where: str) -> None:
+    """Refuse weights whose carried hasher/dim disagree with how they are
+    about to be consumed. Plain dicts/DataFrames (no metadata) pass — the
+    check is only as strong as the producer, which is why
+    ``train_hashed_nb_weights`` now always attaches it."""
+    trained_hasher = getattr(weights, "hasher", None)
+    if trained_hasher is not None and trained_hasher != hasher:
+        raise ValueError(
+            f"{where}: weights were trained with hasher={trained_hasher!r} "
+            f"but are being scored with hasher={hasher!r} — mismatched "
+            "hashers read permuted buckets and score garbage. Pass "
+            f"hasher={trained_hasher!r} (or retrain)."
+        )
+    trained_dim = getattr(weights, "dim", None)
+    if trained_dim is not None and trained_dim != dim:
+        raise ValueError(
+            f"{where}: weights were trained with dim={trained_dim} but are "
+            f"being scored with dim={dim}."
+        )
+
+
 def train_hashed_nb_weights(
     df: DataFrame,
     dim: int,
@@ -136,7 +196,7 @@ def train_hashed_nb_weights(
     label_col: str = "label",
     add_k: float = 0.5,
     hasher: str = "xxhash64",
-) -> tuple[DataFrame, float]:
+) -> "NBModel":
     """Train the hashed quality classifier IN-ENGINE: multinomial Naive
     Bayes over hashed bag-of-words features, emitted as the exact
     ``(feature_id, w)`` weight table + bias that ``hashed_linear_score``
@@ -160,8 +220,10 @@ def train_hashed_nb_weights(
     under a different hasher land in permuted buckets and the gate
     scores garbage with no error anywhere. Train with ``hasher="md5"``
     whenever the model feeds ``cfg.clf_weights`` or any expr-mode/
-    cross-engine consumer. Returns
-    ``(weights_df(feature_id bigint, w double), bias)``.
+    cross-engine consumer. Returns an :class:`NBModel` — unpacks as the
+    ``(weights_df(feature_id bigint, w double), bias)`` 2-tuple, and
+    carries ``hasher``/``dim`` so consumers can assert the pairing
+    (``model.weights_dict()`` keeps it attached through collection).
     """
     import math
 
@@ -214,7 +276,7 @@ def train_hashed_nb_weights(
             ).alias("w"),
         )
     )
-    return weights, bias
+    return NBModel(weights, bias, hasher=hasher, dim=dim)
 
 
 def hashed_linear_logit_expr(
@@ -233,8 +295,11 @@ def hashed_linear_logit_expr(
     (``train_hashed_nb_weights``'s hasher arg): "md5" (default —
     oracle-replayable) or "xxhash64". Mismatched hashers read permuted
     buckets and score garbage with no error — which is why this is a
-    parameter, not a fixed choice.
+    parameter, not a fixed choice; weights carrying their training
+    metadata (:class:`HashedWeights` / ``NBModel.weights_dict()``) are
+    checked mechanically.
     """
+    _check_weight_pairing(weights, hasher, dim, "hashed_linear_logit_expr")
     arr = F.array(
         *[
             F.lit(float(weights.get(i, 0.0))).cast("decimal(18,9)")
@@ -302,6 +367,7 @@ def hashed_linear_score(
     raw margin — weight sums are accumulated in exact decimal either way,
     so logits are bit-identical regardless of partitioning/merge order.
     """
+    _check_weight_pairing(weights, hasher, dim, "hashed_linear_score")
     spark = df.sparkSession
     if isinstance(weights, dict):
         weights = spark.createDataFrame(

@@ -41,9 +41,10 @@ def hashed_text_embedding(
     bag-of-words + signed random projection (random indexing / SRP — the
     classical no-model embedding): tokens hash into ``n_buckets`` (md5
     chain), each bucket owns a fixed pseudo-random ±1 row of an
-    ``n_buckets × dim`` projection matrix (xorshift-seeded, no RNG state),
-    a document's vector is the count-weighted sum of its buckets' rows,
-    L2-normalized.
+    ``n_buckets × dim`` projection matrix (LCG-seeded — Knuth MMIX
+    constants 6364136223846793005 / 1442695040888963407, sign = top bit;
+    no RNG state), a document's vector is the count-weighted sum of its
+    buckets' rows, L2-normalized.
 
     Texts sharing vocabulary land near each other in cosine — enough to
     drive ``semdedup`` / ANN end-to-end from raw text when no learned

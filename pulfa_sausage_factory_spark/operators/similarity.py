@@ -643,6 +643,19 @@ def train_pq_codebooks(
     ).select("sub", "code", F.col("sv").alias("cent"))
     cent_rows = [(r.sub, r.code, list(r.cent)) for r in init.collect()]
     schema = "sub int, code int, cent array<double>"
+    # Seed-count validation: a hash sample smaller than n_codes would emit
+    # a sparse codebook whose downstream consumers (pq_encode's dense code
+    # tensor, knn_pq_adc's LUT arrays) assume contiguous codes 0..n_codes-1
+    # — pq_encode could assign phantom zero centroids and the ADC
+    # element_at would index past the LUT. Fail here with the fix, not
+    # there with a NULL score.
+    n_seeds = len(cent_rows) // m
+    if n_seeds < n_codes:
+        raise ValueError(
+            f"train_pq_codebooks: sample yielded only {n_seeds} seed "
+            f"vectors for n_codes={n_codes} — raise sample_fraction (or "
+            f"lower n_codes to <= {n_seeds})"
+        )
 
     def l2(a, b):
         return F.aggregate(
@@ -698,6 +711,23 @@ def pq_encode(
     m = 1 + max(r.sub for r in rows)
     n_codes = 1 + max(r.code for r in rows)
     sublen = len(rows[0].cent)
+    # Dense-grid validation: every (sub, code) cell in 0..m-1 × 0..n_codes-1
+    # must be present, or the zero-filled tensor would contain phantom
+    # centroids the encoder can assign to — codes knn_pq_adc's LUTs (built
+    # from the same codebook rows) then score wrongly. train_pq_codebooks
+    # always emits the full grid; this guards hand-built codebooks.
+    present = {(r.sub, r.code) for r in rows}
+    if len(present) != m * n_codes:
+        missing = sorted(
+            (s, c) for s in range(m) for c in range(n_codes)
+            if (s, c) not in present
+        )[:5]
+        raise ValueError(
+            f"pq_encode: codebook is not a dense sub×code grid "
+            f"({len(present)} rows for m={m}, n_codes={n_codes}; first "
+            f"missing cells: {missing}) — retrain or renumber codes to "
+            "contiguous 0..n_codes-1 per subspace"
+        )
     cb = np.zeros((m, n_codes, sublen), dtype=np.float64)
     for r in rows:
         cb[r.sub, r.code] = r.cent
@@ -730,8 +760,34 @@ def knn_pq_adc(
     fan-out over the codebook), then score every coded corpus row with a
     pure-expression fold ``Σ_sub lut[sub][codes[sub]]`` — the corpus side
     never touches raw vectors or Python. Returns
-    ``(query_id, neighbor_id, rk, score)``."""
-    m = codebooks.agg(F.max("sub")).collect()[0][0] + 1
+    ``(query_id, neighbor_id, rk, score)``.
+
+    The codebook must be a dense contiguous ``m × n_codes`` grid (what
+    ``train_pq_codebooks`` emits): the LUT arrays are positional, so a
+    sparse/renumbered codebook would make the ADC ``element_at`` read the
+    wrong slot or index past the array — validated here, not discovered
+    as a NULL score downstream."""
+    chk = (
+        codebooks.groupBy("sub")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("code").alias("nc"),
+            F.max("code").alias("mx"),
+        )
+        .collect()
+    )
+    m = len(chk)
+    n_codes = chk[0].mx + 1
+    bad = sorted(r.sub for r in chk) != list(range(m)) or any(
+        not (r.n == r.nc == r.mx + 1 == n_codes) for r in chk
+    )
+    if bad:
+        raise ValueError(
+            "knn_pq_adc: codebook is not a dense contiguous sub×code grid "
+            f"({[(r.sub, r.n, r.mx) for r in chk]}) — retrain with "
+            "train_pq_codebooks or renumber codes to 0..n_codes-1 per "
+            "subspace"
+        )
     sublen = len(codebooks.limit(1).collect()[0].cent)
     lut = _query_luts(
         queries.select(

@@ -135,11 +135,13 @@ def run_curation(
     doc: ``id_col, log2_ppl`` from ``lm.perplexity_score``) feeds the
     optional CCNet tier gate (``cfg.keep_tiers`` — e.g. ``(0, 1)`` keeps
     head+middle; docs without a score are dropped by that gate). A
-    classifier gate can be trained in-engine too: collect
-    ``lm.train_hashed_nb_weights(..., hasher="md5")`` output into
-    ``cfg.clf_weights`` and fold its bias into ``clf_min_logit`` —
-    md5 is REQUIRED because the gate runs the inlined expression mode,
-    which hashes tokens with md5 only."""
+    classifier gate can be trained in-engine too: set ``cfg.clf_weights =
+    lm.train_hashed_nb_weights(..., hasher="md5").weights_dict()`` and
+    fold the model's bias into ``clf_min_logit`` — md5 because the gate
+    runs the inlined expression mode under ``cfg.clf_hasher`` (default
+    md5). ``weights_dict()`` carries the training hasher/dim, so a
+    mismatched pairing raises inside the gate instead of silently scoring
+    garbage."""
     tcol, icol = cfg.text_col, cfg.id_col
     stages: list[dict] = []
     prev_ckpt: DataFrame | None = None
@@ -651,38 +653,42 @@ def compact_ingest_state(
     re-admit into a fresh dir and double its rows (the reference's
     log-rotation analog, ``etc/logging.conf:27``, has the same
     stop-the-world contract). Returns ``{dir: (files_before,
-    files_after)}`` for dirs it touched."""
-    import os
-    import shutil
+    files_after)}`` for dirs it touched.
 
-    from ..sinks.layout import parquet_file_count
+    All filesystem ops go through the Hadoop FileSystem API (``fsutil``)
+    so compaction works on whatever store the state dir lives on
+    (hdfs://, s3a://, local) — an ``os.path`` implementation would
+    silently no-op off local disk, the exact failure mode ``_read_state``
+    was made FS-portable to avoid. On object stores the rename swap is
+    copy+delete (not atomic); the recovery ordering below still restores
+    the original after a crash in the window."""
+    from .. import fsutil
 
     done: dict[str, tuple[int, int]] = {}
     for sub in ("ledger", "sigs", "bands"):
-        path = os.path.join(state_dir, sub)
+        path = state_dir.rstrip("/") + "/" + sub
         tmp, old = path + ".__compact__", path + ".__old__"
         # recover a prior killed swap FIRST — after a crash between the two
         # renames, `path` is gone and `.__old__` holds the only copy; an
         # existence check before this recovery would skip the dir forever
-        if not os.path.exists(path) and os.path.exists(old):
-            os.rename(old, path)
-        if not os.path.isdir(path):
+        if not fsutil.exists(spark, path) and fsutil.exists(spark, old):
+            fsutil.rename(spark, old, path)
+        if not fsutil.is_dir(spark, path):
             continue
-        before = parquet_file_count(path)
+        before = fsutil.parquet_file_count(spark, path)
         if before <= max_files:
             continue
         for stale in (tmp, old):
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
+            fsutil.delete(spark, stale)
         spark.read.parquet(path).drop("batch_id").repartition(
             max(1, max_files // 8)
-        ).write.mode("overwrite").parquet(os.path.join(tmp, "batch_id=-1"))
-        os.rename(path, old)
+        ).write.mode("overwrite").parquet(tmp + "/batch_id=-1")
+        fsutil.rename(spark, path, old)
         try:
-            os.rename(tmp, path)
+            fsutil.rename(spark, tmp, path)
         except BaseException:
-            os.rename(old, path)
+            fsutil.rename(spark, old, path)
             raise
-        shutil.rmtree(old)
-        done[sub] = (before, parquet_file_count(path))
+        fsutil.delete(spark, old)
+        done[sub] = (before, fsutil.parquet_file_count(spark, path))
     return done

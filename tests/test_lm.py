@@ -311,3 +311,49 @@ def test_logit_expr_hasher_param_matches_join_mode(spark, sf_dir):
     assert [r.z for r in md5_scores] != [r.z for r in xx_scores]
     with pytest.raises(ValueError, match="hasher"):
         lm.hashed_linear_logit_expr(weights, dim, "text", "sha1")
+
+
+def test_nb_model_carries_hasher_and_pairing_is_enforced(spark):
+    # round-5 hardening: weights now CARRY their training hasher/dim, and
+    # every scorer refuses a mismatched pairing (previously guarded by
+    # docstrings only — mismatched hashers score garbage with no error)
+    from pulfa_sausage_factory_spark.functions import lm
+    from pyspark.sql import functions as F
+
+    labeled = spark.createDataFrame(
+        [(1, "good archive letters", 1), (2, "zzz spam qqq", 0),
+         (3, "letters archive series", 1), (4, "buy spam zzz", 0)],
+        "doc_id long, text string, label int",
+    )
+    model = lm.train_hashed_nb_weights(labeled, dim=16, hasher="md5")
+    # legacy 2-tuple unpack still works and the DataFrame is tagged
+    weights, bias = model
+    assert (weights, bias) == (model.weights, model.bias)
+    assert model.hasher == weights.hasher == "md5"
+    assert model.dim == weights.dim == 16
+
+    wdict = model.weights_dict()
+    assert wdict.hasher == "md5" and wdict.dim == 16
+    assert set(wdict) == set(range(16))
+
+    # matched pairing scores fine (both modes)
+    docs = labeled.select("doc_id", "text")
+    assert lm.hashed_linear_score(docs, weights, 16, hasher="md5").count() == 4
+    assert (
+        docs.select(lm.hashed_linear_logit_expr(wdict, 16, "text", "md5"))
+        .count() == 4
+    )
+
+    # mismatched hasher → loud error in every consumer
+    with pytest.raises(ValueError, match="hasher"):
+        lm.hashed_linear_score(docs, weights, 16)  # default xxhash64
+    with pytest.raises(ValueError, match="hasher"):
+        lm.hashed_linear_logit_expr(wdict, 16, "text", hasher="xxhash64")
+    # mismatched dim → loud error too
+    with pytest.raises(ValueError, match="dim"):
+        lm.hashed_linear_logit_expr(wdict, 32, "text", hasher="md5")
+    # untagged plain dicts keep working (no metadata, no check)
+    plain = dict(wdict)
+    assert docs.select(
+        lm.hashed_linear_logit_expr(plain, 16, "text", "xxhash64")
+    ).count() == 4

@@ -454,3 +454,32 @@ def test_hashed_text_embedding_drives_semdedup_from_raw_text(spark, sf_dir):
     # keeps doc 2 — doc 1 IS the centroid, cent_sim 1.0, lowest priority);
     # the unrelated and empty docs survive
     assert removed == {1}
+
+
+def test_pq_codebook_grid_validation(spark, sf_dir):
+    # round-5 hardening: (a) training from a sample smaller than n_codes
+    # fails loudly instead of emitting a sparse codebook, (b) pq_encode /
+    # knn_pq_adc refuse non-dense codebooks instead of assigning phantom
+    # zero centroids / indexing past the ADC LUT (silent NULL scores)
+    from pulfa_sausage_factory_spark.operators.similarity import (
+        knn_pq_adc,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="seed"):
+        train_pq_codebooks(emb.limit(4), m=8, n_codes=8, sample_fraction=1.0)
+
+    good = train_pq_codebooks(
+        emb.limit(50), m=8, n_codes=4, iters=1, sample_fraction=1.0
+    )
+    sparse = good.filter(~((F.col("sub") == 3) & (F.col("code") == 2)))
+    with pytest.raises(ValueError, match="dense"):
+        pq_encode(emb.limit(10), sparse)
+    with pytest.raises(ValueError, match="dense"):
+        knn_pq_adc(pq_encode(emb.limit(10), good), emb.limit(2), sparse)
+    # the dense codebook passes through both consumers
+    assert knn_pq_adc(
+        pq_encode(emb.limit(30), good), emb.limit(2), good, k=3
+    ).count() > 0
