@@ -145,10 +145,14 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Round-4 extension operators, measured OUTSIDE the headline total so
-    # `value` stays comparable across rounds: SemDeDup pruning, DSIR
-    # selection, and the PQ/ADC serving path (codebooks pre-trained — an
-    # offline job in any real deployment; the serving plan is what repeats).
+    # Extension operators, measured OUTSIDE the headline total so `value`
+    # stays comparable across rounds: SemDeDup pruning, DSIR selection,
+    # the PQ/ADC serving path (codebooks pre-trained — an offline job in
+    # any real deployment; the serving plan is what repeats), and — round
+    # 5 — the LLM heavy operators (exact substring dedup, connected-
+    # component clustering, image near-dup, the composed curation DAG) so
+    # a perf regression in the repo's differentiating surface is visible
+    # round-over-round, not only in one-off stress.py figures.
     # the WHOLE extras preamble is fault-isolated too: a missing/corrupt
     # table here must not abort the process before the guaranteed JSON
     # line (the exact round-3 failure mode the per-query isolation above
@@ -156,7 +160,14 @@ def main() -> None:
     emb = docs = _cb = None
     try:
         from pulfa_sausage_factory_spark.functions import sampling  # noqa: E402
-        from pulfa_sausage_factory_spark.operators import similarity  # noqa: E402
+        from pulfa_sausage_factory_spark.operators import (  # noqa: E402
+            multimodal,
+            similarity,
+        )
+        from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (  # noqa: E402
+            CurationConfig,
+            run_curation,
+        )
 
         emb = load_table(spark, sf_dir, "embeddings")
         docs = load_table(spark, sf_dir, "documents")
@@ -167,6 +178,24 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — record, don't die silently
         errors["extras_setup"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"# extras setup FAILED — {errors['extras_setup']}", file=sys.stderr)
+
+    # bucketed fact twins of the headline joins: pay the orders/lineitem
+    # shuffle ONCE at ingest (recorded separately below), then q3/q5/q10
+    # run with the fact-fact join as a zero-Exchange bucket-co-located
+    # sort-merge. Separately fault-isolated: a metastore problem here must
+    # not void the docs/emb extras above.
+    _bq = None
+    bucketize_sec = None
+    try:
+        from pulfa_sausage_factory_spark import bucketed_queries as _bqm  # noqa: E402
+
+        t0 = time.perf_counter()
+        _bqm.ensure_bucketed_facts(spark, sf_dir, force=True)
+        bucketize_sec = round(time.perf_counter() - t0, 3)
+        _bq = _bqm
+    except Exception as exc:  # noqa: BLE001
+        errors["bucketize_facts"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"# bucketize setup FAILED — {errors['bucketize_facts']}", file=sys.stderr)
 
     def _x2g_semdedup(spark, sf_dir):
         return similarity.semdedup(emb, n_cells=16, threshold=0.9, impl="arrow")
@@ -181,23 +210,80 @@ def main() -> None:
             similarity.pq_encode(emb, _cb), emb.limit(20), _cb, k=10
         )
 
+    def _dedup_substrings(spark, sf_dir):
+        # k=20 matches stress.py so the sf0.1 and 100x figures bracket the
+        # same workload
+        return dedup.dedup_substrings(docs, k=20)
+
+    def _dedup_clusters(spark, sf_dir):
+        # the full near-dup chain: MinHash LSH candidate pairs → connected
+        # components (iterative min-label propagation w/ localCheckpoint)
+        return dedup.dedup_clusters(
+            dedup.minhash_lsh_pairs(docs, threshold=0.2).select("id_a", "id_b")
+        )
+
+    def _image_neardup_pairs(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        return multimodal.image_neardup_pairs(
+            docs.select(
+                F.col("doc_id").alias("id"),
+                F.encode("text", "utf-8").alias("content"),
+            ),
+            max_hamming=3,
+        )
+
+    def _run_curation(spark, sf_dir):
+        # the composed DAG executes eagerly (per-stage localCheckpoint +
+        # count), so the wrapper returns the already-materialized row
+        # count instead of a DataFrame
+        rep = run_curation(
+            spark,
+            docs,
+            CurationConfig(min_quality=0.0),
+            bench=docs.limit(200),
+        )
+        return rep["output_rows"]
+
+    def _q3_bucketed(spark, sf_dir):
+        return _bq.q3_bucketed(spark, sf_dir)
+
+    def _q5_bucketed(spark, sf_dir):
+        return _bq.q5_bucketed(spark, sf_dir)
+
+    def _q10_bucketed(spark, sf_dir):
+        return _bq.q10_bucketed(spark, sf_dir)
+
     extras: dict[str, float | None] = {}
-    for name, fn in (
-        ("x2g_semdedup", _x2g_semdedup),
-        ("x8d_dsir_select", _x8d_dsir),
-        ("x3p_pq_adc", _x3p_pq_adc),
-    ):
-        needs = {"x2g_semdedup": (emb,), "x8d_dsir_select": (docs,),
-                 "x3p_pq_adc": (emb, _cb)}[name]
+    # the one-time ingest cost the bucketed twins amortize — reported so
+    # the trade is honest: twin_time × query_count + bucketize ≷ plain
+    extras["bucketize_facts_ingest"] = bucketize_sec
+    _extra_specs = (
+        ("x2g_semdedup", _x2g_semdedup, (emb,)),
+        ("x8d_dsir_select", _x8d_dsir, (docs,)),
+        ("x3p_pq_adc", _x3p_pq_adc, (emb, _cb)),
+        ("dedup_substrings", _dedup_substrings, (docs,)),
+        ("dedup_clusters", _dedup_clusters, (docs,)),
+        ("image_neardup_pairs", _image_neardup_pairs, (docs,)),
+        ("run_curation", _run_curation, (docs,)),
+        ("q3_bucketed", _q3_bucketed, (_bq,)),
+        ("q5_bucketed", _q5_bucketed, (_bq,)),
+        ("q10_bucketed", _q10_bucketed, (_bq,)),
+    )
+    for name, fn, needs in _extra_specs:
         if any(dep is None for dep in needs):
             extras[name] = None  # root cause already in errors["extras_setup"]
             continue
+
+        def _rows(res):
+            return res if isinstance(res, int) else res.count()
+
         try:
-            fn(spark, sf_dir).count()  # untimed warmup, same JMH shape
+            _rows(fn(spark, sf_dir))  # untimed warmup, same JMH shape
             times = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
+                n = _rows(fn(spark, sf_dir))
                 times.append(time.perf_counter() - t0)
             extras[name] = round(sorted(times)[len(times) // 2], 3)
             print(f"# extra {name}: {extras[name]:.3f}s ({n} rows)", file=sys.stderr)
@@ -205,6 +291,12 @@ def main() -> None:
             extras[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# extra {name}: FAILED — {errors[name]}", file=sys.stderr)
+
+    if _bq is not None:
+        try:
+            _bq.drop_bucketed_facts(spark)
+        except Exception:  # noqa: BLE001 — cleanup must not kill the JSON line
+            pass
 
     out = {
         "metric": "headline_query_set_wall_time",

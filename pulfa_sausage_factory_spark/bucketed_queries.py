@@ -1,0 +1,178 @@
+"""Bucketed twins of the headline fact-fact join queries (q3/q5/q10).
+
+The plain registrations (``queries.py``) shuffle ``orders ⨝ lineitem`` on
+every run — the dominant cost at scale (at 100 TB that shuffle IS the
+query). The cure the engine ships (``sinks/bucketed.py``) pays the shuffle
+ONCE at ingest: both fact tables are written bucketed by orderkey, and
+every subsequent orderkey join is a zipped per-bucket sort-merge with no
+Exchange on either side. These twins run the exact q3/q5/q10 workloads
+through that path so the benefit is measurable round-over-round (bench
+``extra_queries``) and the plans are assertable (tests):
+
+- fact⨝fact (lineitem⨝orders) — ZERO Exchange (bucket-co-located);
+- dimension joins — broadcast (customer/supplier/nation/region);
+- q3's aggregation groups by ``l_orderkey`` + order columns, whose
+  clustering is satisfied by the bucket partitioning → the WHOLE q3 plan
+  is Exchange-free (TakeOrderedAndProject handles the top-k);
+- q5/q10 re-aggregate on non-bucket keys (n_name / c_custkey), so exactly
+  ONE Exchange remains — the unavoidable final re-key.
+
+Results are bit-identical to the plain registrations (pinned by
+``tests/test_shuffle_engineering.py``); the DuckDB oracles for
+q3/q5/q10 therefore cover these twins transitively.
+
+The join order differs from the plain twins on purpose: the co-located
+fact⨝fact join goes FIRST, dims broadcast onto its output — joining
+customer⨝orders first (the plain q3/q10 shape) would destroy the bucket
+partitioning before lineitem arrives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .sinks import bucketed
+
+#: managed-table names for the bucketed fact twins (+ a one-row marker
+#: table recording what they were built from, for idempotent re-use)
+ORDERS_TABLE = "bq_orders"
+LINEITEM_TABLE = "bq_lineitem"
+MARKER_TABLE = "bq_facts_meta"
+
+
+def ensure_bucketed_facts(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = 8,
+    force: bool = False,
+) -> bool:
+    """Materialize ``orders``/``lineitem`` from ``sf_dir`` as managed
+    tables bucketed (and sort-bucketed) by orderkey — the one-time ingest
+    cost the twins amortize. Idempotent: skipped when both tables already
+    exist for the same ``(sf_dir, n_buckets)`` (recorded in a one-row
+    marker table, written LAST so a half-finished build is retried),
+    unless ``force``. Returns True when a (re)write happened."""
+    marker = f"{sf_dir}|{n_buckets}"
+    if not force and _current_marker(spark) == marker:
+        return False
+    bucketed.write_bucketed(
+        load_table(spark, sf_dir, "orders"),
+        ORDERS_TABLE,
+        "o_orderkey",
+        n_buckets,
+        "o_orderkey",
+    )
+    bucketed.write_bucketed(
+        load_table(spark, sf_dir, "lineitem"),
+        LINEITEM_TABLE,
+        "l_orderkey",
+        n_buckets,
+        "l_orderkey",
+    )
+    spark.createDataFrame([(marker,)], "marker string").write.mode(
+        "overwrite"
+    ).saveAsTable(MARKER_TABLE)
+    return True
+
+
+def _current_marker(spark: SparkSession) -> str | None:
+    try:
+        spark.table(ORDERS_TABLE)  # all three must exist
+        spark.table(LINEITEM_TABLE)
+        row = spark.table(MARKER_TABLE).limit(1).collect()
+        return row[0][0] if row else None
+    except Exception:
+        return None
+
+
+def drop_bucketed_facts(spark: SparkSession) -> None:
+    for t in (ORDERS_TABLE, LINEITEM_TABLE, MARKER_TABLE):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _facts(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    return spark.table(ORDERS_TABLE), spark.table(LINEITEM_TABLE)
+
+
+def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q3_top_revenue over the bucketed facts — a fully Exchange-free plan:
+    co-located fact join, broadcast customer, aggregation clustered by the
+    bucket key, TakeOrderedAndProject top-k."""
+    orders, li = _facts(spark)
+    orders = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = li.filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    disc_price = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    rev = (
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue"))
+    )
+    return (
+        rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q5_local_supplier_volume over the bucketed facts: the
+    customer⨝orders⨝lineitem chain becomes co-located fact join +
+    broadcast dims; only the final ``n_name`` re-key shuffles (1
+    Exchange)."""
+    orders, li = _facts(spark)
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    return (
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue"))
+    )
+
+
+def q10_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q10_returned_items over the bucketed facts: co-located fact join +
+    broadcast customer; the per-customer re-aggregation is the single
+    remaining Exchange."""
+    orders, li = _facts(spark)
+    li = li.filter(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf_dir, "customer")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    rev = (
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue"))
+    )
+    return (
+        rev.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "c_mktsegment")
+    )

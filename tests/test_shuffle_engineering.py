@@ -67,3 +67,54 @@ def test_two_phase_agg_matches_groupby(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_bucketed_fact_twins_match_plain_and_never_shuffle_facts(spark, sf_dir, tmp_path):
+    # round-5: the bucketing machinery meets the actual expensive queries —
+    # q3/q5/q10 run over orderkey-bucketed fact tables, results pinned
+    # identical to the plain registrations, and the orders⨝lineitem join
+    # provably never shuffles (the "plans at 100x" evidence: the fact-fact
+    # shuffle is paid once at ingest, not per query)
+    from pulfa_sausage_factory_spark import bucketed_queries as bq
+    from pulfa_sausage_factory_spark.queries import QUERIES
+
+    try:
+        assert bq.ensure_bucketed_facts(spark, sf_dir) is True
+        # idempotent: same (sf_dir, n_buckets) → no rewrite
+        assert bq.ensure_bucketed_facts(spark, sf_dir) is False
+
+        pairs = [
+            (bq.q3_bucketed, "q3_top_revenue"),
+            (bq.q5_bucketed, "q5_local_supplier_volume"),
+            (bq.q10_bucketed, "q10_returned_items"),
+        ]
+        for fn, plain_name in pairs:
+            twin = fn(spark, sf_dir)
+            got = sorted(map(tuple, twin.collect()))
+            want = sorted(map(tuple, QUERIES[plain_name][0](spark, sf_dir).collect()))
+            assert got == want and len(got) > 0, plain_name
+
+            # AQE's toString repeats the plan (Final + Initial sections);
+            # assert on the final section only
+            plan = (
+                twin._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0]
+            )
+            # the fact-fact join is a bucket-co-located sort-merge:
+            # both bucketed scans present, no shuffle on either orderkey
+            assert "SortMergeJoin [l_orderkey" in plan, plain_name
+            assert plan.count("Bucketed: true") == 2, plain_name
+            assert "Exchange hashpartitioning(l_orderkey" not in plan, plain_name
+            assert "Exchange hashpartitioning(o_orderkey" not in plan, plain_name
+            # q3 groups by the bucket key and tops-k via TakeOrdered — the
+            # ENTIRE plan is shuffle-free; q5/q10 re-key once (final agg)
+            budget = 0 if plain_name == "q3_top_revenue" else 1
+            import re
+
+            n_shuffles = len(re.findall(
+                r"Exchange (hash|range)partitioning|Exchange SinglePartition",
+                plan,
+            ))
+            assert n_shuffles <= budget, (plain_name, n_shuffles, plan)
+    finally:
+        bq.drop_bucketed_facts(spark)
