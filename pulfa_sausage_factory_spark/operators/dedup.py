@@ -208,6 +208,28 @@ def _minhash_sig_udf(num_hashes: int = 32, n: int = 3, seed: int = 42):
     return F.pandas_udf(sig, "array<long>")
 
 
+def _spread_for_arrow(df: DataFrame, min_factor: int = 4) -> DataFrame:
+    """Re-spread a pathologically under-partitioned input before an
+    expensive Arrow-batched stage.
+
+    Parallelism normally follows source partitioning (the session splits
+    file scans at ``spark.sql.files.maxPartitionBytes``), but a
+    single-row-group parquet file is UNSPLITTABLE — the whole signature
+    pass then runs as one task on one core while 31 sit idle (measured:
+    the sf0.1 minhash signatures take 2.7 s on 1 partition vs 0.6 s
+    spread; this was the bulk of x2b's cold time, misattributed to UDF
+    bootstrap). The guard keys on the ACTUAL partition count: only when
+    the input has ≤ cores/``min_factor`` partitions does it pay one
+    text-sized shuffle to fan the compute out. At cluster scale,
+    splittable sources already exceed ``defaultParallelism`` and this is
+    a no-op — the 100 TB plan keeps zero added shuffles."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -237,14 +259,10 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
     rows_per_band = num_hashes // bands
-    # No hand repartition: parallelism follows source partitioning (the
-    # session sets spark.sql.files.maxPartitionBytes small enough that any
-    # non-trivial input splits). A repartition here costs a shuffle plus a
-    # full python-worker-pool spawn for inputs where one Arrow batch of
-    # numpy work is faster than the scheduling overhead.
     sig_udf = _minhash_sig_udf(num_hashes=num_hashes, n=n)
     sigs = (
-        df.select(F.col(id_col).alias("id"), sig_udf(text_col).alias("sig"))
+        _spread_for_arrow(df)
+        .select(F.col(id_col).alias("id"), sig_udf(text_col).alias("sig"))
         .filter(F.col("sig").isNotNull())
         .persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     )
@@ -338,7 +356,9 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
     sim.__annotations__ = {"text": pd.Series, "return": pd.Series}
     sim_udf = F.pandas_udf(sim, "long")
-    return df.select(F.col(id_col).alias("id"), sim_udf(text_col).alias("simhash"))
+    return _spread_for_arrow(df).select(
+        F.col(id_col).alias("id"), sim_udf(text_col).alias("simhash")
+    )
 
 
 def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:

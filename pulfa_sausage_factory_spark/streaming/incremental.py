@@ -79,3 +79,88 @@ def process_available(
         .start()
         .awaitTermination()
     )
+
+
+def journal_publish(
+    spark: SparkSession,
+    outputs: DataFrame,
+    journal_dir: str,
+    run_id: int,
+) -> dict:
+    """EP3 round-trip completion — the commit-manifest analog of the
+    reference's post-processing ``svn ci`` (``bin/batch.sh:34-37``: commit
+    rewritten EADs + add/commit new METS after the per-EAD loop, before
+    ``touch .last_run``). The engine's incremental loop previously mapped
+    only the *detection* half (``batch.sh:21,23-27`` → ``modified_since``/
+    ``process_available``); this journals the *publication* half: which
+    outputs a run committed, keyed by run id, so reruns know what is
+    already out and auditors know which run published what.
+
+    ``outputs`` must carry ``path`` (string) and ``digest`` (string —
+    e.g. ``F.sha1(content)``; the working-copy-diff stand-in: svn commits
+    a file only when its content changed).
+
+    Semantics (same crash-safe shape as the ingest ledger,
+    ``curation_pipeline._ingest_batch``):
+
+    - prior state = the journal EXCLUDING this run's own partition, so a
+      replayed run decides against exactly the pre-run manifest
+      (at-least-once ``foreachBatch`` safe);
+    - only rows whose ``(path, digest)`` is absent from the prior journal
+      are committed — an unchanged output re-emitted by a rerun is a
+      no-op, a changed file (same path, new digest) re-commits, matching
+      ``svn ci``'s modified-only behavior;
+    - the run's rows land in ``journal_dir/run_id=<id>`` via partition
+      OVERWRITE — replaying a run rewrites its own partition to the same
+      contents instead of appending duplicates.
+
+    Returns ``{"published": n, "unchanged": n}``.
+    """
+    import os
+
+    rows = outputs.select("path", "digest")
+    prior = _read_journal(spark, journal_dir, exclude_run=run_id)
+    if prior is not None:
+        fresh = rows.join(prior, ["path", "digest"], "left_anti")
+    else:
+        fresh = rows
+    n_total = rows.count()
+    part_dir = os.path.join(journal_dir, f"run_id={int(run_id)}")
+    fresh.write.mode("overwrite").parquet(part_dir)
+    n_new = spark.read.parquet(part_dir).count()
+    return {"published": n_new, "unchanged": n_total - n_new}
+
+
+def published_manifest(
+    spark: SparkSession, journal_dir: str
+) -> DataFrame | None:
+    """Everything every run has committed: ``(path, digest, run_id)``, or
+    None when no journal exists yet."""
+    return _read_journal(spark, journal_dir, exclude_run=None, keep_run=True)
+
+
+def _read_journal(
+    spark: SparkSession,
+    journal_dir: str,
+    exclude_run: int | None,
+    keep_run: bool = False,
+):
+    """FS-portable journal read (same error classification as the ingest
+    ledger's ``_read_state``: an ``os.path`` existence check would silently
+    disable rerun-dedup on hdfs://s3a:// journal dirs)."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    try:
+        df = spark.read.parquet(journal_dir)
+    except AnalysisException as exc:
+        get = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", lambda: ""
+        )
+        cls = get() or str(exc)
+        if "PATH_NOT_FOUND" in cls or "UNABLE_TO_INFER_SCHEMA" in cls:
+            return None
+        raise
+    if exclude_run is not None:
+        df = df.filter(F.col("run_id") != exclude_run)
+    return df if keep_run else df.drop("run_id")

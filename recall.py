@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""ANN quality harness — recall@k of every approximate search path vs the
+exact brute-force baseline, at stress scale (salt-amplified embeddings).
+
+The monotonicity TESTS (tests/test_similarity.py) pin that recall moves the
+right way with each knob; this harness produces the ABSOLUTE numbers the
+tuning tables in RECALL.md document. Usage:
+
+    python recall.py [AMPLIFY]        # default 100 (× sf0.1 = 200k vectors)
+    SPARK_GRAFT_SF_DIR=... python recall.py 10
+
+Prints one markdown table row per configuration plus a final JSON line.
+
+Method notes:
+- corpus vectors are L2-NORMALIZED first, so cosine order == inner-product
+  order and the PQ/ADC paths (which score by inner product) share the same
+  ground truth as the cosine paths. This mirrors real deployments (ANN
+  over normalized sentence embeddings).
+- queries are the 50 lowest original vec_ids, searched against the full
+  amplified corpus; recall@k = |ANN top-k ∩ exact top-k| / k averaged
+  over queries.
+- FAMILY-LEVEL RECALL under amplification: ``stress.amplify_embeddings``
+  replicates every vector ~identically (first-dim nudge), which makes
+  row-level recall degenerate in BOTH directions — a query's nearest
+  rows are its own replicas (every method scores ~1.0), and once those
+  are excluded, picking WHICH 10 of the next family's ~identical
+  replicas matched the exact top-10 is a sub-quantization resolution
+  test every ANN method fails (~0.1, measured). The well-posed question
+  at stress scale is: did the ANN retrieve the right DISTINCT ORIGINALS?
+  So ground truth and results are both reduced to the first k distinct
+  replica FAMILIES by rank (own family excluded), and recall@k compares
+  family sets. At amp=1 a family is a single vector and this reduces to
+  plain row recall@k.
+- the driver tables are synthetic near-uniform vectors — close to ANN's
+  adversarial case (real embedding corpora cluster, which makes cell
+  pruning strictly easier). Numbers here are therefore lower bounds on
+  realistic-geometry recall for the IVF family.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from pulfa_sausage_factory_spark import io
+from pulfa_sausage_factory_spark.functions.vectors import as_double_array, norm
+from pulfa_sausage_factory_spark.operators import similarity
+from pulfa_sausage_factory_spark.session import get_spark
+from stress import amplify_embeddings
+
+K = 10
+N_QUERIES = 50
+#: replica-id stride used by stress.amplify_embeddings
+_FAMILY = 10_000_000
+
+
+def _topk_families(rows, k):
+    """per-query set of the first ``k`` DISTINCT replica families by rank,
+    excluding the query's own family."""
+    ranked: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        ranked.setdefault(r.query_id, []).append((r.rk, r.neighbor_id))
+    out = {}
+    for q, lst in ranked.items():
+        own = q % _FAMILY
+        fams: list[int] = []
+        for _, nid in sorted(lst):
+            f = nid % _FAMILY
+            if f != own and f not in fams:
+                fams.append(f)
+                if len(fams) == k:
+                    break
+        out[q] = set(fams)
+    return out
+
+
+def _normalize(df):
+    v = as_double_array("embedding")
+    return df.select(
+        "vec_id",
+        F.transform(v, lambda x: x / norm(v)).alias("embedding"),
+    )
+
+
+def main() -> None:
+    amp = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("recall")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    if amp > 1:
+        emb = amplify_embeddings(emb, amp)
+    corpus = _normalize(emb).localCheckpoint()
+    n = corpus.count()
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).localCheckpoint()
+    print(f"# corpus={n} vectors, {queries.count()} queries, k={K}", file=sys.stderr)
+
+    # fetching (K+1)*amp ranked rows guarantees >= K distinct non-self
+    # families even if every top family's replicas rank contiguously
+    k_fetch = (K + 1) * amp if amp > 1 else K
+    t0 = time.perf_counter()
+    truth = _topk_families(
+        similarity.knn_bruteforce(corpus, queries, k=k_fetch).collect(), K
+    )
+    print(f"# brute-force ground truth: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    trained_cents = similarity.train_ivf_centroids(
+        corpus, n_cells=16, iters=2, sample_fraction=min(1.0, 20_000 / n)
+    ).localCheckpoint()
+    cb = similarity.train_pq_codebooks(
+        corpus, m=8, n_codes=256, iters=2,
+        sample_fraction=min(1.0, max(0.05, 20_000 / n)),
+    ).localCheckpoint()
+    codes = similarity.pq_encode(corpus, cb).localCheckpoint()
+
+    def lsh(p):
+        return lambda: similarity.knn_lsh(
+            corpus, queries, k=k_fetch, probe_hamming=p
+        )
+
+    def ivf(p, cents=None):
+        return lambda: similarity.knn_ivf(
+            corpus, queries, k=k_fetch, n_cells=16, n_probe=p, centroids=cents
+        )
+
+    def ivf_pq(p):
+        return lambda: similarity.knn_ivf_pq(
+            corpus, queries, cb, k=k_fetch, n_cells=16, n_probe=p,
+            centroids=trained_cents,
+        )
+
+    configs = [
+        ("knn_lsh bits=8 probe=0", lsh(0)),
+        ("knn_lsh bits=8 probe=1", lsh(1)),
+        ("knn_lsh bits=8 probe=2", lsh(2)),
+        ("knn_ivf first-N cells=16 nprobe=1", ivf(1)),
+        ("knn_ivf first-N cells=16 nprobe=2", ivf(2)),
+        ("knn_ivf first-N cells=16 nprobe=4", ivf(4)),
+        ("knn_ivf trained cells=16 nprobe=1", ivf(1, trained_cents)),
+        ("knn_ivf trained cells=16 nprobe=2", ivf(2, trained_cents)),
+        ("knn_ivf trained cells=16 nprobe=4", ivf(4, trained_cents)),
+        ("knn_ivf trained cells=16 nprobe=8", ivf(8, trained_cents)),
+        ("knn_pq_adc m=8 codes=256 (full scan)",
+         lambda: similarity.knn_pq_adc(codes, queries, cb, k=k_fetch)),
+        ("knn_ivf_pq trained cells=16 nprobe=2 m=8", ivf_pq(2)),
+        ("knn_ivf_pq trained cells=16 nprobe=4 m=8", ivf_pq(4)),
+        ("knn_pq_rerank shortlist=200",
+         lambda: similarity.knn_pq_rerank(
+             corpus, queries, cb, k=k_fetch,
+             shortlist=max(200, 2 * k_fetch), codes_df=codes,
+         )),
+    ]
+
+    results = {}
+    print(f"| configuration | recall@{K} | sec |")
+    print("|---|---|---|")
+    for name, fn in configs:
+        t0 = time.perf_counter()
+        got = _topk_families(fn().collect(), K)
+        dt = time.perf_counter() - t0
+        rec = sum(
+            len(got.get(q, set()) & hits) / float(K) for q, hits in truth.items()
+        ) / max(1, len(truth))
+        results[name] = round(rec, 4)
+        print(f"| {name} | {rec:.3f} | {dt:.1f} |")
+
+    print(json.dumps({"metric": "ann_recall_at_k", "k": K, "corpus": n,
+                      "amplify": amp, "recall": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -483,3 +483,57 @@ def test_pq_codebook_grid_validation(spark, sf_dir):
     assert knn_pq_adc(
         pq_encode(emb.limit(30), good), emb.limit(2), good, k=3
     ).count() > 0
+
+
+def test_documented_ann_configs_reach_recall_floor(spark):
+    # RECALL.md's documented >=0.9 configurations, pinned. The corpus is
+    # the text-embedding one (sf0.1 documents via hashed_text_embedding —
+    # clustered geometry, the realistic case); everything in the chain is
+    # hash-deterministic, so these recalls reproduce bit-for-bit.
+    from pulfa_sausage_factory_spark.functions.vectors import (
+        hashed_text_embedding,
+    )
+    from pulfa_sausage_factory_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+        knn_lsh,
+        knn_pq_rerank,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    corpus = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        hashed_text_embedding("text", dim=64).alias("embedding"),
+    ).localCheckpoint()
+    queries = corpus.filter(F.col("vec_id") < 50).localCheckpoint()
+
+    truth: dict[int, set] = {}
+    for r in knn_bruteforce(corpus, queries, k=10).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(df):
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(got.get(q, set()) & t) / 10.0 for q, t in truth.items()
+        ) / len(truth)
+
+    # LSH, radius-2 multiprobe (documented 0.930)
+    assert recall(knn_lsh(corpus, queries, k=10, probe_hamming=2)) >= 0.9
+    # trained IVF, nprobe=8 of 16 (documented 0.976)
+    cents = train_ivf_centroids(
+        corpus, n_cells=16, iters=2, sample_fraction=1.0
+    )
+    assert recall(
+        knn_ivf(corpus, queries, k=10, n_cells=16, n_probe=8, centroids=cents)
+    ) >= 0.9
+    # PQ ADC shortlist + exact rerank (documented 0.958)
+    cb = train_pq_codebooks(
+        corpus, m=8, n_codes=256, iters=2, sample_fraction=1.0
+    )
+    assert recall(
+        knn_pq_rerank(corpus, queries, cb, k=10, shortlist=200)
+    ) >= 0.9
