@@ -99,10 +99,22 @@ def main() -> None:
     warm = spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
         spark.sparkContext.defaultParallelism
     )
-    warm.select(F.pandas_udf(_noop, "long")("id")).count()
+    # CONSUME the UDF output (sum/size aggregates), don't .count() the
+    # projection: pandas UDFs are deterministic, so Catalyst PRUNES an
+    # unreferenced UDF column and count() never executes it — the r1-r4
+    # warmups were silently no-ops and every bench's first real UDF query
+    # (x2b) paid the full 32-worker spawn + per-worker library imports
+    # (~2-3 s, visible as ArrowEvalPython `init` time). Verified round 5
+    # via `ps | grep pyspark.daemon`: 0 workers after a pruned warmup,
+    # 33 after a consumed one.
+    warm.select(F.pandas_udf(_noop, "long")("id").alias("x")).agg(
+        F.sum("x")
+    ).collect()
     # second pass with an array<long> output: Arrow serializer setup is
     # per-output-shape, and the minhash signature UDF emits arrays
-    warm.select(F.pandas_udf(_noop_arr, "array<long>")("id")).count()
+    warm.select(F.pandas_udf(_noop_arr, "array<long>")("id").alias("x")).agg(
+        F.sum(F.size("x"))
+    ).collect()
     # the session's FIRST .persist() pays ~1.3 s of one-time cache
     # infrastructure (measured round 5: an 8-row persist costs 1.3 s cold,
     # 0.5 s after) — absorb it here so cold_queries measures the QUERY's
