@@ -229,6 +229,14 @@ def main() -> None:
             similarity.pq_encode(emb, _cb), emb.limit(20), _cb, k=10
         )
 
+    def _x3r_pq_rerank(spark, sf_dir):
+        # the recommended PQ serving path (ADC shortlist → exact rerank,
+        # RECALL.md) — tracked so its latency premium over bare ADC stays
+        # visible round-over-round
+        return similarity.knn_pq_rerank(
+            emb, emb.limit(20), _cb, k=10, shortlist=100
+        )
+
     def _dedup_substrings(spark, sf_dir):
         # k=20 matches stress.py so the sf0.1 and 100x figures bracket the
         # same workload
@@ -281,6 +289,7 @@ def main() -> None:
         ("x2g_semdedup", _x2g_semdedup, (emb,)),
         ("x8d_dsir_select", _x8d_dsir, (docs,)),
         ("x3p_pq_adc", _x3p_pq_adc, (emb, _cb)),
+        ("x3r_pq_rerank", _x3r_pq_rerank, (emb, _cb)),
         ("dedup_substrings", _dedup_substrings, (docs,)),
         ("dedup_clusters", _dedup_clusters, (docs,)),
         ("image_neardup_pairs", _image_neardup_pairs, (docs,)),

@@ -61,6 +61,11 @@ class EadPipelineConfig:
         default=subprocess_udf._fake_pdfimages
     )
     created: str = "2012-01-01T00:00:00Z"  # pinned nondeterminism (SURVEY §5)
+    #: EP3 commit-manifest (bin/batch.sh:34-37 analog): when set, the run
+    #: journals the EADs + METS it published (by on-disk content digest —
+    #: the svn working-copy-diff semantics) under this run_id
+    journal_dir: str | None = None
+    run_id: int = 0
 
     def stage_dir(self, name: str) -> str:
         return os.path.join(self.work_dir, "checkpoints", name)
@@ -343,16 +348,38 @@ def stage7_update_eads(spark: SparkSession, eads_root: str, cfg: EadPipelineConf
 
 def run_pipeline(spark: SparkSession, eads_root: str, cfg: EadPipelineConfig) -> dict:
     """EP1 end-to-end. Returns stage row counts (the run-report the
-    reference logged, as data — C3)."""
+    reference logged, as data — C3). With ``cfg.journal_dir`` set, the run
+    finishes with the EP3 commit step (``bin/batch.sh:34-37``): the
+    updated EADs and new METS on disk are journaled by content digest
+    under ``cfg.run_id`` — reruns that change nothing publish nothing,
+    exactly like ``svn ci`` on an unmodified working copy."""
     s1 = stage1_get_pdfs(spark, eads_root, cfg)
     s2 = stage2_extract_pages(spark, cfg)
     s34 = stage34_encode(spark, cfg)
     s5 = stage5_mets(spark, cfg)
     s7 = stage7_update_eads(spark, eads_root, cfg)
-    return {
+    report = {
         "s1_report": s1.count(),
         "s2_pages": s2.count(),
         "s34_encoded": s34.count(),
         "s5_mets": s5.count(),
         "s7_eads": s7.count(),
     }
+    if cfg.journal_dir:
+        from .. import fsutil
+        from ..streaming.incremental import journal_publish
+
+        outs = None
+        for sub in ("mets", "eads_updated"):
+            d = cfg.out_dir(sub)
+            if not fsutil.exists(spark, d):
+                continue
+            part = listing.list_files(spark, d, with_content=True).select(
+                "path", F.sha1("content").alias("digest")
+            )
+            outs = part if outs is None else outs.unionByName(part)
+        if outs is not None:
+            report.update(
+                journal_publish(spark, outs, cfg.journal_dir, cfg.run_id)
+            )
+    return report

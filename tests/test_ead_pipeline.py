@@ -96,3 +96,36 @@ def test_rerun_is_noop(pipeline_run):
     after = snapshot()
     assert counts2 == first_counts
     assert before == after  # no file rewritten (mtimes identical)
+
+
+def test_pipeline_journals_published_outputs(spark, tmp_path):
+    """EP3 round-trip THROUGH the pipeline (bin/batch.sh:21-39): process →
+    commit manifest → rerun commits nothing (the svn-ci-of-unmodified-
+    working-copy property), with the journal recording which run published
+    which files."""
+    from pulfa_sausage_factory_spark.streaming import incremental
+
+    eads_root = tmp_path / "eads"
+    eads_root.mkdir()
+    (eads_root / "AC044.xml").write_text(EAD)
+    cfg = ead_pipeline.EadPipelineConfig(
+        work_dir=str(tmp_path / "work"),
+        journal_dir=str(tmp_path / "journal"),
+        run_id=1,
+    )
+    rep1 = ead_pipeline.run_pipeline(spark, str(eads_root), cfg)
+    assert rep1["published"] > 0 and rep1["unchanged"] == 0
+
+    # rerun as run 2: outputs on disk are unchanged → nothing to commit
+    cfg.run_id = 2
+    rep2 = ead_pipeline.run_pipeline(spark, str(eads_root), cfg)
+    assert rep2["published"] == 0
+    assert rep2["unchanged"] == rep1["published"]
+
+    man = incremental.published_manifest(spark, cfg.journal_dir)
+    rows = man.collect()
+    assert {r.run_id for r in rows} == {1}
+    assert len(rows) == rep1["published"]
+    # both output families are journaled
+    assert any("/mets/" in r.path for r in rows)
+    assert any("/eads_updated/" in r.path for r in rows)
