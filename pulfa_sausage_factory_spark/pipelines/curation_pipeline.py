@@ -149,6 +149,9 @@ def run_curation(
 
     def stage(name: str, df: DataFrame) -> DataFrame:
         nonlocal prev_ckpt, prev_rows
+        import time as _time
+
+        t0 = _time.perf_counter()
         out = df.localCheckpoint()
         n = out.count()
         stages.append(
@@ -156,6 +159,10 @@ def run_curation(
                 "stage": name,
                 "rows": n,
                 "dropped": (prev_rows - n) if prev_rows is not None else 0,
+                # wall seconds to materialize this stage — the C3
+                # run-report's per-stage cost column, so a slow gate is
+                # visible in the report instead of needing a profiler
+                "sec": round(_time.perf_counter() - t0, 3),
             }
         )
         if prev_ckpt is not None:
@@ -163,7 +170,15 @@ def run_curation(
         prev_ckpt, prev_rows = out, n
         return out
 
-    cur = stage("input", docs.select(icol, tcol, *cfg.extra_cols))
+    # re-spread pathologically under-partitioned inputs once, up front: a
+    # single-row-group parquet source is unsplittable, and every narrow
+    # stage downstream (clean, gates, signature passes) would otherwise
+    # run single-core. Cluster-scale splittable sources exceed the guard's
+    # threshold and pay nothing (dedup._spread_for_arrow contract).
+    cur = stage(
+        "input",
+        dedup._spread_for_arrow(docs.select(icol, tcol, *cfg.extra_cols)),
+    )
 
     # 1. clean (shared _clean_docs: optional Unicode normalization — mixed
     # compositions hash to different digests and dodge exact dedup — PII
