@@ -57,6 +57,11 @@ def ensure_bucketed_facts(
     marker = f"{sf_dir}|{n_buckets}"
     if not force and _current_marker(spark) == marker:
         return False
+    # invalidate FIRST: a crash mid-rebuild must leave "no marker" (next
+    # call rebuilds), never a stale marker alongside half-rewritten tables
+    # (a later call with the stale marker's sf_dir would skip the rebuild
+    # and read the other dataset's rows)
+    spark.sql(f"DROP TABLE IF EXISTS {MARKER_TABLE}")
     bucketed.write_bucketed(
         load_table(spark, sf_dir, "orders"),
         ORDERS_TABLE,

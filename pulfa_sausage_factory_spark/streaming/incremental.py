@@ -118,7 +118,9 @@ def journal_publish(
     """
     import os
 
-    rows = outputs.select("path", "digest")
+    # distinct: an upstream that emits the same output row twice must not
+    # double-journal it (svn commits a path once per revision)
+    rows = outputs.select("path", "digest").distinct()
     prior = _read_journal(spark, journal_dir, exclude_run=run_id)
     if prior is not None:
         fresh = rows.join(prior, ["path", "digest"], "left_anti")

@@ -203,3 +203,24 @@ def test_minhash_lsh_recall_and_precision_vs_exact(spark, sf_dir):
     precision = len(exact & approx) / max(len(approx), 1)
     assert recall >= 0.95, (recall, len(exact), len(approx))
     assert precision >= 0.95, (precision, len(exact), len(approx))
+
+
+def test_spread_for_arrow_guard_semantics(spark):
+    # the re-spread guard (round 5): pathologically under-partitioned
+    # inputs fan out to defaultParallelism before an Arrow stage; inputs
+    # already at >= cores/4 partitions pass through UNCHANGED (the
+    # cluster-scale case must stay zero-added-shuffle)
+    from pulfa_sausage_factory_spark.operators.dedup import _spread_for_arrow
+
+    target = spark.sparkContext.defaultParallelism
+    thin = spark.range(1000).coalesce(1)
+    spread = _spread_for_arrow(thin)
+    assert spread.rdd.getNumPartitions() == target
+    assert spread.count() == 1000
+
+    wide_n = max(target, (target // 4) + 1)
+    wide = spark.range(1000).repartition(wide_n)
+    kept = _spread_for_arrow(wide)
+    assert kept.rdd.getNumPartitions() == wide_n  # untouched
+    # and the result is the same dataframe plan (no repartition inserted)
+    assert "Repartition" not in kept._jdf.queryExecution().optimizedPlan().toString() or kept is wide
