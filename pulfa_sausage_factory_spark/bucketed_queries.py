@@ -62,6 +62,13 @@ def ensure_bucketed_facts(
     # (a later call with the stale marker's sf_dir would skip the rebuild
     # and read the other dataset's rows)
     spark.sql(f"DROP TABLE IF EXISTS {MARKER_TABLE}")
+    # clear ORPHANED table data: the session catalog is in-memory, so a
+    # killed prior run leaves bq_* FILES under the warehouse dir with no
+    # catalog entry — saveAsTable then refuses to create a managed table
+    # over the non-empty location (even mode=overwrite) and the twins
+    # would error forever. DROP TABLE only removes cataloged tables;
+    # physically delete any leftover dirs too.
+    _clear_orphan_dirs(spark)
     bucketed.write_bucketed(
         load_table(spark, sf_dir, "orders"),
         ORDERS_TABLE,
@@ -95,6 +102,21 @@ def _current_marker(spark: SparkSession) -> str | None:
 def drop_bucketed_facts(spark: SparkSession) -> None:
     for t in (ORDERS_TABLE, LINEITEM_TABLE, MARKER_TABLE):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+    _clear_orphan_dirs(spark)
+
+
+def _clear_orphan_dirs(spark: SparkSession) -> None:
+    """Delete leftover bq_* data dirs that survived a killed run (present
+    on disk, absent from the in-memory catalog — DROP TABLE can't reach
+    them). Only runs for tables the catalog does NOT know, so a healthy
+    managed table is never deleted out from under the catalog."""
+    from . import fsutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    existing = {t.name for t in spark.catalog.listTables()}
+    for t in (ORDERS_TABLE, LINEITEM_TABLE, MARKER_TABLE):
+        if t not in existing:
+            fsutil.delete(spark, warehouse.rstrip("/") + "/" + t)
 
 
 def _facts(spark: SparkSession) -> tuple[DataFrame, DataFrame]:

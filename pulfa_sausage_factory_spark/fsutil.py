@@ -41,14 +41,20 @@ def is_dir(spark: SparkSession, path: str) -> bool:
 
 
 def rename(spark: SparkSession, src: str, dst: str) -> None:
-    """Rename ``src`` → ``dst``; raises on failure (Hadoop's ``rename``
-    returns False instead of throwing on some filesystems — e.g. dst's
-    parent missing, dst already present — and throws Java IOExceptions on
-    others; both normalize to OSError here)."""
+    """Rename ``src`` → ``dst``; raises OSError on any failure AND when
+    ``dst`` already exists. The existence pre-check matters: Hadoop's
+    ``rename`` onto an existing DIRECTORY dst does not fail — it silently
+    moves src INSIDE dst (``dst/<basename(src)>``) on local/HDFS, the
+    classic mis-nesting footgun. Callers that want replace semantics must
+    ``delete`` dst first (as ``compact_ingest_state`` does). Failures that
+    surface as False returns or Java IOExceptions (dst's parent missing,
+    src missing) normalize to OSError here."""
     from py4j.protocol import Py4JJavaError
 
     fs, s = _fs_path(spark, src)
     _, d = _fs_path(spark, dst)
+    if fs.exists(d):
+        raise OSError(f"rename failed: destination exists: {src} -> {dst}")
     try:
         ok = fs.rename(s, d)
     except Py4JJavaError as exc:

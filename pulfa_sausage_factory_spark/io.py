@@ -96,3 +96,31 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every driver table as a temp view for spark.sql() use."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_parquet_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet state/journal dir, returning None ONLY for the two
+    "no usable state yet" error classes: the path not existing (first run)
+    and no readable parquet footers (a first run killed mid-write leaves
+    only committer debris — the replay's own overwrite heals it). Spark
+    raises both, so this works on any filesystem the session can read
+    (hdfs://, s3a://, URIs — an ``os.path`` check would silently disable
+    the feature off local disk). Anything else (corrupt footer among
+    valid partitions, FS errors) re-raises: mapping those to None would
+    silently drop state with no error anywhere.
+
+    The ONE shared classifier for every state consumer (ingest ledger,
+    publish journal): a Spark error-class rename gets fixed here once,
+    not per consumer."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        get = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", lambda: ""
+        )
+        cls = get() or str(exc)
+        if "PATH_NOT_FOUND" in cls or "UNABLE_TO_INFER_SCHEMA" in cls:
+            return None
+        raise

@@ -239,6 +239,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     storage_level: "StorageLevel | None" = None,
+    spread: bool = True,
 ) -> DataFrame:
     """X2 — MinHash + banded LSH near-dup candidates, verified by estimated
     Jaccard (signature agreement rate).
@@ -260,8 +261,12 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
     rows_per_band = num_hashes // bands
     sig_udf = _minhash_sig_udf(num_hashes=num_hashes, n=n)
+    # ``spread=False`` opts latency-sensitive small inputs (streaming
+    # micro-batches) out of the under-partitioned-input re-spread: for a
+    # few hundred rows, one Arrow batch beats a shuffle + 32-task fan-out
+    src_df = _spread_for_arrow(df) if spread else df
     sigs = (
-        _spread_for_arrow(df)
+        src_df
         .select(F.col(id_col).alias("id"), sig_udf(text_col).alias("sig"))
         .filter(F.col("sig").isNotNull())
         .persist(storage_level or StorageLevel.MEMORY_AND_DISK)

@@ -776,6 +776,8 @@ def knn_pq_adc(
         )
         .collect()
     )
+    if not chk:
+        raise ValueError("knn_pq_adc: codebook is empty")
     m = len(chk)
     n_codes = chk[0].mx + 1
     bad = sorted(r.sub for r in chk) != list(range(m)) or any(

@@ -443,29 +443,16 @@ def run_incremental_curation(
 def _read_state(spark: SparkSession, path: str, exclude_batch: int):
     """Read a state dir (hive-partitioned by batch_id), EXCLUDING the
     current batch's own partition so a replayed batch decides against
-    exactly the pre-batch state.
+    exactly the pre-batch state. "No usable state yet" → None via the
+    shared FS-portable classifier (``io.read_parquet_state`` — the publish
+    journal reads through the same one); anything else re-raises (mapping
+    real errors to None would re-admit duplicates with no error
+    anywhere)."""
+    from ..io import read_parquet_state
 
-    Returns None only for the two "no usable state yet" error classes:
-    the path not existing (first batch) and no readable parquet footers
-    (a FIRST batch killed mid-write leaves only committer debris — the
-    replay's own overwrite heals it). Spark raises both, so this works on
-    any filesystem the session can read (hdfs://, s3a://, URIs — an
-    os.path check would silently disable cross-run dedup off local disk).
-    Anything else (corrupt footer among valid batches, FS errors)
-    re-raises: mapping those to None would re-admit duplicates with no
-    error anywhere."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        df = spark.read.parquet(path)
-    except AnalysisException as exc:
-        get = getattr(exc, "getCondition", None) or getattr(
-            exc, "getErrorClass", lambda: ""
-        )
-        cls = get() or str(exc)
-        if "PATH_NOT_FOUND" in cls or "UNABLE_TO_INFER_SCHEMA" in cls:
-            return None
-        raise
+    df = read_parquet_state(spark, path)
+    if df is None:
+        return None
     return df.filter(F.col("batch_id") != exclude_batch).drop("batch_id")
 
 
@@ -575,6 +562,10 @@ def _ingest_batch_body(
         pairs = dedup.minhash_lsh_pairs(
             batch_d, text_col=tcol, id_col=icol,
             threshold=cfg.neardup_threshold,
+            # micro-batches are small and latency-sensitive: one Arrow
+            # batch beats the under-partitioned-input re-spread's shuffle
+            # + 32-task fan-out (the guard would fire on every trigger)
+            spread=False,
         ).select("id_a", "id_b")
         losers = (
             dedup.dedup_clusters(pairs)

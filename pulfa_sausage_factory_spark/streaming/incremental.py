@@ -118,18 +118,28 @@ def journal_publish(
     """
     import os
 
+    from pyspark import StorageLevel
+
     # distinct: an upstream that emits the same output row twice must not
-    # double-journal it (svn commits a path once per revision)
-    rows = outputs.select("path", "digest").distinct()
-    prior = _read_journal(spark, journal_dir, exclude_run=run_id)
-    if prior is not None:
-        fresh = rows.join(prior, ["path", "digest"], "left_anti")
-    else:
-        fresh = rows
-    n_total = rows.count()
-    part_dir = os.path.join(journal_dir, f"run_id={int(run_id)}")
-    fresh.write.mode("overwrite").parquet(part_dir)
-    n_new = spark.read.parquet(part_dir).count()
+    # double-journal it (svn commits a path once per revision). Persisted:
+    # the plan is consumed twice (count + write), and the typical caller
+    # feeds it binaryFile content + sha1 — without the persist every
+    # published file would be read and hashed twice per run.
+    rows = outputs.select("path", "digest").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        prior = _read_journal(spark, journal_dir, exclude_run=run_id)
+        if prior is not None:
+            fresh = rows.join(prior, ["path", "digest"], "left_anti")
+        else:
+            fresh = rows
+        n_total = rows.count()
+        part_dir = os.path.join(journal_dir, f"run_id={int(run_id)}")
+        fresh.write.mode("overwrite").parquet(part_dir)
+        n_new = spark.read.parquet(part_dir).count()
+    finally:
+        rows.unpersist()
     return {"published": n_new, "unchanged": n_total - n_new}
 
 
@@ -147,22 +157,15 @@ def _read_journal(
     exclude_run: int | None,
     keep_run: bool = False,
 ):
-    """FS-portable journal read (same error classification as the ingest
-    ledger's ``_read_state``: an ``os.path`` existence check would silently
-    disable rerun-dedup on hdfs://s3a:// journal dirs)."""
-    from pyspark.errors import AnalysisException
+    """FS-portable journal read via the shared state classifier
+    (``io.read_parquet_state`` — the ingest ledger uses the same one)."""
     from pyspark.sql import functions as F
 
-    try:
-        df = spark.read.parquet(journal_dir)
-    except AnalysisException as exc:
-        get = getattr(exc, "getCondition", None) or getattr(
-            exc, "getErrorClass", lambda: ""
-        )
-        cls = get() or str(exc)
-        if "PATH_NOT_FOUND" in cls or "UNABLE_TO_INFER_SCHEMA" in cls:
-            return None
-        raise
+    from ..io import read_parquet_state
+
+    df = read_parquet_state(spark, journal_dir)
+    if df is None:
+        return None
     if exclude_run is not None:
         df = df.filter(F.col("run_id") != exclude_run)
     return df if keep_run else df.drop("run_id")

@@ -79,10 +79,17 @@ def _topk_families(rows, k):
 
 
 def _normalize(df):
+    # the norm is materialized through a checkpoint BEFORE the per-element
+    # divide: referencing norm(v) inside the transform lambda would
+    # re-evaluate the O(d) fold per element (Catalyst inlines projection
+    # aliases into HOF lambdas — no CSE there), i.e. O(d^2) per row
     v = as_double_array("embedding")
-    return df.select(
+    staged = df.select(
+        "vec_id", v.alias("_v"), norm(v).alias("_n")
+    ).localCheckpoint()
+    return staged.select(
         "vec_id",
-        F.transform(v, lambda x: x / norm(v)).alias("embedding"),
+        F.transform("_v", lambda x: x / F.col("_n")).alias("embedding"),
     )
 
 
