@@ -300,7 +300,10 @@ def main() -> None:
     )
     for name, fn, needs in _extra_specs:
         if any(dep is None for dep in needs):
-            extras[name] = None  # root cause already in errors["extras_setup"]
+            # root cause already recorded: errors["extras_setup"] for the
+            # emb/docs/codebook extras, errors["bucketize_facts"] for the
+            # q*_bucketed twins
+            extras[name] = None
             continue
 
         def _rows(res):

@@ -52,8 +52,16 @@ def rename(spark: SparkSession, src: str, dst: str) -> None:
     from py4j.protocol import Py4JJavaError
 
     fs, s = _fs_path(spark, src)
-    _, d = _fs_path(spark, dst)
-    if fs.exists(d):
+    dfs, d = _fs_path(spark, dst)
+    # Hadoop rename is same-filesystem only, and the dst existence check
+    # must consult DST's store (using src's FS for an s3a:// dst would
+    # throw a raw Wrong-FS error, or consult the wrong store entirely)
+    if fs.getUri().toString() != dfs.getUri().toString():
+        raise OSError(
+            f"rename failed: cross-filesystem rename unsupported: "
+            f"{src} -> {dst}"
+        )
+    if dfs.exists(d):
         raise OSError(f"rename failed: destination exists: {src} -> {dst}")
     try:
         ok = fs.rename(s, d)
@@ -68,10 +76,14 @@ def rename(spark: SparkSession, src: str, dst: str) -> None:
 
 def delete(spark: SparkSession, path: str) -> None:
     """Recursive delete; missing path is a no-op (matches the
-    ``shutil.rmtree``-after-existence-check idiom it replaces)."""
+    ``shutil.rmtree``-after-existence-check idiom it replaces). A present
+    path that Hadoop fails to delete (permissions, object-store error —
+    surfaced as a False return, not an exception) raises OSError: a
+    silent no-op here would make the caller's subsequent rename fail
+    confusingly or leave maintenance debris reported as success."""
     fs, p = _fs_path(spark, path)
-    if fs.exists(p):
-        fs.delete(p, True)
+    if fs.exists(p) and not fs.delete(p, True):
+        raise OSError(f"delete failed: {path}")
 
 
 def parquet_file_count(spark: SparkSession, path: str) -> int:

@@ -208,7 +208,9 @@ def _minhash_sig_udf(num_hashes: int = 32, n: int = 3, seed: int = 42):
     return F.pandas_udf(sig, "array<long>")
 
 
-def _spread_for_arrow(df: DataFrame, min_factor: int = 4) -> DataFrame:
+def spread_for_arrow(
+    df: DataFrame, min_factor: int = 4, min_bytes: int = 256 << 10
+) -> DataFrame:
     """Re-spread a pathologically under-partitioned input before an
     expensive Arrow-batched stage.
 
@@ -218,16 +220,36 @@ def _spread_for_arrow(df: DataFrame, min_factor: int = 4) -> DataFrame:
     pass then runs as one task on one core while 31 sit idle (measured:
     the sf0.1 minhash signatures take 2.7 s on 1 partition vs 0.6 s
     spread; this was the bulk of x2b's cold time, misattributed to UDF
-    bootstrap). The guard keys on the ACTUAL partition count: only when
-    the input has ≤ cores/``min_factor`` partitions does it pay one
-    text-sized shuffle to fan the compute out. At cluster scale,
-    splittable sources already exceed ``defaultParallelism`` and this is
-    a no-op — the 100 TB plan keeps zero added shuffles."""
+    bootstrap). Two-sided guard:
+
+    - partition count: only inputs with ≤ cores/``min_factor`` partitions
+      pay the one text-sized shuffle. At cluster scale, splittable
+      sources already exceed ``defaultParallelism`` and this is a no-op —
+      the 100 TB plan keeps zero added shuffles.
+    - estimated size: inputs the optimizer estimates below ``min_bytes``
+      (tiny oracle-check tables, streaming micro-batches) stay put — for
+      a few hundred rows, ONE Arrow batch beats a shuffle plus a
+      32-task/32-python-worker fan-out. Unknown-size plans estimate huge
+      and spread, which is the safe direction.
+    """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * min_factor <= target:
-        return df.repartition(target)
-    return df
+    if df.rdd.getNumPartitions() * min_factor > target:
+        return df
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # stats unavailable → assume big (spread)
+        est = 1 << 62
+    if est < min_bytes:
+        return df
+    return df.repartition(target)
+
+
+#: backward-compat private alias (promoted to public API in round 5 once a
+#: second module + tests started depending on it)
+_spread_for_arrow = spread_for_arrow
 
 
 def minhash_lsh_pairs(
@@ -264,7 +286,7 @@ def minhash_lsh_pairs(
     # ``spread=False`` opts latency-sensitive small inputs (streaming
     # micro-batches) out of the under-partitioned-input re-spread: for a
     # few hundred rows, one Arrow batch beats a shuffle + 32-task fan-out
-    src_df = _spread_for_arrow(df) if spread else df
+    src_df = spread_for_arrow(df) if spread else df
     sigs = (
         src_df
         .select(F.col(id_col).alias("id"), sig_udf(text_col).alias("sig"))
@@ -361,7 +383,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
     sim.__annotations__ = {"text": pd.Series, "return": pd.Series}
     sim_udf = F.pandas_udf(sim, "long")
-    return _spread_for_arrow(df).select(
+    return spread_for_arrow(df).select(
         F.col(id_col).alias("id"), sim_udf(text_col).alias("simhash")
     )
 

@@ -905,6 +905,12 @@ def knn_pq_rerank(
 
     Returns ``(query_id, neighbor_id, rk, cos)``.
     """
+    if shortlist < k:
+        raise ValueError(
+            f"knn_pq_rerank: shortlist={shortlist} < k={k} — the rerank "
+            "can only reorder candidates the ADC stage produced; a "
+            "shortlist below k silently returns fewer than k neighbors"
+        )
     if codes_df is None:
         codes_df = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
     cand = knn_pq_adc(

@@ -174,10 +174,10 @@ def run_curation(
     # single-row-group parquet source is unsplittable, and every narrow
     # stage downstream (clean, gates, signature passes) would otherwise
     # run single-core. Cluster-scale splittable sources exceed the guard's
-    # threshold and pay nothing (dedup._spread_for_arrow contract).
+    # threshold and pay nothing (dedup.spread_for_arrow contract).
     cur = stage(
         "input",
-        dedup._spread_for_arrow(docs.select(icol, tcol, *cfg.extra_cols)),
+        dedup.spread_for_arrow(docs.select(icol, tcol, *cfg.extra_cols)),
     )
 
     # 1. clean (shared _clean_docs: optional Unicode normalization — mixed

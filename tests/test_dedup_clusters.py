@@ -209,18 +209,26 @@ def test_spread_for_arrow_guard_semantics(spark):
     # the re-spread guard (round 5): pathologically under-partitioned
     # inputs fan out to defaultParallelism before an Arrow stage; inputs
     # already at >= cores/4 partitions pass through UNCHANGED (the
-    # cluster-scale case must stay zero-added-shuffle)
-    from pulfa_sausage_factory_spark.operators.dedup import _spread_for_arrow
+    # cluster-scale case must stay zero-added-shuffle), and inputs the
+    # optimizer estimates tiny (oracle-check tables, micro-batches) stay
+    # put too — one Arrow batch beats a shuffle + worker fan-out there
+    from pulfa_sausage_factory_spark.operators.dedup import (
+        spread_for_arrow as _spread_for_arrow,
+    )
 
     target = spark.sparkContext.defaultParallelism
     thin = spark.range(1000).coalesce(1)
-    spread = _spread_for_arrow(thin)
+    # thin AND big-enough (size floor disabled) → fans out
+    spread = _spread_for_arrow(thin, min_bytes=0)
     assert spread.rdd.getNumPartitions() == target
     assert spread.count() == 1000
 
+    # thin but tiny (default 256 KiB floor; 1000 longs ≈ 8 KB) → untouched
+    assert _spread_for_arrow(thin).rdd.getNumPartitions() == 1
+
     wide_n = max(target, (target // 4) + 1)
     wide = spark.range(1000).repartition(wide_n)
-    kept = _spread_for_arrow(wide)
+    kept = _spread_for_arrow(wide, min_bytes=0)
     assert kept.rdd.getNumPartitions() == wide_n  # untouched
     # and the result is the same dataframe plan (no repartition inserted)
     assert "Repartition" not in kept._jdf.queryExecution().optimizedPlan().toString() or kept is wide

@@ -490,6 +490,11 @@ def test_documented_ann_configs_reach_recall_floor(spark):
     # the text-embedding one (sf0.1 documents via hashed_text_embedding —
     # clustered geometry, the realistic case); everything in the chain is
     # hash-deterministic, so these recalls reproduce bit-for-bit.
+    # sf0.1 specifically (not the sf_dir fixture): RECALL.md's floors were
+    # measured on that corpus — overridable via env, principled skip when
+    # the dir isn't present rather than an error.
+    import os
+
     from pulfa_sausage_factory_spark.functions.vectors import (
         hashed_text_embedding,
     )
@@ -502,7 +507,11 @@ def test_documented_ann_configs_reach_recall_floor(spark):
         train_pq_codebooks,
     )
 
-    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    sf01 = os.environ.get("SPARK_GRAFT_RECALL_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf01):
+        pytest.skip(f"recall corpus dir missing: {sf01} "
+                    "(set SPARK_GRAFT_RECALL_SF_DIR)")
+    docs = load_table(spark, sf01, "documents")
     corpus = docs.select(
         F.col("doc_id").alias("vec_id"),
         hashed_text_embedding("text", dim=64).alias("embedding"),
