@@ -668,6 +668,10 @@ def dedup_substrings(
     one row per input document (docs shorter than ``k`` tokens, empty and
     NULL texts pass through kept-whole).
     """
+    # NO input re-spread here (unlike the minhash signatures): the
+    # window-hash pass is a cheap rolling combine, and the very next step
+    # shuffles by window hash anyway — measured at sf0.1, adding the
+    # spread's extra Exchange is a wash-to-loss (0.84s vs 0.79s median)
     src = df.select(F.col(id_col), F.col(text_col).alias("_text"))
     win = src.select(
         id_col, F.posexplode(_window_hash_udf(k)("_text")).alias("pos", "h")

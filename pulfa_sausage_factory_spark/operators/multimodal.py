@@ -496,7 +496,12 @@ def image_dhash(
                 rows.append(row)
             yield pd.DataFrame(rows, columns=["id", "dhash", "real_decode"])
 
-    return df.select(F.col(id_col).alias(id_col), content_col).mapInPandas(
+    from .dedup import spread_for_arrow
+
+    # re-spread under-partitioned inputs before the decode pass (size-
+    # floored — tiny fixtures stay single-batch; unsplittable single-file
+    # blob sources otherwise decode on one core)
+    return spread_for_arrow(df.select(F.col(id_col).alias(id_col), content_col)).mapInPandas(
         batches, DHASH_SCHEMA
     )
 
