@@ -157,7 +157,7 @@ def main() -> None:
          lambda: similarity.knn_pq_adc(codes, queries, cb, k=k_fetch)),
         ("knn_ivf_pq trained cells=16 nprobe=2 m=8", ivf_pq(2)),
         ("knn_ivf_pq trained cells=16 nprobe=4 m=8", ivf_pq(4)),
-        ("knn_pq_rerank shortlist=200",
+        (f"knn_pq_rerank shortlist={max(200, 2 * k_fetch)}",
          lambda: similarity.knn_pq_rerank(
              corpus, queries, cb, k=k_fetch,
              shortlist=max(200, 2 * k_fetch), codes_df=codes,
