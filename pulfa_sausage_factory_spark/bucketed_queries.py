@@ -61,7 +61,7 @@ def ensure_bucketed_facts(
     # call rebuilds), never a stale marker alongside half-rewritten tables
     # (a later call with the stale marker's sf_dir would skip the rebuild
     # and read the other dataset's rows)
-    spark.sql(f"DROP TABLE IF EXISTS {MARKER_TABLE}")
+    spark.sql(f"DROP TABLE IF EXISTS default.{MARKER_TABLE}")
     # clear ORPHANED table data: the session catalog is in-memory, so a
     # killed prior run leaves bq_* FILES under the warehouse dir with no
     # catalog entry — saveAsTable then refuses to create a managed table
@@ -71,29 +71,29 @@ def ensure_bucketed_facts(
     _clear_orphan_dirs(spark)
     bucketed.write_bucketed(
         load_table(spark, sf_dir, "orders"),
-        ORDERS_TABLE,
+        f"default.{ORDERS_TABLE}",
         "o_orderkey",
         n_buckets,
         "o_orderkey",
     )
     bucketed.write_bucketed(
         load_table(spark, sf_dir, "lineitem"),
-        LINEITEM_TABLE,
+        f"default.{LINEITEM_TABLE}",
         "l_orderkey",
         n_buckets,
         "l_orderkey",
     )
     spark.createDataFrame([(marker,)], "marker string").write.mode(
         "overwrite"
-    ).saveAsTable(MARKER_TABLE)
+    ).saveAsTable(f"default.{MARKER_TABLE}")
     return True
 
 
 def _current_marker(spark: SparkSession) -> str | None:
     try:
-        spark.table(ORDERS_TABLE)  # all three must exist
-        spark.table(LINEITEM_TABLE)
-        row = spark.table(MARKER_TABLE).limit(1).collect()
+        spark.table(f"default.{ORDERS_TABLE}")  # all three must exist
+        spark.table(f"default.{LINEITEM_TABLE}")
+        row = spark.table(f"default.{MARKER_TABLE}").limit(1).collect()
         return row[0][0] if row else None
     except Exception:
         return None
@@ -101,7 +101,7 @@ def _current_marker(spark: SparkSession) -> str | None:
 
 def drop_bucketed_facts(spark: SparkSession) -> None:
     for t in (ORDERS_TABLE, LINEITEM_TABLE, MARKER_TABLE):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS default.{t}")
     _clear_orphan_dirs(spark)
 
 
@@ -109,18 +109,33 @@ def _clear_orphan_dirs(spark: SparkSession) -> None:
     """Delete leftover bq_* data dirs that survived a killed run (present
     on disk, absent from the in-memory catalog — DROP TABLE can't reach
     them). Only runs for tables the catalog does NOT know, so a healthy
-    managed table is never deleted out from under the catalog."""
+    managed table is never deleted out from under the catalog.
+
+    TEMPORARY views are excluded from the existence check (round-6 ADVICE
+    fix): ``listTables`` returns temp views too, and a user temp view
+    named ``bq_orders`` would otherwise mask a real orphan dir — leaving
+    ``saveAsTable`` to fail forever on the non-empty location."""
     from . import fsutil
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    existing = {t.name for t in spark.catalog.listTables()}
+    existing = {
+        t.name
+        for t in spark.catalog.listTables()
+        if (t.tableType or "").upper() != "TEMPORARY"
+    }
     for t in (ORDERS_TABLE, LINEITEM_TABLE, MARKER_TABLE):
         if t not in existing:
             fsutil.delete(spark, warehouse.rstrip("/") + "/" + t)
 
 
 def _facts(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
-    return spark.table(ORDERS_TABLE), spark.table(LINEITEM_TABLE)
+    # database-qualified: a bare name resolves temp views FIRST, so a user
+    # temp view called bq_orders would silently shadow the bucketed table
+    # (and its bucket metadata) for every twin
+    return (
+        spark.table(f"default.{ORDERS_TABLE}"),
+        spark.table(f"default.{LINEITEM_TABLE}"),
+    )
 
 
 def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -231,9 +231,35 @@ def spread_for_arrow(
       a few hundred rows, ONE Arrow batch beats a shuffle plus a
       32-task/32-python-worker fan-out. Unknown-size plans estimate huge
       and spread, which is the safe direction.
+
+    The partition probe only runs on SHUFFLE-FREE plans (narrow lineage
+    over a scan / localCheckpoint / in-memory relation): ``df.rdd`` under
+    AQE materializes every upstream query stage just to answer
+    ``getNumPartitions()`` — the guard would execute expensive work once
+    for the check and again for the real action. A plan that already
+    contains a shuffle (join/agg/sort/window/repartition/distinct) cannot
+    be pathologically under-partitioned by an unsplittable source file —
+    the shuffle re-spreads it to ``spark.sql.shuffle.partitions`` (AQE
+    may coalesce small outputs, but small is exactly what the size floor
+    keeps un-spread) — so those plans pass through untouched.
     """
+    import re
+
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    try:
+        plan = str(df._jdf.queryExecution().optimizedPlan())
+    except Exception:  # plan unavailable → don't risk the .rdd probe
+        return df
+    # exchange-inducing logical nodes (a narrow Repartition/coalesce prints
+    # "Repartition n, false" — that one stays probe-able: it is exactly the
+    # collapsed-parallelism shape this helper exists to fix)
+    if re.search(
+        r"\b(Join|Aggregate|Sort|Window|Deduplicate|Intersect|Except"
+        r"|GlobalLimit|CoGroup|RepartitionByExpression)\b",
+        plan,
+    ) or re.search(r"\bRepartition \d+, true", plan):
+        return df
     if df.rdd.getNumPartitions() * min_factor > target:
         return df
     try:

@@ -106,10 +106,14 @@ def journal_publish(
     - prior state = the journal EXCLUDING this run's own partition, so a
       replayed run decides against exactly the pre-run manifest
       (at-least-once ``foreachBatch`` safe);
-    - only rows whose ``(path, digest)`` is absent from the prior journal
-      are committed — an unchanged output re-emitted by a rerun is a
-      no-op, a changed file (same path, new digest) re-commits, matching
-      ``svn ci``'s modified-only behavior;
+    - the comparison point per path is its LATEST journaled digest (max
+      ``run_id``), not the set of all historical digests — svn compares
+      the working copy against HEAD, so a file REVERTED to previously-
+      published content (run 1 digest d1, run 2 d2, run 3 back to d1) is
+      a real commit: the manifest's newest entry must say d1 again or
+      auditors reconstruct d2 as current. An output matching its path's
+      latest digest is a no-op; anything else (new path, changed digest,
+      reverted digest) re-commits;
     - the run's rows land in ``journal_dir/run_id=<id>`` via partition
       OVERWRITE — replaying a run rewrites its own partition to the same
       contents instead of appending duplicates.
@@ -129,9 +133,25 @@ def journal_publish(
         StorageLevel.MEMORY_AND_DISK
     )
     try:
-        prior = _read_journal(spark, journal_dir, exclude_run=run_id)
+        prior = _read_journal(spark, journal_dir, exclude_run=run_id,
+                              keep_run=True)
         if prior is not None:
-            fresh = rows.join(prior, ["path", "digest"], "left_anti")
+            # HEAD per path: the digest journaled by the newest run. The
+            # journal is bounded (one row per actually-changed output per
+            # run), so the per-path window is a journal-sized shuffle,
+            # never a corpus-sized one.
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            w = Window.partitionBy("path").orderBy(
+                F.col("run_id").desc(), F.col("digest")
+            )
+            head = (
+                prior.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .select("path", "digest")
+            )
+            fresh = rows.join(head, ["path", "digest"], "left_anti")
         else:
             fresh = rows
         n_total = rows.count()

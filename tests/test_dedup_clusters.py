@@ -3,6 +3,8 @@ the component minimum for chains, cycles, and disjoint parts."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from pulfa_sausage_factory_spark.operators.dedup import dedup_clusters
 
 
@@ -229,6 +231,25 @@ def test_spread_for_arrow_guard_semantics(spark):
     wide_n = max(target, (target // 4) + 1)
     wide = spark.range(1000).repartition(wide_n)
     kept = _spread_for_arrow(wide, min_bytes=0)
-    assert kept.rdd.getNumPartitions() == wide_n  # untouched
-    # and the result is the same dataframe plan (no repartition inserted)
-    assert "Repartition" not in kept._jdf.queryExecution().optimizedPlan().toString() or kept is wide
+    # identity pass-through proves no repartition was inserted (round-6
+    # fix: the old "'Repartition' not in plan or kept is wide" disjunction
+    # was vacuously true on the pass-through path)
+    assert kept is wide
+
+    # shuffle-rooted plans pass through WITHOUT the .rdd partition probe
+    # (round-6 ADVICE fix: .rdd under AQE materializes every upstream query
+    # stage just to answer getNumPartitions() — the guard would run the
+    # aggregation twice). Identity return is the observable contract: the
+    # probe can only be skipped if the function bails before it.
+    agg = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    assert _spread_for_arrow(agg, min_bytes=0) is agg
+    joined = spark.range(100).join(spark.range(50), "id")
+    assert _spread_for_arrow(joined, min_bytes=0) is joined
+
+    # ...but a narrow coalesce (Repartition shuffle=false — the collapsed-
+    # parallelism shape the helper exists to fix) still spreads
+    assert (
+        _spread_for_arrow(spark.range(1000).coalesce(1), min_bytes=0)
+        .rdd.getNumPartitions()
+        == target
+    )

@@ -118,3 +118,26 @@ def test_bucketed_fact_twins_match_plain_and_never_shuffle_facts(spark, sf_dir, 
             assert n_shuffles <= budget, (plain_name, n_shuffles, plan)
     finally:
         bq.drop_bucketed_facts(spark)
+
+
+def test_bucketed_facts_ignore_temp_view_shadows(spark, sf_dir):
+    # round-6 ADVICE fix: listTables() also returns TEMPORARY views — a
+    # user temp view named bq_orders must neither mask orphan-dir cleanup
+    # (it is not a managed table) nor shadow the twins' table reads
+    from pulfa_sausage_factory_spark import bucketed_queries as bq
+
+    decoy = spark.range(3).withColumnRenamed("id", "decoy_col")
+    decoy.createOrReplaceTempView(bq.ORDERS_TABLE)
+    try:
+        assert bq.ensure_bucketed_facts(spark, sf_dir) is True
+        orders, li = bq._facts(spark)
+        # the qualified read reaches the bucketed managed table, not the
+        # 3-row decoy view
+        assert "o_orderkey" in orders.columns
+        assert orders.count() > 3
+        # the decoy view itself is untouched by drop/cleanup
+        bq.drop_bucketed_facts(spark)
+        assert spark.table(bq.ORDERS_TABLE).columns == ["decoy_col"]
+    finally:
+        spark.catalog.dropTempView(bq.ORDERS_TABLE)
+        bq.drop_bucketed_facts(spark)

@@ -376,3 +376,19 @@ def test_publish_journal_completes_ep3_round_trip(spark, tmp_path):
         for r in incremental.published_manifest(spark, jdir).collect()
     }
     assert again == got
+
+    # run 4 REVERTS a.xml to its run-1 content: svn compares against HEAD
+    # (the path's latest digest, d1-v2), so a revert IS a commit — the
+    # manifest's newest entry for the path must say d1 again, or auditors
+    # reconstruct d1-v2 as current. (Round-6 fix: an anti-join against ALL
+    # historical (path, digest) pairs would classify this 'unchanged'.)
+    outs4 = spark.createDataFrame(
+        [("/mets/a.xml", "d1"), ("/mets/c.xml", "d9")],
+        "path string, digest string",
+    )
+    rep = incremental.journal_publish(spark, outs4, jdir, run_id=4)
+    assert rep == {"published": 1, "unchanged": 1}  # c.xml still at HEAD
+    man4 = incremental.published_manifest(spark, jdir)
+    assert {(r.path, r.digest, r.run_id) for r in man4.collect()} == got | {
+        ("/mets/a.xml", "d1", 4)
+    }
