@@ -176,10 +176,11 @@ def main() -> None:
     # table here must not abort the process before the guaranteed JSON
     # line (the exact round-3 failure mode the per-query isolation above
     # exists to prevent)
-    emb = docs = _cb = None
+    emb = docs = _cb = _idx_dir = None
     try:
         from pulfa_sausage_factory_spark.functions import sampling  # noqa: E402
         from pulfa_sausage_factory_spark.operators import (  # noqa: E402
+            ann_index,
             multimodal,
             similarity,
         )
@@ -194,6 +195,18 @@ def main() -> None:
             emb, m=8, n_codes=16, iters=1, sample_fraction=1.0
         ).cache()
         _cb.count()
+        # build + persist the IVFADC index ONCE (the offline job any real
+        # deployment runs out-of-band); x3s then measures the SERVE path:
+        # load artifacts from disk → residual-ADC shortlist → exact rerank
+        import tempfile
+
+        _idx_dir = tempfile.mkdtemp(prefix="bench_pq_idx_")
+        ann_index.save_pq_index(
+            ann_index.build_pq_index(
+                emb, m=8, n_codes=16, n_cells=16, iters=1, sample_fraction=1.0
+            ),
+            _idx_dir,
+        )
     except Exception as exc:  # noqa: BLE001 — record, don't die silently
         errors["extras_setup"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"# extras setup FAILED — {errors['extras_setup']}", file=sys.stderr)
@@ -235,6 +248,15 @@ def main() -> None:
         # visible round-over-round
         return similarity.knn_pq_rerank(
             emb, emb.limit(20), _cb, k=10, shortlist=100
+        )
+
+    def _x3s_pq_serve_from_disk(spark, sf_dir):
+        # serve-only cost of the persisted IVFADC index (round 6): load
+        # the saved centroids/codebooks/codes and run the two-stage query
+        # — no training, no encoding; what a 100 TB query session pays
+        loaded = ann_index.load_pq_index(spark, _idx_dir)
+        return ann_index.knn_from_index(
+            loaded, emb, emb.limit(20), k=10, shortlist=100, n_probe=4
         )
 
     def _dedup_substrings(spark, sf_dir):
@@ -290,6 +312,7 @@ def main() -> None:
         ("x8d_dsir_select", _x8d_dsir, (docs,)),
         ("x3p_pq_adc", _x3p_pq_adc, (emb, _cb)),
         ("x3r_pq_rerank", _x3r_pq_rerank, (emb, _cb)),
+        ("x3s_pq_serve_from_disk", _x3s_pq_serve_from_disk, (emb, _idx_dir)),
         ("dedup_substrings", _dedup_substrings, (docs,)),
         ("dedup_clusters", _dedup_clusters, (docs,)),
         ("image_neardup_pairs", _image_neardup_pairs, (docs,)),
@@ -328,6 +351,10 @@ def main() -> None:
             _bq.drop_bucketed_facts(spark)
         except Exception:  # noqa: BLE001 — cleanup must not kill the JSON line
             pass
+    if _idx_dir is not None:
+        import shutil
+
+        shutil.rmtree(_idx_dir, ignore_errors=True)
 
     out = {
         "metric": "headline_query_set_wall_time",

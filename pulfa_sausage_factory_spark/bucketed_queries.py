@@ -138,27 +138,28 @@ def _facts(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     )
 
 
-def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q3_top_revenue over the bucketed facts — a fully Exchange-free plan:
-    co-located fact join, broadcast customer, aggregation clustered by the
-    bucket key, TakeOrderedAndProject top-k."""
-    orders, li = _facts(spark)
+def _disc_price() -> "F.Column":
+    return F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+
+
+def q3_over(orders: DataFrame, li: DataFrame, cust: DataFrame) -> DataFrame:
+    """The q3 workload body over caller-supplied fact frames — shared by
+    the bucketed twin and the stress harness, so plain-vs-bucketed
+    comparisons run the IDENTICAL plan shape and differ only in how the
+    facts were stored (co-located bucketed scan vs shuffled exchange)."""
     orders = orders.filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
     )
     li = li.filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
-    cust = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    disc_price = F.col("l_extendedprice").cast("decimal(18,4)") * (
-        F.lit(1.0) - F.col("l_discount")
-    ).cast("decimal(18,4)")
+    cust = cust.filter(F.col("c_mktsegment") == "BUILDING")
     rev = (
         li.hint("merge")
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(_disc_price()), 4).cast("double").alias("revenue"))
     )
     return (
         rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -167,19 +168,15 @@ def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q5_local_supplier_volume over the bucketed facts: the
-    customer⨝orders⨝lineitem chain becomes co-located fact join +
-    broadcast dims; only the final ``n_name`` re-key shuffles (1
-    Exchange)."""
-    orders, li = _facts(spark)
-    c = load_table(spark, sf_dir, "customer")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    disc_price = F.col("l_extendedprice").cast("decimal(18,4)") * (
-        F.lit(1.0) - F.col("l_discount")
-    ).cast("decimal(18,4)")
+def q5_over(
+    orders: DataFrame,
+    li: DataFrame,
+    c: DataFrame,
+    s: DataFrame,
+    n: DataFrame,
+    r: DataFrame,
+) -> DataFrame:
+    """q5 workload body over caller-supplied frames (see ``q3_over``)."""
     return (
         li.hint("merge")
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -192,7 +189,48 @@ def q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(_disc_price()), 4).cast("double").alias("revenue"))
+    )
+
+
+def q10_over(orders: DataFrame, li: DataFrame, cust: DataFrame) -> DataFrame:
+    """q10 workload body over caller-supplied frames (see ``q3_over``)."""
+    li = li.filter(F.col("l_returnflag") == "R")
+    rev = (
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .agg(F.round(F.sum(_disc_price()), 4).cast("double").alias("revenue"))
+    )
+    return (
+        rev.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "c_mktsegment")
+    )
+
+
+def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q3_top_revenue over the bucketed facts — a fully Exchange-free plan:
+    co-located fact join, broadcast customer, aggregation clustered by the
+    bucket key, TakeOrderedAndProject top-k."""
+    orders, li = _facts(spark)
+    return q3_over(orders, li, load_table(spark, sf_dir, "customer"))
+
+
+def q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q5_local_supplier_volume over the bucketed facts: the
+    customer⨝orders⨝lineitem chain becomes co-located fact join +
+    broadcast dims; only the final ``n_name`` re-key shuffles (1
+    Exchange)."""
+    orders, li = _facts(spark)
+    return q5_over(
+        orders,
+        li,
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
     )
 
 
@@ -201,20 +239,4 @@ def q10_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast customer; the per-customer re-aggregation is the single
     remaining Exchange."""
     orders, li = _facts(spark)
-    li = li.filter(F.col("l_returnflag") == "R")
-    cust = load_table(spark, sf_dir, "customer")
-    disc_price = F.col("l_extendedprice").cast("decimal(18,4)") * (
-        F.lit(1.0) - F.col("l_discount")
-    ).cast("decimal(18,4)")
-    rev = (
-        li.hint("merge")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
-        .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
-        .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue"))
-    )
-    return (
-        rev.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-        .limit(20)
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "c_mktsegment")
-    )
+    return q10_over(orders, li, load_table(spark, sf_dir, "customer"))

@@ -595,6 +595,33 @@ def knn_ivf(
 # ---------------------------------------------------------------------------
 
 
+def _centroid_signature(centroids: DataFrame) -> str:
+    """Deterministic fingerprint of a coarse-centroid table — stamped onto
+    residual codebooks at train time and re-checked by every consumer, so
+    a codebook trained on residuals vs one centroid set can never silently
+    encode/score against another (the config-carrying artifact pattern —
+    same contract as ``lm.NBModel``'s hasher/dim carry). Cheap: centroid
+    tables are n_cells rows by construction."""
+    import hashlib
+
+    rows = sorted(
+        (int(r.cell_id), tuple(float(x) for x in r.cent))
+        for r in centroids.select("cell_id", "cent").collect()
+    )
+    return hashlib.md5(repr(rows).encode()).hexdigest()[:16]
+
+
+def _codebook_config(codebooks: DataFrame) -> tuple[bool, str | None]:
+    """(is_residual, cent_sig) carried by a codebook table; codebooks
+    produced before round 6 (no ``residual`` column) read as raw."""
+    if "residual" not in codebooks.columns:
+        return False, None
+    row = codebooks.select("residual", "cent_sig").limit(1).collect()
+    if not row:
+        return False, None
+    return bool(row[0].residual), row[0].cent_sig
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     m: int = 8,
@@ -604,6 +631,7 @@ def train_pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Per-subspace sampled Lloyd's (L2): split each vector into ``m``
     contiguous subvectors, k-means each subspace independently. Same 100 TB
@@ -611,7 +639,18 @@ def train_pq_codebooks(
     centroid updates, a handful of iterations; the model that comes back is
     ``m × n_codes`` rows. Init is the first ``n_codes`` sampled vectors'
     subvectors (deterministic, no RNG). Returns
-    ``(sub int, code int, cent array<double>)``."""
+    ``(sub int, code int, cent array<double>, residual, cent_sig)``.
+
+    ``centroids`` (from ``train_ivf_centroids``) switches on RESIDUAL
+    training — proper IVFADC (Jégou et al. 2011 §III): each sampled vector
+    is assigned to its coarse cell and the codebooks are trained on
+    ``v − centroid(cell)`` instead of raw vectors. Residuals concentrate
+    near the origin regardless of which cell a vector lives in, so the
+    same code budget quantizes them far more finely than raw vectors —
+    without it the composed IVF-PQ path scores BELOW full-scan ADC
+    (measured, RECALL.md r5). The returned codebook carries
+    ``residual=true`` plus a fingerprint of the centroid table; consumers
+    (``pq_encode``, ``knn_ivf_pq``) refuse mismatched centroids."""
     if dim % m != 0:
         raise ValueError(f"dim={dim} must divide into m={m} subspaces")
     sublen = dim // m
@@ -622,6 +661,25 @@ def train_pq_codebooks(
     if sample_fraction < 1.0:
         pct = max(1, int(round(sample_fraction * 10_000)))
         vecs = vecs.filter(F.pmod(F.xxhash64(F.col("sid")), F.lit(10_000)) < pct)
+    cent_sig = None
+    if centroids is not None:
+        centroids = centroids.select("cell_id", "cent")
+        cent_sig = _centroid_signature(centroids)
+        # residualize the sample: same broadcast-argmax assignment as the
+        # serving path (_assign_cells), so train-time and encode-time
+        # residuals agree exactly
+        w_res = Window.partitionBy("sid").orderBy(
+            F.col("cell_cos").desc(), F.col("cell_id")
+        )
+        vecs = (
+            vecs.crossJoin(F.broadcast(centroids))
+            .withColumn("cell_cos", cosine(F.col("v"), F.col("cent")))
+            .withColumn("crk", F.row_number().over(w_res))
+            .filter(F.col("crk") == 1)
+            .select(
+                "sid", F.zip_with("v", "cent", lambda x, y: x - y).alias("v")
+            )
+        )
     subs = vecs.select(
         "sid",
         F.explode(
@@ -690,7 +748,11 @@ def train_pq_codebooks(
     from ..session import release_local_checkpoint
 
     release_local_checkpoint(subs)
-    return spark.createDataFrame(cent_rows, schema)
+    return (
+        spark.createDataFrame(cent_rows, schema)
+        .withColumn("residual", F.lit(centroids is not None))
+        .withColumn("cent_sig", F.lit(cent_sig).cast("string"))
+    )
 
 
 def pq_encode(
@@ -698,15 +760,46 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Quantize every vector to its ``m`` nearest-subspace-centroid code ids
     — one Arrow-batched numpy pass (the signature-workload idiom: m×n_codes
     distance evaluations per vector belong in numpy, not interpreted HOF
     lambdas). The codebook broadcasts via closure capture (m·n_codes·sublen
-    doubles — KBs). Returns ``(id, codes array<int>)``."""
+    doubles — KBs). Returns ``(id, codes array<int>)``.
+
+    RESIDUAL codebooks (``train_pq_codebooks(centroids=...)`` — IVFADC)
+    require the SAME coarse ``centroids`` here: each vector is assigned to
+    its cell and ``v − centroid(cell)`` is what gets coded, so the return
+    grows a ``cell_id`` column: ``(id, cell_id, codes)``. The pairing is
+    enforced via the codebook's carried centroid fingerprint — a raw
+    codebook refuses ``centroids``, a residual one refuses their absence
+    or a different table (fail at encode, not as garbage scores)."""
     import numpy as np
     import pandas as pd
 
+    is_res, sig = _codebook_config(codebooks)
+    if is_res and centroids is None:
+        raise ValueError(
+            "pq_encode: codebook was trained on residuals "
+            "(train_pq_codebooks(centroids=...)) — pass the SAME coarse "
+            "centroids so vectors are residualized before coding"
+        )
+    if not is_res and centroids is not None:
+        raise ValueError(
+            "pq_encode: centroids= given but the codebook was trained on "
+            "raw vectors — retrain with train_pq_codebooks(centroids=...) "
+            "for residual (IVFADC) coding"
+        )
+    if is_res:
+        centroids = centroids.select("cell_id", "cent")
+        got_sig = _centroid_signature(centroids)
+        if got_sig != sig:
+            raise ValueError(
+                f"pq_encode: centroid table (sig {got_sig}) is not the one "
+                f"this residual codebook was trained on (sig {sig}) — "
+                "residual codes are meaningless against other centroids"
+            )
     rows = codebooks.orderBy("sub", "code").collect()
     m = 1 + max(r.sub for r in rows)
     n_codes = 1 + max(r.code for r in rows)
@@ -742,6 +835,16 @@ def pq_encode(
 
     enc.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(enc, "array<int>")
+    if is_res:
+        assigned = _assign_cells(corpus, centroids, "id", 1, id_col, vec_col)
+        return (
+            assigned.join(F.broadcast(centroids), "cell_id")
+            .select(
+                "id",
+                "cell_id",
+                udf(F.zip_with("v", "cent", lambda x, y: x - y)).alias("codes"),
+            )
+        )
     return corpus.select(
         F.col(id_col).alias("id"), udf(as_double_array(vec_col)).alias("codes")
     )
@@ -767,6 +870,13 @@ def knn_pq_adc(
     sparse/renumbered codebook would make the ADC ``element_at`` read the
     wrong slot or index past the array — validated here, not discovered
     as a NULL score downstream."""
+    if _codebook_config(codebooks)[0]:
+        raise ValueError(
+            "knn_pq_adc: this codebook quantizes RESIDUALS (IVFADC) — a "
+            "full-scan ADC has no cell context to add the <q, centroid> "
+            "term back; serve through knn_ivf_pq / knn_pq_rerank with the "
+            "index's centroids instead"
+        )
     chk = (
         codebooks.groupBy("sub")
         .agg(
@@ -825,6 +935,7 @@ def knn_ivf_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    codes_df: DataFrame | None = None,
 ) -> DataFrame:
     """The composed IVF-PQ serving plan (Jégou et al. 2011): coarse cells
     prune the corpus (only ``n_probe`` cells per query are touched), PQ
@@ -833,6 +944,19 @@ def knn_ivf_pq(
     (cell_id, codes) per vector — ~1-2% of raw embedding bytes — and the
     scoring join is an equi-join on cell_id against a broadcast of
     per-query lookup tables.
+
+    With a RESIDUAL codebook (``train_pq_codebooks(centroids=...)``) this
+    is full IVFADC (Jégou et al. §III): codes quantize ``v − centroid``,
+    the LUT folds ``⟨q_sub, residual_cent⟩``, and each probe adds the
+    per-cell constant ``⟨q, centroid(cell)⟩`` back — ``⟨q, v⟩ ≈ ⟨q, c⟩ +
+    ⟨q, v − c⟩`` with the quantization error taken on the (much smaller)
+    residual. The codebook's carried centroid fingerprint must match the
+    ``centroids`` passed here. Raw codebooks keep the round-5 behavior.
+
+    ``codes_df`` reuses a prebuilt ``pq_encode`` output (residual:
+    ``(id, cell_id, codes)``; raw: ``(id, codes)``) — the serve-from-index
+    path: at 100 TB the corpus is encoded once, persisted, and every query
+    session loads codes instead of re-reading raw vectors.
 
     Steps: assign corpus → 1 cell each / queries → ``n_probe`` cells
     (broadcast-centroid argmax, exactly ``knn_ivf``); ``pq_encode`` the
@@ -845,12 +969,36 @@ def knn_ivf_pq(
         centroids = _first_n_centroids(corpus, n_cells, id_col, vec_col)
     else:
         centroids = centroids.select("cell_id", "cent")
+    is_res, sig = _codebook_config(codebooks)
+    if is_res and _centroid_signature(centroids) != sig:
+        raise ValueError(
+            "knn_ivf_pq: centroid table is not the one this residual "
+            "codebook was trained on (fingerprint mismatch) — pass the "
+            "training centroids"
+        )
 
     m = codebooks.agg(F.max("sub")).collect()[0][0] + 1
     sublen = len(codebooks.limit(1).collect()[0].cent)
-    coded = _assign_cells(corpus, centroids, "id", 1, id_col, vec_col).drop(
-        "v"
-    ).join(pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col), "id")
+    if is_res:
+        if codes_df is None:
+            codes_df = pq_encode(
+                corpus, codebooks, id_col=id_col, vec_col=vec_col,
+                centroids=centroids,
+            )
+        elif "cell_id" not in codes_df.columns:
+            raise ValueError(
+                "knn_ivf_pq: residual codes_df must carry (id, cell_id, "
+                "codes) — re-encode with pq_encode(..., centroids=...)"
+            )
+        coded = codes_df.select("id", "cell_id", "codes")
+    else:
+        if codes_df is None:
+            codes_df = pq_encode(
+                corpus, codebooks, id_col=id_col, vec_col=vec_col
+            )
+        coded = _assign_cells(
+            corpus, centroids, "id", 1, id_col, vec_col
+        ).drop("v").join(codes_df.select("id", "codes"), "id")
     q = _assign_cells(queries, centroids, "query_id", n_probe, id_col, vec_col)
     # the LUT is independent of the probed cell: build it ONCE per query,
     # then replicate onto the (query, cell) probe map — n_probe× less dot
@@ -858,11 +1006,21 @@ def knn_ivf_pq(
     lut = _query_luts(
         q.select("query_id", F.col("v").alias("qv")).distinct(), codebooks, m, sublen
     )
-    probe_lut = q.select("query_id", "cell_id").join(lut, "query_id")
+    if is_res:
+        # per-probe constant ⟨q, centroid(cell)⟩ rides the probe map — one
+        # dot per (query, probed cell), n_probe × n_queries of them total
+        probe = (
+            q.join(F.broadcast(centroids), "cell_id")
+            .withColumn("qc", dot(F.col("v"), F.col("cent")))
+            .select("query_id", "cell_id", "qc")
+        )
+    else:
+        probe = q.select("query_id", "cell_id").withColumn("qc", F.lit(0.0))
+    probe_lut = probe.join(lut, "query_id")
     scored = (
         coded.join(F.broadcast(probe_lut), "cell_id")
         .filter(F.col("query_id") != F.col("id"))
-        .withColumn("score", _adc_score(m))
+        .withColumn("score", F.col("qc") + _adc_score(m))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id"))
     return (
@@ -886,6 +1044,8 @@ def knn_pq_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes_df: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    n_probe: int = 4,
 ) -> DataFrame:
     """PQ serving with exact reranking — the standard two-stage ANN pattern
     (FAISS's ``IndexRefineFlat`` shape): ADC over the m-byte codes produces
@@ -903,6 +1063,12 @@ def knn_pq_rerank(
     vector scan, and the shortlist knob trades recall for exactly that
     fetch size.
 
+    With a RESIDUAL codebook (+ matching ``centroids``) the shortlist
+    stage is full IVFADC instead of a corpus-wide ADC scan — the
+    ``FAISS IndexIVFPQ + IndexRefineFlat`` composition: cells prune
+    (``n_probe`` of them per query), residual ADC shortlists, exact
+    cosine reranks. That is the complete 100 TB serving recipe.
+
     Returns ``(query_id, neighbor_id, rk, cos)``.
     """
     if shortlist < k:
@@ -911,12 +1077,27 @@ def knn_pq_rerank(
             "can only reorder candidates the ADC stage produced; a "
             "shortlist below k silently returns fewer than k neighbors"
         )
-    if codes_df is None:
-        codes_df = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
-    cand = knn_pq_adc(
-        codes_df, queries, codebooks, k=shortlist, id_col=id_col,
-        vec_col=vec_col,
-    ).select("query_id", "neighbor_id")
+    is_res, _ = _codebook_config(codebooks)
+    if is_res:
+        if centroids is None:
+            raise ValueError(
+                "knn_pq_rerank: residual codebook needs its training "
+                "centroids= (the IVFADC shortlist probes coarse cells)"
+            )
+        cand = knn_ivf_pq(
+            corpus, queries, codebooks, k=shortlist, n_probe=n_probe,
+            id_col=id_col, vec_col=vec_col, centroids=centroids,
+            codes_df=codes_df,
+        ).select("query_id", "neighbor_id")
+    else:
+        if codes_df is None:
+            codes_df = pq_encode(
+                corpus, codebooks, id_col=id_col, vec_col=vec_col
+            )
+        cand = knn_pq_adc(
+            codes_df, queries, codebooks, k=shortlist, id_col=id_col,
+            vec_col=vec_col,
+        ).select("query_id", "neighbor_id")
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     )

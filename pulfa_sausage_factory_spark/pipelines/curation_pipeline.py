@@ -347,16 +347,51 @@ def run_curation(
             cur, cfg.out_dir, icol, rows_per_shard=cfg.rows_per_shard
         )
 
+    # tokens surviving into the packed output — one cheap agg over the
+    # final stage's cached blocks (n_tokens already computed for packing);
+    # the "tokens out" headline a training-data run is actually judged by
+    out_tokens = cur.agg(F.sum("n_tokens")).collect()[0][0] or 0
+
     report = {
         "stages": stages,
         "input_rows": stages[0]["rows"],
         "output_rows": stages[-1]["rows"],
+        "output_tokens": int(out_tokens),
         "out_dir": cfg.out_dir,
         "n_shards": n_shards,
     }
     if prev_ckpt is not None:
         release_local_checkpoint(prev_ckpt)
     return report
+
+
+def curation_report_df(spark: SparkSession, report: dict) -> DataFrame:
+    """C3 "diagnostics as columns" for the flagship pipeline: the
+    ``run_curation`` report as a small queryable DataFrame — one row per
+    stage with rows in/out, docs removed, removal percentage, and wall
+    seconds. At 100 TB this is the table an operator actually reads (and
+    joins/charts/alerts on): which gate removed what, at what cost —
+    without re-running anything (the report dict is already materialized;
+    this is a driver-side reshape of ~10 rows)."""
+    rows = []
+    for i, s in enumerate(report["stages"]):
+        rows_in = s["rows"] + s["dropped"]
+        rows.append(
+            (
+                i,
+                s["stage"],
+                rows_in,
+                s["rows"],
+                s["dropped"],
+                round(100.0 * s["dropped"] / rows_in, 2) if rows_in else 0.0,
+                float(s.get("sec", 0.0)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "stage_no int, stage string, rows_in long, rows_out long, "
+        "dropped long, drop_pct double, sec double",
+    )
 
 
 def run_incremental_curation(

@@ -1,12 +1,14 @@
 #!/usr/bin/env python
 """ANN quality harness — recall@k of every approximate search path vs the
-exact brute-force baseline, at stress scale (salt-amplified embeddings).
+exact brute-force baseline, on BOTH measured corpora.
 
 The monotonicity TESTS (tests/test_similarity.py) pin that recall moves the
 right way with each knob; this harness produces the ABSOLUTE numbers the
 tuning tables in RECALL.md document. Usage:
 
     python recall.py [AMPLIFY]        # default 100 (× sf0.1 = 200k vectors)
+    python recall.py text             # RECALL.md table 2: sf0.1 documents
+                                      # via hashed_text_embedding, row recall
     SPARK_GRAFT_SF_DIR=... python recall.py 10
 
 Prints one markdown table row per configuration plus a final JSON line.
@@ -94,14 +96,29 @@ def _normalize(df):
 
 
 def main() -> None:
-    amp = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    mode = sys.argv[1] if len(sys.argv) > 1 else "100"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("recall")
     spark.sparkContext.setLogLevel("ERROR")
 
-    emb = io.load_table(spark, sf_dir, "embeddings")
-    if amp > 1:
-        emb = amplify_embeddings(emb, amp)
+    if mode == "text":
+        # RECALL.md table 2: realistic clustered geometry — sf0.1 documents
+        # embedded by vocabulary hash (row recall@10, amp=1: a "family" is
+        # a single vector, so _topk_families reduces to plain row sets)
+        from pulfa_sausage_factory_spark.functions.vectors import (
+            hashed_text_embedding,
+        )
+
+        amp = 1
+        emb = io.load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("vec_id"),
+            hashed_text_embedding("text", dim=64).alias("embedding"),
+        )
+    else:
+        amp = int(mode)
+        emb = io.load_table(spark, sf_dir, "embeddings")
+        if amp > 1:
+            emb = amplify_embeddings(emb, amp)
     corpus = _normalize(emb).localCheckpoint()
     n = corpus.count()
     queries = corpus.filter(F.col("vec_id") < N_QUERIES).localCheckpoint()
@@ -117,14 +134,27 @@ def main() -> None:
     print(f"# brute-force ground truth: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
+    # iters=3: coarse-centroid convergence is the cheapest quality lever
+    # for every trained-cells row, and the residual family NEEDS converged
+    # cells (residual magnitude ∝ assignment quality — measured round 6:
+    # iters 2→3 moved composed IVFADC from below plain ADC to above it)
     trained_cents = similarity.train_ivf_centroids(
-        corpus, n_cells=16, iters=2, sample_fraction=min(1.0, 20_000 / n)
+        corpus, n_cells=16, iters=3, sample_fraction=min(1.0, 20_000 / n)
     ).localCheckpoint()
     cb = similarity.train_pq_codebooks(
         corpus, m=8, n_codes=256, iters=2,
         sample_fraction=min(1.0, max(0.05, 20_000 / n)),
     ).localCheckpoint()
     codes = similarity.pq_encode(corpus, cb).localCheckpoint()
+    # the residual (IVFADC) index over the same cells — Jégou et al. §III
+    cb_res = similarity.train_pq_codebooks(
+        corpus, m=8, n_codes=256, iters=2,
+        sample_fraction=min(1.0, max(0.05, 20_000 / n)),
+        centroids=trained_cents,
+    ).localCheckpoint()
+    codes_res = similarity.pq_encode(
+        corpus, cb_res, centroids=trained_cents
+    ).localCheckpoint()
 
     def lsh(p):
         return lambda: similarity.knn_lsh(
@@ -139,7 +169,13 @@ def main() -> None:
     def ivf_pq(p):
         return lambda: similarity.knn_ivf_pq(
             corpus, queries, cb, k=k_fetch, n_cells=16, n_probe=p,
-            centroids=trained_cents,
+            centroids=trained_cents, codes_df=codes,
+        )
+
+    def ivfadc(p):
+        return lambda: similarity.knn_ivf_pq(
+            corpus, queries, cb_res, k=k_fetch, n_cells=16, n_probe=p,
+            centroids=trained_cents, codes_df=codes_res,
         )
 
     configs = [
@@ -155,12 +191,21 @@ def main() -> None:
         ("knn_ivf trained cells=16 nprobe=8", ivf(8, trained_cents)),
         ("knn_pq_adc m=8 codes=256 (full scan)",
          lambda: similarity.knn_pq_adc(codes, queries, cb, k=k_fetch)),
-        ("knn_ivf_pq trained cells=16 nprobe=2 m=8", ivf_pq(2)),
-        ("knn_ivf_pq trained cells=16 nprobe=4 m=8", ivf_pq(4)),
+        ("knn_ivf_pq raw-coded cells=16 nprobe=2 m=8", ivf_pq(2)),
+        ("knn_ivf_pq raw-coded cells=16 nprobe=4 m=8", ivf_pq(4)),
+        ("knn_ivf_pq RESIDUAL cells=16 nprobe=2 m=8", ivfadc(2)),
+        ("knn_ivf_pq RESIDUAL cells=16 nprobe=4 m=8", ivfadc(4)),
+        ("knn_ivf_pq RESIDUAL cells=16 nprobe=8 m=8", ivfadc(8)),
         (f"knn_pq_rerank shortlist={max(200, 2 * k_fetch)}",
          lambda: similarity.knn_pq_rerank(
              corpus, queries, cb, k=k_fetch,
              shortlist=max(200, 2 * k_fetch), codes_df=codes,
+         )),
+        (f"knn_pq_rerank RESIDUAL nprobe=8 shortlist={max(200, 2 * k_fetch)}",
+         lambda: similarity.knn_pq_rerank(
+             corpus, queries, cb_res, k=k_fetch,
+             shortlist=max(200, 2 * k_fetch), codes_df=codes_res,
+             centroids=trained_cents, n_probe=8,
          )),
     ]
 
@@ -178,7 +223,7 @@ def main() -> None:
         print(f"| {name} | {rec:.3f} | {dt:.1f} |")
 
     print(json.dumps({"metric": "ann_recall_at_k", "k": K, "corpus": n,
-                      "amplify": amp, "recall": results}))
+                      "amplify": amp, "mode": mode, "recall": results}))
 
 
 if __name__ == "__main__":

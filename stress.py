@@ -84,6 +84,88 @@ def amplify_embeddings(emb, n: int):
     ).repartition(64)
 
 
+def amplify_facts(orders, li, n: int):
+    """N replicas of the orders/lineitem pair with ALIGNED orderkey offsets
+    (both sides shift by the same per-replica stride), so every replica's
+    fact⨝fact join matches exactly its own rows — join output scales
+    linearly with amplification. Dimension keys (custkey/suppkey) are left
+    unsalted: dims stay broadcast-sized, which is also the 100 TB reality
+    (facts grow, dims don't)."""
+    stride = 10_000_000
+    reps = F.explode(
+        F.sequence(F.lit(0), F.lit(n - 1)).cast("array<long>")
+    ).alias("rep")
+    o = orders.select("*", reps).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.col("rep") * stride
+    ).drop("rep")
+    l = li.select("*", reps).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.col("rep") * stride
+    ).drop("rep")
+    return o, l
+
+
+def _bucketed_fact_stress(spark, sf_dir: str, amp: int, out: dict, run) -> None:
+    """Plain vs bucketed q3/q5/q10 at amplified scale — the round-5 twins
+    measured where the fact-fact Exchange actually dominates. Both sides
+    read the SAME amplified facts from disk (plain parquet vs bucketed
+    managed tables) and run the IDENTICAL workload bodies
+    (``bucketed_queries.q*_over``); the one-time bucketize cost is
+    reported alongside so the amortization claim stays honest."""
+    import shutil
+    import tempfile
+
+    from pulfa_sausage_factory_spark import bucketed_queries as bq
+    from pulfa_sausage_factory_spark.sinks import bucketed
+
+    orders_amp, li_amp = amplify_facts(
+        io.load_table(spark, sf_dir, "orders"),
+        io.load_table(spark, sf_dir, "lineitem"),
+        amp,
+    )
+    c = io.load_table(spark, sf_dir, "customer")
+    s = io.load_table(spark, sf_dir, "supplier")
+    nn = io.load_table(spark, sf_dir, "nation")
+    r = io.load_table(spark, sf_dir, "region")
+    work = tempfile.mkdtemp(prefix="stress_facts_")
+    tables = ("bqs_orders", "bqs_lineitem")
+    try:
+        # land the amplified facts ONCE as splittable parquet — the plain
+        # side's source (re-amplifying per query would bill the explode to
+        # the query, and single-file sources would serialize the scan)
+        orders_amp.write.mode("overwrite").parquet(f"{work}/orders")
+        li_amp.write.mode("overwrite").parquet(f"{work}/lineitem")
+        orders_p = spark.read.parquet(f"{work}/orders")
+        li_p = spark.read.parquet(f"{work}/lineitem")
+
+        t0 = time.perf_counter()
+        bucketed.write_bucketed(
+            orders_p, f"default.{tables[0]}", "o_orderkey", 32, "o_orderkey"
+        )
+        bucketed.write_bucketed(
+            li_p, f"default.{tables[1]}", "l_orderkey", 32, "l_orderkey"
+        )
+        out["ops"]["bucketize_facts_ingest"] = {
+            "rows": orders_p.count() + li_p.count(),
+            "sec": round(time.perf_counter() - t0, 2),
+        }
+        orders_b = spark.table(f"default.{tables[0]}")
+        li_b = spark.table(f"default.{tables[1]}")
+
+        run("q3_plain", lambda: bq.q3_over(orders_p, li_p, c))
+        run("q3_bucketed", lambda: bq.q3_over(orders_b, li_b, c))
+        run("q5_plain", lambda: bq.q5_over(orders_p, li_p, c, s, nn, r))
+        run("q5_bucketed", lambda: bq.q5_over(orders_b, li_b, c, s, nn, r))
+        run("q10_plain", lambda: bq.q10_over(orders_p, li_p, c))
+        run("q10_bucketed", lambda: bq.q10_over(orders_b, li_b, c))
+    finally:
+        for t in tables:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS default.{t}")
+            except Exception:  # noqa: BLE001
+                pass
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     amp = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -59,6 +59,37 @@ def test_curation_end_to_end(spark, sf_dir, tmp_path):
     decon = next(s for s in report["stages"] if s["stage"] == "decontaminate")
     assert decon["dropped"] > 0
 
+    # tokens-surviving headline: positive, and consistent with the shards
+    tok = 0
+    for f in files:
+        tok += sum(pq.read_table(f, columns=["n_tokens"]).column("n_tokens").to_pylist())
+    assert report["output_tokens"] == tok > 0
+
+    # the C3 report surface: per-stage diagnostics as a queryable frame
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        curation_report_df,
+    )
+
+    rep_df = curation_report_df(spark, report)
+    assert rep_df.columns == [
+        "stage_no", "stage", "rows_in", "rows_out", "dropped", "drop_pct",
+        "sec",
+    ]
+    got = {r.stage: r for r in rep_df.collect()}
+    assert [r.stage for r in rep_df.orderBy("stage_no").collect()] == names
+    # rows_in/rows_out/dropped reconcile with the raw stage dicts, and the
+    # percentage is the removal rate relative to what entered the stage
+    for s in report["stages"]:
+        row = got[s["stage"]]
+        assert row.rows_out == s["rows"] and row.dropped == s["dropped"]
+        assert row.rows_in == s["rows"] + s["dropped"]
+        if row.rows_in:
+            assert abs(row.drop_pct - 100.0 * row.dropped / row.rows_in) < 0.01
+        assert row.sec >= 0.0
+    # an operator can answer "which gate removed the most" with one query
+    worst = rep_df.orderBy(F.col("dropped").desc()).first().stage
+    assert worst in names
+
 
 def test_curation_is_deterministic(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents").limit(200).select("doc_id", "text")
