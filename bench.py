@@ -364,6 +364,17 @@ def main() -> None:
         "cold_queries": cold,
         "extra_queries": extras,
         "sf": sf,
+        # cold − warm on the UDF-heavy queries (x2b) is the signature
+        # build + persist fill the warm path deliberately reuses, plus the
+        # one-task scan+shuffle-write of the unsplittable single-row-group
+        # driver parquet — genuine first-run work, not bootstrap (round-6
+        # A/B: dropping the eager pre-materialization count cut ~0.3 s of
+        # the cold side with warm unchanged; worker/Arrow bootstrap is
+        # absorbed by the session warmup above).
+        "cold_note": (
+            "cold includes cache build + unsplittable-source scan; warm "
+            "measures the cache-hit path (see bench.py comment)"
+        ),
     }
     if errors:
         out["errors"] = errors
