@@ -367,10 +367,15 @@ def main() -> None:
         # cold − warm on the UDF-heavy queries (x2b) is the signature
         # build + persist fill the warm path deliberately reuses, plus the
         # one-task scan+shuffle-write of the unsplittable single-row-group
-        # driver parquet — genuine first-run work, not bootstrap (round-6
-        # A/B: dropping the eager pre-materialization count cut ~0.3 s of
-        # the cold side with warm unchanged; worker/Arrow bootstrap is
-        # absorbed by the session warmup above).
+        # driver parquet — genuine first-run work, not bootstrap
+        # (worker/Arrow bootstrap is absorbed by the session warmup
+        # above). Round-6 A/B on shrinking it further: dropping the eager
+        # signature materialization cut ~0.3 s cold but its unfilled-cache
+        # size estimate baited a corpus-sized broadcast at stress scale
+        # (4 GiB run OOM), and the merge-hint fix doubled warm — the
+        # eager fill is the only variant whose self-join plans correctly
+        # at both scales, so the remaining cold−warm gap is a deliberate
+        # trade, not slack (full analysis in operators/dedup.py).
         "cold_note": (
             "cold includes cache build + unsplittable-source scan; warm "
             "measures the cache-hit path (see bench.py comment)"

@@ -62,6 +62,7 @@ def build_pq_index(
     n_codes: int = 256,
     n_cells: int | None = 16,
     iters: int = 2,
+    ivf_iters: int = 3,
     sample_fraction: float = 1.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -72,11 +73,17 @@ def build_pq_index(
     corpus carrying cell ids); ``n_cells=None`` → flat PQ (raw codebooks,
     full-scan ADC shortlists). Everything downstream of the deterministic
     hash sample is reproducible bit-for-bit, so rebuilding from the same
-    corpus yields the same artifacts."""
+    corpus yields the same artifacts.
+
+    ``ivf_iters`` defaults higher than ``iters`` deliberately: coarse-
+    centroid convergence is the measured quality lever for the residual
+    family (RECALL.md — iters 2→3 moved composed IVFADC from below
+    full-scan ADC to above it), while extra CODEBOOK iterations did not
+    help on the measured corpora."""
     centroids = None
     if n_cells is not None:
         centroids = train_ivf_centroids(
-            corpus, n_cells=n_cells, iters=iters,
+            corpus, n_cells=n_cells, iters=ivf_iters,
             sample_fraction=sample_fraction, id_col=id_col, vec_col=vec_col,
         ).localCheckpoint()
     codebooks = train_pq_codebooks(

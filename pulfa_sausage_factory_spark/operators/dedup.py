@@ -319,13 +319,21 @@ def minhash_lsh_pairs(
         .filter(F.col("sig").isNotNull())
         .persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     )
-    # NO eager count() here (round 6): both self-join sides share one plan,
-    # so AQE's exchange reuse already computes the signature UDF once per
-    # run — the cache fills during the join job itself, and a separate
-    # materialization pass only added ~0.3 s of cold latency (measured:
-    # cold 1.37 s with pre-count vs 1.07 s without; warm identical, i.e.
-    # the cache still populates). The persist stays: without it every
-    # subsequent CALL recomputes signatures (measured warm 0.36 s → 1.1 s).
+    sigs.count()
+    # The eager count() is LOAD-BEARING (round-6 lesson): it fills the
+    # cache before the self-join is planned, so the planner sees the
+    # signatures' REAL size — small corpus → broadcast join (fast at test
+    # scale), big corpus → sort-merge (safe at stress scale). Removing it
+    # saved ~0.3 s of cold latency (AQE exchange reuse computes the UDF
+    # once either way) but left an UNFILLED InMemoryRelation whose
+    # optimistic size estimate baited the planner into building a
+    # corpus-sized broadcast — the 4 GiB stress run died in
+    # notEnoughMemoryToBuildAndBroadcastTable. A merge hint fixes scale
+    # but forbids the broadcast that is genuinely right at small scale
+    # (2× warm regression measured), and Catalyst's explode estimates are
+    # unusable for gating (an amplified 100× frame estimates SMALLER than
+    # its base). Accurate stats via the pre-count is the only variant
+    # that picks the right join on both ends.
     # bucket key = hash of (band, band-slice of the signature). The signature
     # rides along through the explode: ~bands × 8·num_hashes bytes per doc of
     # extra shuffle, which buys back two join-backs + a distinct (4 shuffles

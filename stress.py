@@ -144,9 +144,10 @@ def _bucketed_fact_stress(spark, sf_dir: str, amp: int, out: dict, run) -> None:
         bucketed.write_bucketed(
             li_p, f"default.{tables[1]}", "l_orderkey", 32, "l_orderkey"
         )
+        bucketize_sec = round(time.perf_counter() - t0, 2)  # before counts
         out["ops"]["bucketize_facts_ingest"] = {
             "rows": orders_p.count() + li_p.count(),
-            "sec": round(time.perf_counter() - t0, 2),
+            "sec": bucketize_sec,
         }
         orders_b = spark.table(f"default.{tables[0]}")
         li_b = spark.table(f"default.{tables[1]}")
@@ -261,6 +262,17 @@ def main() -> None:
             dim=8192,
         ),
     )
+
+    # plain vs bucketed q3/q5/q10 over amplified facts (+ the one-time
+    # bucketize cost) — guarded: a metastore/disk failure here must not
+    # discard the earlier ops' evidence
+    try:
+        _bucketed_fact_stress(spark, sf_dir, amp, out, run)
+    except Exception as exc:  # noqa: BLE001
+        out["ops"]["bucketed_fact_stress"] = {
+            "error": f"{type(exc).__name__}: {exc}"[:300]
+        }
+        print(f"# bucketed_fact_stress FAILED — {exc}", file=sys.stderr)
 
     # the COMPOSED curation DAG at amplified scale: gates + both dedups +
     # decontamination + packing chained end-to-end (no shard write — the

@@ -120,6 +120,31 @@ def test_bucketed_fact_twins_match_plain_and_never_shuffle_facts(spark, sf_dir, 
         bq.drop_bucketed_facts(spark)
 
 
+def test_fact_workload_bodies_match_registered_queries(spark, sf_dir):
+    # round-6 refactor guard: stress.py compares plain vs bucketed through
+    # the SHARED q3_over/q5_over/q10_over bodies — those bodies, run over
+    # plain (un-bucketed) frames, must stay result-identical to the
+    # oracle-checked registrations or the stress comparison silently
+    # measures a different workload
+    from pulfa_sausage_factory_spark import bucketed_queries as bq
+    from pulfa_sausage_factory_spark.queries import QUERIES
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    for body, plain_name in (
+        (lambda: bq.q3_over(orders, li, c), "q3_top_revenue"),
+        (lambda: bq.q5_over(orders, li, c, s, n, r), "q5_local_supplier_volume"),
+        (lambda: bq.q10_over(orders, li, c), "q10_returned_items"),
+    ):
+        got = sorted(map(tuple, body().collect()))
+        want = sorted(map(tuple, QUERIES[plain_name][0](spark, sf_dir).collect()))
+        assert got == want and len(got) > 0, plain_name
+
+
 def test_bucketed_facts_ignore_temp_view_shadows(spark, sf_dir):
     # round-6 ADVICE fix: listTables() also returns TEMPORARY views — a
     # user temp view named bq_orders must neither mask orphan-dir cleanup
