@@ -154,20 +154,21 @@ def load_pq_index(spark: SparkSession, path: str) -> PQIndex:
     codebooks = spark.read.parquet(f"{base}/codebooks")
     codes = spark.read.parquet(f"{base}/codes")
 
-    # manifest ↔ codebook grid (one small agg — m × n_codes rows)
-    grid = codebooks.agg(
-        (F.max("sub") + 1).alias("m"),
-        (F.max("code") + 1).alias("nc"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    if not (grid.m == meta["m"] and grid.nc == meta["n_codes"]
-            and grid.n == meta["m"] * meta["n_codes"]):
+    # grid + carried-config validation from ONE collect — the codebook
+    # table is m × n_codes rows (KBs) and serve-session load latency is
+    # what this module exists to minimize
+    cb_rows = codebooks.select("sub", "code", "residual", "cent_sig").collect()
+    grid_m = 1 + max((r.sub for r in cb_rows), default=-1)
+    grid_nc = 1 + max((r.code for r in cb_rows), default=-1)
+    if not (grid_m == meta["m"] and grid_nc == meta["n_codes"]
+            and len(cb_rows) == meta["m"] * meta["n_codes"]):
         raise ValueError(
-            f"load_pq_index: codebook grid ({grid.m}×{grid.nc}, {grid.n} "
-            f"rows) does not match the manifest "
+            f"load_pq_index: codebook grid ({grid_m}×{grid_nc}, "
+            f"{len(cb_rows)} rows) does not match the manifest "
             f"(m={meta['m']}, n_codes={meta['n_codes']}) — mixed artifacts"
         )
-    is_res, sig = _codebook_config(codebooks)
+    is_res = bool(cb_rows[0].residual) if cb_rows else False
+    sig = cb_rows[0].cent_sig if cb_rows else None
     if is_res != bool(meta["residual"]) or sig != meta["cent_sig"]:
         raise ValueError(
             "load_pq_index: codebook's carried residual/fingerprint config "
@@ -200,15 +201,21 @@ def knn_from_index(
     k: int = 10,
     shortlist: int = 200,
     n_probe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    id_col: str | None = None,
+    vec_col: str | None = None,
 ) -> DataFrame:
     """Serve top-k from a built/loaded index through the recommended
     two-stage path (RECALL.md): quantized shortlist (IVFADC when the index
     is residual, full-scan ADC otherwise) → exact cosine rerank. ``corpus``
     supplies raw vectors ONLY for the output-sensitive rerank fetch
     (queries × shortlist rows) — the corpus-wide pass reads the index's
-    m-byte codes, which is the point of persisting them."""
+    m-byte codes, which is the point of persisting them.
+
+    Column names default to what the index was BUILT with (carried in the
+    manifest) — pass overrides only when the serving corpus is a renamed
+    view of the build corpus."""
+    id_col = id_col or index.meta.get("id_col", "vec_id")
+    vec_col = vec_col or index.meta.get("vec_col", "embedding")
     return knn_pq_rerank(
         corpus, queries, index.codebooks, k=k, shortlist=shortlist,
         id_col=id_col, vec_col=vec_col, codes_df=index.codes,

@@ -208,6 +208,30 @@ def main() -> None:
              centroids=trained_cents, n_probe=8,
          )),
     ]
+    if amp > 1:
+        # the ¼-corpus-fraction match-up at MORE, smaller cells — on the
+        # weak-cluster amplified corpus this is where composed IVFADC
+        # clears full-scan ADC (RECALL.md table 1); cells ~ √n is also
+        # the 100 TB configuration direction, so the row earns its extra
+        # training cost at stress scale only
+        cents64 = similarity.train_ivf_centroids(
+            corpus, n_cells=64, iters=3, sample_fraction=min(1.0, 20_000 / n)
+        ).localCheckpoint()
+        cb64 = similarity.train_pq_codebooks(
+            corpus, m=8, n_codes=256, iters=2,
+            sample_fraction=min(1.0, max(0.05, 20_000 / n)),
+            centroids=cents64,
+        ).localCheckpoint()
+        codes64 = similarity.pq_encode(
+            corpus, cb64, centroids=cents64
+        ).localCheckpoint()
+        configs.append((
+            "knn_ivf_pq RESIDUAL cells=64 nprobe=16 m=8",
+            lambda: similarity.knn_ivf_pq(
+                corpus, queries, cb64, k=k_fetch, n_cells=64, n_probe=16,
+                centroids=cents64, codes_df=codes64,
+            ),
+        ))
 
     results = {}
     print(f"| configuration | recall@{K} | sec |")

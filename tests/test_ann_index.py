@@ -161,6 +161,26 @@ def test_index_roundtrip_and_serve_from_disk(spark, vecs, tmp_path):
     )
 
 
+def test_flat_index_roundtrip(spark, vecs, tmp_path):
+    # n_cells=None → flat PQ: raw codebooks, no centroids subdir, serve
+    # via full-scan ADC shortlist + exact rerank
+    idx = ann_index.build_pq_index(
+        vecs, m=8, n_codes=8, n_cells=None, iters=1, sample_fraction=1.0
+    )
+    assert not idx.residual and idx.centroids is None
+    assert idx.codes.columns == ["id", "codes"]
+    path = str(tmp_path / "flat_idx")
+    ann_index.save_pq_index(idx, path)
+    loaded = ann_index.load_pq_index(spark, path)
+    assert loaded.meta == idx.meta and loaded.centroids is None
+    queries = vecs.limit(3)
+    a = ann_index.knn_from_index(idx, vecs, queries, k=5, shortlist=30)
+    b = ann_index.knn_from_index(loaded, vecs, queries, k=5, shortlist=30)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    got = b.groupBy("query_id").count().collect()
+    assert len(got) == 3 and all(r["count"] == 5 for r in got)
+
+
 def test_index_load_refuses_mismatched_artifacts(spark, vecs, tmp_path):
     idx = ann_index.build_pq_index(
         vecs, m=8, n_codes=8, n_cells=8, iters=1, sample_fraction=1.0
