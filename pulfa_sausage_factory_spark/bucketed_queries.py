@@ -118,9 +118,14 @@ def _clear_orphan_dirs(spark: SparkSession) -> None:
     from . import fsutil
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    # list the `default` database EXPLICITLY: every bq_* read/write above
+    # is default-qualified, so consulting the session's current database
+    # (which a caller may have switched) would mask orphans behind
+    # same-named tables elsewhere — or worse, delete healthy default.bq_*
+    # data that the current database simply doesn't list
     existing = {
         t.name
-        for t in spark.catalog.listTables()
+        for t in spark.catalog.listTables("default")
         if (t.tableType or "").upper() != "TEMPORARY"
     }
     for t in (ORDERS_TABLE, LINEITEM_TABLE, MARKER_TABLE):

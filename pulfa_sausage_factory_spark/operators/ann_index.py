@@ -114,11 +114,19 @@ def save_pq_index(index: PQIndex, path: str) -> None:
     ``codes/``, ``centroids/`` (residual only) + the ``meta/`` manifest.
     Spark-side writes throughout, so the path can live on any filesystem
     the session reaches (hdfs://, s3a://, local). Overwrites atomically
-    per subdirectory; ``meta`` goes LAST so a killed save leaves a
-    manifest-less (→ unloadable) dir, never a manifest over half-written
-    artifacts."""
+    per subdirectory; the ``meta`` manifest is DELETED first and written
+    LAST, so a save killed at any point — including an overwrite of an
+    existing index, where a stale manifest would otherwise validate
+    half-rewritten artifacts (the codes table is corpus-sized and none of
+    load's checks count its rows) — leaves a manifest-less (→ unloadable)
+    dir, never a manifest over partial artifacts."""
+    from pulfa_sausage_factory_spark import fsutil
+
     spark = index.codebooks.sparkSession
     base = path.rstrip("/")
+    # missing path is a no-op; a FAILED delete raises — proceeding with a
+    # stale manifest in place would defeat the crash-ordering guarantee
+    fsutil.delete(spark, f"{base}/meta")
     index.codebooks.write.mode("overwrite").parquet(f"{base}/codebooks")
     # the codes table is the corpus-sized artifact; everything else is KBs
     index.codes.write.mode("overwrite").parquet(f"{base}/codes")

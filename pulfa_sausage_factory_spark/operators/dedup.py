@@ -241,7 +241,15 @@ def spread_for_arrow(
     be pathologically under-partitioned by an unsplittable source file —
     the shuffle re-spreads it to ``spark.sql.shuffle.partitions`` (AQE
     may coalesce small outputs, but small is exactly what the size floor
-    keeps un-spread) — so those plans pass through untouched.
+    keeps un-spread) — so those plans pass through untouched. (Known
+    limitation: a BROADCAST-join output inherits its stream side's
+    partitioning, which the logical plan can't distinguish from a shuffle
+    join — callers feeding a broadcast join over an unsplittable scan
+    should spread the scan side before joining.) A ``limit``-rooted
+    narrow plan is KNOWN-collapsed (GlobalLimit executes on one
+    partition), so it skips the probe entirely — probing would execute
+    the limit once for the check and again for the action — and goes
+    straight to the size floor.
     """
     import re
 
@@ -256,11 +264,14 @@ def spread_for_arrow(
     # collapsed-parallelism shape this helper exists to fix)
     if re.search(
         r"\b(Join|Aggregate|Sort|Window|Deduplicate|Intersect|Except"
-        r"|GlobalLimit|CoGroup|RepartitionByExpression)\b",
+        r"|CoGroup|RepartitionByExpression)\b",
         plan,
     ) or re.search(r"\bRepartition \d+, true", plan):
         return df
-    if df.rdd.getNumPartitions() * min_factor > target:
+    collapsed_by_limit = re.search(r"\bGlobalLimit\b", plan) is not None
+    if not collapsed_by_limit and (
+        df.rdd.getNumPartitions() * min_factor > target
+    ):
         return df
     try:
         est = int(

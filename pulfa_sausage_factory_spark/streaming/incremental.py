@@ -103,9 +103,12 @@ def journal_publish(
     Semantics (same crash-safe shape as the ingest ledger,
     ``curation_pipeline._ingest_batch``):
 
-    - prior state = the journal EXCLUDING this run's own partition, so a
-      replayed run decides against exactly the pre-run manifest
-      (at-least-once ``foreachBatch`` safe);
+    - prior state = the journal's runs STRICTLY BEFORE this run id, so a
+      replayed run — even of an old id after later runs landed — decides
+      against exactly the manifest it originally saw and rewrites its
+      partition to identical contents (at-least-once ``foreachBatch``
+      safe; run ids must be monotone, which the incremental loop's batch
+      ids are);
     - the comparison point per path is its LATEST journaled digest (max
       ``run_id``), not the set of all historical digests — svn compares
       the working copy against HEAD, so a file REVERTED to previously-
@@ -133,7 +136,13 @@ def journal_publish(
         StorageLevel.MEMORY_AND_DISK
     )
     try:
-        prior = _read_journal(spark, journal_dir, exclude_run=run_id,
+        # prior = runs STRICTLY BEFORE this one (not merely "excluding
+        # it"): a replay of run N after later runs exist must decide
+        # against the journal as it stood when run N originally committed,
+        # or the replay rewrites run N's partition with rows it never
+        # contained (run ids are documented monotone per the caller's
+        # incremental loop)
+        prior = _read_journal(spark, journal_dir, before_run=run_id,
                               keep_run=True)
         if prior is not None:
             # HEAD per path: the digest journaled by the newest run. The
@@ -168,17 +177,19 @@ def published_manifest(
 ) -> DataFrame | None:
     """Everything every run has committed: ``(path, digest, run_id)``, or
     None when no journal exists yet."""
-    return _read_journal(spark, journal_dir, exclude_run=None, keep_run=True)
+    return _read_journal(spark, journal_dir, before_run=None, keep_run=True)
 
 
 def _read_journal(
     spark: SparkSession,
     journal_dir: str,
-    exclude_run: int | None,
+    before_run: int | None,
     keep_run: bool = False,
 ):
     """FS-portable journal read via the shared state classifier
-    (``io.read_parquet_state`` — the ingest ledger uses the same one)."""
+    (``io.read_parquet_state`` — the ingest ledger uses the same one).
+    ``before_run`` keeps only runs with a strictly smaller id — the
+    pre-run manifest a (re)play of that run decides against."""
     from pyspark.sql import functions as F
 
     from ..io import read_parquet_state
@@ -186,6 +197,6 @@ def _read_journal(
     df = read_parquet_state(spark, journal_dir)
     if df is None:
         return None
-    if exclude_run is not None:
-        df = df.filter(F.col("run_id") != exclude_run)
+    if before_run is not None:
+        df = df.filter(F.col("run_id") < before_run)
     return df if keep_run else df.drop("run_id")

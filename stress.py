@@ -90,8 +90,15 @@ def amplify_facts(orders, li, n: int):
     fact⨝fact join matches exactly its own rows — join output scales
     linearly with amplification. Dimension keys (custkey/suppkey) are left
     unsalted: dims stay broadcast-sized, which is also the 100 TB reality
-    (facts grow, dims don't)."""
-    stride = 10_000_000
+    (facts grow, dims don't).
+
+    The stride is derived from the ACTUAL max orderkey (one cheap
+    single-column agg), not hardcoded: TPC-H orderkeys are sparse up to
+    6M×SF, so a fixed stride would overlap replica key ranges at larger
+    SFs and cross-replica join matches would silently corrupt the
+    workload being measured."""
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0] or 0
+    stride = max(10_000_000, int(mx) + 1)
     reps = F.explode(
         F.sequence(F.lit(0), F.lit(n - 1)).cast("array<long>")
     ).alias("rep")
@@ -128,6 +135,22 @@ def _bucketed_fact_stress(spark, sf_dir: str, amp: int, out: dict, run) -> None:
     r = io.load_table(spark, sf_dir, "region")
     work = tempfile.mkdtemp(prefix="stress_facts_")
     tables = ("bqs_orders", "bqs_lineitem")
+    # clear orphaned table DATA from a previously killed run: the
+    # in-memory catalog died with that session, so DROP TABLE can't reach
+    # the files and saveAsTable refuses the non-empty location forever
+    # (same failure mode — and same cure — as bucketed_queries'
+    # _clear_orphan_dirs for the bench twins)
+    from pulfa_sausage_factory_spark import fsutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    existing = {
+        t.name
+        for t in spark.catalog.listTables("default")
+        if (t.tableType or "").upper() != "TEMPORARY"
+    }
+    for t in tables:
+        if t not in existing:
+            fsutil.delete(spark, warehouse.rstrip("/") + "/" + t)
     try:
         # land the amplified facts ONCE as splittable parquet — the plain
         # side's source (re-amplifying per query would bill the explode to

@@ -160,6 +160,18 @@ def test_index_roundtrip_and_serve_from_disk(spark, vecs, tmp_path):
         map(tuple, served_disk.collect())
     )
 
+    # overwrite-save into the same path (the rebuild flow): the manifest
+    # is invalidated first and rewritten last, and the reloaded index
+    # still serves identically
+    ann_index.save_pq_index(idx, path)
+    again = ann_index.knn_from_index(
+        ann_index.load_pq_index(spark, path), vecs, queries, k=5,
+        shortlist=30,
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, served_disk.collect())
+    )
+
 
 def test_flat_index_roundtrip(spark, vecs, tmp_path):
     # n_cells=None → flat PQ: raw codebooks, no centroids subdir, serve

@@ -253,3 +253,10 @@ def test_spread_for_arrow_guard_semantics(spark):
         .rdd.getNumPartitions()
         == target
     )
+
+    # limit-rooted narrow plans are KNOWN-collapsed (GlobalLimit runs on
+    # one partition): no .rdd probe (that would execute the limit twice),
+    # straight to the size floor — big limits spread, tiny ones stay
+    big_lim = spark.range(100_000).limit(50_000)
+    assert _spread_for_arrow(big_lim, min_bytes=0).rdd.getNumPartitions() == target
+    assert _spread_for_arrow(spark.range(1000).limit(5)).rdd.getNumPartitions() == 1

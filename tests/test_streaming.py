@@ -389,6 +389,15 @@ def test_publish_journal_completes_ep3_round_trip(spark, tmp_path):
     rep = incremental.journal_publish(spark, outs4, jdir, run_id=4)
     assert rep == {"published": 1, "unchanged": 1}  # c.xml still at HEAD
     man4 = incremental.published_manifest(spark, jdir)
-    assert {(r.path, r.digest, r.run_id) for r in man4.collect()} == got | {
-        ("/mets/a.xml", "d1", 4)
-    }
+    want4 = got | {("/mets/a.xml", "d1", 4)}
+    assert {(r.path, r.digest, r.run_id) for r in man4.collect()} == want4
+
+    # replaying an OLD run id after later runs landed must reproduce that
+    # run's original decision bit-for-bit (prior = runs STRICTLY before
+    # the replayed id, not "everything but itself") — otherwise the
+    # replay would compare against run 4's HEAD and rewrite run 3's
+    # partition with rows it never contained
+    rep = incremental.journal_publish(spark, outs3, jdir, run_id=3)
+    assert rep == {"published": 2, "unchanged": 0}
+    man = incremental.published_manifest(spark, jdir)
+    assert {(r.path, r.digest, r.run_id) for r in man.collect()} == want4
