@@ -105,11 +105,15 @@ def drop_bucketed_facts(spark: SparkSession) -> None:
     _clear_orphan_dirs(spark)
 
 
-def _clear_orphan_dirs(spark: SparkSession) -> None:
-    """Delete leftover bq_* data dirs that survived a killed run (present
-    on disk, absent from the in-memory catalog — DROP TABLE can't reach
-    them). Only runs for tables the catalog does NOT know, so a healthy
-    managed table is never deleted out from under the catalog.
+def _clear_orphan_dirs(
+    spark: SparkSession, tables: tuple[str, ...] | None = None
+) -> None:
+    """Delete leftover managed-table data dirs that survived a killed run
+    (present on disk, absent from the in-memory catalog — DROP TABLE
+    can't reach them). Only runs for tables the catalog does NOT know, so
+    a healthy managed table is never deleted out from under the catalog.
+    Defaults to the bench bq_* tables; ``stress.py`` reuses it for its
+    ``bqs_*`` tables.
 
     TEMPORARY views are excluded from the existence check (round-6 ADVICE
     fix): ``listTables`` returns temp views too, and a user temp view
@@ -128,7 +132,7 @@ def _clear_orphan_dirs(spark: SparkSession) -> None:
         for t in spark.catalog.listTables("default")
         if (t.tableType or "").upper() != "TEMPORARY"
     }
-    for t in (ORDERS_TABLE, LINEITEM_TABLE, MARKER_TABLE):
+    for t in tables or (ORDERS_TABLE, LINEITEM_TABLE, MARKER_TABLE):
         if t not in existing:
             fsutil.delete(spark, warehouse.rstrip("/") + "/" + t)
 

@@ -124,6 +124,26 @@ def save_pq_index(index: PQIndex, path: str) -> None:
 
     spark = index.codebooks.sparkSession
     base = path.rstrip("/")
+    # refuse saving an index back onto the path it is LAZILY READING from
+    # (idx = load_pq_index(p); save_pq_index(idx, p)): Spark throws
+    # 'cannot overwrite a path being read from' on the first data write,
+    # but by then the manifest below would already be deleted — a healthy
+    # index destroyed by a no-op save. inputFiles() is a listing, cheap.
+    frames = [index.codebooks, index.codes] + (
+        [index.centroids] if index.centroids is not None else []
+    )
+    marker = "/" + base.lstrip("/").rstrip("/") + "/"
+    for df in frames:
+        try:
+            files = df.inputFiles()
+        except Exception:  # non-file-based plan (freshly built index)
+            continue
+        if any(marker in f for f in files):
+            raise ValueError(
+                f"save_pq_index: index reads from the target path {base} "
+                "— save to a different path, or materialize the frames "
+                "(localCheckpoint) before overwriting in place"
+            )
     # missing path is a no-op; a FAILED delete raises — proceeding with a
     # stale manifest in place would defeat the crash-ordering guarantee
     fsutil.delete(spark, f"{base}/meta")

@@ -259,20 +259,24 @@ def spread_for_arrow(
         plan = str(df._jdf.queryExecution().optimizedPlan())
     except Exception:  # plan unavailable → don't risk the .rdd probe
         return df
-    # exchange-inducing logical nodes (a narrow Repartition/coalesce prints
-    # "Repartition n, false" — that one stays probe-able: it is exactly the
-    # collapsed-parallelism shape this helper exists to fix)
-    if re.search(
-        r"\b(Join|Aggregate|Sort|Window|Deduplicate|Intersect|Except"
-        r"|CoGroup|RepartitionByExpression)\b",
-        plan,
-    ) or re.search(r"\bRepartition \d+, true", plan):
-        return df
+    # a GlobalLimit ANYWHERE collapses everything above it to one
+    # partition — even over a shuffle below, so this check must run
+    # BEFORE the shuffle-node bail (a limit-over-join plan is collapsed
+    # despite containing a Join)
     collapsed_by_limit = re.search(r"\bGlobalLimit\b", plan) is not None
-    if not collapsed_by_limit and (
-        df.rdd.getNumPartitions() * min_factor > target
-    ):
-        return df
+    if not collapsed_by_limit:
+        # exchange-inducing logical nodes (a narrow Repartition/coalesce
+        # prints "Repartition n, false" — that one stays probe-able: it
+        # is exactly the collapsed-parallelism shape this helper exists
+        # to fix)
+        if re.search(
+            r"\b(Join|Aggregate|Sort|Window|Deduplicate|Intersect|Except"
+            r"|CoGroup|RepartitionByExpression)\b",
+            plan,
+        ) or re.search(r"\bRepartition \d+, true", plan):
+            return df
+        if df.rdd.getNumPartitions() * min_factor > target:
+            return df
     try:
         est = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()

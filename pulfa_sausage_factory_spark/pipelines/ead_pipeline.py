@@ -63,9 +63,13 @@ class EadPipelineConfig:
     created: str = "2012-01-01T00:00:00Z"  # pinned nondeterminism (SURVEY §5)
     #: EP3 commit-manifest (bin/batch.sh:34-37 analog): when set, the run
     #: journals the EADs + METS it published (by on-disk content digest —
-    #: the svn working-copy-diff semantics) under this run_id
+    #: the svn working-copy-diff semantics) under this run_id. None (the
+    #: default) lets the journal auto-assign the next monotone id — a
+    #: CONSTANT explicit id across runs would make every rerun decide
+    #: against an empty prior manifest (journal_publish enforces
+    #: monotonicity and refuses reused never-journaled ids)
     journal_dir: str | None = None
-    run_id: int = 0
+    run_id: int | None = None
 
     def stage_dir(self, name: str) -> str:
         return os.path.join(self.work_dir, "checkpoints", name)

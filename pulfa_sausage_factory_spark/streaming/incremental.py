@@ -85,7 +85,7 @@ def journal_publish(
     spark: SparkSession,
     outputs: DataFrame,
     journal_dir: str,
-    run_id: int,
+    run_id: int | None = None,
 ) -> dict:
     """EP3 round-trip completion — the commit-manifest analog of the
     reference's post-processing ``svn ci`` (``bin/batch.sh:34-37``: commit
@@ -121,11 +121,25 @@ def journal_publish(
       OVERWRITE — replaying a run rewrites its own partition to the same
       contents instead of appending duplicates.
 
-    Returns ``{"published": n, "unchanged": n}``.
+    ``run_id=None`` (the safe default) auto-assigns ``max journaled run
+    + 1`` — the monotonicity the replay semantics above depend on,
+    enforced by the journal itself instead of trusted to the caller.
+    Like svn revisions, auto ids advance only on runs that actually
+    commit something (a no-op run journals zero rows, so the next run
+    reuses its number — harmless: the decision prior is identical). An
+    EXPLICIT id must be either greater than every journaled run (a new
+    run under external numbering, e.g. streaming batch ids) or an
+    already-journaled id (a replay); a reused-but-never-journaled id in
+    between is refused — it would decide against a partial prior and
+    corrupt audit history silently.
+
+    Returns ``{"published": n, "unchanged": n, "run_id": id}``.
     """
     import os
 
     from pyspark import StorageLevel
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
 
     # distinct: an upstream that emits the same output row twice must not
     # double-journal it (svn commits a path once per revision). Persisted:
@@ -136,22 +150,45 @@ def journal_publish(
         StorageLevel.MEMORY_AND_DISK
     )
     try:
+        # one journal read serves id assignment/validation AND the prior
+        # manifest; the journal is bounded (one row per changed output
+        # per run), so the distinct-run collect is small
+        full = _read_journal(spark, journal_dir, before_run=None,
+                             keep_run=True)
+        seen_runs = (
+            set()
+            if full is None
+            else {
+                r.run_id
+                for r in full.select("run_id").distinct().collect()
+            }
+        )
+        max_run = max(seen_runs, default=0)
+        if run_id is None:
+            run_id = max_run + 1
+        elif run_id <= max_run and run_id not in seen_runs:
+            raise ValueError(
+                f"journal_publish: run_id={run_id} is neither a new run "
+                f"(> {max_run}) nor a replay of a journaled run "
+                f"({sorted(seen_runs)}) — a reused, never-journaled id "
+                "would decide against a partial prior manifest and "
+                "silently corrupt audit history"
+            )
         # prior = runs STRICTLY BEFORE this one (not merely "excluding
         # it"): a replay of run N after later runs exist must decide
         # against the journal as it stood when run N originally committed,
         # or the replay rewrites run N's partition with rows it never
-        # contained (run ids are documented monotone per the caller's
-        # incremental loop)
-        prior = _read_journal(spark, journal_dir, before_run=run_id,
-                              keep_run=True)
+        # contained
+        prior = (
+            None
+            if full is None
+            else full.filter(F.col("run_id") < run_id)
+        )
         if prior is not None:
             # HEAD per path: the digest journaled by the newest run. The
             # journal is bounded (one row per actually-changed output per
             # run), so the per-path window is a journal-sized shuffle,
             # never a corpus-sized one.
-            from pyspark.sql import Window
-            from pyspark.sql import functions as F
-
             w = Window.partitionBy("path").orderBy(
                 F.col("run_id").desc(), F.col("digest")
             )
@@ -169,7 +206,11 @@ def journal_publish(
         n_new = spark.read.parquet(part_dir).count()
     finally:
         rows.unpersist()
-    return {"published": n_new, "unchanged": n_total - n_new}
+    return {
+        "published": n_new,
+        "unchanged": n_total - n_new,
+        "run_id": int(run_id),
+    }
 
 
 def published_manifest(

@@ -29,6 +29,23 @@ from pulfa_sausage_factory_spark.operators import dedup, events, similarity
 from pulfa_sausage_factory_spark.session import get_spark
 
 
+def _assert_ids_below(df, col: str, stride: int) -> None:
+    """Replica offsets are ``id + rep × stride``: an id at/above the
+    stride would collide with another replica's range and dedup/session/
+    ANN keys would silently merge rows across replicas. One cheap
+    single-column agg; loud failure beats corrupted measurements.
+    (``amplify_facts`` instead DERIVES its stride — nothing downstream
+    depends on its constant; the doc/event/embedding strides are load-
+    bearing: ``recall._FAMILY`` reduces amplified ids mod 10M.)"""
+    mx = df.agg(F.max(col)).collect()[0][0] or 0
+    if int(mx) >= stride:
+        raise ValueError(
+            f"amplify: max {col}={mx} >= replica stride {stride} — this "
+            "SF is too large for the fixed stride; replica key ranges "
+            "would overlap and corrupt the workload silently"
+        )
+
+
 def amplify_docs(docs, n: int):
     """N salted replicas: ids offset per replica and EVERY token salted
     with the replica tag — near-dup structure is preserved exactly WITHIN
@@ -37,6 +54,7 @@ def amplify_docs(docs, n: int):
     scales LINEARLY with the amplification factor (same dup density, N×
     the volume) instead of quadratically (replicas near-dupping each
     other)."""
+    _assert_ids_below(docs, "doc_id", 10_000_000)
     reps = F.explode(F.sequence(F.lit(0), F.lit(n - 1)).cast("array<long>")).alias("rep")
     base = docs.select("doc_id", "text", reps)
     salted = F.array_join(
@@ -56,6 +74,8 @@ def amplify_docs(docs, n: int):
 
 
 def amplify_events(ev, n: int):
+    _assert_ids_below(ev, "event_id", 100_000_000)
+    _assert_ids_below(ev, "user_id", 10_000_000)
     reps = F.explode(F.sequence(F.lit(0), F.lit(n - 1)).cast("array<long>")).alias("rep")
     return ev.select(
         "event_id", "user_id", "ts", "event_type", "value", "props", reps
@@ -70,6 +90,7 @@ def amplify_embeddings(emb, n: int):
     """N replicas with distinct ids and a replica-dependent nudge on the
     first dimension — keeps realistic cosine geometry (cells stay
     meaningful) without making replicas bit-identical."""
+    _assert_ids_below(emb, "vec_id", 10_000_000)
     reps = F.explode(F.sequence(F.lit(0), F.lit(n - 1)).cast("array<long>")).alias("rep")
     nudged = F.concat(
         F.array(
@@ -138,19 +159,8 @@ def _bucketed_fact_stress(spark, sf_dir: str, amp: int, out: dict, run) -> None:
     # clear orphaned table DATA from a previously killed run: the
     # in-memory catalog died with that session, so DROP TABLE can't reach
     # the files and saveAsTable refuses the non-empty location forever
-    # (same failure mode — and same cure — as bucketed_queries'
-    # _clear_orphan_dirs for the bench twins)
-    from pulfa_sausage_factory_spark import fsutil
-
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    existing = {
-        t.name
-        for t in spark.catalog.listTables("default")
-        if (t.tableType or "").upper() != "TEMPORARY"
-    }
-    for t in tables:
-        if t not in existing:
-            fsutil.delete(spark, warehouse.rstrip("/") + "/" + t)
+    # (same failure mode and same cure as the bench twins — shared helper)
+    bq._clear_orphan_dirs(spark, tables)
     try:
         # land the amplified facts ONCE as splittable parquet — the plain
         # side's source (re-amplifying per query would bill the explode to

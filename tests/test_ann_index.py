@@ -172,6 +172,15 @@ def test_index_roundtrip_and_serve_from_disk(spark, vecs, tmp_path):
         map(tuple, served_disk.collect())
     )
 
+    # saving a LOADED index back onto its own path is refused UP FRONT:
+    # its frames lazily read the target, so Spark would fail the data
+    # write AFTER the manifest delete — a healthy index destroyed by a
+    # no-op save. The refusal must leave the index loadable.
+    reloaded = ann_index.load_pq_index(spark, path)
+    with pytest.raises(ValueError, match="reads from the target"):
+        ann_index.save_pq_index(reloaded, path)
+    assert ann_index.load_pq_index(spark, path).meta == idx.meta
+
 
 def test_flat_index_roundtrip(spark, vecs, tmp_path):
     # n_cells=None → flat PQ: raw codebooks, no centroids subdir, serve

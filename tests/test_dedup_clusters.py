@@ -260,3 +260,14 @@ def test_spread_for_arrow_guard_semantics(spark):
     big_lim = spark.range(100_000).limit(50_000)
     assert _spread_for_arrow(big_lim, min_bytes=0).rdd.getNumPartitions() == target
     assert _spread_for_arrow(spark.range(1000).limit(5)).rdd.getNumPartitions() == 1
+
+    # ...and a limit ABOVE a shuffle is still collapsed — the GlobalLimit
+    # check must win over the shuffle-node bail (limit-over-join runs on
+    # one partition despite the Join in its plan)
+    lim_join = (
+        spark.range(50_000).join(spark.range(50_000), "id").limit(40_000)
+    )
+    assert (
+        _spread_for_arrow(lim_join, min_bytes=0).rdd.getNumPartitions()
+        == target
+    )

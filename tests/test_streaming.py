@@ -343,12 +343,12 @@ def test_publish_journal_completes_ep3_round_trip(spark, tmp_path):
 
     # run 1 commits everything
     rep = incremental.journal_publish(spark, outs, jdir, run_id=1)
-    assert rep == {"published": 3, "unchanged": 0}
+    assert rep == {"published": 3, "unchanged": 0, "run_id": 1}
 
     # run 2 re-emits identical outputs → no-op commit (svn ci of an
     # unmodified working copy)
     rep = incremental.journal_publish(spark, outs, jdir, run_id=2)
-    assert rep == {"published": 0, "unchanged": 3}
+    assert rep == {"published": 0, "unchanged": 3, "run_id": 2}
 
     # run 3: one file changed content (same path, new digest), one new file
     outs3 = spark.createDataFrame(
@@ -356,7 +356,7 @@ def test_publish_journal_completes_ep3_round_trip(spark, tmp_path):
         "path string, digest string",
     )
     rep = incremental.journal_publish(spark, outs3, jdir, run_id=3)
-    assert rep == {"published": 2, "unchanged": 0}
+    assert rep == {"published": 2, "unchanged": 0, "run_id": 3}
 
     man = incremental.published_manifest(spark, jdir)
     got = {(r.path, r.digest, r.run_id) for r in man.collect()}
@@ -370,7 +370,7 @@ def test_publish_journal_completes_ep3_round_trip(spark, tmp_path):
     # the same state (decides against the PRE-run journal, not its own
     # output) — no duplicates, same manifest
     rep = incremental.journal_publish(spark, outs3, jdir, run_id=3)
-    assert rep == {"published": 2, "unchanged": 0}
+    assert rep == {"published": 2, "unchanged": 0, "run_id": 3}
     again = {
         (r.path, r.digest, r.run_id)
         for r in incremental.published_manifest(spark, jdir).collect()
@@ -387,7 +387,8 @@ def test_publish_journal_completes_ep3_round_trip(spark, tmp_path):
         "path string, digest string",
     )
     rep = incremental.journal_publish(spark, outs4, jdir, run_id=4)
-    assert rep == {"published": 1, "unchanged": 1}  # c.xml still at HEAD
+    # c.xml still at HEAD
+    assert rep == {"published": 1, "unchanged": 1, "run_id": 4}
     man4 = incremental.published_manifest(spark, jdir)
     want4 = got | {("/mets/a.xml", "d1", 4)}
     assert {(r.path, r.digest, r.run_id) for r in man4.collect()} == want4
@@ -398,6 +399,20 @@ def test_publish_journal_completes_ep3_round_trip(spark, tmp_path):
     # replay would compare against run 4's HEAD and rewrite run 3's
     # partition with rows it never contained
     rep = incremental.journal_publish(spark, outs3, jdir, run_id=3)
-    assert rep == {"published": 2, "unchanged": 0}
+    assert rep == {"published": 2, "unchanged": 0, "run_id": 3}
     man = incremental.published_manifest(spark, jdir)
     assert {(r.path, r.digest, r.run_id) for r in man.collect()} == want4
+
+    # run_id=None auto-assigns the next monotone id (max journaled + 1) —
+    # the journal enforces the monotonicity its replay semantics depend
+    # on instead of trusting every caller's counter
+    rep = incremental.journal_publish(spark, outs4, jdir)
+    assert rep == {"published": 0, "unchanged": 2, "run_id": 5}
+
+    # a reused-but-never-journaled id below HEAD is refused: it would
+    # decide against a partial prior and silently corrupt audit history
+    # (a caller looping with a constant run_id hits this on run 2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="neither a new run"):
+        incremental.journal_publish(spark, outs4, jdir, run_id=2)
