@@ -86,6 +86,27 @@ def delete(spark: SparkSession, path: str) -> None:
         raise OSError(f"delete failed: {path}")
 
 
+def child_names(spark: SparkSession, path: str) -> list[str]:
+    """Names (not full paths) of the immediate children of ``path``;
+    ``[]`` when the path does not exist. The FS-portable ``os.listdir`` —
+    journal/ledger maintenance uses it to enumerate ``run_id=N`` /
+    ``upto=N`` partition directories on whatever store the session
+    reaches."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def qualified_uri(spark: SparkSession, path: str) -> str:
+    """``path`` resolved to a fully-qualified URI (scheme + authority +
+    absolute path) via its own FileSystem — the comparison form for
+    is-this-under-that checks, where raw-string containment false-matches
+    relative paths against any directory of the same name."""
+    fs, p = _fs_path(spark, path)
+    return fs.makeQualified(p).toString()
+
+
 def parquet_file_count(spark: SparkSession, path: str) -> int:
     """Recursive count of ``*.parquet`` data files under ``path`` (the
     FS-portable twin of ``sinks.layout.parquet_file_count``)."""

@@ -127,11 +127,18 @@ def journal_publish(
     Like svn revisions, auto ids advance only on runs that actually
     commit something (a no-op run journals zero rows, so the next run
     reuses its number — harmless: the decision prior is identical). An
-    EXPLICIT id must be either greater than every journaled run (a new
-    run under external numbering, e.g. streaming batch ids) or an
-    already-journaled id (a replay); a reused-but-never-journaled id in
-    between is refused — it would decide against a partial prior and
-    corrupt audit history silently.
+    EXPLICIT id must be either greater than every ATTEMPTED run (a new
+    run under external numbering — streaming batch ids, which start at
+    0: a fresh journal accepts any first id) or an already-attempted id
+    (a replay); a reused-but-never-attempted id in between is refused —
+    it would decide against a partial prior and corrupt audit history
+    silently. "Attempted" is judged by run partition directories, not
+    journaled rows: a no-op run still writes its (empty) partition, so
+    an at-least-once redelivery of a no-op batch idempotently no-ops
+    instead of being refused as a reuse. After ``compact_journal``,
+    replays at or below the compaction horizon are refused — their
+    original prior manifest no longer exists (the Kafka-log-compaction
+    trade: bounded reads for replayability of compacted history).
 
     Returns ``{"published": n, "unchanged": n, "run_id": id}``.
     """
@@ -150,12 +157,16 @@ def journal_publish(
         StorageLevel.MEMORY_AND_DISK
     )
     try:
-        # one journal read serves id assignment/validation AND the prior
-        # manifest; the journal is bounded (one row per changed output
-        # per run), so the distinct-run collect is small
+        # one journal read serves id assignment AND the prior manifest;
+        # the journal is bounded (one row per changed output per run), so
+        # the distinct-run collect is small. Validation additionally
+        # consults the run-partition DIRECTORY listing (attempted runs ⊇
+        # committed runs — no-op runs journal zero rows but still write
+        # their partition).
+        horizon = _journal_horizon(spark, journal_dir)
         full = _read_journal(spark, journal_dir, before_run=None,
                              keep_run=True)
-        seen_runs = (
+        committed = (
             set()
             if full is None
             else {
@@ -163,14 +174,26 @@ def journal_publish(
                 for r in full.select("run_id").distinct().collect()
             }
         )
-        max_run = max(seen_runs, default=0)
+        attempted = committed | _attempted_runs(spark, journal_dir, horizon)
+        max_run = max(committed, default=0)
         if run_id is None:
-            run_id = max_run + 1
-        elif run_id <= max_run and run_id not in seen_runs:
+            # auto ids advance on COMMITTED runs only (svn-style: a no-op
+            # run does not consume a revision) — but never land at or
+            # below the compaction horizon, whose priors are gone
+            run_id = max(max_run + 1, horizon + 1)
+        elif run_id <= horizon:
+            raise ValueError(
+                f"journal_publish: run_id={run_id} is at or below the "
+                f"compaction horizon ({horizon}) — its original prior "
+                "manifest was folded into the HEAD snapshot, so the "
+                "replay cannot reproduce its decision; only runs > "
+                f"{horizon} are replayable"
+            )
+        elif run_id not in attempted and attempted and run_id <= max(attempted):
             raise ValueError(
                 f"journal_publish: run_id={run_id} is neither a new run "
-                f"(> {max_run}) nor a replay of a journaled run "
-                f"({sorted(seen_runs)}) — a reused, never-journaled id "
+                f"(> {max(attempted)}) nor a replay of an attempted run "
+                f"({sorted(attempted)}) — a reused, never-attempted id "
                 "would decide against a partial prior manifest and "
                 "silently corrupt audit history"
             )
@@ -216,9 +239,143 @@ def journal_publish(
 def published_manifest(
     spark: SparkSession, journal_dir: str
 ) -> DataFrame | None:
-    """Everything every run has committed: ``(path, digest, run_id)``, or
-    None when no journal exists yet."""
+    """Everything the journal still holds: ``(path, digest, run_id)``, or
+    None when no journal exists yet. Before any ``compact_journal`` this
+    is the complete per-run history; after compaction, runs at or below
+    the horizon are represented by their HEAD-per-path snapshot rows
+    (original committing ``run_id`` preserved) — per-path current state
+    is identical, superseded historical digests below the horizon are
+    gone."""
     return _read_journal(spark, journal_dir, before_run=None, keep_run=True)
+
+
+def compact_journal(
+    spark: SparkSession, journal_dir: str, up_to_run: int | None = None
+) -> dict:
+    """Bound the journal's prior-state reads: fold every run with
+    ``run_id <= up_to_run`` (default: all committed runs) into ONE
+    HEAD-per-path snapshot partition, then drop the folded run
+    partitions. ``published_manifest`` / ``journal_publish`` consult the
+    snapshot plus runs above the horizon from then on, so prior reads
+    touch a bounded number of partitions however long the deployment has
+    been running — the same growth discipline the ingest ledger gets from
+    ``compact_ingest_state``.
+
+    The snapshot preserves each path's committing ``run_id``, so the
+    HEAD-per-path window over (snapshot ∪ newer runs) is identical to the
+    window over the full history — superseded below-horizon rows could
+    never win it anyway. What IS given up is replaying a compacted-away
+    run (its pre-run manifest no longer exists); ``journal_publish``
+    refuses ids at or below the horizon loudly.
+
+    Crash-safe ordering: the snapshot is written to a dot-temp dir and
+    RENAMED into place (``_head/upto=<id>`` — the ``_head`` prefix hides
+    it from the journal's own partition discovery), and only then are
+    folded run partitions and superseded older snapshots deleted. A crash
+    before the rename leaves the temp dir (ignored); after it, stale run
+    dirs are ignored by the horizon filter until a later compaction
+    removes them.
+
+    Returns ``{"horizon": id, "snapshot_paths": n, "removed_dirs": k}``
+    (``horizon=-1`` when there was nothing to compact).
+    """
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .. import fsutil
+
+    old_horizon = _journal_horizon(spark, journal_dir)
+    full = _read_journal(spark, journal_dir, before_run=None, keep_run=True)
+    if full is None:
+        return {"horizon": old_horizon, "snapshot_paths": 0,
+                "removed_dirs": 0}
+    committed = {r.run_id for r in full.select("run_id").distinct().collect()}
+    if up_to_run is None:
+        up_to_run = max(committed, default=old_horizon)
+    if up_to_run <= old_horizon:
+        return {"horizon": old_horizon, "snapshot_paths": 0,
+                "removed_dirs": 0}
+    w = Window.partitionBy("path").orderBy(
+        F.col("run_id").desc(), F.col("digest")
+    )
+    head = (
+        full.filter(F.col("run_id") <= up_to_run)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("path", "digest", "run_id")
+    )
+    head_dir = os.path.join(journal_dir, "_head")
+    tmp = os.path.join(head_dir, ".compact_tmp")
+    final = os.path.join(head_dir, f"upto={int(up_to_run)}")
+    fsutil.delete(spark, tmp)
+    head.write.mode("overwrite").parquet(tmp)
+    n_snap = spark.read.parquet(tmp).count()
+    fsutil.delete(spark, final)  # re-compaction to the same horizon
+    fsutil.rename(spark, tmp, final)
+    # only now is it safe to drop what the snapshot supersedes
+    removed = 0
+    for name in fsutil.child_names(spark, journal_dir):
+        if name.startswith("run_id="):
+            try:
+                rid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if rid <= up_to_run:
+                fsutil.delete(spark, os.path.join(journal_dir, name))
+                removed += 1
+    for name in fsutil.child_names(spark, head_dir):
+        if name.startswith("upto="):
+            try:
+                upto = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if upto < up_to_run:
+                fsutil.delete(spark, os.path.join(head_dir, name))
+                removed += 1
+    return {"horizon": int(up_to_run), "snapshot_paths": n_snap,
+            "removed_dirs": removed}
+
+
+def _journal_horizon(spark: SparkSession, journal_dir: str) -> int:
+    """The compaction horizon: max ``upto`` among HEAD snapshots under
+    ``journal_dir/_head``, or ``-1`` when never compacted."""
+    import os
+
+    from .. import fsutil
+
+    uptos = []
+    for name in fsutil.child_names(spark, os.path.join(journal_dir, "_head")):
+        if name.startswith("upto="):
+            try:
+                uptos.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return max(uptos, default=-1)
+
+
+def _attempted_runs(
+    spark: SparkSession, journal_dir: str, horizon: int
+) -> set[int]:
+    """Run ids that have WRITTEN their partition (committed rows or not) —
+    the replay-validation set: a no-op run journals zero rows but its
+    empty ``run_id=N`` directory still proves the id was used, so an
+    at-least-once redelivery of that batch must idempotently no-op, not
+    be refused as a reuse. Compacted-away dirs (``<= horizon``) are crash
+    debris awaiting deletion and excluded."""
+    from .. import fsutil
+
+    out: set[int] = set()
+    for name in fsutil.child_names(spark, journal_dir):
+        if name.startswith("run_id="):
+            try:
+                rid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if rid > horizon:
+                out.add(rid)
+    return out
 
 
 def _read_journal(
@@ -229,15 +386,37 @@ def _read_journal(
 ):
     """FS-portable journal read via the shared state classifier
     (``io.read_parquet_state`` — the ingest ledger uses the same one).
-    ``before_run`` keeps only runs with a strictly smaller id — the
-    pre-run manifest a (re)play of that run decides against."""
+    After ``compact_journal``, the read is (HEAD snapshot at the horizon)
+    ∪ (run partitions strictly above it) — run dirs at or below the
+    horizon are crash debris from an interrupted compaction and are
+    excluded rather than double-counted. ``before_run`` keeps only runs
+    with a strictly smaller id — the pre-run manifest a (re)play of that
+    run decides against (snapshot rows carry their original committing
+    run id, so the filter composes)."""
+    import os
+
     from pyspark.sql import functions as F
 
     from ..io import read_parquet_state
 
-    df = read_parquet_state(spark, journal_dir)
-    if df is None:
+    horizon = _journal_horizon(spark, journal_dir)
+    frames = []
+    if horizon >= 0:
+        snap = read_parquet_state(
+            spark, os.path.join(journal_dir, "_head", f"upto={horizon}")
+        )
+        if snap is not None:
+            frames.append(snap.select("path", "digest", "run_id"))
+    runs = read_parquet_state(spark, journal_dir)
+    if runs is not None:
+        if horizon >= 0:
+            runs = runs.filter(F.col("run_id") > horizon)
+        frames.append(runs.select("path", "digest", "run_id"))
+    if not frames:
         return None
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f)
     if before_run is not None:
         df = df.filter(F.col("run_id") < before_run)
     return df if keep_run else df.drop("run_id")

@@ -409,10 +409,116 @@ def test_publish_journal_completes_ep3_round_trip(spark, tmp_path):
     rep = incremental.journal_publish(spark, outs4, jdir)
     assert rep == {"published": 0, "unchanged": 2, "run_id": 5}
 
-    # a reused-but-never-journaled id below HEAD is refused: it would
-    # decide against a partial prior and silently corrupt audit history
-    # (a caller looping with a constant run_id hits this on run 2)
+    # at-least-once redelivery of a NO-OP batch: run 2 journaled zero rows
+    # (its empty run_id=2 partition is the only trace) — a replay must
+    # idempotently no-op against run 2's original prior (run 1's
+    # manifest), not be refused as an id reuse (round-7 ADVICE fix:
+    # replays validate against ATTEMPTED runs — partition dirs — not
+    # committed rows)
+    rep = incremental.journal_publish(spark, outs, jdir, run_id=2)
+    assert rep == {"published": 0, "unchanged": 3, "run_id": 2}
+    man = incremental.published_manifest(spark, jdir)
+    assert {(r.path, r.digest, r.run_id) for r in man.collect()} == want4
+
+    # a reused-but-never-ATTEMPTED id below HEAD stays refused: no
+    # partition dir ever existed for it, so it is not a replay — deciding
+    # against a partial prior would silently corrupt audit history
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="neither a new run"):
-        incremental.journal_publish(spark, outs4, jdir, run_id=2)
+        incremental.journal_publish(spark, outs4, jdir, run_id=0)
+
+
+def test_publish_journal_accepts_run_zero_on_fresh_journal(spark, tmp_path):
+    # streaming batch ids start at 0: a fresh stream's FIRST foreachBatch
+    # delivery must journal under its own numbering (the round-6
+    # validation refused it — max(seen, default=0) made 0 <= max_run)
+    jdir = str(tmp_path / "journal0")
+    outs = spark.createDataFrame(
+        [("/mets/a.xml", "d1")], "path string, digest string"
+    )
+    rep = incremental.journal_publish(spark, outs, jdir, run_id=0)
+    assert rep == {"published": 1, "unchanged": 0, "run_id": 0}
+    # and its redelivery replays idempotently
+    rep = incremental.journal_publish(spark, outs, jdir, run_id=0)
+    assert rep == {"published": 1, "unchanged": 0, "run_id": 0}
+    man = incremental.published_manifest(spark, jdir)
+    assert {(r.path, r.digest, r.run_id) for r in man.collect()} == {
+        ("/mets/a.xml", "d1", 0)
+    }
+    # auto-assign continues above it
+    rep = incremental.journal_publish(spark, outs, jdir)
+    assert rep == {"published": 0, "unchanged": 1, "run_id": 1}
+
+
+def test_compact_journal_bounds_reads_and_preserves_head(spark, tmp_path):
+    # journal growth bound (round-7): fold old runs into a HEAD snapshot;
+    # per-path current state and every NEW run's decision are unchanged,
+    # while prior reads stop touching compacted-away run partitions.
+    jdir = str(tmp_path / "journal_c")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "path string, digest string"
+    )
+    incremental.journal_publish(spark, mk([("/a", "d1"), ("/b", "d2")]),
+                                jdir, run_id=1)
+    incremental.journal_publish(spark, mk([("/a", "d1-v2")]), jdir, run_id=2)
+    incremental.journal_publish(spark, mk([("/c", "d3")]), jdir, run_id=3)
+
+    pre = {
+        (r.path, r.digest, r.run_id)
+        for r in incremental.published_manifest(spark, jdir).collect()
+    }
+    rep = incremental.compact_journal(spark, jdir, up_to_run=2)
+    assert rep["horizon"] == 2
+    # HEAD at run 2: /a@d1-v2 (run 2), /b@d2 (run 1) — the superseded
+    # /a@d1 row is the only history dropped
+    assert rep["snapshot_paths"] == 2
+    post = {
+        (r.path, r.digest, r.run_id)
+        for r in incremental.published_manifest(spark, jdir).collect()
+    }
+    assert post == pre - {("/a", "d1", 1)}
+
+    # bounded-read: the manifest now reads the snapshot + runs > horizon
+    # only — no run_id=1 / run_id=2 data files
+    files = incremental.published_manifest(spark, jdir).inputFiles()
+    assert files and all(
+        ("_head/upto=2" in f) or ("run_id=3" in f) for f in files
+    )
+
+    # decisions for new runs are identical to the uncompacted journal:
+    # /b reverting content vs HEAD d2 → commit; /c at HEAD d3 → no-op
+    rep = incremental.journal_publish(
+        spark, mk([("/b", "d2"), ("/c", "d3")]), jdir, run_id=4
+    )
+    assert rep == {"published": 0, "unchanged": 2, "run_id": 4}
+    rep = incremental.journal_publish(
+        spark, mk([("/b", "d2-v2"), ("/c", "d3")]), jdir, run_id=5
+    )
+    assert rep == {"published": 1, "unchanged": 1, "run_id": 5}
+
+    # replay ABOVE the horizon still works (prior = snapshot + runs in
+    # (horizon, id)); replay AT/BELOW it is refused loudly — its original
+    # prior no longer exists
+    rep = incremental.journal_publish(spark, mk([("/c", "d3")]), jdir,
+                                      run_id=3)
+    assert rep == {"published": 1, "unchanged": 0, "run_id": 3}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compaction horizon"):
+        incremental.journal_publish(spark, mk([("/a", "d1")]), jdir,
+                                    run_id=2)
+
+    # compacting everything: manifest collapses to pure HEAD, auto-assign
+    # continues above the horizon
+    rep = incremental.compact_journal(spark, jdir)
+    assert rep["horizon"] == 5
+    head = {
+        (r.path, r.digest)
+        for r in incremental.published_manifest(spark, jdir).collect()
+    }
+    assert head == {("/a", "d1-v2"), ("/b", "d2-v2"), ("/c", "d3")}
+    rep = incremental.journal_publish(spark, mk([("/a", "d1-v2")]), jdir)
+    assert rep == {"published": 0, "unchanged": 1, "run_id": 6}
+    # re-compaction with nothing new is a no-op
+    assert incremental.compact_journal(spark, jdir)["snapshot_paths"] == 0
