@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 from pulfa_sausage_factory_spark.operators.similarity import (
     _centroid_signature,
     _codebook_config,
+    _codebook_signature,
+    codes_stamp,
     knn_pq_rerank,
     pq_encode,
     train_ivf_centroids,
@@ -60,26 +62,38 @@ def build_pq_index(
     corpus: DataFrame,
     m: int = 8,
     n_codes: int = 256,
-    n_cells: int | None = 16,
+    n_cells: int | None | str = 16,
     iters: int = 2,
     ivf_iters: int = 3,
     sample_fraction: float = 1.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    assign_impl: str = "expr",
 ) -> PQIndex:
     """Train + encode in one offline pass. ``n_cells`` set → the full
     IVFADC index (trained coarse centroids, RESIDUAL codebooks, coded
     corpus carrying cell ids); ``n_cells=None`` → flat PQ (raw codebooks,
-    full-scan ADC shortlists). Everything downstream of the deterministic
-    hash sample is reproducible bit-for-bit, so rebuilding from the same
-    corpus yields the same artifacts.
+    full-scan ADC shortlists); ``n_cells="auto"`` → sized from the corpus
+    by ``suggest_ann_config`` (cells ~ √n, the at-scale default — the
+    suggested ``n_probe`` lands in the manifest so serve sessions can
+    read the matched probe budget back). Everything downstream of the
+    deterministic hash sample is reproducible bit-for-bit, so rebuilding
+    from the same corpus yields the same artifacts.
 
     ``ivf_iters`` defaults higher than ``iters`` deliberately: coarse-
     centroid convergence is the measured quality lever for the residual
     family (RECALL.md — iters 2→3 moved composed IVFADC from below
     full-scan ADC to above it), while extra CODEBOOK iterations did not
     help on the measured corpora."""
+    from pulfa_sausage_factory_spark.operators.similarity import (
+        suggest_ann_config,
+    )
+
+    n_probe_suggested = None
+    if n_cells == "auto":
+        cfg = suggest_ann_config(corpus.count())
+        n_cells, n_probe_suggested = cfg["n_cells"], cfg["n_probe"]
     centroids = None
     if n_cells is not None:
         centroids = train_ivf_centroids(
@@ -91,8 +105,13 @@ def build_pq_index(
         sample_fraction=sample_fraction, id_col=id_col, vec_col=vec_col,
         dim=dim, centroids=centroids,
     ).localCheckpoint()
+    # assign_impl="arrow" fuses the corpus-wide cell assignment into the
+    # encode UDF (pq_encode twin contract) — at auto-sized √n cells the
+    # expression assignment is |corpus| × n_cells interpreted cosines,
+    # the dominant build cost; the offline build is where it matters
     codes = pq_encode(
-        corpus, codebooks, id_col=id_col, vec_col=vec_col, centroids=centroids
+        corpus, codebooks, id_col=id_col, vec_col=vec_col,
+        centroids=centroids, assign_impl=assign_impl,
     )
     meta = {
         "format": _FORMAT,
@@ -103,9 +122,14 @@ def build_pq_index(
         "sublen": dim // m,
         "residual": centroids is not None,
         "cent_sig": _codebook_config(codebooks)[1],
+        # full-codebook fingerprint — what pq_encode stamps onto the codes
+        # column metadata; load cross-checks every codes batch against it
+        "cb_sig": _codebook_signature(codebooks),
         "id_col": id_col,
         "vec_col": vec_col,
     }
+    if n_probe_suggested is not None:
+        meta["n_probe_suggested"] = n_probe_suggested
     return PQIndex(codebooks, codes, centroids, meta)
 
 
@@ -132,13 +156,20 @@ def save_pq_index(index: PQIndex, path: str) -> None:
     frames = [index.codebooks, index.codes] + (
         [index.centroids] if index.centroids is not None else []
     )
-    marker = "/" + base.lstrip("/").rstrip("/") + "/"
+    # both sides resolved through the Hadoop FileSystem to fully-qualified
+    # URIs and compared as path PREFIXES (round-7 ADVICE fix: the previous
+    # raw-substring match of '/<base>/' falsely refused a relative save
+    # path like 'idx' whenever any corpus file's absolute path contained a
+    # directory of that name)
+    qbase = fsutil.qualified_uri(spark, base).rstrip("/") + "/"
     for df in frames:
         try:
             files = df.inputFiles()
         except Exception:  # non-file-based plan (freshly built index)
             continue
-        if any(marker in f for f in files):
+        if any(
+            fsutil.qualified_uri(spark, f).startswith(qbase) for f in files
+        ):
             raise ValueError(
                 f"save_pq_index: index reads from the target path {base} "
                 "— save to a different path, or materialize the frames "
@@ -147,6 +178,11 @@ def save_pq_index(index: PQIndex, path: str) -> None:
     # missing path is a no-op; a FAILED delete raises — proceeding with a
     # stale manifest in place would defeat the crash-ordering guarantee
     fsutil.delete(spark, f"{base}/meta")
+    # a fresh save IS the complete index: stale append batches from a
+    # previous index at this path would otherwise ride along (valid if the
+    # rebuild is bit-identical, unloadable-loud if not — either way they
+    # are not part of what this save persists)
+    fsutil.delete(spark, f"{base}/codes_append")
     index.codebooks.write.mode("overwrite").parquet(f"{base}/codebooks")
     # the codes table is the corpus-sized artifact; everything else is KBs
     index.codes.write.mode("overwrite").parquet(f"{base}/codes")
@@ -203,6 +239,40 @@ def load_pq_index(spark: SparkSession, path: str) -> PQIndex:
             f"(residual={is_res}, sig={sig}) disagrees with the manifest "
             f"(residual={meta['residual']}, sig={meta['cent_sig']})"
         )
+    # codes ↔ codebook cross-validation, schema-only (the codes table is
+    # the corpus-sized artifact and load deliberately never scans it):
+    # pq_encode stamps the producing codebook's fingerprint into the
+    # codes column METADATA, parquet persists it, and the manifest
+    # carries the build codebook's fingerprint — compare the two, plus
+    # the codebooks actually on disk.
+    want_cb = meta.get("cb_sig")
+    if want_cb is not None:
+        disk_cb = _codebook_signature(codebooks)
+        if disk_cb != want_cb:
+            raise ValueError(
+                f"load_pq_index: codebooks on disk (fingerprint {disk_cb}) "
+                f"are not the ones the manifest was written for "
+                f"({want_cb}) — mixed artifacts"
+            )
+    _check_batch_stamp(codes, want_cb, f"{base}/codes")
+
+    # incremental append batches (append_to_pq_index): each lives in its
+    # own codes_append/batch=N dir; a batch is valid iff Spark's job
+    # commit finished it (_SUCCESS marker) — a killed append is invisible
+    # and its replay overwrites the partial dir. Batch stamps get the
+    # same schema-only validation as the base codes.
+    for bid in _append_batches(spark, base):
+        bdir = f"{base}/codes_append/batch={bid}"
+        batch = spark.read.parquet(bdir)
+        _check_batch_stamp(batch, want_cb, bdir)
+        if set(batch.columns) != set(codes.columns):
+            raise ValueError(
+                f"load_pq_index: append batch {bid} columns "
+                f"{batch.columns} do not match the base codes "
+                f"{codes.columns} — mixed artifacts"
+            )
+        codes = codes.unionByName(batch)
+
     centroids = None
     if meta["residual"]:
         centroids = spark.read.parquet(f"{base}/centroids")
@@ -222,13 +292,118 @@ def load_pq_index(spark: SparkSession, path: str) -> PQIndex:
     return PQIndex(codebooks, codes, centroids, meta)
 
 
+def _check_batch_stamp(codes: DataFrame, want: str | None, where: str) -> None:
+    """Schema-only codes↔codebook pairing check (zero execution)."""
+    got = codes_stamp(codes)
+    if want is None or got is None:
+        return  # pre-stamp artifacts — nothing to cross-check
+    if got != want:
+        raise ValueError(
+            f"load_pq_index: codes at {where} were encoded with codebook "
+            f"{got}, but this index's codebook fingerprints as {want} — "
+            "foreign or stale codes would serve wrong neighbors"
+        )
+
+
+def _append_batches(spark: SparkSession, base: str) -> list[int]:
+    """COMMITTED append batch ids under ``base/codes_append`` (ascending).
+    Validity = Spark's own job-commit ``_SUCCESS`` marker: a batch dir
+    from a killed append has no marker and is skipped — the replay
+    overwrite repairs it."""
+    from pulfa_sausage_factory_spark import fsutil
+
+    out = []
+    for name in fsutil.child_names(spark, f"{base}/codes_append"):
+        if not name.startswith("batch="):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if fsutil.exists(spark, f"{base}/codes_append/{name}/_SUCCESS"):
+            out.append(bid)
+    return sorted(out)
+
+
+def append_to_pq_index(
+    spark: SparkSession,
+    path: str,
+    new_rows: DataFrame,
+    batch_id: int | None = None,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+    assign_impl: str = "expr",
+) -> dict:
+    """Incrementally extend a persisted index with a new corpus batch —
+    encode ONLY the new vectors against the existing (validated)
+    codebooks/centroids and land their codes as
+    ``codes_append/batch=<id>``; the full rebuild a growing corpus would
+    otherwise force re-encodes everything. Serving via ``load_pq_index``
+    → ``knn_from_index`` is then identical to an index whose build corpus
+    had included the batch (encode is deterministic given the artifacts —
+    pinned by test).
+
+    Same replay discipline as the publish journal / ingest ledger:
+    ``batch_id=None`` auto-assigns max committed + 1; an explicit id must
+    be new (> every existing batch) or an existing id (a replay — the
+    overwrite rewrites the same rows, at-least-once safe). A batch is
+    committed iff Spark's job-commit ``_SUCCESS`` marker landed, so a
+    killed append is invisible to loads and its replay repairs the dir —
+    the manifest is never rewritten, which keeps a crash here from ever
+    making a healthy index unloadable.
+
+    Drifted configs refuse loudly: ``load_pq_index`` cross-validates the
+    artifacts first, ``pq_encode`` refuses mismatched codebook↔centroid
+    pairings, and a wrong-dimension batch is caught here before any
+    executor work. Appending ids that already exist in the index is the
+    caller's contract to avoid (same as any parquet append); dedup
+    belongs upstream in the ingest ledger.
+
+    Returns ``{"batch_id": id, "rows": n}``.
+    """
+    from pulfa_sausage_factory_spark import fsutil
+
+    base = path.rstrip("/")
+    index = load_pq_index(spark, path)
+    id_col = id_col or index.meta.get("id_col", "vec_id")
+    vec_col = vec_col or index.meta.get("vec_col", "embedding")
+    dim = index.meta.get("dim")
+    if dim is not None:
+        probe = new_rows.select(F.size(vec_col).alias("d")).limit(1).collect()
+        if probe and probe[0].d != dim:
+            raise ValueError(
+                f"append_to_pq_index: new rows carry {probe[0].d}-dim "
+                f"vectors but the index was built for dim={dim} — these "
+                "cannot be encoded against its codebooks"
+            )
+    existing = _append_batches(spark, base)
+    if batch_id is None:
+        batch_id = (max(existing) + 1) if existing else 1
+    elif batch_id not in existing and existing and batch_id <= max(existing):
+        raise ValueError(
+            f"append_to_pq_index: batch_id={batch_id} is neither a new "
+            f"batch (> {max(existing)}) nor a replay of a committed one "
+            f"({existing}) — a reused id would silently shadow history"
+        )
+    codes = pq_encode(
+        new_rows, index.codebooks, id_col=id_col, vec_col=vec_col,
+        centroids=index.centroids, assign_impl=assign_impl,
+    )
+    bdir = f"{base}/codes_append/batch={int(batch_id)}"
+    # overwrite also repairs a marker-less partial dir from a killed run
+    fsutil.delete(spark, bdir)
+    codes.write.mode("overwrite").parquet(bdir)
+    n = spark.read.parquet(bdir).count()
+    return {"batch_id": int(batch_id), "rows": n}
+
+
 def knn_from_index(
     index: PQIndex,
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     shortlist: int = 200,
-    n_probe: int = 4,
+    n_probe: int | None = None,
     id_col: str | None = None,
     vec_col: str | None = None,
 ) -> DataFrame:
@@ -244,6 +419,11 @@ def knn_from_index(
     view of the build corpus."""
     id_col = id_col or index.meta.get("id_col", "vec_id")
     vec_col = vec_col or index.meta.get("vec_col", "embedding")
+    if n_probe is None:
+        # an auto-sized build records the probe budget matched to its
+        # cell count (suggest_ann_config); fixed-size builds keep the
+        # documented default
+        n_probe = index.meta.get("n_probe_suggested", 4)
     return knn_pq_rerank(
         corpus, queries, index.codebooks, k=k, shortlist=shortlist,
         id_col=id_col, vec_col=vec_col, codes_df=index.codes,

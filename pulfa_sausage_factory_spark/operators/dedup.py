@@ -251,29 +251,55 @@ def spread_for_arrow(
     the limit once for the check and again for the action — and goes
     straight to the size floor.
     """
-    import re
-
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    # Walk the optimized logical plan's NODE NAMES (round-7 ADVICE fix:
+    # the previous word-boundary regex over the stringified plan could
+    # false-positive on a column/alias literally named Join/Sort/Window —
+    # 'Project [Join#12]' matched — and the 'Repartition n, true' textual
+    # form is Spark-version-sensitive; tree-walking nodeName() means
+    # expression text can never match an operator name).
     try:
-        plan = str(df._jdf.queryExecution().optimizedPlan())
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        has_limit = has_shuffle = False
+        shuffle_nodes = {
+            "Join", "Aggregate", "Sort", "Window", "Deduplicate",
+            "Intersect", "Except", "CoGroup", "RepartitionByExpression",
+        }
+        while stack:
+            node = stack.pop()
+            name = node.nodeName()
+            if name == "GlobalLimit":
+                has_limit = True
+            elif name in shuffle_nodes:
+                has_shuffle = True
+            elif name == "Repartition":
+                # logical Repartition covers both repartition(n)
+                # (shuffle=true) and coalesce(n) (shuffle=false); only the
+                # narrow coalesce stays probe-able — it IS the
+                # collapsed-parallelism shape this helper exists to fix
+                try:
+                    if node.shuffle():
+                        has_shuffle = True
+                except Exception:  # can't tell → conservative: no probe
+                    has_shuffle = True
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+            try:  # subquery plans live in expressions, not children
+                sub = node.subqueries()
+                for i in range(sub.size()):
+                    stack.append(sub.apply(i))
+            except Exception:
+                pass
     except Exception:  # plan unavailable → don't risk the .rdd probe
         return df
     # a GlobalLimit ANYWHERE collapses everything above it to one
-    # partition — even over a shuffle below, so this check must run
-    # BEFORE the shuffle-node bail (a limit-over-join plan is collapsed
-    # despite containing a Join)
-    collapsed_by_limit = re.search(r"\bGlobalLimit\b", plan) is not None
-    if not collapsed_by_limit:
-        # exchange-inducing logical nodes (a narrow Repartition/coalesce
-        # prints "Repartition n, false" — that one stays probe-able: it
-        # is exactly the collapsed-parallelism shape this helper exists
-        # to fix)
-        if re.search(
-            r"\b(Join|Aggregate|Sort|Window|Deduplicate|Intersect|Except"
-            r"|CoGroup|RepartitionByExpression)\b",
-            plan,
-        ) or re.search(r"\bRepartition \d+, true", plan):
+    # partition — even over a shuffle below, so it wins over the
+    # shuffle-node bail (a limit-over-join plan is collapsed despite
+    # containing a Join) and goes straight to the size floor
+    if not has_limit:
+        if has_shuffle:
             return df
         if df.rdd.getNumPartitions() * min_factor > target:
             return df
@@ -291,6 +317,53 @@ def spread_for_arrow(
 #: backward-compat private alias (promoted to public API in round 5 once a
 #: second module + tests started depending on it)
 _spread_for_arrow = spread_for_arrow
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    storage_level: "StorageLevel | None" = None,
+    spread: bool = True,
+) -> DataFrame:
+    """The materialized MinHash signature cache ``(id, sig)`` that
+    ``minhash_lsh_pairs`` self-joins — public so a serving/bench process
+    can pay the one-time build explicitly (and so repeated
+    ``minhash_lsh_pairs`` calls hit the same plan-identical
+    InMemoryRelation via the CacheManager).
+
+    The eager count() is LOAD-BEARING (round-6 lesson): it fills the
+    cache before the self-join is planned, so the planner sees the
+    signatures' REAL size — small corpus → broadcast join (fast at test
+    scale), big corpus → sort-merge (safe at stress scale). Removing it
+    saved ~0.3 s of cold latency (AQE exchange reuse computes the UDF
+    once either way) but left an UNFILLED InMemoryRelation whose
+    optimistic size estimate baited the planner into building a
+    corpus-sized broadcast — the 4 GiB stress run died in
+    notEnoughMemoryToBuildAndBroadcastTable. A merge hint fixes scale
+    but forbids the broadcast that is genuinely right at small scale
+    (2× warm regression measured), and Catalyst's explode estimates are
+    unusable for gating (an amplified 100× frame estimates SMALLER than
+    its base). Accurate stats via the pre-count is the only variant
+    that picks the right join on both ends.
+    """
+    from pyspark import StorageLevel
+
+    sig_udf = _minhash_sig_udf(num_hashes=num_hashes, n=n)
+    # ``spread=False`` opts latency-sensitive small inputs (streaming
+    # micro-batches) out of the under-partitioned-input re-spread: for a
+    # few hundred rows, one Arrow batch beats a shuffle + 32-task fan-out
+    src_df = spread_for_arrow(df) if spread else df
+    sigs = (
+        src_df
+        .select(F.col(id_col).alias("id"), sig_udf(text_col).alias("sig"))
+        .filter(F.col("sig").isNotNull())
+        .persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    )
+    sigs.count()
+    return sigs
 
 
 def minhash_lsh_pairs(
@@ -321,34 +394,11 @@ def minhash_lsh_pairs(
     memory — degrading to local disk beats silent eviction + recompute of
     the Arrow-batched signature UDF.
     """
-    from pyspark import StorageLevel
     rows_per_band = num_hashes // bands
-    sig_udf = _minhash_sig_udf(num_hashes=num_hashes, n=n)
-    # ``spread=False`` opts latency-sensitive small inputs (streaming
-    # micro-batches) out of the under-partitioned-input re-spread: for a
-    # few hundred rows, one Arrow batch beats a shuffle + 32-task fan-out
-    src_df = spread_for_arrow(df) if spread else df
-    sigs = (
-        src_df
-        .select(F.col(id_col).alias("id"), sig_udf(text_col).alias("sig"))
-        .filter(F.col("sig").isNotNull())
-        .persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, n=n, num_hashes=num_hashes,
+        storage_level=storage_level, spread=spread,
     )
-    sigs.count()
-    # The eager count() is LOAD-BEARING (round-6 lesson): it fills the
-    # cache before the self-join is planned, so the planner sees the
-    # signatures' REAL size — small corpus → broadcast join (fast at test
-    # scale), big corpus → sort-merge (safe at stress scale). Removing it
-    # saved ~0.3 s of cold latency (AQE exchange reuse computes the UDF
-    # once either way) but left an UNFILLED InMemoryRelation whose
-    # optimistic size estimate baited the planner into building a
-    # corpus-sized broadcast — the 4 GiB stress run died in
-    # notEnoughMemoryToBuildAndBroadcastTable. A merge hint fixes scale
-    # but forbids the broadcast that is genuinely right at small scale
-    # (2× warm regression measured), and Catalyst's explode estimates are
-    # unusable for gating (an amplified 100× frame estimates SMALLER than
-    # its base). Accurate stats via the pre-count is the only variant
-    # that picks the right join on both ends.
     # bucket key = hash of (band, band-slice of the signature). The signature
     # rides along through the explode: ~bands × 8·num_hashes bytes per doc of
     # extra shuffle, which buys back two join-backs + a distinct (4 shuffles

@@ -595,6 +595,25 @@ def knn_ivf(
 # ---------------------------------------------------------------------------
 
 
+def suggest_ann_config(n_rows: int) -> dict:
+    """Default IVF/IVFADC sizing for a corpus of ``n_rows`` vectors:
+    ``n_cells ≈ √n`` with probe fraction ¼ (``n_probe = n_cells/4``).
+
+    Rationale (measured, RECALL.md): cell count ~√n balances the two
+    scan costs (queries touch ``n_probe·n/n_cells`` codes + ``n_cells``
+    centroids) and is the published IVF practice (FAISS guidelines;
+    SemDeDup's 50k clusters at LAION scale). On weak-cluster geometry the
+    coarse-pruning recall cap is set by the PROBE FRACTION, not n_probe
+    itself — 64 cells/nprobe=16 clears full-scan ADC on the uniform
+    corpus where 16/4 does not — so the suggestion scales both together.
+    This is also the 100 TB direction: more, smaller cells keep per-cell
+    populations bounded as the corpus grows."""
+    import math
+
+    n_cells = max(4, math.isqrt(max(1, int(n_rows))))
+    return {"n_cells": n_cells, "n_probe": max(1, n_cells // 4)}
+
+
 def _centroid_signature(centroids: DataFrame) -> str:
     """Deterministic fingerprint of a coarse-centroid table — stamped onto
     residual codebooks at train time and re-checked by every consumer, so
@@ -609,6 +628,62 @@ def _centroid_signature(centroids: DataFrame) -> str:
         for r in centroids.select("cell_id", "cent").collect()
     )
     return hashlib.md5(repr(rows).encode()).hexdigest()[:16]
+
+
+def _codebook_signature(codebooks: DataFrame) -> str:
+    """Deterministic fingerprint of a FULL codebook table (grid content +
+    carried residual/centroid config) — stamped onto ``pq_encode`` output
+    so a prebuilt ``codes_df`` can be cross-checked against the codebook
+    it is served with. Round-7 ADVICE fix: codes were the only artifact
+    in the carry-your-config contract with no carried fingerprint, so a
+    stale or foreign codes table silently served wrong neighbors on the
+    direct (non-persisted-index) API. Cheap: codebooks are m × n_codes
+    rows by construction."""
+    import hashlib
+
+    is_res, sig = _codebook_config(codebooks)
+    rows = sorted(
+        (int(r.sub), int(r.code), tuple(float(x) for x in r.cent))
+        for r in codebooks.select("sub", "code", "cent").collect()
+    )
+    return hashlib.md5(repr((is_res, sig, rows)).encode()).hexdigest()[:16]
+
+
+def _check_codes_stamp(
+    codes_df: DataFrame, codebooks: DataFrame, caller: str
+) -> None:
+    """Refuse a prebuilt codes table whose carried ``cb_sig`` stamp does
+    not match the codebook it is about to be scored with — the same
+    refusal behavior every other consumer of a carried config has. The
+    stamp rides as COLUMN METADATA on ``codes`` (not a data column):
+    Spark persists column metadata through parquet round-trips, and a
+    schema-level check costs zero execution — no job ever runs just to
+    read a constant. Codes tables without the stamp (hand-built,
+    pre-round-7, or metadata stripped by a rewriting transform) pass
+    unchecked: the stamp is a tripwire for silent mispairing, not a
+    schema requirement."""
+    got = codes_stamp(codes_df)
+    if got is None:
+        return
+    want = _codebook_signature(codebooks)
+    if got != want:
+        raise ValueError(
+            f"{caller}: codes_df carries codebook stamp {got} but the "
+            f"codebook passed here fingerprints as {want} — these codes "
+            "were encoded with a different codebook and would serve "
+            "wrong neighbors; re-encode with pq_encode against this "
+            "codebook (or pass the codebook the codes came from)"
+        )
+
+
+def codes_stamp(codes_df: DataFrame) -> str | None:
+    """The ``cb_sig`` codebook fingerprint a ``pq_encode`` output carries
+    in its ``codes`` column metadata, or None when unstamped."""
+    try:
+        md = codes_df.schema["codes"].metadata
+    except Exception:  # no codes column at all — consumers validate shape
+        return None
+    return md.get("cb_sig") if md else None
 
 
 def _codebook_config(codebooks: DataFrame) -> tuple[bool, str | None]:
@@ -761,6 +836,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    assign_impl: str = "expr",
 ) -> DataFrame:
     """Quantize every vector to its ``m`` nearest-subspace-centroid code ids
     — one Arrow-batched numpy pass (the signature-workload idiom: m×n_codes
@@ -774,7 +850,25 @@ def pq_encode(
     grows a ``cell_id`` column: ``(id, cell_id, codes)``. The pairing is
     enforced via the codebook's carried centroid fingerprint — a raw
     codebook refuses ``centroids``, a residual one refuses their absence
-    or a different table (fail at encode, not as garbage scores)."""
+    or a different table (fail at encode, not as garbage scores).
+
+    The ``codes`` column carries the producing codebook's fingerprint
+    (``_codebook_signature``) as COLUMN METADATA (``cb_sig``) — persisted
+    by parquet, readable from the schema with zero execution — so serving
+    consumers (``knn_ivf_pq``/``knn_pq_adc``) refuse a prebuilt codes
+    table paired with the wrong codebook instead of silently scoring
+    garbage (round-7 ADVICE: codes were the only config-carrying artifact
+    without a carried fingerprint).
+
+    ``assign_impl`` selects the residual path's CELL ASSIGNMENT only (the
+    hot-path-twin convention): ``"expr"`` (default) is the broadcast-
+    argmax column-expression join every oracle-checked IVF operator
+    shares; ``"arrow"`` fuses assignment into the encode UDF (one BLAS
+    ``x @ C.T`` per vector, then residual + coding in the same numpy
+    batch) — at √n cells the expression path is |corpus| × n_cells
+    interpreted HOF cosines, the dominant encode cost at scale. Ties
+    break identically (first max ⇒ lowest cell id); equality on real
+    data is pinned by test."""
     import numpy as np
     import pandas as pd
 
@@ -835,6 +929,49 @@ def pq_encode(
 
     enc.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(enc, "array<int>")
+    md = {"cb_sig": _codebook_signature(codebooks)}
+    if assign_impl not in ("expr", "arrow"):
+        raise ValueError(
+            f"assign_impl must be 'expr' or 'arrow', got {assign_impl!r}"
+        )
+    if is_res and assign_impl == "arrow":
+        crows = centroids.orderBy("cell_id").collect()  # n_cells rows
+        cell_ids = np.array([r.cell_id for r in crows], dtype=np.int64)
+        C = np.stack([np.asarray(r.cent, dtype=np.float64) for r in crows])
+        cnorm = np.linalg.norm(C, axis=1)
+        cnorm[cnorm == 0] = 1.0
+        Cn = (C / cnorm[:, None]).T  # (dim, n_cells)
+
+        def enc_fused(vs):
+            out = []
+            for v in vs:
+                x = np.asarray(v, dtype=np.float64)
+                nx = np.linalg.norm(x) or 1.0
+                # first max ⇒ lowest cell index == expr's (cos desc,
+                # cell_id asc) tie-break, because C is stacked in
+                # ascending cell_id order
+                j = int(np.argmax((x / nx) @ Cn))
+                r = (x - C[j]).reshape(m, 1, sublen)
+                d2 = ((r - cb) ** 2).sum(axis=-1)
+                out.append(
+                    {
+                        "cell_id": int(cell_ids[j]),
+                        "codes": d2.argmin(axis=-1).astype(np.int32),
+                    }
+                )
+            return pd.DataFrame(out)
+
+        enc_fused.__annotations__ = {"vs": pd.Series, "return": pd.DataFrame}
+        fudf = F.pandas_udf(enc_fused, "cell_id long, codes array<int>")
+        cid_type = centroids.schema["cell_id"].dataType.simpleString()
+        return corpus.select(
+            F.col(id_col).alias("id"),
+            fudf(as_double_array(vec_col)).alias("e"),
+        ).select(
+            "id",
+            F.col("e.cell_id").cast(cid_type).alias("cell_id"),
+            F.col("e.codes").alias("codes", metadata=md),
+        )
     if is_res:
         assigned = _assign_cells(corpus, centroids, "id", 1, id_col, vec_col)
         return (
@@ -842,11 +979,14 @@ def pq_encode(
             .select(
                 "id",
                 "cell_id",
-                udf(F.zip_with("v", "cent", lambda x, y: x - y)).alias("codes"),
+                udf(F.zip_with("v", "cent", lambda x, y: x - y)).alias(
+                    "codes", metadata=md
+                ),
             )
         )
     return corpus.select(
-        F.col(id_col).alias("id"), udf(as_double_array(vec_col)).alias("codes")
+        F.col(id_col).alias("id"),
+        udf(as_double_array(vec_col)).alias("codes", metadata=md),
     )
 
 
@@ -877,6 +1017,7 @@ def knn_pq_adc(
             "term back; serve through knn_ivf_pq / knn_pq_rerank with the "
             "index's centroids instead"
         )
+    _check_codes_stamp(codes_df, codebooks, "knn_pq_adc")
     chk = (
         codebooks.groupBy("sub")
         .agg(
@@ -990,12 +1131,16 @@ def knn_ivf_pq(
                 "knn_ivf_pq: residual codes_df must carry (id, cell_id, "
                 "codes) — re-encode with pq_encode(..., centroids=...)"
             )
+        else:
+            _check_codes_stamp(codes_df, codebooks, "knn_ivf_pq")
         coded = codes_df.select("id", "cell_id", "codes")
     else:
         if codes_df is None:
             codes_df = pq_encode(
                 corpus, codebooks, id_col=id_col, vec_col=vec_col
             )
+        else:
+            _check_codes_stamp(codes_df, codebooks, "knn_ivf_pq")
         coded = _assign_cells(
             corpus, centroids, "id", 1, id_col, vec_col
         ).drop("v").join(codes_df.select("id", "codes"), "id")

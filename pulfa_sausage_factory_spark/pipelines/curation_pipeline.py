@@ -53,6 +53,13 @@ class CurationConfig:
     semdedup_threshold: float = 0.95  # semantic: cosine removal floor
     semdedup_cells: int = 16  # semantic: k-means cell count
     semdedup_impl: str = "arrow"  # per-cell numpy (scale default) | "expr"
+    #: path of a persisted ANN index (ann_index.save_pq_index) whose coarse
+    #: centroids the semantic stage reuses instead of deriving cells per
+    #: run — the cross-run artifact-reuse analog of what the persisted
+    #: index did for serving (validated load; flat indexes refuse). A
+    #: centroid DataFrame can also be passed directly to run_curation via
+    #: semdedup_centroids=.
+    semdedup_index_path: str | None = None
     neardup_ledger: bool = False  # incremental ingest: cross-run MinHash dedup
     dsir_k: int | None = None  # DSIR target-matched selection (needs target=)
     dsir_dim: int = 8192
@@ -123,6 +130,7 @@ def run_curation(
     embeddings: DataFrame | None = None,
     target: DataFrame | None = None,
     scores: DataFrame | None = None,
+    semdedup_centroids: DataFrame | None = None,
 ) -> dict:
     """Run the curation DAG over ``docs``; returns the run report
     (per-stage row counts + drop counts + output paths) — the C3
@@ -227,6 +235,33 @@ def run_curation(
         pairs = None
         from ..operators.similarity import semdedup
 
+        # centroid artifact reuse (round-7): repeated curation runs — the
+        # incremental-ingest loop especially — should not re-derive cells
+        # every run when a trained/persisted set exists. Precedence:
+        # explicit DataFrame > persisted index (validated load, coarse
+        # centroids only) > per-run derivation; the choice lands in the
+        # report so an operator can see which artifact decided the stage.
+        if cfg.semdedup_index_path is not None and semdedup_centroids is not None:
+            raise ValueError(
+                "pass either cfg.semdedup_index_path or semdedup_centroids=, "
+                "not both — two centroid sources cannot decide one stage"
+            )
+        sem_cents = semdedup_centroids
+        sem_src = f"derived(first-{cfg.semdedup_cells})"
+        if semdedup_centroids is not None:
+            sem_src = "prebuilt"
+        elif cfg.semdedup_index_path is not None:
+            from ..operators.ann_index import load_pq_index
+
+            idx = load_pq_index(spark, cfg.semdedup_index_path)
+            if idx.centroids is None:
+                raise ValueError(
+                    f"semdedup_index_path={cfg.semdedup_index_path!r} is a "
+                    "FLAT PQ index (no coarse centroids) — SemDeDup needs "
+                    "an IVF index (build_pq_index(n_cells=...))"
+                )
+            sem_cents = idx.centroids
+            sem_src = f"index:{cfg.semdedup_index_path}"
         # SemDeDup emits a per-vector verdict directly (its own
         # keep-one-representative rule) — no component pass needed; restrict
         # verdicts to docs still alive so pruning keys off survivors only
@@ -237,11 +272,13 @@ def run_curation(
             n_cells=cfg.semdedup_cells,
             threshold=cfg.semdedup_threshold,
             impl=cfg.semdedup_impl,
+            centroids=sem_cents,
         )
         losers_sem = alive.filter(F.col("removed")).select(
             F.col("id").alias(icol)
         )
         cur = stage("neardup_dedup", cur.join(losers_sem, icol, "left_anti"))
+        stages[-1]["note"] = f"centroids={sem_src}"
     elif cfg.neardup_method == "none":
         pairs = None
     else:
@@ -385,12 +422,15 @@ def curation_report_df(spark: SparkSession, report: dict) -> DataFrame:
                 s["dropped"],
                 round(100.0 * s["dropped"] / rows_in, 2) if rows_in else 0.0,
                 float(s.get("sec", 0.0)),
+                # stage-specific provenance (e.g. which centroid artifact
+                # decided the semantic stage) — empty for most stages
+                s.get("note", ""),
             )
         )
     return spark.createDataFrame(
         rows,
         "stage_no int, stage string, rows_in long, rows_out long, "
-        "dropped long, drop_pct double, sec double",
+        "dropped long, drop_pct double, sec double, note string",
     )
 
 

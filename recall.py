@@ -208,6 +208,30 @@ def main() -> None:
              centroids=trained_cents, n_probe=8,
          )),
     ]
+    # round-7: suggest_ann_config's default sizing (cells ~ √n, probe
+    # fraction ¼) measured on BOTH corpora — the config an at-scale
+    # deployment gets without tuning (build_pq_index(n_cells="auto"))
+    sug = similarity.suggest_ann_config(n)
+    cents_sug = similarity.train_ivf_centroids(
+        corpus, n_cells=sug["n_cells"], iters=3,
+        sample_fraction=min(1.0, 20_000 / n),
+    ).localCheckpoint()
+    cb_sug = similarity.train_pq_codebooks(
+        corpus, m=8, n_codes=256, iters=2,
+        sample_fraction=min(1.0, max(0.05, 20_000 / n)),
+        centroids=cents_sug,
+    ).localCheckpoint()
+    codes_sug = similarity.pq_encode(
+        corpus, cb_sug, centroids=cents_sug
+    ).localCheckpoint()
+    configs.append((
+        f"knn_ivf_pq RESIDUAL AUTO cells={sug['n_cells']} "
+        f"nprobe={sug['n_probe']} m=8",
+        lambda: similarity.knn_ivf_pq(
+            corpus, queries, cb_sug, k=k_fetch, n_probe=sug["n_probe"],
+            centroids=cents_sug, codes_df=codes_sug,
+        ),
+    ))
     if amp > 1:
         # the ¼-corpus-fraction match-up at MORE, smaller cells — on the
         # weak-cluster amplified corpus this is where composed IVFADC

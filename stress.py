@@ -276,6 +276,54 @@ def main() -> None:
         ),
     )
 
+    # persisted-index lifecycle at amplified scale (round-7): the 100×
+    # analog of bench's x3s extra — build+save once (the offline job),
+    # then serve strictly from the on-disk artifacts. n_cells="auto"
+    # exercises the suggest_ann_config √n sizing (the at-scale default);
+    # serve reads the manifest's matched probe budget. Guarded like the
+    # bucketed stress: an index/disk failure must not void earlier ops.
+    try:
+        import shutil
+        import tempfile
+
+        from pulfa_sausage_factory_spark.operators import ann_index
+
+        idx_dir = tempfile.mkdtemp(prefix="stress_pq_idx_")
+        n_emb = emb_amp.count()
+
+        def _build_save():
+            idx = ann_index.build_pq_index(
+                emb_amp, m=8, n_codes=256, n_cells="auto", iters=2,
+                sample_fraction=min(1.0, 10_000 / max(1, n_emb)),
+                assign_impl="arrow",
+            )
+            ann_index.save_pq_index(idx, idx_dir)
+            out["ops"].setdefault("pq_index_meta", {}).update(
+                n_cells=idx.meta["n_cells"],
+                n_probe=idx.meta.get("n_probe_suggested"),
+            )
+            # rows metric = coded corpus rows actually on disk (read back,
+            # not recomputed)
+            return spark.read.parquet(f"{idx_dir}/codes")
+
+        run("pq_index_build_save", _build_save)
+        run(
+            "pq_index_serve_from_disk",
+            lambda: ann_index.knn_from_index(
+                ann_index.load_pq_index(spark, idx_dir),
+                emb_amp,
+                io.load_table(spark, sf_dir, "embeddings").limit(50),
+                k=10,
+                shortlist=200,
+            ),
+        )
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        out["ops"]["pq_index_stress"] = {
+            "error": f"{type(exc).__name__}: {exc}"[:300]
+        }
+        print(f"# pq_index_stress FAILED — {exc}", file=sys.stderr)
+
     # SemDeDup at amplified scale: cell count grows with the corpus (the
     # paper's √n-ish rule) so within-cell quadratics stay bounded
     run(

@@ -202,6 +202,155 @@ def test_flat_index_roundtrip(spark, vecs, tmp_path):
     assert len(got) == 3 and all(r["count"] == 5 for r in got)
 
 
+def test_pq_encode_assign_impl_twins(spark, vecs, cents, cb_res):
+    # hot-path twin contract (CLAUDE.md round-4 convention): the arrow
+    # fused assignment+encode must equal the oracle-mode expression path
+    # bit-for-bit on real data — same cells (argmax first-max == cos desc,
+    # cell_id asc tie-break), same residuals, same codes, same stamp.
+    from pulfa_sausage_factory_spark.operators.similarity import codes_stamp
+
+    expr = pq_encode(vecs, cb_res, centroids=cents)
+    arrow = pq_encode(vecs, cb_res, centroids=cents, assign_impl="arrow")
+    assert arrow.columns == expr.columns == ["id", "cell_id", "codes"]
+    assert codes_stamp(arrow) == codes_stamp(expr) is not None
+    a = sorted((r.id, r.cell_id, tuple(r.codes)) for r in arrow.collect())
+    e = sorted((r.id, r.cell_id, tuple(r.codes)) for r in expr.collect())
+    assert a == e
+    with pytest.raises(ValueError, match="assign_impl"):
+        pq_encode(vecs, cb_res, centroids=cents, assign_impl="numpy")
+
+
+def test_suggest_ann_config_and_auto_build(spark, vecs, tmp_path):
+    # round-7: cells ~ √n with probe fraction ¼ is the measured at-scale
+    # default (RECALL.md — on weak-cluster geometry the probe FRACTION
+    # sets the recall cap, and more smaller cells is the 100 TB shape);
+    # build_pq_index(n_cells="auto") sizes from the corpus and records
+    # the matched probe budget in the manifest for serve sessions.
+    import math
+
+    from pulfa_sausage_factory_spark.operators.similarity import (
+        suggest_ann_config,
+    )
+
+    assert suggest_ann_config(1_000_000) == {"n_cells": 1000, "n_probe": 250}
+    assert suggest_ann_config(0) == {"n_cells": 4, "n_probe": 1}
+    assert suggest_ann_config(10**8) == {"n_cells": 10_000, "n_probe": 2500}
+
+    idx = ann_index.build_pq_index(
+        vecs, m=8, n_codes=8, n_cells="auto", iters=1, sample_fraction=1.0
+    )
+    n = vecs.count()
+    want_cells = max(4, math.isqrt(n))
+    assert idx.meta["n_cells"] == want_cells
+    assert idx.meta["n_probe_suggested"] == max(1, want_cells // 4)
+
+    path = str(tmp_path / "auto_idx")
+    ann_index.save_pq_index(idx, path)
+    loaded = ann_index.load_pq_index(spark, path)
+    assert loaded.meta["n_probe_suggested"] == idx.meta["n_probe_suggested"]
+    # serving defaults to the manifest's matched probe budget
+    out = ann_index.knn_from_index(loaded, vecs, vecs.limit(2), k=3,
+                                   shortlist=20)
+    got = out.groupBy("query_id").count().collect()
+    assert len(got) == 2 and all(r["count"] == 3 for r in got)
+
+
+def test_codes_stamp_refuses_foreign_codes(spark, vecs, tmp_path):
+    # round-7 ADVICE: codes were the only config-carrying artifact with no
+    # carried fingerprint on the DIRECT API — pq_encode now stamps the
+    # producing codebook's fingerprint into the codes column metadata
+    # (parquet-persistent, schema-only check: no job runs to read it), and
+    # knn_pq_adc / knn_ivf_pq refuse a mispaired codes_df.
+    from pulfa_sausage_factory_spark.operators.similarity import codes_stamp
+
+    cb1 = train_pq_codebooks(vecs, m=8, n_codes=8, iters=1, sample_fraction=1.0)
+    cb2 = train_pq_codebooks(vecs, m=8, n_codes=8, iters=0, sample_fraction=1.0)
+    codes = pq_encode(vecs, cb1)
+    p = str(tmp_path / "codes_rt")
+    codes.write.mode("overwrite").parquet(p)
+    rt = spark.read.parquet(p)
+    # the stamp survives the parquet round-trip
+    assert codes_stamp(rt) == codes_stamp(codes) is not None
+    # correct pairing serves
+    assert (
+        knn_pq_adc(rt, vecs.limit(2), cb1, k=3)
+        .groupBy("query_id").count().count() == 2
+    )
+    # foreign pairing refuses — on both direct consumers
+    with pytest.raises(ValueError, match="carries codebook stamp"):
+        knn_pq_adc(rt, vecs.limit(2), cb2, k=3)
+    with pytest.raises(ValueError, match="carries codebook stamp"):
+        knn_ivf_pq(vecs, vecs.limit(2), cb2, codes_df=rt)
+
+
+def test_append_to_pq_index(spark, vecs, tmp_path):
+    # incremental growth (round-7): encode ONLY the new batch against the
+    # persisted artifacts; serving over the appended index must equal the
+    # same-artifact full encode of the grown corpus.
+    even = vecs.filter(F.col("vec_id") % 2 == 0).localCheckpoint()
+    odd = vecs.filter(F.col("vec_id") % 2 == 1).localCheckpoint()
+    idx = ann_index.build_pq_index(
+        even, m=8, n_codes=8, n_cells=8, iters=1, sample_fraction=1.0
+    )
+    path = str(tmp_path / "grow_idx")
+    ann_index.save_pq_index(idx, path)
+
+    rep = ann_index.append_to_pq_index(spark, path, odd)
+    assert rep["batch_id"] == 1 and rep["rows"] == odd.count()
+    loaded = ann_index.load_pq_index(spark, path)
+    assert loaded.codes.count() == vecs.count()
+
+    queries = vecs.limit(3)
+    served = ann_index.knn_from_index(
+        loaded, vecs, queries, k=5, shortlist=30, n_probe=4
+    )
+    # parity target: identical artifacts, whole corpus encoded in one go
+    full = knn_pq_rerank(
+        vecs, queries, idx.codebooks, k=5, shortlist=30,
+        centroids=idx.centroids, n_probe=4,
+        codes_df=pq_encode(vecs, idx.codebooks, centroids=idx.centroids),
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    # replayed append is idempotent (at-least-once safe)
+    rep2 = ann_index.append_to_pq_index(spark, path, odd, batch_id=1)
+    assert rep2 == rep
+    assert ann_index.load_pq_index(spark, path).codes.count() == vecs.count()
+
+    # auto-assign continues; a reused-but-never-committed id is refused
+    rep3 = ann_index.append_to_pq_index(spark, path, odd.limit(5))
+    assert rep3["batch_id"] == 2
+    with pytest.raises(ValueError, match="neither a new batch"):
+        ann_index.append_to_pq_index(spark, path, odd.limit(5), batch_id=0)
+
+    # a wrong-dimension batch refuses before any executor work
+    bad = spark.createDataFrame(
+        [(9999, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        ann_index.append_to_pq_index(spark, path, bad)
+
+    # a batch of FOREIGN codes smuggled into codes_append refuses at load
+    # (same schema-only stamp check as the base codes)
+    other_cents = train_ivf_centroids(
+        vecs, n_cells=4, iters=0, sample_fraction=1.0
+    )
+    other_cb = train_pq_codebooks(
+        vecs, m=8, n_codes=8, iters=0, sample_fraction=1.0,
+        centroids=other_cents,
+    )
+    foreign = pq_encode(odd.limit(5), other_cb, centroids=other_cents)
+    foreign.write.mode("overwrite").parquet(f"{path}/codes_append/batch=3")
+    with pytest.raises(ValueError, match="foreign or stale"):
+        ann_index.load_pq_index(spark, path)
+
+    # a fresh save clears append history: the index IS the save again
+    ann_index.save_pq_index(idx, path)
+    assert ann_index.load_pq_index(spark, path).codes.count() == even.count()
+
+
 def test_index_load_refuses_mismatched_artifacts(spark, vecs, tmp_path):
     idx = ann_index.build_pq_index(
         vecs, m=8, n_codes=8, n_cells=8, iters=1, sample_fraction=1.0

@@ -73,7 +73,7 @@ def test_curation_end_to_end(spark, sf_dir, tmp_path):
     rep_df = curation_report_df(spark, report)
     assert rep_df.columns == [
         "stage_no", "stage", "rows_in", "rows_out", "dropped", "drop_pct",
-        "sec",
+        "sec", "note",
     ]
     got = {r.stage: r for r in rep_df.collect()}
     assert [r.stage for r in rep_df.orderBy("stage_no").collect()] == names
@@ -210,6 +210,79 @@ def test_curation_semantic_neardup_stage(spark, sf_dir):
     by = {s["stage"]: s for s in rep["stages"]}
     # each planted (orig, copy) embedding pair loses exactly one member
     assert by["neardup_dedup"]["dropped"] >= 10
+
+
+def test_curation_semdedup_reuses_prebuilt_centroids(spark, sf_dir, tmp_path):
+    # round-7: repeated curation runs reuse a trained/persisted centroid
+    # artifact instead of re-deriving cells per run — via a direct
+    # DataFrame (semdedup_centroids=) or a persisted IVF index
+    # (cfg.semdedup_index_path, validated load). Identical centroids ⇒
+    # identical stage decisions, and the report names the artifact used.
+    import pytest
+
+    from pulfa_sausage_factory_spark.operators import ann_index
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        curation_report_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(120).select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").limit(120).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    ).localCheckpoint()
+
+    idx = ann_index.build_pq_index(
+        emb, m=8, n_codes=8, n_cells=8, iters=1, sample_fraction=1.0
+    )
+    path = str(tmp_path / "sem_idx")
+    ann_index.save_pq_index(idx, path)
+
+    base = dict(min_quality=0.0, neardup_method="semantic",
+                semdedup_threshold=0.95, semdedup_cells=8)
+    rep_idx = run_curation(
+        spark, docs, CurationConfig(**base, semdedup_index_path=path),
+        embeddings=emb,
+    )
+    rep_pre = run_curation(
+        spark, docs, CurationConfig(**base), embeddings=emb,
+        semdedup_centroids=idx.centroids,
+    )
+    # same centroids through either door ⇒ bit-identical stage decisions
+    strip = lambda rep: [  # noqa: E731
+        {k: v for k, v in s.items() if k not in ("sec", "note")}
+        for s in rep["stages"]
+    ]
+    assert strip(rep_idx) == strip(rep_pre)
+    assert rep_idx["output_rows"] == rep_pre["output_rows"]
+
+    # provenance lands in the queryable report
+    note_idx = {
+        r.stage: r.note for r in curation_report_df(spark, rep_idx).collect()
+    }["neardup_dedup"]
+    assert note_idx == f"centroids=index:{path}"
+    note_pre = {
+        r.stage: r.note for r in curation_report_df(spark, rep_pre).collect()
+    }["neardup_dedup"]
+    assert note_pre == "centroids=prebuilt"
+
+    # two centroid sources at once is ambiguous — refuse
+    with pytest.raises(ValueError, match="not both"):
+        run_curation(
+            spark, docs, CurationConfig(**base, semdedup_index_path=path),
+            embeddings=emb, semdedup_centroids=idx.centroids,
+        )
+    # a FLAT index has no coarse centroids to reuse — refuse loudly
+    flat = ann_index.build_pq_index(
+        emb, m=8, n_codes=8, n_cells=None, iters=1, sample_fraction=1.0
+    )
+    flat_path = str(tmp_path / "flat_idx")
+    ann_index.save_pq_index(flat, flat_path)
+    with pytest.raises(ValueError, match="FLAT"):
+        run_curation(
+            spark, docs,
+            CurationConfig(**base, semdedup_index_path=flat_path),
+            embeddings=emb,
+        )
 
 
 def test_curation_dsir_stage(spark, sf_dir):

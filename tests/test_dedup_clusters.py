@@ -254,6 +254,21 @@ def test_spread_for_arrow_guard_semantics(spark):
         == target
     )
 
+    # expression text can never match operator names (round-7 ADVICE fix:
+    # the guard walks plan-node names now, not the stringified plan — a
+    # column aliased 'Join'/'Sort' printed as 'Project [id AS Join#12]'
+    # used to regex-match the shuffle bail and silently skip the spread
+    # for a genuinely collapsed plan)
+    tricky = (
+        spark.range(1000)
+        .coalesce(1)
+        .select(F.col("id").alias("Join"), (F.col("id") % 3).alias("Sort"))
+    )
+    assert (
+        _spread_for_arrow(tricky, min_bytes=0).rdd.getNumPartitions()
+        == target
+    )
+
     # limit-rooted narrow plans are KNOWN-collapsed (GlobalLimit runs on
     # one partition): no .rdd probe (that would execute the limit twice),
     # straight to the size floor — big limits spread, tiny ones stay

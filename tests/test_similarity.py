@@ -477,8 +477,17 @@ def test_pq_codebook_grid_validation(spark, sf_dir):
     sparse = good.filter(~((F.col("sub") == 3) & (F.col("code") == 2)))
     with pytest.raises(ValueError, match="dense"):
         pq_encode(emb.limit(10), sparse)
-    with pytest.raises(ValueError, match="dense"):
+    # codes stamped by a DIFFERENT codebook now refuse on the carried
+    # fingerprint first (round-7 — the more precise diagnosis: these codes
+    # belong to another codebook, densifying `sparse` wouldn't fix it)...
+    with pytest.raises(ValueError, match="carries codebook stamp"):
         knn_pq_adc(pq_encode(emb.limit(10), good), emb.limit(2), sparse)
+    # ...while an UNSTAMPED codes table still hits the dense-grid guard
+    unstamped = pq_encode(emb.limit(10), good).select(
+        "id", F.transform("codes", lambda x: x).alias("codes")
+    )
+    with pytest.raises(ValueError, match="dense"):
+        knn_pq_adc(unstamped, emb.limit(2), sparse)
     # the dense codebook passes through both consumers
     assert knn_pq_adc(
         pq_encode(emb.limit(30), good), emb.limit(2), good, k=3
