@@ -221,8 +221,11 @@ def main() -> None:
         sample_fraction=min(1.0, max(0.05, 20_000 / n)),
         centroids=cents_sug,
     ).localCheckpoint()
+    # arrow twin for the corpus encode: at √n cells the expr assignment is
+    # |corpus| × n_cells interpreted cosines (≈90M at amp=100); the fused
+    # numpy path is the documented scale mode and is pinned ≡ expr
     codes_sug = similarity.pq_encode(
-        corpus, cb_sug, centroids=cents_sug
+        corpus, cb_sug, centroids=cents_sug, assign_impl="arrow"
     ).localCheckpoint()
     configs.append((
         f"knn_ivf_pq RESIDUAL AUTO cells={sug['n_cells']} "

@@ -586,3 +586,29 @@ def test_documented_ann_configs_reach_recall_floor(spark):
             centroids=cents, n_probe=8, codes_df=codes_res,
         )
     ) >= 0.9
+    # round 7 — the suggest_ann_config default (cells=√n=70, nprobe=17,
+    # same ¼ probe fraction) beats the hand-set cells=16 IVFADC row AND
+    # full-scan ADC on this corpus (documented 0.416 > 0.370 > 0.358) —
+    # the untuned config is the best composed-path row in RECALL.md
+    from pulfa_sausage_factory_spark.operators.similarity import (
+        suggest_ann_config,
+    )
+
+    sug = suggest_ann_config(corpus.count())
+    cents_sug = train_ivf_centroids(
+        corpus, n_cells=sug["n_cells"], iters=3, sample_fraction=1.0
+    )
+    cb_sug = train_pq_codebooks(
+        corpus, m=8, n_codes=256, iters=2, sample_fraction=1.0,
+        centroids=cents_sug,
+    )
+    ivfadc_auto = recall(
+        knn_ivf_pq(
+            corpus, queries, cb_sug, k=10, n_probe=sug["n_probe"],
+            centroids=cents_sug,
+            codes_df=pq_encode(
+                corpus, cb_sug, centroids=cents_sug, assign_impl="arrow"
+            ),
+        )
+    )
+    assert ivfadc_auto > ivfadc4 > adc_full, (ivfadc_auto, ivfadc4, adc_full)
