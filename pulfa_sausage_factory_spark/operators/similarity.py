@@ -271,7 +271,7 @@ def train_ivf_centroids(
 
 def semdedup(
     corpus: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
     id_col: str = "vec_id",
@@ -305,6 +305,8 @@ def semdedup(
     ``n_cells`` grows ~√n (the paper uses 50k clusters for LAION-scale),
     holding cell populations bounded, and both join sides shuffle once on
     ``cell_id`` (co-partitioned). No all-pairs path exists.
+    ``n_cells="auto"`` applies the √n rule via ``suggest_ann_config``
+    (one corpus count) instead of a hand-tuned constant.
 
     ``impl`` selects the pair stage only (assignment/ranking are identical
     expressions either way): ``"expr"`` (default) evaluates pair cosines as
@@ -323,6 +325,11 @@ def semdedup(
         raise ValueError(f"keep must be low_centroid_sim|high_centroid_sim, got {keep!r}")
     if impl not in ("expr", "arrow"):
         raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
+    if n_cells == "auto" and centroids is None:
+        # the paper's cells ~ √n rule (50k clusters at LAION scale) via
+        # the shared sizing helper — keeps within-cell quadratics bounded
+        # as the corpus grows without a hand-tuned constant
+        n_cells = suggest_ann_config(corpus.count())["n_cells"]
     if centroids is None:
         centroids = (
             corpus.orderBy(id_col)
@@ -1161,10 +1168,17 @@ def knn_ivf_pq(
         )
     else:
         probe = q.select("query_id", "cell_id").withColumn("qc", F.lit(0.0))
-    probe_lut = probe.join(lut, "query_id")
+    # TWO small broadcasts, not one pre-joined big one (round-7): the
+    # probe map is (query, cell, scalar) — tiny at any n_probe — while
+    # the LUT is m × n_codes doubles PER QUERY; pre-joining them
+    # replicated each query's LUT n_probe× into the broadcast (at the
+    # suggest_ann_config default, n_probe ~ √n/4, a ~100× inflation at
+    # stress scale). Joining the LUT by query_id after the cell equi-join
+    # broadcasts exactly one LUT per query.
     scored = (
-        coded.join(F.broadcast(probe_lut), "cell_id")
+        coded.join(F.broadcast(probe), "cell_id")
         .filter(F.col("query_id") != F.col("id"))
+        .join(F.broadcast(lut), "query_id")
         .withColumn("score", F.col("qc") + _adc_score(m))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id"))

@@ -70,6 +70,13 @@ class EadPipelineConfig:
     #: monotonicity and refuses reused never-journaled ids)
     journal_dir: str | None = None
     run_id: int | None = None
+    #: fold journal history into a HEAD snapshot after publishing once the
+    #: journal holds more than this many run partitions (None = never):
+    #: long-horizon deployments keep prior-state reads bounded without a
+    #: separate maintenance job. Replays below the compaction horizon are
+    #: refused by the journal, so set this above any replay window the
+    #: incremental driver needs.
+    journal_compact_after_runs: int | None = None
 
     def stage_dir(self, name: str) -> str:
         return os.path.join(self.work_dir, "checkpoints", name)
@@ -386,4 +393,21 @@ def run_pipeline(spark: SparkSession, eads_root: str, cfg: EadPipelineConfig) ->
             report.update(
                 journal_publish(spark, outs, cfg.journal_dir, cfg.run_id)
             )
+            if cfg.journal_compact_after_runs is not None:
+                from ..streaming.incremental import (
+                    _attempted_runs,
+                    _journal_horizon,
+                    compact_journal,
+                )
+
+                horizon = _journal_horizon(spark, cfg.journal_dir)
+                live = _attempted_runs(spark, cfg.journal_dir, horizon)
+                if len(live) > cfg.journal_compact_after_runs:
+                    # fold everything STRICTLY BEFORE the run just
+                    # published — the newest run stays replayable for the
+                    # at-least-once incremental driver
+                    report["journal_compaction"] = compact_journal(
+                        spark, cfg.journal_dir,
+                        up_to_run=report["run_id"] - 1,
+                    )
     return report

@@ -325,11 +325,12 @@ def main() -> None:
         print(f"# pq_index_stress FAILED — {exc}", file=sys.stderr)
 
     # SemDeDup at amplified scale: cell count grows with the corpus (the
-    # paper's √n-ish rule) so within-cell quadratics stay bounded
+    # paper's √n rule, sized by suggest_ann_config via n_cells="auto")
+    # so within-cell quadratics stay bounded
     run(
         "semdedup",
         lambda: similarity.semdedup(
-            emb_amp, n_cells=max(32, 4 * amp), threshold=0.95, impl="arrow"
+            emb_amp, n_cells="auto", threshold=0.95, impl="arrow"
         ).filter(F.col("removed")),
     )
     # DSIR selection over the amplified corpus against a small target —

@@ -129,3 +129,30 @@ def test_pipeline_journals_published_outputs(spark, tmp_path):
     # both output families are journaled
     assert any("/mets/" in r.path for r in rows)
     assert any("/eads_updated/" in r.path for r in rows)
+
+    # round-7: in-pipeline journal upkeep — once the journal holds more
+    # than N run partitions, the publish leg folds history STRICTLY
+    # BEFORE the just-published run into the HEAD snapshot (the newest
+    # run stays replayable for the at-least-once driver)
+    cfg.run_id = 3
+    cfg.journal_compact_after_runs = 2
+    rep3 = ead_pipeline.run_pipeline(spark, str(eads_root), cfg)
+    assert rep3["journal_compaction"]["horizon"] == 2
+    # manifest state is unchanged by compaction: same paths at the same
+    # HEAD digests (runs 2/3 were no-ops, so HEAD rows still cite run 1)
+    after = {
+        (r.path, r.digest, r.run_id)
+        for r in incremental.published_manifest(
+            spark, cfg.journal_dir
+        ).collect()
+    }
+    assert after == {(r.path, r.digest, r.run_id) for r in rows}
+    # the just-published run replays fine; a compacted-away run refuses
+    cfg.journal_compact_after_runs = None
+    rep3b = ead_pipeline.run_pipeline(spark, str(eads_root), cfg)
+    assert rep3b["published"] == rep3["published"] == 0
+    import pytest as _pytest
+
+    cfg.run_id = 1
+    with _pytest.raises(ValueError, match="compaction horizon"):
+        ead_pipeline.run_pipeline(spark, str(eads_root), cfg)

@@ -197,6 +197,23 @@ def test_semdedup_keep_modes_and_plan(spark, sf_dir):
         semdedup(emb, keep="nope")
 
 
+def test_semdedup_auto_cells(spark, sf_dir):
+    # n_cells="auto" = the √n rule via suggest_ann_config (round 7) —
+    # identical verdicts to passing isqrt(n) explicitly (with centroids=
+    # supplied, n_cells is ignored either way: their count IS the cells)
+    import math
+
+    from pulfa_sausage_factory_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(150).localCheckpoint()
+    n = emb.count()
+    auto = semdedup(emb, n_cells="auto", threshold=0.9).collect()
+    explicit = semdedup(
+        emb, n_cells=max(4, math.isqrt(n)), threshold=0.9
+    ).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
+
+
 def test_semdedup_trained_centroids_compose(spark, sf_dir):
     # trained cells plug into the same pruning plan; every vector still gets
     # exactly one verdict row and removal stays deterministic across runs
