@@ -138,6 +138,24 @@ def test_residual_scores_track_true_inner_product(vecs, cents, cb_res):
     assert res_err < raw_err, (res_err, raw_err)
 
 
+def test_serve_plan_shape(spark, vecs, cents, cb_res):
+    # the IVFADC serve plan's scale contract (round-7 pin): the corpus-
+    # side pass joins the coded table against TWO SEPARATE small
+    # broadcasts — the probe map (query, cell, scalar) and one LUT row
+    # per query — never a pre-joined probe×LUT table (which replicated
+    # each LUT n_probe×) and never a shuffled/cartesian join (the coded
+    # corpus must not reshuffle to meet KB-sized query state).
+    from pulfa_sausage_factory_spark import plans
+
+    codes = pq_encode(vecs, cb_res, centroids=cents)
+    served = knn_ivf_pq(
+        vecs, vecs.limit(3), cb_res, k=5, n_probe=4, centroids=cents,
+        codes_df=codes,
+    )
+    plans.assert_no_cartesian(served)
+    plans.assert_broadcast_join(served, at_least=2)
+
+
 def test_index_roundtrip_and_serve_from_disk(spark, vecs, tmp_path):
     idx = ann_index.build_pq_index(
         vecs, m=8, n_codes=8, n_cells=8, iters=1, sample_fraction=1.0
