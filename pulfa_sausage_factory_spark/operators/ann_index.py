@@ -343,6 +343,12 @@ def append_to_pq_index(
     had included the batch (encode is deterministic given the artifacts —
     pinned by test).
 
+    Serving contract: pass the GROWN corpus (build rows ∪ appended rows)
+    to ``knn_from_index`` — the exact-rerank stage fetches raw vectors by
+    inner join on candidate id, so appended candidates missing from the
+    corpus argument are silently dropped from the top-k (the shortlist
+    stage itself reads only the index's codes and needs no raw vectors).
+
     Same replay discipline as the publish journal / ingest ledger:
     ``batch_id=None`` auto-assigns max committed + 1; an explicit id must
     be new (> every existing batch) or an existing id (a replay — the
@@ -412,7 +418,10 @@ def knn_from_index(
     is residual, full-scan ADC otherwise) → exact cosine rerank. ``corpus``
     supplies raw vectors ONLY for the output-sensitive rerank fetch
     (queries × shortlist rows) — the corpus-wide pass reads the index's
-    m-byte codes, which is the point of persisting them.
+    m-byte codes, which is the point of persisting them. With an
+    APPENDED index (``append_to_pq_index``), ``corpus`` must cover the
+    appended rows too: the rerank fetch inner-joins candidate ids against
+    it, so ids the corpus argument lacks drop out of the top-k silently.
 
     Column names default to what the index was BUILT with (carried in the
     manifest) — pass overrides only when the serving corpus is a renamed
