@@ -403,15 +403,17 @@ def main() -> None:
         # the r6 headline question (+1.7% r5->r6 on unchanged plans),
         # investigated round 7: extras run strictly AFTER the timed
         # headline loops in pinned order (always have), ruling out the
-        # x3s disk-pressure hypothesis; two identical-code invocations in
-        # one r7 session measured 7.506 vs 7.736 s (+-3%), so round-over-
-        # round headline deltas below ~5% are host CPU-steal, not plan
-        # changes — compare per-query values within one invocation only
-        # (the round-3 gotcha, now quantified).
+        # x3s disk-pressure hypothesis; three near-identical-code
+        # invocations in one r7 session measured 7.506 / 7.736 / 8.399 s
+        # with every query moving together, so round-over-round headline
+        # deltas under ~10% are host CPU-steal, not plan changes —
+        # compare per-query values within one invocation only (the
+        # round-3 gotcha, now quantified).
         "variance_note": (
-            "headline value carries +-3-5% host CPU-steal between "
-            "identical-code invocations (r7 back-to-back: 7.506 vs "
-            "7.736 s); sub-5% round-over-round drift is noise"
+            "headline value carries up to ~12% host CPU-steal spread "
+            "between identical-code invocations (r7 same-session runs: "
+            "7.506 / 7.736 / 8.399 s); sub-10% round-over-round drift "
+            "is noise"
         ),
     }
     if errors:

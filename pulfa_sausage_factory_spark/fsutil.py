@@ -110,12 +110,22 @@ def qualified_uri(spark: SparkSession, path: str) -> str:
 def parquet_file_count(spark: SparkSession, path: str) -> int:
     """Recursive count of ``*.parquet`` data files under ``path`` (the
     FS-portable twin of ``sinks.layout.parquet_file_count``)."""
+    return parquet_usage(spark, path)[0]
+
+
+def parquet_usage(spark: SparkSession, path: str) -> tuple[int, int]:
+    """``(n_files, n_bytes)`` of the ``*.parquet`` data files under
+    ``path``, recursively — artifact-size reporting from the FileSystem
+    LISTING alone, so corpus-sized tables are never scanned to answer
+    "how big is this"."""
     fs, p = _fs_path(spark, path)
     if not fs.exists(p):
-        return 0
-    n = 0
+        return 0, 0
+    n = b = 0
     it = fs.listFiles(p, True)
     while it.hasNext():
-        if it.next().getPath().getName().endswith(".parquet"):
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
             n += 1
-    return n
+            b += int(st.getLen())
+    return n, b

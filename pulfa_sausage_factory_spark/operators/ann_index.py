@@ -403,6 +403,59 @@ def append_to_pq_index(
     return {"batch_id": int(batch_id), "rows": n}
 
 
+def pq_index_report(spark: SparkSession, path: str) -> DataFrame:
+    """Artifact-level report of a persisted index as a small queryable
+    DataFrame — the ``curation_report_df`` convention applied to the ANN
+    surface: one row per artifact (manifest, codebooks, centroids, the
+    corpus-sized codes table, every append batch) with parquet file
+    count + bytes from the FileSystem LISTING (nothing is scanned — at
+    100 TB "how big is my index, which append batches are live" must not
+    cost a codes pass). ``committed`` is False for an append batch whose
+    job-commit marker is missing (a killed append awaiting replay —
+    loads skip it). ``detail`` carries the manifest JSON on the ``meta``
+    row so config questions are answerable from the same frame.
+
+    Works on any readable index dir; raises only when no manifest exists
+    (not an index)."""
+    from pulfa_sausage_factory_spark import fsutil
+    from pulfa_sausage_factory_spark.io import read_parquet_state
+
+    base = path.rstrip("/")
+    meta_df = read_parquet_state(spark, f"{base}/meta")
+    if meta_df is None:
+        raise ValueError(
+            f"pq_index_report: no index manifest at {base}/meta — not an "
+            "index dir, or a save was killed before the manifest write"
+        )
+    meta_json = meta_df.limit(1).collect()[0].meta_json
+    rows = []
+
+    def add(artifact, sub, committed=True, detail=""):
+        n, b = fsutil.parquet_usage(spark, f"{base}/{sub}")
+        if n or committed is False:
+            rows.append((artifact, n, b, committed, detail))
+
+    add("meta", "meta", detail=meta_json)
+    add("codebooks", "codebooks")
+    add("centroids", "centroids")
+    add("codes", "codes")
+    for name in fsutil.child_names(spark, f"{base}/codes_append"):
+        if not name.startswith("batch="):
+            continue
+        add(
+            f"codes_append/{name}",
+            f"codes_append/{name}",
+            committed=fsutil.exists(
+                spark, f"{base}/codes_append/{name}/_SUCCESS"
+            ),
+        )
+    return spark.createDataFrame(
+        rows,
+        "artifact string, files int, bytes long, committed boolean, "
+        "detail string",
+    )
+
+
 def knn_from_index(
     index: PQIndex,
     corpus: DataFrame,

@@ -369,6 +369,42 @@ def test_append_to_pq_index(spark, vecs, tmp_path):
     assert ann_index.load_pq_index(spark, path).codes.count() == even.count()
 
 
+def test_pq_index_report(spark, vecs, tmp_path):
+    # the curation_report_df convention on the ANN surface: artifact
+    # sizes from the FS listing only (no codes scan), append batches with
+    # their commit state, manifest JSON on the meta row.
+    import json
+
+    idx = ann_index.build_pq_index(
+        vecs, m=8, n_codes=8, n_cells=8, iters=1, sample_fraction=1.0
+    )
+    path = str(tmp_path / "rep_idx")
+    ann_index.save_pq_index(idx, path)
+    ann_index.append_to_pq_index(spark, path, vecs.limit(7))
+    # fabricate a KILLED append: batch dir without the job-commit marker
+    import os
+    import shutil
+
+    src = f"{path}/codes_append/batch=1"
+    dst = f"{path}/codes_append/batch=2"
+    shutil.copytree(src, dst)
+    os.remove(f"{dst}/_SUCCESS")
+
+    rep = {r.artifact: r for r in ann_index.pq_index_report(spark, path).collect()}
+    assert {"meta", "codebooks", "centroids", "codes",
+            "codes_append/batch=1", "codes_append/batch=2"} <= set(rep)
+    assert json.loads(rep["meta"].detail)["n_cells"] == 8
+    assert rep["codes"].files >= 1 and rep["codes"].bytes > 0
+    assert rep["codes_append/batch=1"].committed is True
+    assert rep["codes_append/batch=2"].committed is False
+    # the uncommitted batch is exactly what load skips
+    assert ann_index.load_pq_index(spark, path).codes.count() == (
+        vecs.count() + 7
+    )
+    with pytest.raises(ValueError, match="manifest"):
+        ann_index.pq_index_report(spark, str(tmp_path / "nope"))
+
+
 def test_index_load_refuses_mismatched_artifacts(spark, vecs, tmp_path):
     idx = ann_index.build_pq_index(
         vecs, m=8, n_codes=8, n_cells=8, iters=1, sample_fraction=1.0
