@@ -151,6 +151,15 @@ def run_curation(
     mismatched pairing raises inside the gate instead of silently scoring
     garbage."""
     tcol, icol = cfg.text_col, cfg.id_col
+    if cfg.neardup_method != "semantic" and (
+        semdedup_centroids is not None or cfg.semdedup_index_path is not None
+    ):
+        raise ValueError(
+            "semdedup centroids were supplied (semdedup_centroids= / "
+            f"cfg.semdedup_index_path) but neardup_method="
+            f"{cfg.neardup_method!r} — the artifact would be silently "
+            'unused; set neardup_method="semantic" or drop the centroids'
+        )
     stages: list[dict] = []
     prev_ckpt: DataFrame | None = None
     prev_rows: int | None = None

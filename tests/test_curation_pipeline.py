@@ -265,6 +265,13 @@ def test_curation_semdedup_reuses_prebuilt_centroids(spark, sf_dir, tmp_path):
     }["neardup_dedup"]
     assert note_pre == "centroids=prebuilt"
 
+    # centroids with a non-semantic method would be silently unused — refuse
+    with pytest.raises(ValueError, match="silently unused"):
+        run_curation(
+            spark, docs,
+            CurationConfig(min_quality=0.0, neardup_method="minhash",
+                           semdedup_index_path=path),
+        )
     # two centroid sources at once is ambiguous — refuse
     with pytest.raises(ValueError, match="not both"):
         run_curation(
