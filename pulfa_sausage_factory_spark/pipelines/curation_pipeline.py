@@ -61,6 +61,14 @@ class CurationConfig:
     #: semdedup_centroids=.
     semdedup_index_path: str | None = None
     neardup_ledger: bool = False  # incremental ingest: cross-run MinHash dedup
+    #: incremental ingest: cross-run SEMANTIC dedup (SemDeDup's cosine rule
+    #: across batches AND runs). Requires ``semdedup_index_path`` — the
+    #: cells every batch assigns into must be the SAME trained centroids
+    #: forever, so they come from a persisted, validated index artifact,
+    #: never a per-batch derivation (drifting cells would silently miss
+    #: cross-run pairs). Admitted documents' in-engine embeddings persist
+    #: per cell (``semvecs/``); new batches compare within-cell only.
+    semantic_ledger: bool = False
     dsir_k: int | None = None  # DSIR target-matched selection (needs target=)
     dsir_dim: int = 8192
     keep_tiers: tuple[int, ...] | None = None  # CCNet tier gate (needs scores=)
@@ -478,6 +486,19 @@ def run_incremental_curation(
     doc — thousandths of corpus size, and the per-batch work is
     output-sensitive (bucket collisions), never a scan of old text.
 
+    With ``cfg.semantic_ledger`` on, the guarantee extends to SEMANTIC
+    near-duplicates (SemDeDup's cosine rule): admitted documents'
+    in-engine embeddings persist per coarse cell (``semvecs/``), and each
+    new batch — after the batch DAG's own within-batch SemDeDup — drops
+    docs whose embedding is ≥ ``cfg.semdedup_threshold`` cosine to ANY
+    previously admitted vector in the same cell. The cells are loaded
+    once per run from the persisted index at
+    ``cfg.semdedup_index_path`` (required — per-batch-derived cells
+    would drift between runs and silently miss cross-run pairs); the
+    comparison is an equi-join on ``cell_id``, so per-batch work is
+    bounded by cell population (√n cells at the index's auto sizing),
+    never a scan of all admitted vectors.
+
     Crash safety / exactly-once effect: ``foreachBatch`` is at-least-once
     (a batch killed mid-write REPLAYS on restart with the same batch id),
     so every state write goes to its batch's own hive partition dir
@@ -502,9 +523,16 @@ def run_incremental_curation(
     ckpt_dir = os.path.join(state_dir, "checkpoint")
     batches: list[dict] = []
 
+    # semantic ledger: the coarse cells are loaded ONCE per run from the
+    # persisted index (validated), not per micro-batch — and never derived
+    # from batch data, which would drift the cells between runs and
+    # silently miss cross-run pairs
+    sem_centroids = _load_semantic_centroids(spark, cfg)
+
     def batch_fn(lines: DataFrame, batch_id: int) -> None:
         batches.append(
-            _ingest_batch(spark, lines, batch_id, cfg, state_dir, sch)
+            _ingest_batch(spark, lines, batch_id, cfg, state_dir, sch,
+                          sem_centroids=sem_centroids)
         )
 
     (
@@ -522,6 +550,33 @@ def run_incremental_curation(
         "corpus_dir": os.path.join(state_dir, "corpus"),
         "ledger_dir": os.path.join(state_dir, "ledger"),
     }
+
+
+def _load_semantic_centroids(spark: SparkSession, cfg: CurationConfig):
+    """The semantic ledger's fixed coarse cells, from the persisted index
+    (``load_pq_index`` — full artifact cross-validation), checkpointed so
+    each micro-batch broadcasts a materialized small table instead of
+    re-reading parquet. None when the semantic ledger is off."""
+    if not cfg.semantic_ledger:
+        return None
+    if cfg.semdedup_index_path is None:
+        raise ValueError(
+            "cfg.semantic_ledger needs cfg.semdedup_index_path — cross-run "
+            "semantic dedup requires the SAME trained cells on every run, "
+            "so they must come from a persisted index artifact "
+            "(ann_index.build_pq_index + save_pq_index), not a per-batch "
+            "derivation"
+        )
+    from ..operators.ann_index import load_pq_index
+
+    idx = load_pq_index(spark, cfg.semdedup_index_path)
+    if idx.centroids is None:
+        raise ValueError(
+            f"semdedup_index_path={cfg.semdedup_index_path!r} is a FLAT "
+            "PQ index (no coarse centroids) — the semantic ledger needs "
+            "an IVF index (build_pq_index(n_cells=...))"
+        )
+    return idx.centroids.localCheckpoint()
 
 
 def _read_state(spark: SparkSession, path: str, exclude_batch: int):
@@ -547,10 +602,13 @@ def _ingest_batch(
     cfg: CurationConfig,
     state_dir: str,
     sch,
+    sem_centroids: DataFrame | None = None,
 ) -> dict:
     """One micro-batch of the incremental ingest (module-level so replay
     semantics are directly testable: calling it twice with the same
-    ``batch_id`` must be a no-op the second time modulo overwrites)."""
+    ``batch_id`` must be a no-op the second time modulo overwrites).
+    ``sem_centroids`` is the per-run preloaded cell table for the semantic
+    ledger; the direct-call (replay-test) path loads it on demand."""
     import os
 
     from pyspark.sql import types as T
@@ -558,6 +616,8 @@ def _ingest_batch(
     from ..operators.dedup import _minhash_sig_udf
     from ..sources.jsonl import CORRUPT_COL
 
+    if cfg.semantic_ledger and sem_centroids is None:
+        sem_centroids = _load_semantic_centroids(spark, cfg)
     full = T.StructType(
         list(sch.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
     )
@@ -566,6 +626,7 @@ def _ingest_batch(
     corpus_dir = os.path.join(state_dir, "corpus")
     sigs_dir = os.path.join(state_dir, "sigs")
     bands_dir = os.path.join(state_dir, "bands")
+    semvecs_dir = os.path.join(state_dir, "semvecs")
     num_hashes, n_bands = 32, 8
     rows_per_band = num_hashes // n_bands
     sig_udf = _minhash_sig_udf(num_hashes=num_hashes, n=3)
@@ -597,6 +658,7 @@ def _ingest_batch(
             spark, parsed, batch_id, cfg, sch,
             ledger_dir, corpus_dir, sigs_dir, bands_dir,
             sig_udf, _band_keys, _part, num_hashes,
+            semvecs_dir, sem_centroids,
         )
     finally:
         parsed.unpersist()
@@ -606,6 +668,7 @@ def _ingest_batch_body(
     spark, parsed, batch_id, cfg, sch,
     ledger_dir, corpus_dir, sigs_dir, bands_dir,
     sig_udf, _band_keys, _part, num_hashes,
+    semvecs_dir=None, sem_centroids=None,
 ) -> dict:
     from ..sources.jsonl import CORRUPT_COL
 
@@ -687,13 +750,76 @@ def _ingest_batch_body(
                 .distinct()
             )
             batch_d = batch_d.join(near, icol, "left_anti")
-    admitted = batch_d.localCheckpoint()  # read once, write 2-4x below
+    if cfg.semantic_ledger:
+        # SemDeDup's cosine rule across batches AND runs (the semantic
+        # analog of the MinHash leg above, same ordering: within-batch
+        # first — the batch DAG's keep-one-representative rule — then
+        # cross-batch against admitted state). Embeddings are derived
+        # in-engine (hashed_text_embedding at the centroids' dimension),
+        # so the ledger is self-contained; state rows are
+        # (cell_id, old_id, old_vec) and the cross-run comparison is an
+        # equi-join on cell_id — within-cell work only, bounded by the
+        # index's cell sizing (√n cells at the auto config), never a
+        # scan of all admitted vectors.
+        from ..functions.vectors import cosine, hashed_text_embedding
+        from ..operators.similarity import _assign_cells, semdedup
+
+        dim = len(sem_centroids.limit(1).collect()[0].cent)
+        emb = batch_d.select(
+            F.col(icol).alias("vec_id"),
+            hashed_text_embedding(F.col(tcol), dim=dim).alias("embedding"),
+        ).localCheckpoint()  # feeds the verdict AND the assignment below
+        verd = semdedup(
+            emb, centroids=sem_centroids,
+            threshold=cfg.semdedup_threshold, impl=cfg.semdedup_impl,
+        )
+        batch_d = batch_d.join(
+            verd.filter(F.col("removed")).select(F.col("id").alias(icol)),
+            icol, "left_anti",
+        )
+        # survivors' cells + vectors: reused for the cross-run check and
+        # persisted for future batches by _write_admitted
+        cur = _assign_cells(
+            emb.join(
+                batch_d.select(F.col(icol).alias("vec_id")),
+                "vec_id", "left_semi",
+            ),
+            sem_centroids, "vec_id", 1, "vec_id", "embedding",
+        )
+        old_vecs = _read_state(spark, semvecs_dir, batch_id)
+        if old_vecs is not None:
+            near_sem = (
+                cur.join(old_vecs, "cell_id")
+                .filter(
+                    cosine(F.col("v"), F.col("old_vec"))
+                    >= F.lit(cfg.semdedup_threshold)
+                )
+                .select(F.col("vec_id").alias(icol))
+                .distinct()
+            )
+            batch_d = batch_d.join(near_sem, icol, "left_anti")
+        batch_d = batch_d.join(
+            cur.select(
+                F.col("vec_id").alias(icol),
+                F.col("cell_id").alias("_semcell"),
+                F.col("v").alias("_semvec"),
+            ),
+            icol,
+        )
+        sem_emb_ckpt = emb  # released only after admitted materializes
+    else:
+        sem_emb_ckpt = None
+    admitted = batch_d.localCheckpoint()  # read once, write 2-5x below
     try:
         n_admit = _write_admitted(admitted, cfg, icol, _part,
                                   ledger_dir, corpus_dir, sigs_dir,
-                                  bands_dir, _band_keys)
+                                  bands_dir, _band_keys, semvecs_dir)
     finally:
         release_local_checkpoint(admitted)
+        if sem_emb_ckpt is not None:
+            # the eager checkpoint above is the last reader of the
+            # embedding blocks — release them now, not at driver GC
+            release_local_checkpoint(sem_emb_ckpt)
     return {
         "batch_id": batch_id,
         "corrupt_lines": n_corrupt,
@@ -704,11 +830,13 @@ def _ingest_batch_body(
 
 
 def _write_admitted(admitted, cfg, icol, _part, ledger_dir, corpus_dir,
-                    sigs_dir, bands_dir, _band_keys) -> int:
+                    sigs_dir, bands_dir, _band_keys,
+                    semvecs_dir=None) -> int:
     n_admit = admitted.count()
     admitted.select(F.col("_digest").alias("digest")).write.mode(
         "overwrite"
     ).parquet(_part(ledger_dir))
+    admitted_out = admitted
     if cfg.neardup_ledger:
         with_sig = admitted.filter(F.col("_sig").isNotNull())
         with_sig.select(
@@ -718,9 +846,16 @@ def _write_admitted(admitted, cfg, icol, _part, ledger_dir, corpus_dir,
             F.col(icol).alias("old_id"),
             F.explode(_band_keys("_sig")).alias("bucket"),
         ).write.mode("overwrite").parquet(_part(bands_dir))
-        admitted_out = admitted.drop("_sig")
-    else:
-        admitted_out = admitted
+        admitted_out = admitted_out.drop("_sig")
+    if cfg.semantic_ledger:
+        # the cell-bucketed vector state future batches compare against;
+        # same per-batch-partition overwrite discipline as every ledger
+        admitted.select(
+            F.col("_semcell").alias("cell_id"),
+            F.col(icol).alias("old_id"),
+            F.col("_semvec").alias("old_vec"),
+        ).write.mode("overwrite").parquet(_part(semvecs_dir))
+        admitted_out = admitted_out.drop("_semcell", "_semvec")
     admitted_out.drop("_digest").write.mode("overwrite").parquet(
         _part(corpus_dir)
     )
@@ -755,7 +890,7 @@ def compact_ingest_state(
     from .. import fsutil
 
     done: dict[str, tuple[int, int]] = {}
-    for sub in ("ledger", "sigs", "bands"):
+    for sub in ("ledger", "sigs", "bands", "semvecs"):
         path = state_dir.rstrip("/") + "/" + sub
         tmp, old = path + ".__compact__", path + ".__old__"
         # recover a prior killed swap FIRST — after a crash between the two

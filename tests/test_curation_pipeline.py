@@ -445,6 +445,122 @@ def test_incremental_curation_neardup_ledger(spark, tmp_path):
     assert ids2 == {1, 2, 11}
 
 
+def test_incremental_curation_semantic_ledger(spark, tmp_path):
+    # round-7: cross-run SEMANTIC dedup for the ingest loop — the SemDeDup
+    # cosine rule across batches AND runs, with cells fixed by a persisted
+    # index artifact (the round-7 reuse knob is REQUIRED here: per-batch
+    # derived cells would drift between runs and silently miss pairs).
+    # The index is trained on the SAME embedding family being ingested (a
+    # 4-vocabulary-family corpus — the deployment shape: build the index
+    # from the initial corpus, then ingest increments); measured cosines:
+    # near-copies 0.89–0.92, cross-family ≤ 0.25 — threshold 0.8 splits
+    # cleanly, and family cells keep near-copies co-assigned.
+    import json
+
+    import pytest
+
+    from pulfa_sausage_factory_spark.functions.vectors import (
+        hashed_text_embedding,
+    )
+    from pulfa_sausage_factory_spark.operators import ann_index
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        run_incremental_curation,
+    )
+
+    fams = {
+        0: ("river forest fox dog bank quiet green lazy jumps runs far "
+            "away tonight brown quick over then into the and by").split(),
+        1: ("archive letter aid princeton collection finding material box "
+            "folder series inventory manuscript curator shelf record").split(),
+        2: ("train engine track station signal platform carriage conductor "
+            "whistle timetable junction freight diesel steam rail").split(),
+        3: ("ocean coral reef tide wave current sail harbor anchor vessel "
+            "depth marine salt spray horizon").split(),
+    }
+
+    def doc(f, i):
+        w = fams[f]
+        rot = w[i % len(w):] + w[:i % len(w)]
+        return " ".join(rot[:14])
+
+    corpus = [(f * 100 + i, doc(f, i)) for f in fams for i in range(10)]
+    cdf = spark.createDataFrame(corpus, "vec_id long, text string").select(
+        "vec_id", hashed_text_embedding(F.col("text"), dim=64).alias("embedding")
+    ).localCheckpoint()
+    idx_path = str(tmp_path / "sem_ledger_idx")
+    ann_index.save_pq_index(
+        ann_index.build_pq_index(
+            cdf, m=8, n_codes=8, n_cells=4, iters=2, sample_fraction=1.0
+        ),
+        idx_path,
+    )
+
+    in_dir = tmp_path / "landing"
+    in_dir.mkdir()
+    state = str(tmp_path / "state")
+    cfg = CurationConfig(
+        min_quality=0.0, neardup_method="none",
+        semantic_ledger=True, semdedup_threshold=0.8,
+        semdedup_index_path=idx_path,
+    )
+
+    # the ledger refuses to run without the fixed-cell artifact
+    with pytest.raises(ValueError, match="semdedup_index_path"):
+        run_incremental_curation(
+            spark, str(in_dir), str(tmp_path / "s2"),
+            CurationConfig(min_quality=0.0, neardup_method="none",
+                           semantic_ledger=True),
+        )
+
+    def jl(doc_id, text):
+        return json.dumps({"doc_id": doc_id, "text": text})
+
+    # batch 1: one family-0 doc, one family-1 doc — both admitted
+    (in_dir / "b1.jsonl").write_text(
+        "\n".join([jl(1, doc(0, 3)), jl(2, doc(1, 0))])
+    )
+    rep1 = run_incremental_curation(spark, str(in_dir), state, cfg)
+    assert rep1["total_admitted"] == 2
+    ids1 = {r.doc_id for r in spark.read.parquet(rep1["corpus_dir"]).collect()}
+    assert ids1 == {1, 2}
+
+    # batch 2, separate RUN: doc 10 is a one-word near-copy of admitted
+    # doc 1 (cos 0.89 — different digest, minhash OFF: only the semantic
+    # ledger can drop it); doc 11 is a new family; docs 12/13 are a
+    # WITHIN-batch near-copy pair (cos 0.92) in a family the ledger has
+    # never seen — exactly one survives (the batch DAG's SemDeDup rule)
+    near1 = doc(0, 3).replace(doc(0, 3).split()[0], "altered", 1)
+    f2 = doc(2, 4)
+    near2 = f2.replace(f2.split()[2], "changed", 1)
+    (in_dir / "b2.jsonl").write_text(
+        "\n".join([jl(10, near1), jl(11, doc(3, 5)), jl(12, f2),
+                   jl(13, near2)])
+    )
+    rep2 = run_incremental_curation(spark, str(in_dir), state, cfg)
+    assert rep2["total_admitted"] == 2
+    ids2 = {r.doc_id for r in spark.read.parquet(rep1["corpus_dir"]).collect()}
+    assert {1, 2, 11} < ids2 and len(ids2) == 4
+    assert len(ids2 & {12, 13}) == 1
+
+    # the vector state is cell-bucketed with per-batch provenance
+    sem = spark.read.parquet(str(tmp_path / "state" / "semvecs"))
+    assert set(sem.columns) == {"cell_id", "old_id", "old_vec", "batch_id"}
+    assert {r.old_id for r in sem.collect()} == ids2
+
+    # full-idempotence: re-landing batch 2's exact content admits NOTHING
+    # — admitted docs die on the digest ledger, the semantically-removed
+    # twin dies on its admitted sibling's ledger vector, and doc 10 dies
+    # on doc 1's vector again
+    (in_dir / "b3.jsonl").write_text(
+        "\n".join([jl(10, near1), jl(11, doc(3, 5)), jl(12, f2),
+                   jl(13, near2)])
+    )
+    rep3 = run_incremental_curation(spark, str(in_dir), state, cfg)
+    assert rep3["total_admitted"] == 0
+    ids3 = {r.doc_id for r in spark.read.parquet(rep1["corpus_dir"]).collect()}
+    assert ids3 == ids2
+
+
 def test_compact_ingest_state(spark, tmp_path):
     import json
 
