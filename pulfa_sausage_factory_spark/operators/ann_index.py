@@ -385,6 +385,11 @@ def append_to_pq_index(
     existing = _append_batches(spark, base)
     if batch_id is None:
         batch_id = (max(existing) + 1) if existing else 1
+    elif batch_id < 0:
+        raise ValueError(
+            f"append_to_pq_index: batch_id={batch_id} is negative — "
+            "batch ids are non-negative"
+        )
     elif batch_id not in existing and existing and batch_id <= max(existing):
         raise ValueError(
             f"append_to_pq_index: batch_id={batch_id} is neither a new "

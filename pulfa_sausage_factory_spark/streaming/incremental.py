@@ -181,6 +181,12 @@ def journal_publish(
             # run does not consume a revision) — but never land at or
             # below the compaction horizon, whose priors are gone
             run_id = max(max_run + 1, horizon + 1)
+        elif run_id < 0:
+            raise ValueError(
+                f"journal_publish: run_id={run_id} is negative — run ids "
+                "are non-negative (streaming batch ids start at 0), and "
+                "-1 is the never-compacted horizon sentinel"
+            )
         elif run_id <= horizon:
             raise ValueError(
                 f"journal_publish: run_id={run_id} is at or below the "

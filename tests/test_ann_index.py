@@ -342,6 +342,8 @@ def test_append_to_pq_index(spark, vecs, tmp_path):
     assert rep3["batch_id"] == 2
     with pytest.raises(ValueError, match="neither a new batch"):
         ann_index.append_to_pq_index(spark, path, odd.limit(5), batch_id=0)
+    with pytest.raises(ValueError, match="negative"):
+        ann_index.append_to_pq_index(spark, path, odd.limit(5), batch_id=-1)
 
     # a wrong-dimension batch refuses before any executor work
     bad = spark.createDataFrame(

@@ -449,6 +449,11 @@ def test_publish_journal_accepts_run_zero_on_fresh_journal(spark, tmp_path):
     # auto-assign continues above it
     rep = incremental.journal_publish(spark, outs, jdir)
     assert rep == {"published": 0, "unchanged": 1, "run_id": 1}
+    # negative ids are nonsense (and -1 is the horizon sentinel) — refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="negative"):
+        incremental.journal_publish(spark, outs, jdir, run_id=-1)
 
 
 def test_compact_journal_bounds_reads_and_preserves_head(spark, tmp_path):
