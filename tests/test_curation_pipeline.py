@@ -560,6 +560,28 @@ def test_incremental_curation_semantic_ledger(spark, tmp_path):
     ids3 = {r.doc_id for r in spark.read.parquet(rep1["corpus_dir"]).collect()}
     assert ids3 == ids2
 
+    # BOTH near-dup ledgers composed in one config: the MinHash and
+    # semantic legs run in sequence over the same batch frame (shared
+    # write path, no column collisions), and a re-landed near-copy dies
+    # regardless of which leg catches it first
+    in2 = tmp_path / "landing2"
+    in2.mkdir()
+    (in2 / "c1.jsonl").write_text(
+        "\n".join([jl(1, doc(0, 3)), jl(2, doc(1, 0))])
+    )
+    cfg_both = CurationConfig(
+        min_quality=0.0, neardup_method="none",
+        neardup_ledger=True, neardup_threshold=0.5,
+        semantic_ledger=True, semdedup_threshold=0.8,
+        semdedup_index_path=idx_path,
+    )
+    state_both = str(tmp_path / "state_both")
+    rep = run_incremental_curation(spark, str(in2), state_both, cfg_both)
+    assert rep["total_admitted"] == 2
+    (in2 / "c2.jsonl").write_text(jl(20, near1))
+    rep = run_incremental_curation(spark, str(in2), state_both, cfg_both)
+    assert rep["total_admitted"] == 0
+
 
 def test_compact_ingest_state(spark, tmp_path):
     import json
