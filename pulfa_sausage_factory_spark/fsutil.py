@@ -107,6 +107,24 @@ def qualified_uri(spark: SparkSession, path: str) -> str:
     return fs.makeQualified(p).toString()
 
 
+def uri_key(uri: str) -> tuple[str, str, str] | None:
+    """Pure-Python normalization of an ALREADY-qualified URI to a
+    comparable ``(scheme, authority, path)`` key, or ``None`` when the
+    string carries no scheme (not qualified — the caller must resolve it
+    through :func:`qualified_uri`). Exists so under-this-base checks over
+    many file URIs (``df.inputFiles()`` returns them pre-qualified) cost
+    zero JVM round-trips per file: Hadoop's ``Path.toString`` prints the
+    local scheme as ``file:/x`` while ``inputFiles`` yields ``file:///x``,
+    and both normalize to the same key here (urlsplit collapses the
+    empty-authority forms)."""
+    from urllib.parse import urlsplit
+
+    s = urlsplit(uri)
+    if not s.scheme:
+        return None
+    return s.scheme, s.netloc, s.path
+
+
 def parquet_file_count(spark: SparkSession, path: str) -> int:
     """Recursive count of ``*.parquet`` data files under ``path`` (the
     FS-portable twin of ``sinks.layout.parquet_file_count``)."""

@@ -156,25 +156,32 @@ def save_pq_index(index: PQIndex, path: str) -> None:
     frames = [index.codebooks, index.codes] + (
         [index.centroids] if index.centroids is not None else []
     )
-    # both sides resolved through the Hadoop FileSystem to fully-qualified
-    # URIs and compared as path PREFIXES (round-7 ADVICE fix: the previous
-    # raw-substring match of '/<base>/' falsely refused a relative save
-    # path like 'idx' whenever any corpus file's absolute path contained a
-    # directory of that name)
-    qbase = fsutil.qualified_uri(spark, base).rstrip("/") + "/"
+    # both sides resolved to fully-qualified URIs and compared as path
+    # PREFIXES (round-7 ADVICE fix: the previous raw-substring match of
+    # '/<base>/' falsely refused a relative save path like 'idx' whenever
+    # any corpus file's absolute path contained a directory of that name).
+    # Only the BASE pays a JVM FileSystem round-trip; the inputFiles()
+    # URIs come back pre-qualified and normalize Python-side
+    # (fsutil.uri_key — round-8 ADVICE fix: per-file qualified_uri calls
+    # added one py4j round-trip per parquet file to every save).
+    bsch, bauth, bpath = fsutil.uri_key(fsutil.qualified_uri(spark, base))
+    bpath = bpath.rstrip("/") + "/"
     for df in frames:
         try:
             files = df.inputFiles()
         except Exception:  # non-file-based plan (freshly built index)
             continue
-        if any(
-            fsutil.qualified_uri(spark, f).startswith(qbase) for f in files
-        ):
-            raise ValueError(
-                f"save_pq_index: index reads from the target path {base} "
-                "— save to a different path, or materialize the frames "
-                "(localCheckpoint) before overwriting in place"
-            )
+        for f in files:
+            key = fsutil.uri_key(f)
+            if key is None:  # scheme-less entry — qualify just that one
+                key = fsutil.uri_key(fsutil.qualified_uri(spark, f))
+            if key[0] == bsch and key[1] == bauth and key[2].startswith(bpath):
+                raise ValueError(
+                    f"save_pq_index: index reads from the target path "
+                    f"{base} — save to a different path, or materialize "
+                    "the frames (localCheckpoint) before overwriting in "
+                    "place"
+                )
     # missing path is a no-op; a FAILED delete raises — proceeding with a
     # stale manifest in place would defeat the crash-ordering guarantee
     fsutil.delete(spark, f"{base}/meta")

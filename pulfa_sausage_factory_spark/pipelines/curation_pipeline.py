@@ -159,15 +159,27 @@ def run_curation(
     mismatched pairing raises inside the gate instead of silently scoring
     garbage."""
     tcol, icol = cfg.text_col, cfg.id_col
-    if cfg.neardup_method != "semantic" and (
-        semdedup_centroids is not None or cfg.semdedup_index_path is not None
-    ):
-        raise ValueError(
-            "semdedup centroids were supplied (semdedup_centroids= / "
-            f"cfg.semdedup_index_path) but neardup_method="
-            f"{cfg.neardup_method!r} — the artifact would be silently "
-            'unused; set neardup_method="semantic" or drop the centroids'
-        )
+    if cfg.neardup_method != "semantic":
+        if semdedup_centroids is not None:
+            raise ValueError(
+                "semdedup centroids were supplied (semdedup_centroids=) "
+                f"but neardup_method={cfg.neardup_method!r} — the artifact "
+                'would be silently unused; set neardup_method="semantic" '
+                "or drop the centroids"
+            )
+        # cfg.semdedup_index_path is NOT unused on a semantic-ledger
+        # config: run_incremental_curation requires it (the ledger's fixed
+        # cross-run cells) while ignoring neardup_method, and one config
+        # object legitimately serves both APIs (round-8 ADVICE fix —
+        # refusing here made such configs unshareable with the batch API)
+        if cfg.semdedup_index_path is not None and not cfg.semantic_ledger:
+            raise ValueError(
+                "cfg.semdedup_index_path is set but neardup_method="
+                f"{cfg.neardup_method!r} and the semantic ledger is off — "
+                "the artifact would be silently unused; set "
+                'neardup_method="semantic", enable cfg.semantic_ledger, '
+                "or drop the path"
+            )
     stages: list[dict] = []
     prev_ckpt: DataFrame | None = None
     prev_rows: int | None = None

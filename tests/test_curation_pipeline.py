@@ -272,6 +272,16 @@ def test_curation_semdedup_reuses_prebuilt_centroids(spark, sf_dir, tmp_path):
             CurationConfig(min_quality=0.0, neardup_method="minhash",
                            semdedup_index_path=path),
         )
+    # ...but a semantic-ledger config carries the path FOR the incremental
+    # API (which requires it while ignoring neardup_method), so sharing
+    # one config with the batch API must not trip the unused-artifact
+    # refusal (round-8 ADVICE fix)
+    rep_shared = run_curation(
+        spark, docs,
+        CurationConfig(min_quality=0.0, neardup_method="minhash",
+                       semdedup_index_path=path, semantic_ledger=True),
+    )
+    assert rep_shared["output_rows"] > 0
     # two centroid sources at once is ambiguous — refuse
     with pytest.raises(ValueError, match="not both"):
         run_curation(
