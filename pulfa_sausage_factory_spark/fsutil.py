@@ -86,6 +86,16 @@ def delete(spark: SparkSession, path: str) -> None:
         raise OSError(f"delete failed: {path}")
 
 
+def touch(spark: SparkSession, path: str) -> None:
+    """Create an empty file at ``path`` (parents created as needed),
+    overwriting any existing file — the marker-commit primitive:
+    ``statedir.write_snapshot`` re-creates a snapshot's ``_SUCCESS``
+    strictly AFTER the rename into place, so validity flips atomically
+    even where rename itself is copy+delete."""
+    fs, p = _fs_path(spark, path)
+    fs.create(p, True).close()
+
+
 def child_names(spark: SparkSession, path: str) -> list[str]:
     """Names (not full paths) of the immediate children of ``path``;
     ``[]`` when the path does not exist. The FS-portable ``os.listdir`` —

@@ -18,6 +18,16 @@ validates on load that the pieces belong together BEFORE any query runs
 codebooks carry a centroid fingerprint; the manifest carries everything).
 A mismatched or hand-edited index refuses to serve instead of silently
 scoring garbage.
+
+The codes table then LIVES: ``append_to_pq_index`` grows it batch-wise
+(``codes_append/batch=N``), ``remove_from_pq_index`` tombstones ids out
+of serving (``tombstones/batch=N`` — the takedown path), and
+``compact_pq_index`` folds base + appends − tombstones into a
+``codes_head/upto=N`` snapshot so load cost stays bounded however long
+the deployment appends. All three share the ``statedir`` crash-ordering
+discipline (job-commit markers for batch validity, marker-after-rename
+snapshots, fold-then-delete); the manifest is never rewritten after the
+initial save, so no lifecycle crash can brick a healthy index.
 """
 
 from __future__ import annotations
@@ -185,11 +195,14 @@ def save_pq_index(index: PQIndex, path: str) -> None:
     # missing path is a no-op; a FAILED delete raises — proceeding with a
     # stale manifest in place would defeat the crash-ordering guarantee
     fsutil.delete(spark, f"{base}/meta")
-    # a fresh save IS the complete index: stale append batches from a
-    # previous index at this path would otherwise ride along (valid if the
-    # rebuild is bit-identical, unloadable-loud if not — either way they
-    # are not part of what this save persists)
+    # a fresh save IS the complete index: stale append batches, tombstone
+    # batches, and compaction snapshots from a previous index at this path
+    # would otherwise ride along (valid if the rebuild is bit-identical,
+    # unloadable-loud if not — either way they are not part of what this
+    # save persists)
     fsutil.delete(spark, f"{base}/codes_append")
+    fsutil.delete(spark, f"{base}/tombstones")
+    fsutil.delete(spark, f"{base}/codes_head")
     index.codebooks.write.mode("overwrite").parquet(f"{base}/codebooks")
     # the codes table is the corpus-sized artifact; everything else is KBs
     index.codes.write.mode("overwrite").parquet(f"{base}/codes")
@@ -223,7 +236,15 @@ def load_pq_index(spark: SparkSession, path: str) -> PQIndex:
             f"supported {_FORMAT} — rebuild the index with this version"
         )
     codebooks = spark.read.parquet(f"{base}/codebooks")
-    codes = spark.read.parquet(f"{base}/codes")
+    # the codes base: the latest committed compaction snapshot when one
+    # exists (compact_pq_index folded base + appends − tombstones into
+    # it and deleted what it superseded), else the original build codes
+    horizon = _codes_horizon(spark, base)
+    codes_src = (
+        f"{base}/codes_head/upto={horizon}" if horizon >= 0
+        else f"{base}/codes"
+    )
+    codes = spark.read.parquet(codes_src)
 
     # grid + carried-config validation from ONE collect — the codebook
     # table is m × n_codes rows (KBs) and serve-session load latency is
@@ -261,14 +282,17 @@ def load_pq_index(spark: SparkSession, path: str) -> PQIndex:
                 f"are not the ones the manifest was written for "
                 f"({want_cb}) — mixed artifacts"
             )
-    _check_batch_stamp(codes, want_cb, f"{base}/codes")
+    _check_batch_stamp(codes, want_cb, codes_src)
 
     # incremental append batches (append_to_pq_index): each lives in its
     # own codes_append/batch=N dir; a batch is valid iff Spark's job
     # commit finished it (_SUCCESS marker) — a killed append is invisible
     # and its replay overwrites the partial dir. Batch stamps get the
-    # same schema-only validation as the base codes.
-    for bid in _append_batches(spark, base):
+    # same schema-only validation as the base codes. Batches at/below the
+    # compaction horizon are already inside the snapshot (debris from a
+    # crash between snapshot commit and deletion is excluded, not
+    # double-counted).
+    for bid in _append_batches(spark, base, horizon):
         bdir = f"{base}/codes_append/batch={bid}"
         batch = spark.read.parquet(bdir)
         _check_batch_stamp(batch, want_cb, bdir)
@@ -279,6 +303,17 @@ def load_pq_index(spark: SparkSession, path: str) -> PQIndex:
                 f"{codes.columns} — mixed artifacts"
             )
         codes = codes.unionByName(batch)
+
+    # tombstone deletes (remove_from_pq_index): live tombstones anti-join
+    # the assembled codes out of every serve — tombstone-sized and
+    # broadcastable, so the filter costs one small-side hash build, never
+    # a codes shuffle. compact_pq_index physically purges them later.
+    tomb_ids = _tombstone_batches(spark, base, horizon)
+    if tomb_ids:
+        tombs = spark.read.parquet(
+            *[f"{base}/tombstones/batch={t}" for t in tomb_ids]
+        ).select(F.col("id").cast(codes.schema["id"].dataType).alias("id"))
+        codes = codes.join(F.broadcast(tombs), "id", "left_anti")
 
     centroids = None
     if meta["residual"]:
@@ -312,24 +347,126 @@ def _check_batch_stamp(codes: DataFrame, want: str | None, where: str) -> None:
         )
 
 
-def _append_batches(spark: SparkSession, base: str) -> list[int]:
-    """COMMITTED append batch ids under ``base/codes_append`` (ascending).
-    Validity = Spark's own job-commit ``_SUCCESS`` marker: a batch dir
-    from a killed append has no marker and is skipped — the replay
-    overwrite repairs it."""
-    from pulfa_sausage_factory_spark import fsutil
+def _codes_horizon(spark: SparkSession, base: str) -> int:
+    """Compaction horizon of the index's codes log: max ``upto`` among
+    committed ``codes_head`` snapshots (``compact_pq_index``), ``-1``
+    when never compacted. Batches at or below it were folded into the
+    snapshot; dirs still present there are crash debris awaiting the
+    next compaction's sweep."""
+    from pulfa_sausage_factory_spark import statedir
 
-    out = []
-    for name in fsutil.child_names(spark, f"{base}/codes_append"):
-        if not name.startswith("batch="):
-            continue
-        try:
-            bid = int(name.split("=", 1)[1])
-        except ValueError:
-            continue
-        if fsutil.exists(spark, f"{base}/codes_append/{name}/_SUCCESS"):
-            out.append(bid)
-    return sorted(out)
+    return statedir.snapshot_horizon(spark, f"{base}/codes_head")
+
+
+def _append_batches(
+    spark: SparkSession, base: str, horizon: int | None = None
+) -> list[int]:
+    """COMMITTED append batch ids under ``base/codes_append`` above the
+    compaction horizon (ascending). Validity = Spark's own job-commit
+    ``_SUCCESS`` marker: a batch dir from a killed append has no marker
+    and is skipped — the replay overwrite repairs it."""
+    from pulfa_sausage_factory_spark import statedir
+
+    if horizon is None:
+        horizon = _codes_horizon(spark, base)
+    return sorted(
+        statedir.numbered_dirs(
+            spark, f"{base}/codes_append", "batch=",
+            committed_only=True, above=horizon,
+        )
+    )
+
+
+def _tombstone_batches(
+    spark: SparkSession, base: str, horizon: int | None = None
+) -> list[int]:
+    """COMMITTED tombstone batch ids under ``base/tombstones`` above the
+    compaction horizon (ascending) — same marker discipline as appends.
+    Tombstones and appends draw ids from ONE shared monotone sequence
+    (they are two entry types of the same logical write-ahead log), so a
+    compaction folding "everything committed" has a single well-defined
+    horizon across both."""
+    from pulfa_sausage_factory_spark import statedir
+
+    if horizon is None:
+        horizon = _codes_horizon(spark, base)
+    return sorted(
+        statedir.numbered_dirs(
+            spark, f"{base}/tombstones", "batch=",
+            committed_only=True, above=horizon,
+        )
+    )
+
+
+def _attempted_log_ids(
+    spark: SparkSession, base: str, horizon: int
+) -> tuple[set[int], set[int]]:
+    """``(attempted_append_ids, attempted_tombstone_ids)`` above the
+    horizon — directory EXISTENCE, not commit markers: the replay-
+    validation sets. A killed batch leaves a marker-less dir that still
+    proves its id was used, so an at-least-once redelivery must be
+    allowed to repair it rather than refused as a reuse (round-8 ADVICE
+    fix — validating replays against committed batches only stranded any
+    killed batch once a later id committed)."""
+    from pulfa_sausage_factory_spark import statedir
+
+    app = set(
+        statedir.numbered_dirs(
+            spark, f"{base}/codes_append", "batch=", above=horizon
+        )
+    )
+    tomb = set(
+        statedir.numbered_dirs(
+            spark, f"{base}/tombstones", "batch=", above=horizon
+        )
+    )
+    return app, tomb
+
+
+def _validate_log_batch_id(
+    batch_id: int | None,
+    horizon: int,
+    own_attempted: set[int],
+    other_attempted: set[int],
+    kind: str,
+    other_kind: str,
+) -> int:
+    """Shared id discipline for the index's append/tombstone log:
+    ``None`` auto-assigns the next id after every ATTEMPTED entry of
+    either kind (never reusing a killed batch's id for DIFFERENT rows —
+    its redelivery must still be able to repair it); an explicit id must
+    be new (> all attempted) or a replay of an attempted entry of the
+    SAME kind. Ids at/below the compaction horizon were folded into the
+    codes snapshot and cannot be replayed."""
+    attempted = own_attempted | other_attempted
+    if batch_id is None:
+        return max(max(attempted, default=0), horizon) + 1
+    if batch_id < 0:
+        raise ValueError(
+            f"{kind}: batch_id={batch_id} is negative — batch ids are "
+            "non-negative"
+        )
+    if batch_id <= horizon:
+        raise ValueError(
+            f"{kind}: batch_id={batch_id} is at or below the compaction "
+            f"horizon ({horizon}) — its rows were folded into the codes "
+            "snapshot, so a replay would silently duplicate (or re-drop) "
+            f"them; only ids > {horizon} are replayable"
+        )
+    if batch_id in other_attempted:
+        raise ValueError(
+            f"{kind}: batch_id={batch_id} is an attempted {other_kind} "
+            "batch — appends and tombstones share one id sequence, and "
+            "replaying an id as the other kind would corrupt the log"
+        )
+    if batch_id not in own_attempted and attempted and batch_id <= max(attempted):
+        raise ValueError(
+            f"{kind}: batch_id={batch_id} is neither a new batch "
+            f"(> {max(attempted)}) nor a replay of an attempted one "
+            f"({sorted(own_attempted)}) — a reused, never-attempted id "
+            "would silently shadow history"
+        )
+    return int(batch_id)
 
 
 def append_to_pq_index(
@@ -357,13 +494,18 @@ def append_to_pq_index(
     stage itself reads only the index's codes and needs no raw vectors).
 
     Same replay discipline as the publish journal / ingest ledger:
-    ``batch_id=None`` auto-assigns max committed + 1; an explicit id must
-    be new (> every existing batch) or an existing id (a replay — the
-    overwrite rewrites the same rows, at-least-once safe). A batch is
-    committed iff Spark's job-commit ``_SUCCESS`` marker landed, so a
-    killed append is invisible to loads and its replay repairs the dir —
-    the manifest is never rewritten, which keeps a crash here from ever
-    making a healthy index unloadable.
+    ``batch_id=None`` auto-assigns the next id after every ATTEMPTED log
+    entry (append or tombstone — one shared sequence); an explicit id
+    must be new (> every attempted id) or an ATTEMPTED append id (a
+    replay — the overwrite rewrites the same rows, at-least-once safe;
+    judging replays by directory existence rather than commit markers
+    means a killed batch stays repairable even after later batches
+    commit — round-8 ADVICE fix). Ids at/below the compaction horizon
+    (``compact_pq_index``) are refused: their rows live in the folded
+    snapshot. A batch is committed iff Spark's job-commit ``_SUCCESS``
+    marker landed, so a killed append is invisible to loads and its
+    replay repairs the dir — the manifest is never rewritten, which
+    keeps a crash here from ever making a healthy index unloadable.
 
     Drifted configs refuse loudly: ``load_pq_index`` cross-validates the
     artifacts first, ``pq_encode`` refuses mismatched codebook↔centroid
@@ -389,20 +531,12 @@ def append_to_pq_index(
                 f"vectors but the index was built for dim={dim} — these "
                 "cannot be encoded against its codebooks"
             )
-    existing = _append_batches(spark, base)
-    if batch_id is None:
-        batch_id = (max(existing) + 1) if existing else 1
-    elif batch_id < 0:
-        raise ValueError(
-            f"append_to_pq_index: batch_id={batch_id} is negative — "
-            "batch ids are non-negative"
-        )
-    elif batch_id not in existing and existing and batch_id <= max(existing):
-        raise ValueError(
-            f"append_to_pq_index: batch_id={batch_id} is neither a new "
-            f"batch (> {max(existing)}) nor a replay of a committed one "
-            f"({existing}) — a reused id would silently shadow history"
-        )
+    horizon = _codes_horizon(spark, base)
+    app_att, tomb_att = _attempted_log_ids(spark, base, horizon)
+    batch_id = _validate_log_batch_id(
+        batch_id, horizon, app_att, tomb_att,
+        "append_to_pq_index", "tombstone",
+    )
     codes = pq_encode(
         new_rows, index.codebooks, id_col=id_col, vec_col=vec_col,
         centroids=index.centroids, assign_impl=assign_impl,
@@ -413,6 +547,129 @@ def append_to_pq_index(
     codes.write.mode("overwrite").parquet(bdir)
     n = spark.read.parquet(bdir).count()
     return {"batch_id": int(batch_id), "rows": n}
+
+
+def remove_from_pq_index(
+    spark: SparkSession,
+    path: str,
+    ids,
+    batch_id: int | None = None,
+) -> dict:
+    """Tombstone deletes for a persisted index — the takedown half of the
+    lifecycle: curation and the ingest ledgers can drop documents, but
+    until round 8 a persisted index kept serving their ids forever.
+    ``ids`` (an iterable of ids, or a one-column DataFrame — tombstones
+    are takedown-sized, never corpus-sized) lands as
+    ``tombstones/batch=<id>``; ``load_pq_index`` anti-joins live
+    tombstones out of the assembled codes (broadcast — the codes table
+    never reshuffles), so a removed id can never reach a shortlist, and
+    ``compact_pq_index`` later purges the rows physically.
+
+    Append and tombstone batches share ONE monotone id sequence and the
+    same ``_SUCCESS``/attempted-dir replay discipline (``batch_id=None``
+    auto-assigns; explicit ids must be new or a replay of an attempted
+    tombstone batch; ids at/below the compaction horizon are refused —
+    the fold already applied them). Removing an id the index never held
+    is a harmless no-op (the anti-join matches nothing), same as
+    deleting an absent file.
+
+    Returns ``{"batch_id": id, "rows": n}``.
+    """
+    from pulfa_sausage_factory_spark import fsutil
+
+    base = path.rstrip("/")
+    index = load_pq_index(spark, path)  # artifact cross-validation first
+    id_type = index.codes.schema["id"].dataType
+    if isinstance(ids, DataFrame):
+        if len(ids.columns) != 1:
+            raise ValueError(
+                f"remove_from_pq_index: ids DataFrame has columns "
+                f"{ids.columns} — pass exactly one id column"
+            )
+        tomb = ids.select(F.col(ids.columns[0]).cast(id_type).alias("id"))
+    else:
+        tomb = spark.createDataFrame(
+            [(str(i),) for i in ids], "id string"
+        ).select(F.col("id").cast(id_type).alias("id"))
+    tomb = tomb.distinct()
+    horizon = _codes_horizon(spark, base)
+    app_att, tomb_att = _attempted_log_ids(spark, base, horizon)
+    batch_id = _validate_log_batch_id(
+        batch_id, horizon, tomb_att, app_att,
+        "remove_from_pq_index", "append",
+    )
+    bdir = f"{base}/tombstones/batch={int(batch_id)}"
+    fsutil.delete(spark, bdir)  # repair a marker-less partial dir
+    tomb.write.mode("overwrite").parquet(bdir)
+    n = spark.read.parquet(bdir).count()
+    return {"batch_id": int(batch_id), "rows": n}
+
+
+def compact_pq_index(spark: SparkSession, path: str) -> dict:
+    """Fold the index's append/tombstone log into one codes snapshot —
+    the growth bound ``append_to_pq_index`` deliberately left open (every
+    load lists, stamp-checks, and unions EVERY batch dir; a daily-append
+    deployment accumulates hundreds): the live codes view (base-or-
+    snapshot ∪ committed appends − live tombstones, exactly what
+    ``load_pq_index`` serves) is written as ``codes_head/upto=<N>`` with
+    ``N`` = the highest folded log id, then the folded batch dirs, the
+    superseded older snapshot, and the superseded plain ``codes`` dir
+    are deleted. Tombstoned rows are physically purged by the fold.
+    Serving before and after is identical by construction (pinned by
+    test); what is given up is replaying folded batch ids —
+    ``append_to_pq_index`` / ``remove_from_pq_index`` refuse ids at or
+    below the horizon loudly (mirror of the journal's
+    ``compact_journal`` trade).
+
+    Crash-safe ordering is the shared ``statedir`` discipline: the
+    snapshot's validity marker is created strictly AFTER its rename into
+    place, nothing is deleted before the marker exists, and debris from
+    a crash between marker and sweep is ignored by loads (horizon
+    filter) and removed by the next compaction. The manifest is never
+    touched — a crash anywhere leaves a loadable index.
+
+    Returns ``{"horizon": id, "snapshot_rows": n|None, "folded_batches":
+    k, "removed_dirs": m}`` (``snapshot_rows=None`` when there was
+    nothing to fold — the call still sweeps debris).
+    """
+    from pulfa_sausage_factory_spark import fsutil, statedir
+
+    base = path.rstrip("/")
+    horizon = _codes_horizon(spark, base)
+    fold = set(_append_batches(spark, base, horizon)) | set(
+        _tombstone_batches(spark, base, horizon)
+    )
+
+    def _sweep(up_to: int) -> int:
+        removed = statedir.delete_folded(
+            spark, f"{base}/codes_append", "batch=", up_to
+        )
+        removed += statedir.delete_folded(
+            spark, f"{base}/tombstones", "batch=", up_to
+        )
+        removed += statedir.delete_superseded_snapshots(
+            spark, f"{base}/codes_head", up_to
+        )
+        if up_to >= 0 and fsutil.exists(spark, f"{base}/codes"):
+            # any committed snapshot supersedes the original build codes
+            # (the corpus-sized artifact — reclaiming it is the point)
+            fsutil.delete(spark, f"{base}/codes")
+            removed += 1
+        return removed
+
+    if not fold:
+        return {"horizon": horizon, "snapshot_rows": None,
+                "folded_batches": 0, "removed_dirs": _sweep(horizon)}
+    up_to = max(fold)
+    # the live view load_pq_index serves IS the fold result — assembling
+    # it through the loader keeps "what compaction writes" and "what
+    # serving reads" one code path (and re-validates the artifacts)
+    live = load_pq_index(spark, path)
+    n_snap = statedir.write_snapshot(
+        spark, live.codes, f"{base}/codes_head", up_to
+    )
+    return {"horizon": int(up_to), "snapshot_rows": n_snap,
+            "folded_batches": len(fold), "removed_dirs": _sweep(up_to)}
 
 
 def pq_index_report(spark: SparkSession, path: str) -> DataFrame:
@@ -451,16 +708,33 @@ def pq_index_report(spark: SparkSession, path: str) -> DataFrame:
     add("codebooks", "codebooks")
     add("centroids", "centroids")
     add("codes", "codes")
-    for name in fsutil.child_names(spark, f"{base}/codes_append"):
-        if not name.startswith("batch="):
+    horizon = _codes_horizon(spark, base)
+    # compaction snapshots (compact_pq_index): committed = post-rename
+    # validity marker; detail flags which one is the serving horizon and
+    # which are debris awaiting the next compaction's sweep
+    for name in fsutil.child_names(spark, f"{base}/codes_head"):
+        if not name.startswith("upto="):
             continue
         add(
-            f"codes_append/{name}",
-            f"codes_append/{name}",
-            committed=fsutil.exists(
-                spark, f"{base}/codes_append/{name}/_SUCCESS"
-            ),
+            f"codes_head/{name}",
+            f"codes_head/{name}",
+            committed=fsutil.exists(spark, f"{base}/codes_head/{name}/_SUCCESS"),
+            detail="serving" if name == f"upto={horizon}" else "superseded",
         )
+    for sub in ("codes_append", "tombstones"):
+        for name in fsutil.child_names(spark, f"{base}/{sub}"):
+            if not name.startswith("batch="):
+                continue
+            try:
+                bid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            add(
+                f"{sub}/{name}",
+                f"{sub}/{name}",
+                committed=fsutil.exists(spark, f"{base}/{sub}/{name}/_SUCCESS"),
+                detail="folded" if bid <= horizon else "",
+            )
     return spark.createDataFrame(
         rows,
         "artifact string, files int, bytes long, committed boolean, "
@@ -477,6 +751,7 @@ def knn_from_index(
     n_probe: int | None = None,
     id_col: str | None = None,
     vec_col: str | None = None,
+    check_corpus: bool = False,
 ) -> DataFrame:
     """Serve top-k from a built/loaded index through the recommended
     two-stage path (RECALL.md): quantized shortlist (IVFADC when the index
@@ -486,7 +761,10 @@ def knn_from_index(
     m-byte codes, which is the point of persisting them. With an
     APPENDED index (``append_to_pq_index``), ``corpus`` must cover the
     appended rows too: the rerank fetch inner-joins candidate ids against
-    it, so ids the corpus argument lacks drop out of the top-k silently.
+    it, so ids the corpus argument lacks drop out of the top-k silently —
+    ``check_corpus=True`` turns that documented silent drop into a loud
+    error (every shortlist id must resolve in ``corpus``; one
+    queries×shortlist-sized anti-join probe, r7 VERDICT item 4).
 
     Column names default to what the index was BUILT with (carried in the
     manifest) — pass overrides only when the serving corpus is a renamed
@@ -502,4 +780,5 @@ def knn_from_index(
         corpus, queries, index.codebooks, k=k, shortlist=shortlist,
         id_col=id_col, vec_col=vec_col, codes_df=index.codes,
         centroids=index.centroids, n_probe=n_probe,
+        check_corpus=check_corpus,
     )

@@ -1205,6 +1205,7 @@ def knn_pq_rerank(
     codes_df: DataFrame | None = None,
     centroids: DataFrame | None = None,
     n_probe: int = 4,
+    check_corpus: bool = False,
 ) -> DataFrame:
     """PQ serving with exact reranking — the standard two-stage ANN pattern
     (FAISS's ``IndexRefineFlat`` shape): ADC over the m-byte codes produces
@@ -1227,6 +1228,15 @@ def knn_pq_rerank(
     ``FAISS IndexIVFPQ + IndexRefineFlat`` composition: cells prune
     (``n_probe`` of them per query), residual ADC shortlists, exact
     cosine reranks. That is the complete 100 TB serving recipe.
+
+    The rerank fetch inner-joins shortlist ids against ``corpus``, so a
+    candidate whose raw vector the corpus argument lacks silently drops
+    out of the top-k — the documented hazard of serving an APPENDED
+    index with a stale corpus. ``check_corpus=True`` makes that contract
+    checkable: every shortlist id must resolve in ``corpus`` or the call
+    raises (one queries×shortlist-sized anti-join — output-sensitive and
+    cheap, but it does execute the shortlist stage once more; an opt-in
+    integrity probe, not a hot-path default).
 
     Returns ``(query_id, neighbor_id, rk, cos)``.
     """
@@ -1257,6 +1267,25 @@ def knn_pq_rerank(
             codes_df, queries, codebooks, k=shortlist, id_col=id_col,
             vec_col=vec_col,
         ).select("query_id", "neighbor_id")
+    if check_corpus:
+        missing = (
+            cand.select("neighbor_id")
+            .distinct()
+            .join(
+                corpus.select(F.col(id_col).alias("neighbor_id")),
+                "neighbor_id",
+                "left_anti",
+            )
+        )
+        sample = [r.neighbor_id for r in missing.limit(5).collect()]
+        if sample:
+            raise ValueError(
+                "knn_pq_rerank: shortlist candidates "
+                f"{sample} have no raw vector in the rerank corpus — "
+                "the corpus argument is stale (appended index served "
+                "with the build-time corpus?); their rows would "
+                "silently drop out of the top-k"
+            )
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     )

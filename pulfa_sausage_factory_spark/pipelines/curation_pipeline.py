@@ -896,36 +896,33 @@ def compact_ingest_state(
     so compaction works on whatever store the state dir lives on
     (hdfs://, s3a://, local) — an ``os.path`` implementation would
     silently no-op off local disk, the exact failure mode ``_read_state``
-    was made FS-portable to avoid. On object stores the rename swap is
-    copy+delete (not atomic); the recovery ordering below still restores
-    the original after a crash in the window."""
-    from .. import fsutil
+    was made FS-portable to avoid. The tmp/old double-rename swap and its
+    crash recovery are the shared ``statedir.replace_dir`` /
+    ``recover_replaced_dir`` discipline (one implementation across the
+    journal, the ledgers, and the ANN index — r7 VERDICT item 5); on
+    object stores the renames are copy+delete (not atomic), and the
+    recovery ordering still restores the original after a crash in the
+    window."""
+    from .. import fsutil, statedir
 
     done: dict[str, tuple[int, int]] = {}
     for sub in ("ledger", "sigs", "bands", "semvecs"):
         path = state_dir.rstrip("/") + "/" + sub
-        tmp, old = path + ".__compact__", path + ".__old__"
         # recover a prior killed swap FIRST — after a crash between the two
         # renames, `path` is gone and `.__old__` holds the only copy; an
         # existence check before this recovery would skip the dir forever
-        if not fsutil.exists(spark, path) and fsutil.exists(spark, old):
-            fsutil.rename(spark, old, path)
+        statedir.recover_replaced_dir(spark, path)
         if not fsutil.is_dir(spark, path):
             continue
         before = fsutil.parquet_file_count(spark, path)
         if before <= max_files:
             continue
-        for stale in (tmp, old):
-            fsutil.delete(spark, stale)
-        spark.read.parquet(path).drop("batch_id").repartition(
-            max(1, max_files // 8)
-        ).write.mode("overwrite").parquet(tmp + "/batch_id=-1")
-        fsutil.rename(spark, path, old)
-        try:
-            fsutil.rename(spark, tmp, path)
-        except BaseException:
-            fsutil.rename(spark, old, path)
-            raise
-        fsutil.delete(spark, old)
+
+        def _fold(tmp: str, path: str = path) -> None:
+            spark.read.parquet(path).drop("batch_id").repartition(
+                max(1, max_files // 8)
+            ).write.mode("overwrite").parquet(tmp + "/batch_id=-1")
+
+        statedir.replace_dir(spark, path, _fold)
         done[sub] = (before, fsutil.parquet_file_count(spark, path))
     return done

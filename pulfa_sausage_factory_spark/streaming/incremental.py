@@ -274,13 +274,15 @@ def compact_journal(
     run (its pre-run manifest no longer exists); ``journal_publish``
     refuses ids at or below the horizon loudly.
 
-    Crash-safe ordering: the snapshot is written to a dot-temp dir and
-    RENAMED into place (``_head/upto=<id>`` — the ``_head`` prefix hides
-    it from the journal's own partition discovery), and only then are
-    folded run partitions and superseded older snapshots deleted. A crash
-    before the rename leaves the temp dir (ignored); after it, stale run
-    dirs are ignored by the horizon filter until a later compaction
-    removes them.
+    Crash-safe ordering (shared ``statedir`` discipline): the snapshot is
+    written to a dot-temp dir, RENAMED into place (``_head/upto=<id>`` —
+    the ``_head`` prefix hides it from the journal's own partition
+    discovery), and its validity marker is created strictly AFTER the
+    rename — so a crash anywhere up to marker creation leaves the
+    original run dirs serving reads (a partially-copied snapshot on an
+    object store can never become the horizon); after it, stale run dirs
+    are ignored by the horizon filter until a later compaction removes
+    them.
 
     Returns ``{"horizon": id, "snapshot_paths": n, "removed_dirs": k}``
     (``horizon=-1`` when there was nothing to compact).
@@ -290,7 +292,7 @@ def compact_journal(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from .. import fsutil
+    from .. import statedir
 
     old_horizon = _journal_horizon(spark, journal_dir)
     full = _read_journal(spark, journal_dir, before_run=None, keep_run=True)
@@ -313,52 +315,32 @@ def compact_journal(
         .select("path", "digest", "run_id")
     )
     head_dir = os.path.join(journal_dir, "_head")
-    tmp = os.path.join(head_dir, ".compact_tmp")
-    final = os.path.join(head_dir, f"upto={int(up_to_run)}")
-    fsutil.delete(spark, tmp)
-    head.write.mode("overwrite").parquet(tmp)
-    n_snap = spark.read.parquet(tmp).count()
-    fsutil.delete(spark, final)  # re-compaction to the same horizon
-    fsutil.rename(spark, tmp, final)
+    n_snap = statedir.write_snapshot(spark, head, head_dir, int(up_to_run))
     # only now is it safe to drop what the snapshot supersedes
-    removed = 0
-    for name in fsutil.child_names(spark, journal_dir):
-        if name.startswith("run_id="):
-            try:
-                rid = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if rid <= up_to_run:
-                fsutil.delete(spark, os.path.join(journal_dir, name))
-                removed += 1
-    for name in fsutil.child_names(spark, head_dir):
-        if name.startswith("upto="):
-            try:
-                upto = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if upto < up_to_run:
-                fsutil.delete(spark, os.path.join(head_dir, name))
-                removed += 1
+    removed = statedir.delete_folded(spark, journal_dir, "run_id=",
+                                     int(up_to_run))
+    removed += statedir.delete_superseded_snapshots(spark, head_dir,
+                                                    int(up_to_run))
     return {"horizon": int(up_to_run), "snapshot_paths": n_snap,
             "removed_dirs": removed}
 
 
 def _journal_horizon(spark: SparkSession, journal_dir: str) -> int:
-    """The compaction horizon: max ``upto`` among HEAD snapshots under
-    ``journal_dir/_head``, or ``-1`` when never compacted."""
+    """The compaction horizon: max ``upto`` among COMMITTED HEAD
+    snapshots under ``journal_dir/_head``, or ``-1`` when never
+    compacted. Committed = carries the post-rename validity marker
+    (``statedir.snapshot_horizon``): on object stores a crash inside the
+    copy+delete rename leaves a partial snapshot dir, and adopting it by
+    existence would silently drop every manifest row that missed the
+    copy while excluding the still-present run dirs as debris (round-8
+    ADVICE fix)."""
     import os
 
-    from .. import fsutil
+    from .. import statedir
 
-    uptos = []
-    for name in fsutil.child_names(spark, os.path.join(journal_dir, "_head")):
-        if name.startswith("upto="):
-            try:
-                uptos.append(int(name.split("=", 1)[1]))
-            except ValueError:
-                continue
-    return max(uptos, default=-1)
+    return statedir.snapshot_horizon(
+        spark, os.path.join(journal_dir, "_head")
+    )
 
 
 def _attempted_runs(
@@ -370,18 +352,11 @@ def _attempted_runs(
     at-least-once redelivery of that batch must idempotently no-op, not
     be refused as a reuse. Compacted-away dirs (``<= horizon``) are crash
     debris awaiting deletion and excluded."""
-    from .. import fsutil
+    from .. import statedir
 
-    out: set[int] = set()
-    for name in fsutil.child_names(spark, journal_dir):
-        if name.startswith("run_id="):
-            try:
-                rid = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if rid > horizon:
-                out.add(rid)
-    return out
+    return set(
+        statedir.numbered_dirs(spark, journal_dir, "run_id=", above=horizon)
+    )
 
 
 def _read_journal(

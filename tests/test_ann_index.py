@@ -407,6 +407,191 @@ def test_pq_index_report(spark, vecs, tmp_path):
         ann_index.pq_index_report(spark, str(tmp_path / "nope"))
 
 
+def test_compact_pq_index(spark, vecs, tmp_path):
+    # round-8 (r7 VERDICT item 2): fold the codes_append log into one
+    # codes_head snapshot — serve identical before/after, folded batch
+    # ids refused for replay, load no longer unions per-batch dirs.
+    from pulfa_sausage_factory_spark import fsutil
+    from pulfa_sausage_factory_spark.operators.similarity import codes_stamp
+
+    even = vecs.filter(F.col("vec_id") % 2 == 0).localCheckpoint()
+    odd = vecs.filter(F.col("vec_id") % 2 == 1).localCheckpoint()
+    idx = ann_index.build_pq_index(
+        even, m=8, n_codes=8, n_cells=8, iters=1, sample_fraction=1.0
+    )
+    path = str(tmp_path / "cmp_idx")
+    ann_index.save_pq_index(idx, path)
+    ann_index.append_to_pq_index(spark, path, odd.filter(F.col("vec_id") % 4 == 1))
+    ann_index.append_to_pq_index(spark, path, odd.filter(F.col("vec_id") % 4 == 3))
+
+    queries = vecs.limit(3)
+    before = sorted(map(tuple, ann_index.knn_from_index(
+        ann_index.load_pq_index(spark, path), vecs, queries, k=5,
+        shortlist=30, n_probe=4,
+    ).collect()))
+
+    rep = ann_index.compact_pq_index(spark, path)
+    assert rep["horizon"] == 2 and rep["folded_batches"] == 2
+    assert rep["snapshot_rows"] == vecs.count()
+    # folded batch dirs and the superseded plain codes dir are gone
+    assert fsutil.child_names(spark, f"{path}/codes_append") == []
+    assert not fsutil.exists(spark, f"{path}/codes")
+    assert fsutil.exists(spark, f"{path}/codes_head/upto=2/_SUCCESS")
+
+    loaded = ann_index.load_pq_index(spark, path)
+    # the codes stamp survives the fold (schema-only pairing tripwire)
+    assert codes_stamp(loaded.codes) is not None
+    after = sorted(map(tuple, ann_index.knn_from_index(
+        loaded, vecs, queries, k=5, shortlist=30, n_probe=4,
+    ).collect()))
+    assert before == after
+
+    # replaying a folded batch id is refused loudly (journal horizon
+    # semantics); appends continue above the horizon
+    with pytest.raises(ValueError, match="horizon"):
+        ann_index.append_to_pq_index(spark, path, odd.limit(3), batch_id=1)
+    rep3 = ann_index.append_to_pq_index(spark, path, even.limit(0))
+    assert rep3["batch_id"] == 3
+
+    # report: the serving snapshot row is present, committed, and flagged
+    rows = {r.artifact: r for r in
+            ann_index.pq_index_report(spark, path).collect()}
+    assert rows["codes_head/upto=2"].committed is True
+    assert rows["codes_head/upto=2"].detail == "serving"
+    assert "codes" not in rows
+
+    # re-compaction folds the post-horizon batch and advances the horizon
+    rep4 = ann_index.compact_pq_index(spark, path)
+    assert rep4["horizon"] == 3 and rep4["folded_batches"] == 1
+    assert not fsutil.exists(spark, f"{path}/codes_head/upto=2")
+    # nothing left to fold → no-op sweep, horizon stays
+    rep5 = ann_index.compact_pq_index(spark, path)
+    assert rep5 == {"horizon": 3, "snapshot_rows": None,
+                    "folded_batches": 0, "removed_dirs": 0}
+
+
+def test_remove_from_pq_index_tombstones(spark, vecs, tmp_path):
+    # round-8 (r7 VERDICT item 3): tombstoned ids never serve — before
+    # AND after compaction physically purges them.
+    from pulfa_sausage_factory_spark import fsutil
+
+    idx = ann_index.build_pq_index(
+        vecs, m=8, n_codes=8, n_cells=8, iters=1, sample_fraction=1.0
+    )
+    path = str(tmp_path / "tomb_idx")
+    ann_index.save_pq_index(idx, path)
+    queries = vecs.limit(3)
+    served = ann_index.knn_from_index(
+        ann_index.load_pq_index(spark, path), vecs, queries, k=5,
+        shortlist=30, n_probe=8,
+    )
+    victims = sorted({r.neighbor_id for r in served.collect()})[:2]
+
+    rep = ann_index.remove_from_pq_index(spark, path, victims)
+    assert rep == {"batch_id": 1, "rows": 2}
+    loaded = ann_index.load_pq_index(spark, path)
+    assert loaded.codes.count() == vecs.count() - 2
+    got = {r.neighbor_id for r in ann_index.knn_from_index(
+        loaded, vecs, queries, k=5, shortlist=30, n_probe=8,
+    ).collect()}
+    assert not (got & set(victims))
+
+    # compaction purges physically; the removed ids stay gone
+    crep = ann_index.compact_pq_index(spark, path)
+    assert crep["horizon"] == 1 and crep["snapshot_rows"] == vecs.count() - 2
+    assert fsutil.child_names(spark, f"{path}/tombstones") == []
+    loaded2 = ann_index.load_pq_index(spark, path)
+    assert loaded2.codes.count() == vecs.count() - 2
+    got2 = {r.neighbor_id for r in ann_index.knn_from_index(
+        loaded2, vecs, queries, k=5, shortlist=30, n_probe=8,
+    ).collect()}
+    assert not (got2 & set(victims))
+    # replaying the folded tombstone batch is refused like any folded id
+    with pytest.raises(ValueError, match="horizon"):
+        ann_index.remove_from_pq_index(spark, path, victims, batch_id=1)
+
+    # appends and tombstones share one id sequence: an id attempted as a
+    # tombstone cannot be replayed as an append (and vice versa)
+    odd = vecs.filter(F.col("vec_id") % 2 == 1)
+    rep2 = ann_index.remove_from_pq_index(
+        spark, path,
+        vecs.select("vec_id").limit(1),  # DataFrame form
+    )
+    assert rep2["batch_id"] == 2 and rep2["rows"] == 1
+    with pytest.raises(ValueError, match="tombstone batch"):
+        ann_index.append_to_pq_index(spark, path, odd.limit(2), batch_id=2)
+    rep3 = ann_index.append_to_pq_index(spark, path, odd.limit(0))
+    assert rep3["batch_id"] == 3
+    with pytest.raises(ValueError, match="append batch"):
+        ann_index.remove_from_pq_index(spark, path, [123], batch_id=3)
+
+
+def test_append_replay_of_killed_batch_allowed(spark, vecs, tmp_path):
+    # round-8 ADVICE: replay validity keys on ATTEMPTED batch dirs, not
+    # committed ones — a killed batch N stays repairable even after a
+    # later batch M > N commits (committed-only validation refused N as
+    # 'neither new nor a replay', stranding its rows forever).
+    import os
+
+    even = vecs.filter(F.col("vec_id") % 2 == 0).localCheckpoint()
+    part1 = vecs.filter(F.col("vec_id") % 4 == 1).localCheckpoint()
+    part3 = vecs.filter(F.col("vec_id") % 4 == 3).localCheckpoint()
+    idx = ann_index.build_pq_index(
+        even, m=8, n_codes=8, n_cells=8, iters=1, sample_fraction=1.0
+    )
+    path = str(tmp_path / "killed_idx")
+    ann_index.save_pq_index(idx, path)
+    ann_index.append_to_pq_index(spark, path, part1, batch_id=1)
+    # simulate the kill: the job-commit marker never landed
+    os.remove(f"{path}/codes_append/batch=1/_SUCCESS")
+    assert ann_index.load_pq_index(spark, path).codes.count() == even.count()
+
+    # a later batch commits — auto assignment must NOT reuse the killed
+    # id (different rows under an attempted id would be overwritten by
+    # the killed batch's redelivery)
+    rep2 = ann_index.append_to_pq_index(spark, path, part3)
+    assert rep2["batch_id"] == 2
+    # the at-least-once redelivery of batch 1 repairs it
+    rep1 = ann_index.append_to_pq_index(spark, path, part1, batch_id=1)
+    assert rep1 == {"batch_id": 1, "rows": part1.count()}
+    assert ann_index.load_pq_index(spark, path).codes.count() == vecs.count()
+
+
+def test_serve_corpus_coverage_guard(spark, vecs, tmp_path):
+    # round-8 (r7 VERDICT item 4): the documented silent-drop contract —
+    # appended index served with the stale build corpus — becomes
+    # checkable with check_corpus=True.
+    even = vecs.filter(F.col("vec_id") % 2 == 0).localCheckpoint()
+    odd = vecs.filter(F.col("vec_id") % 2 == 1).localCheckpoint()
+    idx = ann_index.build_pq_index(
+        even, m=8, n_codes=8, n_cells=8, iters=1, sample_fraction=1.0
+    )
+    path = str(tmp_path / "cov_idx")
+    ann_index.save_pq_index(idx, path)
+    ann_index.append_to_pq_index(spark, path, odd)
+    loaded = ann_index.load_pq_index(spark, path)
+    queries = vecs.limit(3)
+
+    # grown corpus passes (and the guard changes nothing about the result)
+    ok = ann_index.knn_from_index(
+        loaded, vecs, queries, k=5, shortlist=60, n_probe=8,
+        check_corpus=True,
+    )
+    plain = ann_index.knn_from_index(
+        loaded, vecs, queries, k=5, shortlist=60, n_probe=8,
+    )
+    assert sorted(map(tuple, ok.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # stale (build-time) corpus raises instead of silently dropping the
+    # appended candidates from the top-k
+    with pytest.raises(ValueError, match="no raw vector"):
+        ann_index.knn_from_index(
+            loaded, even, queries, k=5, shortlist=60, n_probe=8,
+            check_corpus=True,
+        ).collect()
+
+
 def test_index_load_refuses_mismatched_artifacts(spark, vecs, tmp_path):
     idx = ann_index.build_pq_index(
         vecs, m=8, n_codes=8, n_cells=8, iters=1, sample_fraction=1.0

@@ -527,3 +527,45 @@ def test_compact_journal_bounds_reads_and_preserves_head(spark, tmp_path):
     assert rep == {"published": 0, "unchanged": 1, "run_id": 6}
     # re-compaction with nothing new is a no-op
     assert incremental.compact_journal(spark, jdir)["snapshot_paths"] == 0
+
+
+def test_partial_journal_snapshot_is_not_adopted(spark, tmp_path):
+    # round-8 ADVICE: on object stores fsutil.rename degrades to
+    # copy+delete — a crash mid-copy leaves a PARTIAL _head/upto=N dir.
+    # Horizon validity keys on the marker created strictly after the
+    # rename (statedir.write_snapshot), so a partial snapshot is ignored
+    # — the original run dirs keep serving reads instead of being
+    # excluded as debris against a snapshot missing their rows.
+    import os
+    import shutil
+
+    jdir = str(tmp_path / "journal_p")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "path string, digest string"
+    )
+    incremental.journal_publish(spark, mk([("/a", "d1")]), jdir, run_id=1)
+    incremental.journal_publish(spark, mk([("/b", "d2")]), jdir, run_id=2)
+    assert incremental.compact_journal(spark, jdir, up_to_run=1)["horizon"] == 1
+
+    # fabricate the crashed copy of a would-be upto=2 snapshot: data
+    # files present (partially copied), post-rename marker never created
+    shutil.copytree(f"{jdir}/_head/upto=1", f"{jdir}/_head/upto=2")
+    os.remove(f"{jdir}/_head/upto=2/_SUCCESS")
+
+    # the partial snapshot is NOT the horizon; run 2 still serves
+    assert incremental._journal_horizon(spark, jdir) == 1
+    manifest = {
+        (r.path, r.digest)
+        for r in incremental.published_manifest(spark, jdir).collect()
+    }
+    assert manifest == {("/a", "d1"), ("/b", "d2")}
+
+    # the next compaction replaces the debris with a REAL snapshot
+    rep = incremental.compact_journal(spark, jdir)
+    assert rep["horizon"] == 2
+    assert incremental._journal_horizon(spark, jdir) == 2
+    manifest2 = {
+        (r.path, r.digest)
+        for r in incremental.published_manifest(spark, jdir).collect()
+    }
+    assert manifest2 == {("/a", "d1"), ("/b", "d2")}
