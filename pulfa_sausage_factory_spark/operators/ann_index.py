@@ -143,6 +143,63 @@ def build_pq_index(
     return PQIndex(codebooks, codes, centroids, meta)
 
 
+def index_from_artifacts(
+    codebooks: DataFrame,
+    codes: DataFrame,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe_suggested: int | None = None,
+) -> PQIndex:
+    """Assemble a :class:`PQIndex` from ALREADY-TRAINED artifacts — the
+    advanced/harness path (``build_pq_index`` trains everything itself).
+    The manifest is DERIVED from the artifacts instead of trusted from
+    the caller: grid shape and residual/fingerprint config probed from
+    the codebook table (m × n_codes rows, KBs), ``dim`` from a codebook
+    centroid's length, ``n_cells`` from the centroid table — so the
+    resulting index save/loads under exactly the same cross-validation
+    as a built one, with nothing for a hand-written meta dict to drift
+    on."""
+    rows = codebooks.select("sub", "code", "cent").collect()
+    m = 1 + max((r.sub for r in rows), default=-1)
+    n_codes = 1 + max((r.code for r in rows), default=-1)
+    if not rows or len(rows) != m * n_codes:
+        raise ValueError(
+            f"index_from_artifacts: codebook table is not a dense "
+            f"{m}×{n_codes} grid ({len(rows)} rows) — not a trained "
+            "codebook"
+        )
+    sublen = len(rows[0].cent)
+    is_res, cent_sig = _codebook_config(codebooks)
+    if is_res and centroids is None:
+        raise ValueError(
+            "index_from_artifacts: residual codebooks need their "
+            "training centroids="
+        )
+    if not is_res and centroids is not None:
+        raise ValueError(
+            "index_from_artifacts: raw (non-residual) codebooks cannot "
+            "be paired with centroids — the codes would be scored as "
+            "residuals"
+        )
+    meta = {
+        "format": _FORMAT,
+        "m": int(m),
+        "n_codes": int(n_codes),
+        "n_cells": centroids.count() if centroids is not None else None,
+        "dim": int(m * sublen),
+        "sublen": int(sublen),
+        "residual": is_res,
+        "cent_sig": cent_sig,
+        "cb_sig": _codebook_signature(codebooks),
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    if n_probe_suggested is not None:
+        meta["n_probe_suggested"] = int(n_probe_suggested)
+    return PQIndex(codebooks, codes, centroids, meta)
+
+
 def save_pq_index(index: PQIndex, path: str) -> None:
     """Persist the index under ``path``: parquet subdirs ``codebooks/``,
     ``codes/``, ``centroids/`` (residual only) + the ``meta/`` manifest.

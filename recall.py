@@ -235,6 +235,38 @@ def main() -> None:
             centroids=cents_sug, codes_df=codes_sug,
         ),
     ))
+    # round-8: the untuned default END-TO-END — the recommended serving
+    # path (ADC shortlist → exact rerank) over the SAME auto-sized
+    # artifacts, and the same query again after a save/load round-trip
+    # through operators.ann_index (what a 100 TB query session actually
+    # runs; check_corpus exercises the round-8 coverage guard). Both rows
+    # must agree — the disk round-trip is bit-preserving.
+    import shutil
+    import tempfile
+
+    from pulfa_sausage_factory_spark.operators import ann_index
+
+    sl = max(200, 2 * k_fetch)
+    idx_auto = ann_index.index_from_artifacts(
+        cb_sug, codes_sug, cents_sug, n_probe_suggested=sug["n_probe"]
+    )
+    auto_dir = tempfile.mkdtemp(prefix="recall_auto_idx_")
+    ann_index.save_pq_index(idx_auto, auto_dir)
+    loaded_auto = ann_index.load_pq_index(spark, auto_dir)
+    configs.append((
+        f"knn_pq_rerank AUTO cells={sug['n_cells']} nprobe={sug['n_probe']} "
+        f"shortlist={sl}",
+        lambda: ann_index.knn_from_index(
+            idx_auto, corpus, queries, k=k_fetch, shortlist=sl,
+        ),
+    ))
+    configs.append((
+        f"knn_from_index AUTO served-from-disk shortlist={sl}",
+        lambda: ann_index.knn_from_index(
+            loaded_auto, corpus, queries, k=k_fetch, shortlist=sl,
+            check_corpus=True,
+        ),
+    ))
     if amp > 1:
         # the ¼-corpus-fraction match-up at MORE, smaller cells — on the
         # weak-cluster amplified corpus this is where composed IVFADC
@@ -273,6 +305,7 @@ def main() -> None:
         results[name] = round(rec, 4)
         print(f"| {name} | {rec:.3f} | {dt:.1f} |")
 
+    shutil.rmtree(auto_dir, ignore_errors=True)
     print(json.dumps({"metric": "ann_recall_at_k", "k": K, "corpus": n,
                       "amplify": amp, "mode": mode, "recall": results}))
 

@@ -307,16 +307,67 @@ def main() -> None:
             return spark.read.parquet(f"{idx_dir}/codes")
 
         run("pq_index_build_save", _build_save)
+        queries50 = io.load_table(spark, sf_dir, "embeddings").limit(50)
         run(
             "pq_index_serve_from_disk",
             lambda: ann_index.knn_from_index(
                 ann_index.load_pq_index(spark, idx_dir),
                 emb_amp,
-                io.load_table(spark, sf_dir, "embeddings").limit(50),
+                queries50,
                 k=10,
                 shortlist=200,
             ),
         )
+
+        # round-8: the index LIVES after the build — append a fresh batch
+        # (ids above every amplified replica), tombstone a handful of
+        # actually-served ids (the takedown path), serve the mutated
+        # index with the coverage guard ON (corpus = amplified ∪
+        # appended), then compact the append/tombstone log into one
+        # snapshot and serve again: growth stays load-bounded and
+        # takedowns purge physically, measured at stress scale under the
+        # same heap cap.
+        new_batch = io.load_table(spark, sf_dir, "embeddings").select(
+            (F.col("vec_id") + amp * 10_000_000).alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        grown = emb_amp.unionByName(new_batch)
+
+        def _append():
+            rep = ann_index.append_to_pq_index(
+                spark, idx_dir, new_batch, assign_impl="arrow"
+            )
+            return spark.range(rep["rows"])
+
+        run("pq_index_append_batch", _append)
+
+        def _tombstone_and_serve():
+            hits = ann_index.knn_from_index(
+                ann_index.load_pq_index(spark, idx_dir), grown, queries50,
+                k=10, shortlist=200, check_corpus=True,
+            )
+            victims = [r.neighbor_id for r in hits.limit(5).collect()]
+            ann_index.remove_from_pq_index(spark, idx_dir, victims)
+            return ann_index.knn_from_index(
+                ann_index.load_pq_index(spark, idx_dir), grown, queries50,
+                k=10, shortlist=200, check_corpus=True,
+            )
+
+        run("pq_index_tombstone_serve", _tombstone_and_serve)
+
+        def _compact_serve():
+            crep = ann_index.compact_pq_index(spark, idx_dir)
+            out["ops"]["pq_index_compact_meta"] = {
+                "horizon": crep["horizon"],
+                "folded": crep["folded_batches"],
+                "snapshot_rows": crep["snapshot_rows"],
+            }
+            return ann_index.knn_from_index(
+                ann_index.load_pq_index(spark, idx_dir), grown, queries50,
+                k=10, shortlist=200, check_corpus=True,
+            )
+
+        run("pq_index_compact_serve", _compact_serve)
         shutil.rmtree(idx_dir, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001
         out["ops"]["pq_index_stress"] = {

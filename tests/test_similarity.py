@@ -619,13 +619,26 @@ def test_documented_ann_configs_reach_recall_floor(spark):
         corpus, m=8, n_codes=256, iters=2, sample_fraction=1.0,
         centroids=cents_sug,
     )
+    codes_sug = pq_encode(
+        corpus, cb_sug, centroids=cents_sug, assign_impl="arrow"
+    )
     ivfadc_auto = recall(
         knn_ivf_pq(
             corpus, queries, cb_sug, k=10, n_probe=sug["n_probe"],
-            centroids=cents_sug,
-            codes_df=pq_encode(
-                corpus, cb_sug, centroids=cents_sug, assign_impl="arrow"
-            ),
+            centroids=cents_sug, codes_df=codes_sug,
         )
     )
     assert ivfadc_auto > ivfadc4 > adc_full, (ivfadc_auto, ivfadc4, adc_full)
+    # round 8 — the untuned default END-TO-END is a documented ≥0.9
+    # config (0.954): the same auto-sized artifacts served through the
+    # recommended two-stage path (knn_from_index: auto-probe IVFADC
+    # shortlist → exact rerank at shortlist=200)
+    from pulfa_sausage_factory_spark.operators import ann_index
+
+    idx_auto = ann_index.index_from_artifacts(
+        cb_sug, codes_sug, cents_sug, n_probe_suggested=sug["n_probe"]
+    )
+    assert recall(
+        ann_index.knn_from_index(idx_auto, corpus, queries, k=10,
+                                 shortlist=200)
+    ) >= 0.9
