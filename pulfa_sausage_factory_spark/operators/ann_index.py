@@ -348,29 +348,53 @@ def load_pq_index(spark: SparkSession, path: str) -> PQIndex:
     # same schema-only validation as the base codes. Batches at/below the
     # compaction horizon are already inside the snapshot (debris from a
     # crash between snapshot commit and deletion is excluded, not
-    # double-counted).
+    # double-counted). Rows carry their log position (_src; the base /
+    # snapshot predates every live entry) so tombstones apply in WAL
+    # order below.
+    codes = codes.withColumn("_src", F.lit(-1).cast("long"))
     for bid in _append_batches(spark, base, horizon):
         bdir = f"{base}/codes_append/batch={bid}"
         batch = spark.read.parquet(bdir)
         _check_batch_stamp(batch, want_cb, bdir)
-        if set(batch.columns) != set(codes.columns):
+        if set(batch.columns) != set(codes.columns) - {"_src"}:
             raise ValueError(
                 f"load_pq_index: append batch {bid} columns "
                 f"{batch.columns} do not match the base codes "
-                f"{codes.columns} — mixed artifacts"
+                f"{sorted(set(codes.columns) - {'_src'})} — mixed "
+                "artifacts"
             )
-        codes = codes.unionByName(batch)
+        codes = codes.unionByName(
+            batch.withColumn("_src", F.lit(int(bid)).cast("long"))
+        )
 
     # tombstone deletes (remove_from_pq_index): live tombstones anti-join
     # the assembled codes out of every serve — tombstone-sized and
     # broadcastable, so the filter costs one small-side hash build, never
-    # a codes shuffle. compact_pq_index physically purges them later.
+    # a codes shuffle; compact_pq_index physically purges them later.
+    # WAL order: tombstone batch N suppresses an id's rows from entries
+    # BEFORE N only (base/snapshot and append batches < N) — an id
+    # re-appended AFTER its takedown serves again, exactly as it would
+    # after a compaction folded the tombstone away (without the ordering,
+    # the same re-append would be silently dead until compaction and then
+    # silently alive — temporal semantics must not depend on when
+    # maintenance last ran).
     tomb_ids = _tombstone_batches(spark, base, horizon)
     if tomb_ids:
-        tombs = spark.read.parquet(
-            *[f"{base}/tombstones/batch={t}" for t in tomb_ids]
-        ).select(F.col("id").cast(codes.schema["id"].dataType).alias("id"))
-        codes = codes.join(F.broadcast(tombs), "id", "left_anti")
+        id_type = codes.schema["id"].dataType
+        tombs = None
+        for t in tomb_ids:
+            one = spark.read.parquet(f"{base}/tombstones/batch={t}").select(
+                F.col("id").cast(id_type).alias("_tomb_id"),
+                F.lit(int(t)).cast("long").alias("_tomb_src"),
+            )
+            tombs = one if tombs is None else tombs.unionByName(one)
+        codes = codes.join(
+            F.broadcast(tombs),
+            (F.col("id") == F.col("_tomb_id"))
+            & (F.col("_tomb_src") > F.col("_src")),
+            "left_anti",
+        )
+    codes = codes.drop("_src")
 
     centroids = None
     if meta["residual"]:
@@ -620,7 +644,11 @@ def remove_from_pq_index(
     ``tombstones/batch=<id>``; ``load_pq_index`` anti-joins live
     tombstones out of the assembled codes (broadcast — the codes table
     never reshuffles), so a removed id can never reach a shortlist, and
-    ``compact_pq_index`` later purges the rows physically.
+    ``compact_pq_index`` later purges the rows physically. Tombstones
+    apply in WAL order: batch ``N`` suppresses the id's rows from log
+    entries BEFORE ``N`` only, so re-appending the id afterwards serves
+    it again — the same outcome compaction would produce, independent of
+    when maintenance last ran.
 
     Append and tombstone batches share ONE monotone id sequence and the
     same ``_SUCCESS``/attempted-dir replay discipline (``batch_id=None``

@@ -526,6 +526,43 @@ def test_remove_from_pq_index_tombstones(spark, vecs, tmp_path):
         ann_index.remove_from_pq_index(spark, path, [123], batch_id=3)
 
 
+def test_tombstones_apply_in_wal_order(spark, vecs, tmp_path):
+    # round-8: tombstone batch N suppresses only log entries BEFORE N —
+    # re-appending a taken-down id serves it again immediately, the same
+    # outcome compaction produces, so temporal semantics don't depend on
+    # when maintenance last ran (without the ordering, the re-append
+    # would be silently dead until compaction, then silently alive).
+    even = vecs.filter(F.col("vec_id") % 2 == 0).localCheckpoint()
+    odd = vecs.filter(F.col("vec_id") % 2 == 1).localCheckpoint()
+    idx = ann_index.build_pq_index(
+        even, m=8, n_codes=8, n_cells=8, iters=1, sample_fraction=1.0
+    )
+    path = str(tmp_path / "wal_idx")
+    ann_index.save_pq_index(idx, path)
+    ann_index.append_to_pq_index(spark, path, odd)  # batch 1
+
+    e_id = even.limit(1).collect()[0].vec_id  # lives in the BASE codes
+    o_id = odd.limit(1).collect()[0].vec_id  # lives in append batch 1
+    ann_index.remove_from_pq_index(spark, path, [e_id, o_id])  # batch 2
+    alive = ann_index.load_pq_index(spark, path).codes
+    assert alive.filter(F.col("id").isin(e_id, o_id)).count() == 0
+    assert alive.count() == vecs.count() - 2
+
+    # re-append both ids (batch 3 > tombstone batch 2) → they serve again
+    ann_index.append_to_pq_index(
+        spark, path, vecs.filter(F.col("vec_id").isin(e_id, o_id))
+    )
+    alive = ann_index.load_pq_index(spark, path).codes
+    assert alive.filter(F.col("id").isin(e_id, o_id)).count() == 2
+    assert alive.count() == vecs.count()
+
+    # compaction preserves exactly these semantics physically
+    rep = ann_index.compact_pq_index(spark, path)
+    assert rep["horizon"] == 3 and rep["snapshot_rows"] == vecs.count()
+    alive = ann_index.load_pq_index(spark, path).codes
+    assert alive.filter(F.col("id").isin(e_id, o_id)).count() == 2
+
+
 def test_append_replay_of_killed_batch_allowed(spark, vecs, tmp_path):
     # round-8 ADVICE: replay validity keys on ATTEMPTED batch dirs, not
     # committed ones — a killed batch N stays repairable even after a
