@@ -270,13 +270,20 @@ def save_pq_index(index: PQIndex, path: str) -> None:
     ).write.mode("overwrite").parquet(f"{base}/meta")
 
 
-def load_pq_index(spark: SparkSession, path: str) -> PQIndex:
+def load_pq_index(
+    spark: SparkSession, path: str, up_to_entry: int | None = None
+) -> PQIndex:
     """Load + cross-validate a saved index. Refuses to return one whose
     pieces disagree — manifest vs actual codebook grid, manifest vs the
     codebook's carried residual/fingerprint config, fingerprint vs the
     centroids actually on disk — because every one of those mismatches
     (a partial overwrite, a by-hand swap of one subdir) would otherwise
-    serve wrong neighbors with no error anywhere."""
+    serve wrong neighbors with no error anywhere.
+
+    ``up_to_entry`` (internal — ``compact_pq_index`` uses it) bounds the
+    assembly to log entries with id ≤ the bound: the index state as of
+    that WAL position, which is exactly what a capped compaction must
+    snapshot when later entries cannot be folded yet."""
     base = path.rstrip("/")
     from pulfa_sausage_factory_spark.io import read_parquet_state
 
@@ -352,7 +359,12 @@ def load_pq_index(spark: SparkSession, path: str) -> PQIndex:
     # snapshot predates every live entry) so tombstones apply in WAL
     # order below.
     codes = codes.withColumn("_src", F.lit(-1).cast("long"))
-    for bid in _append_batches(spark, base, horizon):
+    app_ids = _append_batches(spark, base, horizon)
+    tomb_ids = _tombstone_batches(spark, base, horizon)
+    if up_to_entry is not None:
+        app_ids = [b for b in app_ids if b <= up_to_entry]
+        tomb_ids = [t for t in tomb_ids if t <= up_to_entry]
+    for bid in app_ids:
         bdir = f"{base}/codes_append/batch={bid}"
         batch = spark.read.parquet(bdir)
         _check_batch_stamp(batch, want_cb, bdir)
@@ -378,7 +390,6 @@ def load_pq_index(spark: SparkSession, path: str) -> PQIndex:
     # the same re-append would be silently dead until compaction and then
     # silently alive — temporal semantics must not depend on when
     # maintenance last ran).
-    tomb_ids = _tombstone_batches(spark, base, horizon)
     if tomb_ids:
         id_type = codes.schema["id"].dataType
         tombs = None
@@ -713,16 +724,31 @@ def compact_pq_index(spark: SparkSession, path: str) -> dict:
     filter) and removed by the next compaction. The manifest is never
     touched — a crash anywhere leaves a loadable index.
 
+    The horizon never advances past a repairable hole: a KILLED
+    (attempted, uncommitted) batch awaiting its at-least-once redelivery
+    caps the fold strictly below its id — folding past it would delete
+    the marker-less dir and then refuse the redelivery as
+    below-horizon, stranding that batch's rows forever (the same
+    stranding the attempted-dir replay rule exists to prevent, which a
+    careless compaction would reintroduce). Entries above the cap stay
+    live, un-folded batches; the returned ``pending`` lists the blocking
+    ids so an operator knows to replay-or-abandon them.
+
     Returns ``{"horizon": id, "snapshot_rows": n|None, "folded_batches":
-    k, "removed_dirs": m}`` (``snapshot_rows=None`` when there was
-    nothing to fold — the call still sweeps debris).
+    k, "removed_dirs": m, "pending": [...]}`` (``snapshot_rows=None``
+    when there was nothing to fold — the call still sweeps debris).
     """
     from pulfa_sausage_factory_spark import fsutil, statedir
 
     base = path.rstrip("/")
     horizon = _codes_horizon(spark, base)
-    fold = set(_append_batches(spark, base, horizon)) | set(
+    committed = set(_append_batches(spark, base, horizon)) | set(
         _tombstone_batches(spark, base, horizon)
+    )
+    app_att, tomb_att = _attempted_log_ids(spark, base, horizon)
+    pending = sorted((app_att | tomb_att) - committed)
+    fold = (
+        {i for i in committed if i < pending[0]} if pending else committed
     )
 
     def _sweep(up_to: int) -> int:
@@ -744,17 +770,21 @@ def compact_pq_index(spark: SparkSession, path: str) -> dict:
 
     if not fold:
         return {"horizon": horizon, "snapshot_rows": None,
-                "folded_batches": 0, "removed_dirs": _sweep(horizon)}
+                "folded_batches": 0, "removed_dirs": _sweep(horizon),
+                "pending": pending}
     up_to = max(fold)
-    # the live view load_pq_index serves IS the fold result — assembling
-    # it through the loader keeps "what compaction writes" and "what
-    # serving reads" one code path (and re-validates the artifacts)
-    live = load_pq_index(spark, path)
+    # the bounded live view IS the fold result — assembling it through
+    # the loader keeps "what compaction writes" and "what serving reads"
+    # one code path (and re-validates the artifacts); the bound only
+    # matters when a pending hole capped the fold below later committed
+    # entries
+    live = load_pq_index(spark, path, up_to_entry=up_to)
     n_snap = statedir.write_snapshot(
         spark, live.codes, f"{base}/codes_head", up_to
     )
     return {"horizon": int(up_to), "snapshot_rows": n_snap,
-            "folded_batches": len(fold), "removed_dirs": _sweep(up_to)}
+            "folded_batches": len(fold), "removed_dirs": _sweep(up_to),
+            "pending": pending}
 
 
 def pq_index_report(spark: SparkSession, path: str) -> DataFrame:

@@ -467,7 +467,8 @@ def test_compact_pq_index(spark, vecs, tmp_path):
     # nothing left to fold → no-op sweep, horizon stays
     rep5 = ann_index.compact_pq_index(spark, path)
     assert rep5 == {"horizon": 3, "snapshot_rows": None,
-                    "folded_batches": 0, "removed_dirs": 0}
+                    "folded_batches": 0, "removed_dirs": 0,
+                    "pending": []}
 
 
 def test_remove_from_pq_index_tombstones(spark, vecs, tmp_path):
@@ -591,6 +592,45 @@ def test_append_replay_of_killed_batch_allowed(spark, vecs, tmp_path):
     # the at-least-once redelivery of batch 1 repairs it
     rep1 = ann_index.append_to_pq_index(spark, path, part1, batch_id=1)
     assert rep1 == {"batch_id": 1, "rows": part1.count()}
+    assert ann_index.load_pq_index(spark, path).codes.count() == vecs.count()
+
+
+def test_compact_never_folds_past_a_killed_batch(spark, vecs, tmp_path):
+    # round-8: the horizon must not advance past a repairable hole — a
+    # killed batch awaiting redelivery would otherwise be swept and its
+    # replay refused as below-horizon (the stranding the attempted-dir
+    # replay rule prevents, reintroduced by a careless compaction).
+    import os
+
+    from pulfa_sausage_factory_spark import fsutil
+
+    even = vecs.filter(F.col("vec_id") % 2 == 0).localCheckpoint()
+    part1 = vecs.filter(F.col("vec_id") % 4 == 1).localCheckpoint()
+    part3 = vecs.filter(F.col("vec_id") % 4 == 3).localCheckpoint()
+    idx = ann_index.build_pq_index(
+        even, m=8, n_codes=8, n_cells=8, iters=1, sample_fraction=1.0
+    )
+    path = str(tmp_path / "hole_idx")
+    ann_index.save_pq_index(idx, path)
+    ann_index.append_to_pq_index(spark, path, part1, batch_id=1)
+    os.remove(f"{path}/codes_append/batch=1/_SUCCESS")  # the kill
+    ann_index.append_to_pq_index(spark, path, part3, batch_id=2)
+
+    rep = ann_index.compact_pq_index(spark, path)
+    assert rep["pending"] == [1] and rep["folded_batches"] == 0
+    assert rep["horizon"] == -1  # nothing foldable below the hole
+    # both dirs survive: the hole stays repairable, batch 2 stays live
+    assert fsutil.exists(spark, f"{path}/codes_append/batch=1")
+    assert fsutil.exists(spark, f"{path}/codes_append/batch=2")
+    assert ann_index.load_pq_index(spark, path).codes.count() == (
+        even.count() + part3.count()
+    )
+
+    # redelivery repairs the hole; the next compaction folds everything
+    ann_index.append_to_pq_index(spark, path, part1, batch_id=1)
+    rep2 = ann_index.compact_pq_index(spark, path)
+    assert rep2["pending"] == [] and rep2["horizon"] == 2
+    assert rep2["snapshot_rows"] == vecs.count()
     assert ann_index.load_pq_index(spark, path).codes.count() == vecs.count()
 
 
