@@ -274,6 +274,15 @@ def compact_journal(
     run (its pre-run manifest no longer exists); ``journal_publish``
     refuses ids at or below the horizon loudly.
 
+    The horizon never advances past a KILLED run (an attempted dir whose
+    job-commit marker is missing — distinct from a committed no-op run,
+    which has the marker and zero rows): folding past it would delete
+    the dir and refuse the run's at-least-once redelivery as
+    below-horizon, silently losing its journal rows forever. The default
+    ``up_to_run`` caps below the lowest such run (reported in
+    ``pending``); an explicit ``up_to_run`` spanning one is refused
+    loudly — replay it (or abandon it deliberately) first.
+
     Crash-safe ordering (shared ``statedir`` discipline): the snapshot is
     written to a dot-temp dir, RENAMED into place (``_head/upto=<id>`` —
     the ``_head`` prefix hides it from the journal's own partition
@@ -292,19 +301,41 @@ def compact_journal(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from .. import statedir
+    from .. import fsutil, statedir
 
     old_horizon = _journal_horizon(spark, journal_dir)
+    # a KILLED run = attempted dir without Spark's job-commit marker (a
+    # committed no-op run has the marker and zero rows) — its redelivery
+    # must stay replayable, so the fold may never reach it
+    pending = sorted(
+        rid
+        for rid, name in statedir.numbered_dirs(
+            spark, journal_dir, "run_id=", above=old_horizon
+        ).items()
+        if not fsutil.exists(spark, f"{journal_dir.rstrip('/')}/{name}/"
+                             f"{statedir.MARKER}")
+    )
     full = _read_journal(spark, journal_dir, before_run=None, keep_run=True)
     if full is None:
         return {"horizon": old_horizon, "snapshot_paths": 0,
-                "removed_dirs": 0}
+                "removed_dirs": 0, "pending": pending}
     committed = {r.run_id for r in full.select("run_id").distinct().collect()}
     if up_to_run is None:
-        up_to_run = max(committed, default=old_horizon)
+        up_to_run = max(
+            (c for c in committed if not pending or c < pending[0]),
+            default=old_horizon,
+        )
+    elif pending and up_to_run >= pending[0]:
+        raise ValueError(
+            f"compact_journal: up_to_run={up_to_run} spans killed run(s) "
+            f"{pending} still awaiting redelivery — folding past one "
+            "would delete its partition and refuse its replay as "
+            "below-horizon, losing its journal rows; replay (or "
+            "deliberately abandon) them first"
+        )
     if up_to_run <= old_horizon:
         return {"horizon": old_horizon, "snapshot_paths": 0,
-                "removed_dirs": 0}
+                "removed_dirs": 0, "pending": pending}
     w = Window.partitionBy("path").orderBy(
         F.col("run_id").desc(), F.col("digest")
     )
@@ -322,7 +353,7 @@ def compact_journal(
     removed += statedir.delete_superseded_snapshots(spark, head_dir,
                                                     int(up_to_run))
     return {"horizon": int(up_to_run), "snapshot_paths": n_snap,
-            "removed_dirs": removed}
+            "removed_dirs": removed, "pending": pending}
 
 
 def _journal_horizon(spark: SparkSession, journal_dir: str) -> int:

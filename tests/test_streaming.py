@@ -529,6 +529,43 @@ def test_compact_journal_bounds_reads_and_preserves_head(spark, tmp_path):
     assert incremental.compact_journal(spark, jdir)["snapshot_paths"] == 0
 
 
+def test_compact_journal_never_folds_past_a_killed_run(spark, tmp_path):
+    # round-8: a KILLED run (attempted dir, no job-commit marker — NOT a
+    # committed no-op, which has the marker and zero rows) caps the fold
+    # below its id: folding past it would delete the dir and refuse the
+    # run's at-least-once redelivery as below-horizon, losing its rows.
+    import os
+
+    import pytest as _pytest
+
+    jdir = str(tmp_path / "journal_k")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "path string, digest string"
+    )
+    incremental.journal_publish(spark, mk([("/a", "d1")]), jdir, run_id=1)
+    incremental.journal_publish(spark, mk([("/b", "d2")]), jdir, run_id=2)
+    os.makedirs(f"{jdir}/run_id=3")  # the killed run-3 write
+
+    rep = incremental.compact_journal(spark, jdir)
+    assert rep["pending"] == [3] and rep["horizon"] == 2
+    # an explicit fold spanning the hole is refused loudly
+    with _pytest.raises(ValueError, match="killed run"):
+        incremental.compact_journal(spark, jdir, up_to_run=3)
+
+    # the redelivery of run 3 still replays (attempted, above horizon)...
+    rep3 = incremental.journal_publish(spark, mk([("/c", "d3")]), jdir,
+                                       run_id=3)
+    assert rep3 == {"published": 1, "unchanged": 0, "run_id": 3}
+    # ...and once repaired, the next compaction folds it
+    rep = incremental.compact_journal(spark, jdir)
+    assert rep["pending"] == [] and rep["horizon"] == 3
+    manifest = {
+        (r.path, r.digest)
+        for r in incremental.published_manifest(spark, jdir).collect()
+    }
+    assert manifest == {("/a", "d1"), ("/b", "d2"), ("/c", "d3")}
+
+
 def test_partial_journal_snapshot_is_not_adopted(spark, tmp_path):
     # round-8 ADVICE: on object stores fsutil.rename degrades to
     # copy+delete — a crash mid-copy leaves a PARTIAL _head/upto=N dir.
