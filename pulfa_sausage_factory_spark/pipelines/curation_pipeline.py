@@ -69,6 +69,20 @@ class CurationConfig:
     #: cross-run pairs). Admitted documents' in-engine embeddings persist
     #: per cell (``semvecs/``); new batches compare within-cell only.
     semantic_ledger: bool = False
+    #: incremental ingest: keep the persisted SERVING index in step with
+    #: the admitted corpus — each batch's admitted embeddings (the
+    #: semantic ledger's own vectors, same dimension and family as the
+    #: index by that ledger's contract) are appended to
+    #: ``semdedup_index_path`` via ``ann_index.append_to_pq_index``.
+    #: Requires ``semantic_ledger``. At-least-once safe: the index log id
+    #: for each ingest batch is RESERVED in ``idxmap/batch_id=N`` before
+    #: the append, so a replayed batch reuses its id (the append's own
+    #: replay discipline overwrite-repairs) instead of auto-appending a
+    #: duplicate copy. The index becomes pipeline-managed — manual
+    #: appends/tombstones issued between a failed batch and its
+    #: redelivery can collide with the reservation (refused loudly by
+    #: the id discipline, never silently).
+    serve_index_append: bool = False
     dsir_k: int | None = None  # DSIR target-matched selection (needs target=)
     dsir_dim: int = 8192
     keep_tiers: tuple[int, ...] | None = None  # CCNet tier gate (needs scores=)
@@ -628,6 +642,13 @@ def _ingest_batch(
     from ..operators.dedup import _minhash_sig_udf
     from ..sources.jsonl import CORRUPT_COL
 
+    if cfg.serve_index_append and not cfg.semantic_ledger:
+        raise ValueError(
+            "cfg.serve_index_append needs cfg.semantic_ledger — the "
+            "vectors appended to the serving index ARE the ledger's "
+            "admitted embeddings (derived at the index's dimension and "
+            "family under that ledger's contract)"
+        )
     if cfg.semantic_ledger and sem_centroids is None:
         sem_centroids = _load_semantic_centroids(spark, cfg)
     full = T.StructType(
@@ -639,6 +660,7 @@ def _ingest_batch(
     sigs_dir = os.path.join(state_dir, "sigs")
     bands_dir = os.path.join(state_dir, "bands")
     semvecs_dir = os.path.join(state_dir, "semvecs")
+    idxmap_dir = os.path.join(state_dir, "idxmap")
     num_hashes, n_bands = 32, 8
     rows_per_band = num_hashes // n_bands
     sig_udf = _minhash_sig_udf(num_hashes=num_hashes, n=3)
@@ -670,7 +692,7 @@ def _ingest_batch(
             spark, parsed, batch_id, cfg, sch,
             ledger_dir, corpus_dir, sigs_dir, bands_dir,
             sig_udf, _band_keys, _part, num_hashes,
-            semvecs_dir, sem_centroids,
+            semvecs_dir, sem_centroids, idxmap_dir,
         )
     finally:
         parsed.unpersist()
@@ -680,7 +702,7 @@ def _ingest_batch_body(
     spark, parsed, batch_id, cfg, sch,
     ledger_dir, corpus_dir, sigs_dir, bands_dir,
     sig_udf, _band_keys, _part, num_hashes,
-    semvecs_dir=None, sem_centroids=None,
+    semvecs_dir=None, sem_centroids=None, idxmap_dir=None,
 ) -> dict:
     from ..sources.jsonl import CORRUPT_COL
 
@@ -822,23 +844,35 @@ def _ingest_batch_body(
     else:
         sem_emb_ckpt = None
     admitted = batch_d.localCheckpoint()  # read once, write 2-5x below
+    idx_rep = None
     try:
         n_admit = _write_admitted(admitted, cfg, icol, _part,
                                   ledger_dir, corpus_dir, sigs_dir,
                                   bands_dir, _band_keys, semvecs_dir)
+        if cfg.serve_index_append:
+            # after the ledgers commit: the admitted set is final for
+            # this batch; a crash before the append replays the whole
+            # batch (identical admitted set → identical append)
+            idx_rep = _append_serve_index(
+                spark, admitted, cfg, icol, batch_id, idxmap_dir
+            )
     finally:
         release_local_checkpoint(admitted)
         if sem_emb_ckpt is not None:
             # the eager checkpoint above is the last reader of the
             # embedding blocks — release them now, not at driver GC
             release_local_checkpoint(sem_emb_ckpt)
-    return {
+    rep = {
         "batch_id": batch_id,
         "corrupt_lines": n_corrupt,
         "input_rows": n_in,
         "admitted": n_admit,
         "dropped": n_in - n_admit,
     }
+    if idx_rep is not None:
+        rep["index_batch_id"] = idx_rep["batch_id"]
+        rep["index_appended"] = idx_rep["rows"]
+    return rep
 
 
 def _write_admitted(admitted, cfg, icol, _part, ledger_dir, corpus_dir,
@@ -872,6 +906,69 @@ def _write_admitted(admitted, cfg, icol, _part, ledger_dir, corpus_dir,
         _part(corpus_dir)
     )
     return n_admit
+
+
+def _append_serve_index(spark, admitted, cfg, icol, batch_id,
+                        idxmap_dir) -> dict:
+    """``cfg.serve_index_append``: append this batch's admitted vectors
+    (the semantic ledger's ``_semvec`` — already derived at the index's
+    dimension and family) to the persisted serving index, so ANN serving
+    tracks the curated corpus batch-by-batch instead of waiting for an
+    offline rebuild.
+
+    At-least-once safety with the index's auto-assigned log ids needs a
+    RESERVATION: ``append_to_pq_index(batch_id=None)`` on a replayed
+    ingest batch would land a second copy of the same rows under a fresh
+    id (duplicate served rows, silent). So the index log id for this
+    ingest batch is reserved in ``idxmap/batch_id=N`` BEFORE the append
+    — a replay finds the mapping and re-appends under the SAME id, which
+    the index's replay discipline overwrite-repairs. Crash windows:
+    before the mapping write → replay reserves fresh (no append
+    happened); between mapping and append → replay appends under the
+    reserved id (still new, or repairable); after the append → replay
+    overwrites with identical rows. A manual append/tombstone that takes
+    the reserved id inside a crash window is refused loudly by the
+    shared id discipline when the kinds differ — keep pipeline-managed
+    indexes single-writer."""
+    import os
+
+    from ..io import read_parquet_state
+    from ..operators.ann_index import (
+        _attempted_log_ids,
+        _codes_horizon,
+        append_to_pq_index,
+    )
+
+    reserved = None
+    mapping = read_parquet_state(spark, idxmap_dir)
+    if mapping is not None:
+        rows = (
+            mapping.filter(F.col("batch_id") == batch_id)
+            .select("index_batch_id").collect()
+        )
+        if rows:
+            reserved = int(rows[0].index_batch_id)
+    if reserved is None:
+        base = cfg.semdedup_index_path
+        horizon = _codes_horizon(spark, base)
+        app_att, tomb_att = _attempted_log_ids(spark, base, horizon)
+        reserved = max(max(app_att | tomb_att, default=0), horizon) + 1
+        spark.createDataFrame(
+            [(reserved,)], "index_batch_id long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(idxmap_dir, f"batch_id={batch_id}")
+        )
+    return append_to_pq_index(
+        spark, cfg.semdedup_index_path,
+        admitted.select(
+            F.col(icol).alias("vec_id"),
+            F.col("_semvec").alias("embedding"),
+        ),
+        batch_id=reserved,
+        id_col="vec_id",
+        vec_col="embedding",
+        assign_impl="arrow",
+    )
 
 
 def compact_ingest_state(

@@ -756,6 +756,116 @@ def test_deterministic_shuffle_key_orders_shards(spark, tmp_path):
     assert k7 == k7b and k7 != k8
 
 
+def test_incremental_curation_serve_index_append(spark, tmp_path):
+    # round-8: cfg.serve_index_append keeps the persisted SERVING index
+    # in step with the admitted corpus — each batch's admitted vectors
+    # (the semantic ledger's own embeddings) append to the index under a
+    # RESERVED log id (idxmap/), so at-least-once replays are exact and
+    # interleaved manual tombstones can't collide with future batches.
+    import json
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.functions.vectors import (
+        hashed_text_embedding,
+    )
+    from pulfa_sausage_factory_spark.operators import ann_index
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+    )
+
+    fams = {
+        0: ("river forest fox dog bank quiet green lazy jumps runs far "
+            "away tonight brown quick over then into the and by").split(),
+        1: ("archive letter aid princeton collection finding material box "
+            "folder series inventory manuscript curator shelf record").split(),
+    }
+
+    def doc(f, i):
+        w = fams[f]
+        rot = w[i % len(w):] + w[:i % len(w)]
+        return " ".join(rot[:14])
+
+    corpus = [(f * 100 + i, doc(f, i)) for f in fams for i in range(10)]
+    cdf = spark.createDataFrame(corpus, "vec_id long, text string").select(
+        "vec_id", hashed_text_embedding(F.col("text"), dim=64).alias("embedding")
+    ).localCheckpoint()
+    idx_path = str(tmp_path / "serve_idx")
+    ann_index.save_pq_index(
+        ann_index.build_pq_index(
+            cdf, m=8, n_codes=8, n_cells=4, iters=2, sample_fraction=1.0
+        ),
+        idx_path,
+    )
+    base_n = cdf.count()
+
+    state = str(tmp_path / "state")
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    cfg = CurationConfig(
+        min_quality=0.0, neardup_method="none",
+        semantic_ledger=True, semdedup_threshold=0.8,
+        semdedup_index_path=idx_path, serve_index_append=True,
+    )
+
+    def lines(rows):
+        return spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "value string"
+        )
+
+    # the feature needs the ledger (its vectors ARE what gets appended)
+    with pytest.raises(ValueError, match="serve_index_append"):
+        _ingest_batch(
+            spark, lines([]), 0,
+            CurationConfig(min_quality=0.0, neardup_method="none",
+                           serve_index_append=True),
+            str(tmp_path / "s2"), sch,
+        )
+
+    b0 = lines([
+        {"doc_id": 900, "text": doc(0, 3)},
+        {"doc_id": 901, "text": doc(1, 5)},
+    ])
+    r0 = _ingest_batch(spark, b0, 0, cfg, state, sch)
+    assert r0["admitted"] == 2
+    assert r0["index_batch_id"] == 1 and r0["index_appended"] == 2
+    loaded = ann_index.load_pq_index(spark, idx_path)
+    assert loaded.codes.count() == base_n + 2
+    assert loaded.codes.filter(F.col("id").isin(900, 901)).count() == 2
+
+    # at-least-once replay: same reserved id, identical index afterwards
+    r0b = _ingest_batch(spark, b0, 0, cfg, state, sch)
+    assert r0b["index_batch_id"] == 1 and r0b["index_appended"] == 2
+    assert ann_index.load_pq_index(spark, idx_path).codes.count() == base_n + 2
+
+    # a manual takedown between batches consumes log id 2; the next
+    # ingest batch reserves PAST it (shared monotone sequence, no clash)
+    ann_index.remove_from_pq_index(spark, idx_path, [900])
+    # doc(0,12): rotation distance 9 from admitted doc(0,3) in the
+    # 21-word family-0 vocabulary → ~7 shared words of 14, cos ≈ 0.5,
+    # safely below the 0.8 ledger threshold (a family-1 rotation would
+    # share 13-14 of its 15 words with admitted doc(1,5) and be dropped)
+    b1 = lines([{"doc_id": 902, "text": doc(0, 12)}])
+    r1 = _ingest_batch(spark, b1, 1, cfg, state, sch)
+    assert r1["admitted"] == 1 and r1["index_batch_id"] == 3
+    loaded = ann_index.load_pq_index(spark, idx_path)
+    assert loaded.codes.count() == base_n + 2  # +902, −900
+    assert loaded.codes.filter(F.col("id") == 900).count() == 0
+
+    # the grown index serves with the coverage guard on: corpus = build
+    # vectors ∪ the admitted docs' ledger embeddings
+    admitted_vecs = spark.read.parquet(f"{state}/corpus").select(
+        F.col("doc_id").alias("vec_id"),
+        hashed_text_embedding(F.col("text"), dim=64).alias("embedding"),
+    )
+    served = ann_index.knn_from_index(
+        loaded, cdf.unionByName(admitted_vecs), cdf.limit(2), k=3,
+        shortlist=30, check_corpus=True,
+    )
+    got = served.groupBy("query_id").count().collect()
+    assert len(got) == 2 and all(r["count"] == 3 for r in got)
+
+
 def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
     # foreachBatch is at-least-once: re-running a batch with the same id
     # (the crash-replay case) must decide against the PRE-batch state and
