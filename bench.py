@@ -8,6 +8,17 @@ Prints ONE JSON line:
 ``value`` is the total wall time of the headline query set (each query
 executed to completion via a count/collect action, result sizes sanity-
 checked). Per-query seconds are in ``queries``.
+
+The stdout line must FIT the round driver's 2,000-char stdout tail
+capture (round-8 post-mortem: the ``query_stats`` block grew the line to
+3,440 chars and BENCH_r08.json recorded ``parsed: null`` — the round's
+canonical headline evidence was lost even though bench ran rc=0). The
+line therefore carries ONLY the bounded headline fields
+(:data:`STDOUT_FIELDS`); all diagnostics (per-rep spreads, cold runs,
+cache-build splits, notes, error detail) go to ``BENCH_STATS.json``
+beside this script plus stderr. ``tests/test_bench_contract.py`` pins
+the serialized length under :data:`STDOUT_LINE_BUDGET` with worst-case
+field widths so future fields can't regress the capture contract.
 """
 
 from __future__ import annotations
@@ -51,6 +62,43 @@ _EXTRA = {
     "t_sliding_window": _t_sliding_window,
 }
 
+#: The only fields allowed on the stdout JSON line, in print order. Every
+#: one is bounded: fixed-vocabulary keys (BENCH_QUERIES + stable extras)
+#: with scalar values. Unbounded diagnostics (query_stats, cold_queries,
+#: error strings, prose notes) are CONTRACTUALLY stats-file-only — adding
+#: a field here requires re-checking tests/test_bench_contract.py's
+#: worst-case budget.
+STDOUT_FIELDS = (
+    "metric",
+    "value",
+    "unit",
+    "estimator",
+    "queries",
+    "extra_queries",
+    "failed",
+    "stats_file",
+    "sf",
+)
+
+#: Hard budget for the serialized stdout line — the driver keeps the last
+#: 2,000 chars of stdout; 1,900 leaves margin for a trailing newline and
+#: any incidental stdout Spark emits after the line.
+STDOUT_LINE_BUDGET = 1900
+
+
+def build_stdout_payload(full: dict) -> dict:
+    """Project the full result dict onto the driver-facing stdout line.
+
+    ``failed`` compresses the error map to query names only (bounded by
+    the fixed query vocabulary); everything else passes through iff it is
+    in :data:`STDOUT_FIELDS`. The full dict — spreads, cold runs, error
+    strings — belongs in the stats side file, not on this line.
+    """
+    out = {k: full[k] for k in STDOUT_FIELDS if k in full}
+    if full.get("errors"):
+        out["failed"] = sorted(full["errors"])
+    return {k: out[k] for k in STDOUT_FIELDS if k in out}
+
 
 # One-time cache builds that a query's FIRST run otherwise pays inline
 # (round-7, VERDICT item 2): the minhash signature materialization is
@@ -72,6 +120,25 @@ _CACHE_BUILD = {
 #: +topk (q3), star multi-join (q5), window ordinal (w1), group-collect (a1),
 #: shingle-join near-dup (x2), minhash LSH (x2b), brute-force knn (x3),
 #: sessionization (t), tumbling windows (t2).
+#: Stable extras vocabulary (round-5 contract: keys stay comparable
+#: round-over-round). test_bench_contract sizes the worst-case stdout
+#: line off this list — extend it here, not just inline in main().
+EXTRA_KEYS = [
+    "bucketize_facts_ingest",
+    "x2g_semdedup",
+    "x8d_dsir_select",
+    "x3p_pq_adc",
+    "x3r_pq_rerank",
+    "x3s_pq_serve_from_disk",
+    "dedup_substrings",
+    "dedup_clusters",
+    "image_neardup_pairs",
+    "run_curation",
+    "q3_bucketed",
+    "q5_bucketed",
+    "q10_bucketed",
+]
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue",
@@ -358,6 +425,9 @@ def main() -> None:
         ("q5_bucketed", _q5_bucketed, (_bq,)),
         ("q10_bucketed", _q10_bucketed, (_bq,)),
     )
+    # keep the worst-case budget test honest: the measured extras must be
+    # exactly the published vocabulary
+    assert ["bucketize_facts_ingest"] + [n for n, _, _ in _extra_specs] == EXTRA_KEYS
     for name, fn, needs in _extra_specs:
         if any(dep is None for dep in needs):
             # root cause already recorded: errors["extras_setup"] for the
@@ -417,6 +487,7 @@ def main() -> None:
         "cache_build_queries": cache_build,
         "extra_queries": extras,
         "sf": sf,
+        "stats_file": "BENCH_STATS.json",
         "cold_note": (
             "cold measures each query's first run with deliberate cache "
             "builds (cache_build_queries) already paid; remaining "
@@ -431,7 +502,28 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # Full diagnostics → side file (best-effort: a read-only cwd must not
+    # kill the stdout line) + stderr, so the spread/cold evidence survives
+    # even though it no longer rides the captured line.
+    stats_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_STATS.json")
+    try:
+        with open(stats_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# stats file unwritable — {exc}", file=sys.stderr)
+    print("# full diagnostics: " + json.dumps(out), file=sys.stderr)
+    line = json.dumps(build_stdout_payload(out))
+    if len(line) > STDOUT_LINE_BUDGET:
+        # last-resort degradation so the HEADLINE always parses: extras
+        # are the only field that can realistically grow (new operators) —
+        # shed them before the core metric (never reachable while
+        # test_bench_contract's worst-case budget holds).
+        print(f"# stdout line {len(line)} > {STDOUT_LINE_BUDGET}; shedding extras", file=sys.stderr)
+        slim = build_stdout_payload(out)
+        slim.pop("extra_queries", None)
+        line = json.dumps(slim)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,102 @@
+"""bench.py stdout-line capture contract (round-9, VERDICT r8 item 1).
+
+The round driver stores only the LAST 2,000 chars of bench.py's stdout;
+round 8's line grew to 3,440 chars (query_stats rode on it) and
+BENCH_r08.json recorded ``parsed: null`` — a full round's canonical
+headline evidence was lost even though bench ran rc=0. These tests pin
+the repaired contract: the stdout line carries only the bounded
+STDOUT_FIELDS and its WORST-CASE serialization stays under the budget,
+so adding a field or an extra key that regresses the capture fails CI
+instead of silently voiding a future round's artifact.
+
+No SparkSession needed — this is pure payload-shape arithmetic.
+"""
+
+import json
+
+import bench
+
+
+def _worst_case_full() -> dict:
+    """A full result dict with every field at maximum realistic width.
+
+    Widths are deliberately pessimistic: 5-digit seconds with 3 decimals
+    (99999.999 — 1,000× anything ever measured), every query AND every
+    extra failed (so ``failed`` lists the entire vocabulary), and all the
+    unbounded diagnostics fields populated, which the projection must
+    drop.
+    """
+    wide = 99999.999
+    queries = {name: wide for name in bench.BENCH_QUERIES}
+    extras = {name: wide for name in bench.EXTRA_KEYS}
+    stats = {
+        name: {"min": wide, "median": wide, "max": wide}
+        for name in [*bench.BENCH_QUERIES, *bench.EXTRA_KEYS]
+    }
+    errors = {
+        name: "X" * 500 for name in [*bench.BENCH_QUERIES, *bench.EXTRA_KEYS]
+    }
+    return {
+        "metric": "headline_query_set_wall_time",
+        "value": wide * len(queries),
+        "unit": "sec",
+        "estimator": "min_of_99_reps",
+        "queries": queries,
+        "query_stats": stats,
+        "cold_queries": {name: wide for name in bench.BENCH_QUERIES},
+        "cache_build_queries": {name: wide for name in bench.BENCH_QUERIES},
+        "extra_queries": extras,
+        "sf": 0.1,
+        "stats_file": "BENCH_STATS.json",
+        "cold_note": "n" * 200,
+        "variance_note": "n" * 200,
+        "errors": errors,
+    }
+
+
+def test_worst_case_stdout_line_fits_driver_capture():
+    line = json.dumps(bench.build_stdout_payload(_worst_case_full()))
+    assert len(line) < bench.STDOUT_LINE_BUDGET, (
+        f"stdout line is {len(line)} chars at worst-case field widths — "
+        f"over the {bench.STDOUT_LINE_BUDGET} budget (driver captures "
+        "2,000); move the new field to BENCH_STATS.json instead"
+    )
+
+
+def test_stdout_payload_drops_unbounded_fields():
+    out = bench.build_stdout_payload(_worst_case_full())
+    assert set(out) <= set(bench.STDOUT_FIELDS)
+    for banned in (
+        "query_stats",
+        "cold_queries",
+        "cache_build_queries",
+        "cold_note",
+        "variance_note",
+        "errors",
+    ):
+        assert banned not in out
+    # error DETAIL is stats-file-only; the line keeps names only
+    assert out["failed"] == sorted(
+        [*bench.BENCH_QUERIES, *bench.EXTRA_KEYS]
+    )
+
+
+def test_stdout_payload_keeps_headline_fields():
+    full = _worst_case_full()
+    out = bench.build_stdout_payload(full)
+    for key in ("metric", "value", "unit", "estimator", "queries", "extra_queries", "sf"):
+        assert out[key] == full[key]
+    # no-failures runs omit `failed` entirely (keys stay stable otherwise)
+    clean = dict(full)
+    clean.pop("errors")
+    assert "failed" not in bench.build_stdout_payload(clean)
+
+
+def test_headline_vocabulary_is_pinned():
+    # the budget math above is only valid while the vocabularies match
+    # what main() measures; EXTRA_KEYS is asserted against _extra_specs at
+    # runtime inside main(), and this pins both lists' sizes so silent
+    # growth shows up here first
+    assert len(bench.BENCH_QUERIES) == 14
+    assert len(bench.EXTRA_KEYS) == 13
+    assert len(set(bench.BENCH_QUERIES) & set(bench.EXTRA_KEYS)) == 0
