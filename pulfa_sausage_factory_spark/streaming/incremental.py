@@ -121,12 +121,15 @@ def journal_publish(
       OVERWRITE — replaying a run rewrites its own partition to the same
       contents instead of appending duplicates.
 
-    ``run_id=None`` (the safe default) auto-assigns ``max journaled run
+    ``run_id=None`` (the safe default) auto-assigns ``max attempted run
     + 1`` — the monotonicity the replay semantics above depend on,
     enforced by the journal itself instead of trusted to the caller.
-    Like svn revisions, auto ids advance only on runs that actually
-    commit something (a no-op run journals zero rows, so the next run
-    reuses its number — harmless: the decision prior is identical). An
+    Auto ids advance past every ATTEMPTED run, not just committed ones:
+    a KILLED run (marker-less partition dir) is still awaiting its
+    at-least-once redelivery, and landing different rows under its id
+    would let that redelivery — a legitimate replay — silently overwrite
+    them (round-9 ADVICE fix; the index WAL's auto ids follow the same
+    rule). An
     EXPLICIT id must be either greater than every ATTEMPTED run (a new
     run under external numbering — streaming batch ids, which start at
     0: a fresh journal accepts any first id) or an already-attempted id
@@ -175,12 +178,16 @@ def journal_publish(
             }
         )
         attempted = committed | _attempted_runs(spark, journal_dir, horizon)
-        max_run = max(committed, default=0)
         if run_id is None:
-            # auto ids advance on COMMITTED runs only (svn-style: a no-op
-            # run does not consume a revision) — but never land at or
-            # below the compaction horizon, whose priors are gone
-            run_id = max(max_run + 1, horizon + 1)
+            # auto ids advance past every ATTEMPTED run — committed,
+            # no-op (empty committed partition), or KILLED (marker-less
+            # dir awaiting its at-least-once redelivery): reusing a
+            # killed run's id for DIFFERENT rows would let that
+            # redelivery, a legitimate replay of the id, silently
+            # overwrite them (round-9 ADVICE fix — the same rule the
+            # index WAL's _validate_log_batch_id applies). Never lands
+            # at or below the compaction horizon, whose priors are gone.
+            run_id = max(max(attempted, default=0), horizon) + 1
         elif run_id < 0:
             raise ValueError(
                 f"journal_publish: run_id={run_id} is negative — run ids "

@@ -697,3 +697,59 @@ def test_index_load_refuses_mismatched_artifacts(spark, vecs, tmp_path):
     ).write.mode("overwrite").parquet(f"{path}/meta")
     with pytest.raises(ValueError, match="grid"):
         ann_index.load_pq_index(spark, path)
+
+
+def test_next_log_id_and_reservation_dir(spark, vecs, tmp_path):
+    # round-9 (r8 ADVICE + VERDICT item 3): next_log_id is the public
+    # reservation query — the same formula the WAL's own auto path runs —
+    # and an empty marker-less attempted dir at the reserved id pushes
+    # concurrent auto-assignment PAST it instead of colliding inside the
+    # reserve→append crash window.
+    from pulfa_sausage_factory_spark import fsutil
+
+    even = vecs.filter(F.col("vec_id") % 2 == 0).localCheckpoint()
+    part1 = vecs.filter(F.col("vec_id") % 4 == 1).localCheckpoint()
+    part3 = vecs.filter(F.col("vec_id") % 4 == 3).localCheckpoint()
+    idx = ann_index.build_pq_index(
+        even, m=8, n_codes=8, n_cells=8, iters=1, sample_fraction=1.0
+    )
+    path = str(tmp_path / "resv_idx")
+    ann_index.save_pq_index(idx, path)
+
+    # fresh log: the next id is 1, and querying does not consume it
+    assert ann_index.next_log_id(spark, path) == 1
+    assert ann_index.next_log_id(spark, path) == 1
+
+    # reserve it mechanically (what _append_serve_index does)
+    fsutil.mkdirs(spark, f"{path}/codes_append/batch=1")
+    assert ann_index.next_log_id(spark, path) == 2
+    # the reservation is visible in the report as a compaction blocker
+    rep_rows = {
+        r.artifact: r for r in ann_index.pq_index_report(spark, path).collect()
+    }
+    assert rep_rows["codes_append/batch=1"].committed is False
+    assert "blocks compaction" in rep_rows["codes_append/batch=1"].detail
+    assert rep_rows["pending"].detail.startswith("uncommitted log ids [1]")
+    # ...and it caps compaction below itself, loudly reported
+    comp = ann_index.compact_pq_index(spark, path)
+    assert comp["pending"] == [1] and comp["horizon"] == -1
+
+    # a concurrent auto append assigns PAST the reservation
+    rep3 = ann_index.append_to_pq_index(spark, path, part3)
+    assert rep3["batch_id"] == 2
+
+    # the reserving writer lands its rows under the reserved id (an
+    # attempted-dir replay — overwrite-repairs the empty dir)
+    rep1 = ann_index.append_to_pq_index(spark, path, part1, batch_id=1)
+    assert rep1 == {"batch_id": 1, "rows": part1.count()}
+    assert ann_index.load_pq_index(spark, path).codes.count() == vecs.count()
+    # no blockers remain; the report's pending summary row is gone
+    arts = {
+        r.artifact for r in ann_index.pq_index_report(spark, path).collect()
+    }
+    assert "pending" not in arts
+
+    # after compaction the horizon drives next_log_id even with no dirs
+    comp = ann_index.compact_pq_index(spark, path)
+    assert comp["horizon"] == 2 and comp["pending"] == []
+    assert ann_index.next_log_id(spark, path) == 3

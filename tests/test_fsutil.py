@@ -47,3 +47,31 @@ def test_fs_ops_accept_uri_paths(spark, tmp_path):
     assert fsutil.parquet_file_count(spark, uri) == 1
     fsutil.rename(spark, uri + "/a", uri + "/b")
     assert fsutil.exists(spark, uri + "/b")
+
+
+def test_uri_key_percent_decodes_path(spark, tmp_path):
+    # round-9 ADVICE: Hadoop Path.toString DECODES percent-escapes
+    # ('%20' -> ' ') while df.inputFiles() entries can carry them encoded
+    # — without unquoting, keys for paths with encodable characters
+    # differ and save_pq_index's save-onto-own-path guard silently
+    # disables on exactly those paths
+    enc = fsutil.uri_key("file:///data/my%20index/part-0.parquet")
+    dec = fsutil.uri_key("file:/data/my index/part-0.parquet")
+    assert enc == dec == ("file", "", "/data/my index/part-0.parquet")
+    # scheme-less input is "not qualified" → None (caller must qualify)
+    assert fsutil.uri_key("relative/path") is None
+    # end-to-end: qualified_uri of a space-carrying path keys identically
+    # to its encoded form
+    d = str(tmp_path / "sp ace")
+    q = fsutil.uri_key(fsutil.qualified_uri(spark, d))
+    assert q is not None and q[2].endswith("/sp ace")
+
+
+def test_mkdirs_creates_and_tolerates_existing(spark, tmp_path):
+    # the WAL id-reservation primitive: an empty dir claims an id in the
+    # ATTEMPTED set; re-creating an existing dir is a no-op
+    d = str(tmp_path / "resv" / "batch=7")
+    fsutil.mkdirs(spark, d)
+    assert fsutil.is_dir(spark, d)
+    fsutil.mkdirs(spark, d)  # idempotent
+    assert fsutil.is_dir(spark, d)

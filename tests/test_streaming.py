@@ -606,3 +606,33 @@ def test_partial_journal_snapshot_is_not_adopted(spark, tmp_path):
         for r in incremental.published_manifest(spark, jdir).collect()
     }
     assert manifest2 == {("/a", "d1"), ("/b", "d2")}
+
+
+def test_journal_auto_id_skips_killed_runs(spark, tmp_path):
+    # round-9 ADVICE: auto run-id assignment must advance past every
+    # ATTEMPTED run, not just committed ones — landing different rows
+    # under a KILLED run's id would let that run's at-least-once
+    # redelivery (a legitimate replay of the id) silently overwrite them
+    # (the same rule the index WAL's _validate_log_batch_id applies).
+    import os
+
+    jdir = str(tmp_path / "journal_auto_k")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "path string, digest string"
+    )
+    incremental.journal_publish(spark, mk([("/a", "d1")]), jdir, run_id=1)
+    os.makedirs(f"{jdir}/run_id=2")  # killed run 2: attempted, no rows
+
+    # auto must assign 3, never reuse killed run 2's id
+    rep = incremental.journal_publish(spark, mk([("/c", "d3")]), jdir)
+    assert rep == {"published": 1, "unchanged": 0, "run_id": 3}
+
+    # run 2's redelivery still replays under its own id, repairing it
+    rep2 = incremental.journal_publish(spark, mk([("/b", "d2")]), jdir,
+                                       run_id=2)
+    assert rep2 == {"published": 1, "unchanged": 0, "run_id": 2}
+    manifest = {
+        (r.path, r.digest, r.run_id)
+        for r in incremental.published_manifest(spark, jdir).collect()
+    }
+    assert manifest == {("/a", "d1", 1), ("/b", "d2", 2), ("/c", "d3", 3)}
