@@ -619,18 +619,32 @@ def _load_semantic_centroids(spark: SparkSession, cfg: CurationConfig):
 
 def _read_state(spark: SparkSession, path: str, exclude_batch: int):
     """Read a state dir (hive-partitioned by batch_id), EXCLUDING the
-    current batch's own partition so a replayed batch decides against
-    exactly the pre-batch state. "No usable state yet" → None via the
-    shared FS-portable classifier (``io.read_parquet_state`` — the publish
-    journal reads through the same one); anything else re-raises (mapping
-    real errors to None would re-admit duplicates with no error
-    anywhere)."""
+    current batch's own rows so a replayed batch decides against exactly
+    the pre-batch state. Exclusion keys on the ``src_batch_id`` DATA
+    column the writers stamp (round 9), not the partition dir: after
+    ``compact_ingest_state`` folded a batch's partition into the
+    ``batch_id=-1`` archive, partition-based exclusion can no longer see
+    whose rows are whose — a replayed batch would find its OWN digests in
+    the archive, admit zero documents, and overwrite its corpus partition
+    EMPTY (silent data loss, strictly worse than the double-admit the old
+    stop-the-world contract warned about). With the data column the
+    archive keeps per-row provenance and replay-after-compaction decides
+    identically to replay-before. Pre-round-9 state dirs (no column yet)
+    fall back to partition exclusion — correct until their first
+    compaction, after which the writers' own stamps have taken over.
+    "No usable state yet" → None via the shared FS-portable classifier
+    (``io.read_parquet_state`` — the publish journal reads through the
+    same one); anything else re-raises (mapping real errors to None would
+    re-admit duplicates with no error anywhere)."""
     from ..io import read_parquet_state
 
     df = read_parquet_state(spark, path)
     if df is None:
         return None
-    return df.filter(F.col("batch_id") != exclude_batch).drop("batch_id")
+    key = "src_batch_id" if "src_batch_id" in df.columns else "batch_id"
+    return df.filter(F.col(key) != exclude_batch).drop(
+        "batch_id", "src_batch_id"
+    )
 
 
 def _ingest_batch(
@@ -867,7 +881,8 @@ def _ingest_batch_body(
     try:
         n_admit = _write_admitted(admitted, cfg, icol, _part,
                                   ledger_dir, corpus_dir, sigs_dir,
-                                  bands_dir, _band_keys, semvecs_dir)
+                                  bands_dir, _band_keys, semvecs_dir,
+                                  batch_id=batch_id)
         if cfg.serve_index_append:
             # after the ledgers commit: the admitted set is final for
             # this batch; a crash before the append replays the whole
@@ -929,21 +944,29 @@ def _maybe_compact_serve_index(spark, cfg) -> dict | None:
 
 def _write_admitted(admitted, cfg, icol, _part, ledger_dir, corpus_dir,
                     sigs_dir, bands_dir, _band_keys,
-                    semvecs_dir=None) -> int:
+                    semvecs_dir=None, batch_id=None) -> int:
+    # every ledger row carries its producing batch as the src_batch_id
+    # DATA column (round 9): the per-batch partition dir alone loses
+    # provenance once compact_ingest_state folds it into the batch_id=-1
+    # archive, and _read_state's own-batch exclusion — the replay-safety
+    # mechanism — keys on this column
+    src = F.lit(int(batch_id)).cast("long").alias("src_batch_id")
     n_admit = admitted.count()
-    admitted.select(F.col("_digest").alias("digest")).write.mode(
+    admitted.select(F.col("_digest").alias("digest"), src).write.mode(
         "overwrite"
     ).parquet(_part(ledger_dir))
     admitted_out = admitted
     if cfg.neardup_ledger:
         with_sig = admitted.filter(F.col("_sig").isNotNull())
         with_sig.select(
-            F.col(icol).alias("id"), F.col("_sig").alias("old_sig")
+            F.col(icol).alias("id"), F.col("_sig").alias("old_sig"), src
         ).write.mode("overwrite").parquet(_part(sigs_dir))
         with_sig.select(
             F.col(icol).alias("old_id"),
             F.explode(_band_keys("_sig")).alias("bucket"),
-        ).write.mode("overwrite").parquet(_part(bands_dir))
+        ).withColumn("src_batch_id", src).write.mode("overwrite").parquet(
+            _part(bands_dir)
+        )
         admitted_out = admitted_out.drop("_sig")
     if cfg.semantic_ledger:
         # the cell-bucketed vector state future batches compare against;
@@ -952,6 +975,7 @@ def _write_admitted(admitted, cfg, icol, _part, ledger_dir, corpus_dir,
             F.col("_semcell").alias("cell_id"),
             F.col(icol).alias("old_id"),
             F.col("_semvec").alias("old_vec"),
+            src,
         ).write.mode("overwrite").parquet(_part(semvecs_dir))
         admitted_out = admitted_out.drop("_semcell", "_semvec")
     admitted_out.drop("_digest").write.mode("overwrite").parquet(
@@ -1059,14 +1083,23 @@ def compact_ingest_state(
     per-file-footer overhead far exceeding the data read (the classic
     small-file problem). Collapse every per-batch partition dir into one
     ``batch_id=-1`` archive partition with a bounded file count, via the
-    same crash-safe tmp/old swap as ``sinks/layout.compact``. The archive
-    id is -1 so the ingest's own-batch exclusion filter (real batch ids
-    are ≥ 0) always keeps it; run compaction BETWEEN ingest runs only —
-    a batch that replays after its partition dir was archived would
-    re-admit into a fresh dir and double its rows (the reference's
-    log-rotation analog, ``etc/logging.conf:27``, has the same
-    stop-the-world contract). Returns ``{dir: (files_before,
-    files_after)}`` for dirs it touched.
+    same crash-safe tmp/old swap as ``sinks/layout.compact``. Archived
+    rows keep their per-row provenance (the ``src_batch_id`` data column
+    the writers stamp; ``idxmap`` rows their ``ingest_batch_id``), so the
+    own-batch exclusion and the reservation lookup work identically
+    before and after folding — a batch that replays after its partition
+    dir was archived decides against exactly the pre-batch state and
+    re-lands its rows (round 9; previously a stop-the-world contract: the
+    replay saw its OWN digests in the archive, admitted zero docs, and
+    overwrote its corpus partition empty). The replay's rewritten
+    partition duplicates rows the archive already holds — harmless to
+    every consumer (semi/anti joins and distinct-candidate joins are
+    multiplicity-insensitive) and collapsed by the next fold's
+    ``dropDuplicates``. The archive id is -1 so partition-based readers
+    (pre-round-9 state without the column) still always keep it. Prefer
+    running compaction between ingest runs anyway — it is maintenance,
+    not hot path. Returns ``{dir: (files_before, files_after)}`` for
+    dirs it touched.
 
     All filesystem ops go through the Hadoop FileSystem API (``fsutil``)
     so compaction works on whatever store the state dir lives on
@@ -1099,7 +1132,12 @@ def compact_ingest_state(
             continue
 
         def _fold(tmp: str, path: str = path) -> None:
-            spark.read.parquet(path).drop("batch_id").repartition(
+            # dropDuplicates collapses replay debris — a batch replayed
+            # after a fold rewrites its partition with rows the archive
+            # already holds; coalesce (not repartition) rides the
+            # dedup's own shuffle down to the bounded file count
+            spark.read.parquet(path).drop("batch_id").dropDuplicates(
+            ).coalesce(
                 max(1, max_files // 8)
             ).write.mode("overwrite").parquet(tmp + "/batch_id=-1")
 

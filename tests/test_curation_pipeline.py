@@ -554,7 +554,9 @@ def test_incremental_curation_semantic_ledger(spark, tmp_path):
 
     # the vector state is cell-bucketed with per-batch provenance
     sem = spark.read.parquet(str(tmp_path / "state" / "semvecs"))
-    assert set(sem.columns) == {"cell_id", "old_id", "old_vec", "batch_id"}
+    assert set(sem.columns) == {
+        "cell_id", "old_id", "old_vec", "batch_id", "src_batch_id"
+    }
     assert {r.old_id for r in sem.collect()} == ids2
 
     # full-idempotence: re-landing batch 2's exact content admits NOTHING
@@ -1122,3 +1124,72 @@ def test_index_compact_cadence_in_pipeline(spark, tmp_path):
     )
     got = served.groupBy("query_id").count().collect()
     assert len(got) == 2 and all(r["count"] == 3 for r in got)
+
+
+def test_ingest_replay_after_ledger_compaction(spark, tmp_path):
+    # round-9: own-batch exclusion keys on the src_batch_id DATA column
+    # the writers stamp, so a batch replayed AFTER compact_ingest_state
+    # folded its partitions into the batch_id=-1 archive decides against
+    # exactly the pre-batch state. Under the old partition-based
+    # exclusion the replay saw its OWN digests in the archive, admitted
+    # zero docs, and overwrote its corpus partition EMPTY — silent data
+    # loss, which is why compaction used to demand stop-the-world.
+    import json
+
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark import fsutil
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        compact_ingest_state,
+    )
+
+    state = str(tmp_path / "replay_fold_state")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none",
+                         neardup_ledger=True, neardup_threshold=0.5)
+    sch = T.StructType.fromDDL("doc_id long, text string")
+
+    def lines(rows):
+        return spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "value string"
+        )
+
+    b0 = lines([
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog today"},
+        {"doc_id": 2, "text": "totally different archival text about letters here"},
+    ])
+    b1 = lines([
+        {"doc_id": 3, "text": "fresh unrelated content never before seen anywhere"},
+    ])
+    assert _ingest_batch(spark, b0, 0, cfg, state, sch)["admitted"] == 2
+    assert _ingest_batch(spark, b1, 1, cfg, state, sch)["admitted"] == 1
+
+    # fold everything: per-batch dirs collapse into the archive
+    done = compact_ingest_state(spark, state, max_files=0)
+    assert {"ledger", "sigs", "bands"} <= set(done)
+    assert fsutil.child_names(spark, f"{state}/ledger") == ["batch_id=-1"]
+
+    # replay batch 0: its digests sit in the ARCHIVE now, but provenance
+    # survived — the replay re-admits identically instead of dropping
+    # everything and emptying its corpus partition
+    r0b = _ingest_batch(spark, b0, 0, cfg, state, sch)
+    assert r0b["admitted"] == 2
+    ids = {r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()}
+    assert ids == {1, 2, 3}
+
+    # cross-batch dedup still works against archived state: a NEW batch
+    # carrying an exact and a near duplicate of batch 0 admits neither
+    b2 = lines([
+        {"doc_id": 10, "text": "the quick brown fox jumps over the lazy dog today"},
+        {"doc_id": 11, "text": "the quick brown fox jumps over the lazy dog tonight"},
+        {"doc_id": 12, "text": "entirely novel material with its own vocabulary set"},
+    ])
+    r2 = _ingest_batch(spark, b2, 2, cfg, state, sch)
+    assert r2["admitted"] == 1
+    ids = {r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()}
+    assert ids == {1, 2, 3, 12}
+
+    # the next fold collapses the replay's duplicated ledger rows
+    compact_ingest_state(spark, state, max_files=0)
+    led = spark.read.parquet(f"{state}/ledger")
+    assert led.count() == led.dropDuplicates().count() == 4
