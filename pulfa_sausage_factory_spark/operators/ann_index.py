@@ -725,6 +725,53 @@ def remove_from_pq_index(
     return {"batch_id": int(batch_id), "rows": n}
 
 
+def abandon_log_entry(spark: SparkSession, path: str, batch_id: int) -> dict:
+    """Deliberately abandon an ATTEMPTED-UNCOMMITTED log entry — a killed
+    append/tombstone awaiting a redelivery that will never come, or an
+    orphaned reservation (``_append_serve_index`` crashed between its
+    mkdir and its idxmap write) — so ``compact_pq_index`` can advance
+    past it. This is the "abandon" half of the replay-or-abandon
+    contract made an API: operators should never hand-delete dirs inside
+    the index (deleting a COMMITTED batch dir by hand silently drops
+    served rows with no error anywhere — this refuses exactly that, and
+    points takedowns at ``remove_from_pq_index``).
+
+    Only abandon when the producing writer is confirmed dead: the id
+    returns to the assignable pool, so a redelivery arriving AFTER the
+    abandon would land on (and be overwritten by / overwrite) whatever
+    new batch took the id — the operator is asserting that cannot
+    happen.
+
+    Returns ``{"batch_id": id, "kind": "append" | "tombstone"}``."""
+    from pulfa_sausage_factory_spark import fsutil, statedir
+
+    base = path.rstrip("/")
+    horizon = _codes_horizon(spark, base)
+    app_att, tomb_att = _attempted_log_ids(spark, base, horizon)
+    bid = int(batch_id)
+    if bid in app_att:
+        kind, sub = "append", "codes_append"
+    elif bid in tomb_att:
+        kind, sub = "tombstone", "tombstones"
+    else:
+        raise ValueError(
+            f"abandon_log_entry: batch_id={bid} is not an attempted log "
+            f"entry above the compaction horizon ({horizon}) — nothing "
+            "to abandon"
+        )
+    d = f"{base}/{sub}/batch={bid}"
+    if fsutil.exists(spark, f"{d}/{statedir.MARKER}"):
+        raise ValueError(
+            f"abandon_log_entry: batch_id={bid} is a COMMITTED {kind} "
+            "batch — its entry is serving history, and deleting it would "
+            "silently change results; use remove_from_pq_index for "
+            "takedowns and compact_pq_index to fold, never abandon "
+            "committed entries"
+        )
+    fsutil.delete(spark, d)
+    return {"batch_id": bid, "kind": kind}
+
+
 def compact_pq_index(spark: SparkSession, path: str) -> dict:
     """Fold the index's append/tombstone log into one codes snapshot —
     the growth bound ``append_to_pq_index`` deliberately left open (every

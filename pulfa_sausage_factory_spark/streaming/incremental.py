@@ -363,6 +363,43 @@ def compact_journal(
             "removed_dirs": removed, "pending": pending}
 
 
+def abandon_run(spark: SparkSession, journal_dir: str, run_id: int) -> dict:
+    """Deliberately abandon a KILLED run (attempted ``run_id=N`` dir
+    whose job-commit marker is missing) so ``compact_journal`` can
+    advance past it — the "deliberately abandon" half of its
+    replay-or-abandon contract made an API, mirroring the index WAL's
+    ``abandon_log_entry``. Refuses committed runs (deleting one would
+    silently rewrite audit history — that is what compaction's fold is
+    for) and unknown ids. A killed run's dir can hold PARTIAL rows from
+    committed tasks of the killed job; deleting the dir removes them,
+    which is the point — the run never happened. Only abandon when the
+    producing writer is confirmed dead: the id returns to the assignable
+    pool, so a redelivery arriving afterwards would collide with
+    whatever new run took it.
+
+    Returns ``{"run_id": id}``."""
+    from .. import fsutil, statedir
+
+    base = journal_dir.rstrip("/")
+    horizon = _journal_horizon(spark, journal_dir)
+    rid = int(run_id)
+    dirs = statedir.numbered_dirs(spark, base, "run_id=", above=horizon)
+    if rid not in dirs:
+        raise ValueError(
+            f"abandon_run: run_id={rid} is not an attempted run above "
+            f"the compaction horizon ({horizon}) — nothing to abandon"
+        )
+    d = f"{base}/{dirs[rid]}"
+    if fsutil.exists(spark, f"{d}/{statedir.MARKER}"):
+        raise ValueError(
+            f"abandon_run: run_id={rid} is a COMMITTED run — deleting it "
+            "would silently rewrite audit history; fold history with "
+            "compact_journal instead, never abandon committed runs"
+        )
+    fsutil.delete(spark, d)
+    return {"run_id": rid}
+
+
 def _journal_horizon(spark: SparkSession, journal_dir: str) -> int:
     """The compaction horizon: max ``upto`` among COMMITTED HEAD
     snapshots under ``journal_dir/_head``, or ``-1`` when never

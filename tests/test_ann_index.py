@@ -753,3 +753,49 @@ def test_next_log_id_and_reservation_dir(spark, vecs, tmp_path):
     comp = ann_index.compact_pq_index(spark, path)
     assert comp["horizon"] == 2 and comp["pending"] == []
     assert ann_index.next_log_id(spark, path) == 3
+
+
+def test_abandon_log_entry(spark, vecs, tmp_path):
+    # round-9: the "abandon" half of compact_pq_index's replay-or-abandon
+    # contract as an API — deletes ONLY attempted-uncommitted entries
+    # (killed batches, orphaned reservations), never committed history,
+    # and unblocks the capped fold.
+    import os
+
+    from pulfa_sausage_factory_spark import fsutil
+
+    even = vecs.filter(F.col("vec_id") % 2 == 0).localCheckpoint()
+    part1 = vecs.filter(F.col("vec_id") % 4 == 1).localCheckpoint()
+    part3 = vecs.filter(F.col("vec_id") % 4 == 3).localCheckpoint()
+    idx = ann_index.build_pq_index(
+        even, m=8, n_codes=8, n_cells=8, iters=1, sample_fraction=1.0
+    )
+    path = str(tmp_path / "abandon_idx")
+    ann_index.save_pq_index(idx, path)
+    ann_index.append_to_pq_index(spark, path, part1, batch_id=1)
+    os.remove(f"{path}/codes_append/batch=1/_SUCCESS")  # the kill
+    ann_index.append_to_pq_index(spark, path, part3, batch_id=2)
+
+    # unknown / committed ids refuse
+    with pytest.raises(ValueError, match="nothing to abandon"):
+        ann_index.abandon_log_entry(spark, path, 9)
+    with pytest.raises(ValueError, match="COMMITTED"):
+        ann_index.abandon_log_entry(spark, path, 2)
+
+    # the killed batch blocks the fold; abandoning it unblocks
+    assert ann_index.compact_pq_index(spark, path)["pending"] == [1]
+    rep = ann_index.abandon_log_entry(spark, path, 1)
+    assert rep == {"batch_id": 1, "kind": "append"}
+    assert not fsutil.exists(spark, f"{path}/codes_append/batch=1")
+    comp = ann_index.compact_pq_index(spark, path)
+    assert comp["pending"] == [] and comp["horizon"] == 2
+    assert ann_index.load_pq_index(spark, path).codes.count() == (
+        even.count() + part3.count()
+    )
+
+    # an orphaned reservation (empty attempted dir) abandons the same way
+    rid = ann_index.next_log_id(spark, path)
+    fsutil.mkdirs(spark, f"{path}/codes_append/batch={rid}")
+    assert ann_index.compact_pq_index(spark, path)["pending"] == [rid]
+    assert ann_index.abandon_log_entry(spark, path, rid)["kind"] == "append"
+    assert ann_index.compact_pq_index(spark, path)["pending"] == []

@@ -636,3 +636,35 @@ def test_journal_auto_id_skips_killed_runs(spark, tmp_path):
         for r in incremental.published_manifest(spark, jdir).collect()
     }
     assert manifest == {("/a", "d1", 1), ("/b", "d2", 2), ("/c", "d3", 3)}
+
+
+def test_abandon_run_unblocks_journal_compaction(spark, tmp_path):
+    # round-9: abandon_run is the journal's "deliberately abandon" verb —
+    # refuses committed runs, deletes a killed run's dir (partial rows
+    # included), and lets compact_journal advance past the hole.
+    import os
+
+    import pytest as _pytest
+
+    jdir = str(tmp_path / "journal_ab")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "path string, digest string"
+    )
+    incremental.journal_publish(spark, mk([("/a", "d1")]), jdir, run_id=1)
+    os.makedirs(f"{jdir}/run_id=2")  # killed run 2
+    incremental.journal_publish(spark, mk([("/b", "d2")]), jdir, run_id=3)
+
+    with _pytest.raises(ValueError, match="nothing to abandon"):
+        incremental.abandon_run(spark, jdir, 7)
+    with _pytest.raises(ValueError, match="COMMITTED"):
+        incremental.abandon_run(spark, jdir, 1)
+
+    assert incremental.compact_journal(spark, jdir)["pending"] == [2]
+    assert incremental.abandon_run(spark, jdir, 2) == {"run_id": 2}
+    rep = incremental.compact_journal(spark, jdir)
+    assert rep["pending"] == [] and rep["horizon"] == 3
+    manifest = {
+        (r.path, r.digest)
+        for r in incremental.published_manifest(spark, jdir).collect()
+    }
+    assert manifest == {("/a", "d1"), ("/b", "d2")}
