@@ -95,6 +95,15 @@ class CurationConfig:
     #: reserved id was folded no-ops via the idxmap reservation (its
     #: rows are in the snapshot). ``None`` = never compact in-pipeline.
     index_compact_after_batches: int | None = None
+    #: incremental ingest: in-pipeline fold cadence for the ingest
+    #: ledgers — after each micro-batch, ``compact_ingest_state`` folds
+    #: any state dir whose parquet file count exceeds this bound (the
+    #: call itself is a cheap listing when nothing exceeds it). Safe
+    #: mid-run since round 9: state rows carry per-row provenance
+    #: (``src_batch_id``), so a batch replayed after its partitions were
+    #: folded still decides against exactly the pre-batch state. ``None``
+    #: = never compact in-pipeline (run it between runs by hand).
+    ingest_compact_max_files: int | None = None
     dsir_k: int | None = None  # DSIR target-matched selection (needs target=)
     dsir_dim: int = 8192
     keep_tiers: tuple[int, ...] | None = None  # CCNet tier gate (needs scores=)
@@ -568,10 +577,18 @@ def run_incremental_curation(
     sem_centroids = _load_semantic_centroids(spark, cfg)
 
     def batch_fn(lines: DataFrame, batch_id: int) -> None:
-        batches.append(
-            _ingest_batch(spark, lines, batch_id, cfg, state_dir, sch,
-                          sem_centroids=sem_centroids)
-        )
+        rep = _ingest_batch(spark, lines, batch_id, cfg, state_dir, sch,
+                            sem_centroids=sem_centroids)
+        if cfg.ingest_compact_max_files is not None:
+            # in-pipeline ledger maintenance (round 9): safe between
+            # batches because state rows carry per-row provenance — a
+            # replay after the fold still excludes exactly its own rows
+            done = compact_ingest_state(
+                spark, state_dir, max_files=cfg.ingest_compact_max_files
+            )
+            if done:
+                rep["state_compacted"] = done
+        batches.append(rep)
 
     (
         spark.readStream.format("text")
@@ -694,6 +711,16 @@ def _ingest_batch(
     bands_dir = os.path.join(state_dir, "bands")
     semvecs_dir = os.path.join(state_dir, "semvecs")
     idxmap_dir = os.path.join(state_dir, "idxmap")
+    # heal a killed compaction swap BEFORE any state read: a crash between
+    # replace_dir's two renames leaves the dir absent with `.__old__`
+    # holding the only copy, and an unhealed _read_state would see "no
+    # state" and silently re-admit everything the ledger ever recorded.
+    # Ten existence checks — cheap enough to run unconditionally, and
+    # mandatory once cfg.ingest_compact_max_files folds mid-run.
+    from .. import statedir
+
+    for d in (ledger_dir, sigs_dir, bands_dir, semvecs_dir, idxmap_dir):
+        statedir.recover_replaced_dir(spark, d)
     num_hashes, n_bands = 32, 8
     rows_per_band = num_hashes // n_bands
     sig_udf = _minhash_sig_udf(num_hashes=num_hashes, n=3)

@@ -1193,3 +1193,58 @@ def test_ingest_replay_after_ledger_compaction(spark, tmp_path):
     compact_ingest_state(spark, state, max_files=0)
     led = spark.read.parquet(f"{state}/ledger")
     assert led.count() == led.dropDuplicates().count() == 4
+
+
+def test_ingest_compact_cadence_in_pipeline(spark, tmp_path):
+    # round-9: cfg.ingest_compact_max_files folds the ledgers BETWEEN
+    # micro-batches (safe now that state rows carry per-row provenance);
+    # cross-run dedup decides against archived state, and a killed fold
+    # swap heals before the next batch's state reads.
+    import json
+
+    from pulfa_sausage_factory_spark import fsutil
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        run_incremental_curation,
+    )
+
+    in_dir = tmp_path / "cadence_in"
+    in_dir.mkdir()
+    state = str(tmp_path / "cadence_ingest_state")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none",
+                         neardup_ledger=True, neardup_threshold=0.5,
+                         ingest_compact_max_files=0)
+    jl = lambda i, t: json.dumps({"doc_id": i, "text": t})  # noqa: E731
+
+    (in_dir / "b1.jsonl").write_text("\n".join([
+        jl(1, "the quick brown fox jumps over the lazy dog today"),
+        jl(2, "totally different archival text about letters here"),
+    ]))
+    rep1 = run_incremental_curation(spark, str(in_dir), state, cfg)
+    assert rep1["total_admitted"] == 2
+    assert "state_compacted" in rep1["batches"][-1]
+    assert fsutil.child_names(spark, f"{state}/ledger") == ["batch_id=-1"]
+
+    # run 2: an exact dup, a near dup, and a fresh doc — the ARCHIVED
+    # state decides, then folds again
+    (in_dir / "b2.jsonl").write_text("\n".join([
+        jl(10, "the quick brown fox jumps over the lazy dog today"),
+        jl(11, "the quick brown fox jumps over the lazy dog tonight"),
+        jl(12, "fresh unrelated content never before seen anywhere"),
+    ]))
+    rep2 = run_incremental_curation(spark, str(in_dir), state, cfg)
+    assert rep2["total_admitted"] == 1
+    ids = {r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()}
+    assert ids == {1, 2, 12}
+
+    # a killed fold swap (dir renamed aside, crash before the rename-in)
+    # heals before the next batch reads state — an unhealed read would
+    # see "no ledger" and silently re-admit the duplicate
+    base = f"{state}/ledger"
+    fsutil.rename(spark, base, base + ".__old__")
+    (in_dir / "b3.jsonl").write_text(
+        jl(20, "the quick brown fox jumps over the lazy dog today")
+    )
+    rep3 = run_incremental_curation(spark, str(in_dir), state, cfg)
+    assert rep3["total_admitted"] == 0
+    ids = {r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()}
+    assert ids == {1, 2, 12}
