@@ -98,7 +98,9 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def read_parquet_state(spark: SparkSession, path: str) -> DataFrame | None:
+def read_parquet_state(
+    spark: SparkSession, path: str, **options
+) -> DataFrame | None:
     """Read a parquet state/journal dir, returning None ONLY for the two
     "no usable state yet" error classes: the path not existing (first run)
     and no readable parquet footers (a first run killed mid-write leaves
@@ -111,11 +113,14 @@ def read_parquet_state(spark: SparkSession, path: str) -> DataFrame | None:
 
     The ONE shared classifier for every state consumer (ingest ledger,
     publish journal): a Spark error-class rename gets fixed here once,
-    not per consumer."""
+    not per consumer. ``options`` pass through to the reader (the ingest
+    ledger reads with ``mergeSchema`` so a half-upgraded dir — some
+    partitions carrying a newer column — surfaces the union schema
+    deterministically instead of whichever footer Spark sampled)."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(path)
+        return spark.read.options(**options).parquet(path)
     except AnalysisException as exc:
         get = getattr(exc, "getCondition", None) or getattr(
             exc, "getErrorClass", lambda: ""

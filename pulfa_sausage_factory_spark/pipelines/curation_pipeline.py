@@ -655,13 +655,24 @@ def _read_state(spark: SparkSession, path: str, exclude_batch: int):
     re-admit duplicates with no error anywhere)."""
     from ..io import read_parquet_state
 
-    df = read_parquet_state(spark, path)
+    # mergeSchema: in a half-upgraded dir only SOME partitions carry
+    # src_batch_id — without the merge, whether the column surfaces
+    # depends on which footer Spark sampled for schema inference
+    df = read_parquet_state(spark, path, mergeSchema="true")
     if df is None:
         return None
-    key = "src_batch_id" if "src_batch_id" in df.columns else "batch_id"
-    return df.filter(F.col(key) != exclude_batch).drop(
-        "batch_id", "src_batch_id"
-    )
+    if "src_batch_id" in df.columns:
+        # coalesce, not bare src_batch_id: in a HALF-upgraded dir (old
+        # partitions without the column alongside new ones) the old
+        # files read as NULL src_batch_id, and `NULL != N` is NULL — a
+        # bare filter would silently DROP every pre-upgrade state row
+        # from the prior and re-admit its duplicates. Falling back to
+        # the partition id per-row keeps exactly the old semantics for
+        # exactly the old rows.
+        key = F.coalesce(F.col("src_batch_id"), F.col("batch_id"))
+    else:
+        key = F.col("batch_id")
+    return df.filter(key != exclude_batch).drop("batch_id", "src_batch_id")
 
 
 def _ingest_batch(

@@ -1248,3 +1248,39 @@ def test_ingest_compact_cadence_in_pipeline(spark, tmp_path):
     assert rep3["total_admitted"] == 0
     ids = {r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()}
     assert ids == {1, 2, 12}
+
+
+def test_read_state_half_upgraded_dir_keeps_old_rows(spark, tmp_path):
+    # round-9 upgrade window: a state dir where only SOME partitions carry
+    # the src_batch_id provenance column (pre-upgrade batches don't).
+    # Old files read as NULL src_batch_id, and a bare `src != N` filter
+    # is NULL — silently dropping every pre-upgrade row from the prior
+    # and re-admitting its duplicates. The coalesce-to-partition-id
+    # fallback keeps exactly the old semantics for exactly the old rows,
+    # and mergeSchema makes the column surface deterministically.
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _read_state,
+    )
+
+    d = str(tmp_path / "mixed_ledger")
+    # pre-round-9 partition: no provenance column
+    spark.createDataFrame([("d0",)], "digest string").write.parquet(
+        f"{d}/batch_id=0"
+    )
+    # round-9 partition: carries it
+    spark.createDataFrame(
+        [("d1", 1)], "digest string, src_batch_id long"
+    ).write.parquet(f"{d}/batch_id=1")
+    # archive row folded BEFORE the upgrade: batch_id=-1, no provenance
+    spark.createDataFrame([("d2",)], "digest string").write.parquet(
+        f"{d}/batch_id=-1"
+    )
+
+    assert {r.digest for r in _read_state(spark, d, 1).collect()} == {
+        "d0", "d2"
+    }
+    assert {r.digest for r in _read_state(spark, d, 0).collect()} == {
+        "d1", "d2"
+    }
+    # state columns stay clean of both id columns
+    assert _read_state(spark, d, 0).columns == ["digest"]
