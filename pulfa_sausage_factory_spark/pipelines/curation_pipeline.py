@@ -1110,6 +1110,48 @@ def _append_serve_index(spark, admitted, cfg, icol, batch_id,
     )
 
 
+def ingest_state_report(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Artifact-level report of an incremental-ingest state dir as a
+    small queryable DataFrame — the ``curation_report_df`` /
+    ``pq_index_report`` observability convention applied to the third
+    state surface: one row per state artifact (``ledger``, ``sigs``,
+    ``bands``, ``semvecs``, ``idxmap``, ``corpus``) with parquet file
+    count + bytes from the FileSystem LISTING (nothing is scanned), the
+    number of live per-batch partition dirs, whether a fold archive
+    (``batch_id=-1``) exists, and a loud ``detail`` flag when a KILLED
+    fold swap left the dir's only copy in ``.__old__`` (healed
+    automatically at the next ingest batch or compaction, but an
+    operator reading the report should not have to infer that from a
+    missing directory). Answers "is my state bounded, did maintenance
+    run, is anything awaiting recovery" with one query — at 100 TB the
+    alternative is grepping driver logs."""
+    from .. import fsutil, statedir
+
+    base = state_dir.rstrip("/")
+    rows = []
+    for sub in ("ledger", "sigs", "bands", "semvecs", "idxmap", "corpus"):
+        path = f"{base}/{sub}"
+        old = fsutil.exists(spark, path + ".__old__")
+        if not fsutil.is_dir(spark, path) and not old:
+            continue
+        n, b = fsutil.parquet_usage(spark, path)
+        # live per-batch dirs only — the -1 archive is its own column
+        batches = len(
+            statedir.numbered_dirs(spark, path, "batch_id=", above=-1)
+        )
+        archived = fsutil.is_dir(spark, f"{path}/batch_id=-1")
+        detail = (
+            "killed fold swap — only copy in .__old__, healed at next "
+            "ingest or compaction" if old else ""
+        )
+        rows.append((sub, n, b, batches, archived, detail))
+    return spark.createDataFrame(
+        rows,
+        "artifact string, files int, bytes long, batches int, "
+        "archived boolean, detail string",
+    )
+
+
 def compact_ingest_state(
     spark: SparkSession, state_dir: str, max_files: int = 64
 ) -> dict:

@@ -1284,3 +1284,59 @@ def test_read_state_half_upgraded_dir_keeps_old_rows(spark, tmp_path):
     }
     # state columns stay clean of both id columns
     assert _read_state(spark, d, 0).columns == ["digest"]
+
+
+def test_ingest_state_report(spark, tmp_path):
+    # round-9: the observability convention (curation_report_df,
+    # pq_index_report) applied to the ingest state — file/byte/batch
+    # counts from the listing alone, fold-archive flag, and a loud flag
+    # for a killed fold swap awaiting recovery.
+    import json
+
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark import fsutil
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        compact_ingest_state,
+        ingest_state_report,
+    )
+
+    state = str(tmp_path / "report_state")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none",
+                         neardup_ledger=True, neardup_threshold=0.5)
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    jl = lambda i, t: json.dumps({"doc_id": i, "text": t})  # noqa: E731
+
+    def lines(rows):
+        return spark.createDataFrame([(r,) for r in rows], "value string")
+
+    _ingest_batch(spark, lines([
+        jl(1, "the quick brown fox jumps over the lazy dog today"),
+        jl(2, "totally different archival text about letters here"),
+    ]), 0, cfg, state, sch)
+    _ingest_batch(spark, lines([
+        jl(3, "fresh unrelated content never before seen anywhere"),
+    ]), 1, cfg, state, sch)
+
+    rep = {r.artifact: r for r in ingest_state_report(spark, state).collect()}
+    assert set(rep) == {"ledger", "sigs", "bands", "corpus"}
+    assert rep["ledger"].batches == 2 and not rep["ledger"].archived
+    assert rep["ledger"].files > 0 and rep["ledger"].bytes > 0
+    assert rep["corpus"].batches == 2
+
+    compact_ingest_state(spark, state, max_files=0)
+    rep = {r.artifact: r for r in ingest_state_report(spark, state).collect()}
+    assert rep["ledger"].batches == 0 and rep["ledger"].archived
+    assert rep["corpus"].batches == 2  # corpus is data, never folded
+
+    # a killed fold swap is flagged loudly, not inferred from absence
+    fsutil.rename(spark, f"{state}/ledger", f"{state}/ledger.__old__")
+    rep = {r.artifact: r for r in ingest_state_report(spark, state).collect()}
+    assert "killed fold swap" in rep["ledger"].detail
+    # ...and the next ingest batch heals it (the round-9 recovery hook)
+    _ingest_batch(spark, lines([
+        jl(1, "the quick brown fox jumps over the lazy dog today"),
+    ]), 2, cfg, state, sch)
+    rep = {r.artifact: r for r in ingest_state_report(spark, state).collect()}
+    assert rep["ledger"].detail == "" and rep["ledger"].archived
