@@ -1089,6 +1089,7 @@ def _append_serve_index(spark, admitted, cfg, icol, batch_id,
         # docstring; identical rows are in the snapshot, nothing to do
         return {"batch_id": reserved, "rows": 0, "folded": True}
     if reserved is None:
+        _sweep_orphan_reservations(spark, base, mapping)
         reserved = next_log_id(spark, base)
         fsutil.mkdirs(spark, f"{base}/codes_append/batch={reserved}")
         spark.createDataFrame(
@@ -1150,6 +1151,42 @@ def ingest_state_report(spark: SparkSession, state_dir: str) -> DataFrame:
         "artifact string, files int, bytes long, batches int, "
         "archived boolean, detail string",
     )
+
+
+def _sweep_orphan_reservations(spark, base: str, mapping) -> int:
+    """Self-heal the reservation protocol's one crash orphan: a kill
+    between ``_append_serve_index``'s attempted-dir mkdir and its idxmap
+    mapping write leaves an EMPTY ``codes_append/batch=N`` dir that no
+    ingest batch will ever replay (no mapping points at it) — it would
+    cap ``compact_pq_index`` (and the in-pipeline cadence) below its id
+    forever until an operator noticed the ``pq_index_report`` flag and
+    ran ``abandon_log_entry`` by hand. Under the serve-index contract
+    (pipeline-managed index = single writer), an attempted append dir
+    that is truly empty (zero children — a killed REAL append leaves
+    data files or Spark's ``_temporary``) and unmapped in ``idxmap`` can
+    only be this pipeline's own orphan, so the next fresh reservation
+    deletes it before computing its id. Runs only on the fresh-
+    reservation path (listing-sized work, and replays never reserve
+    fresh). Returns the number swept."""
+    from .. import fsutil
+    from ..operators.ann_index import _attempted_log_ids, _codes_horizon
+
+    reserved_ids = set()
+    if mapping is not None:
+        reserved_ids = {
+            int(r.index_batch_id)
+            for r in mapping.select("index_batch_id").collect()
+        }
+    horizon = _codes_horizon(spark, base)
+    app_att, _tomb = _attempted_log_ids(spark, base, horizon)
+    swept = 0
+    for bid in sorted(app_att - reserved_ids):
+        d = f"{base}/codes_append/batch={bid}"
+        if fsutil.child_names(spark, d):
+            continue  # data or committer debris — a real batch, keep
+        fsutil.delete(spark, d)
+        swept += 1
+    return swept
 
 
 def compact_ingest_state(

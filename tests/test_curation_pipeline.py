@@ -1340,3 +1340,79 @@ def test_ingest_state_report(spark, tmp_path):
     ]), 2, cfg, state, sch)
     rep = {r.artifact: r for r in ingest_state_report(spark, state).collect()}
     assert rep["ledger"].detail == "" and rep["ledger"].archived
+
+
+def test_orphan_reservation_self_heals(spark, tmp_path):
+    # round-9: a crash between the reservation mkdir and the idxmap write
+    # leaves an EMPTY, unmapped attempted dir no replay will ever claim —
+    # it would cap index compaction below its id forever. The next fresh
+    # reservation sweeps it (truly-empty + unmapped = provably this
+    # pipeline's own orphan under the single-writer contract), while a
+    # MAPPED empty reservation survives for its batch's replay.
+    import os
+
+    from pulfa_sausage_factory_spark import fsutil
+    from pulfa_sausage_factory_spark.functions.vectors import (
+        hashed_text_embedding,
+    )
+    from pulfa_sausage_factory_spark.operators import ann_index
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _append_serve_index,
+    )
+
+    words = ("river forest fox dog bank quiet green lazy jumps runs far "
+             "away tonight brown quick over then into the and by").split()
+
+    def doc(i):
+        rot = words[i % len(words):] + words[:i % len(words)]
+        return " ".join(rot[:14])
+
+    cdf = spark.createDataFrame(
+        [(i, doc(i)) for i in range(12)], "vec_id long, text string"
+    ).select(
+        "vec_id", hashed_text_embedding(F.col("text"), dim=64).alias("embedding")
+    ).localCheckpoint()
+    idx_path = str(tmp_path / "orphan_idx")
+    ann_index.save_pq_index(
+        ann_index.build_pq_index(
+            cdf, m=8, n_codes=8, n_cells=4, iters=1, sample_fraction=1.0
+        ),
+        idx_path,
+    )
+    state = str(tmp_path / "orphan_state")
+    idxmap_dir = f"{state}/idxmap"
+    cfg = CurationConfig(
+        semdedup_index_path=idx_path, semantic_ledger=True,
+        serve_index_append=True,
+    )
+
+    def admitted(batch_id):
+        return spark.createDataFrame(
+            [(900 + batch_id, doc(batch_id))], "doc_id long, text string"
+        ).select(
+            "doc_id",
+            hashed_text_embedding(F.col("text"), dim=64).alias("_semvec"),
+        ).localCheckpoint()
+
+    # the crash artifact: reservation mkdir landed, mapping write did not
+    fsutil.mkdirs(spark, f"{idx_path}/codes_append/batch=1")
+    assert ann_index.compact_pq_index(spark, idx_path)["pending"] == [1]
+
+    # the next fresh reservation sweeps the orphan and takes its id
+    r0 = _append_serve_index(spark, admitted(0), cfg, "doc_id", 0, idxmap_dir)
+    assert r0["batch_id"] == 1 and r0["rows"] == 1
+    assert ann_index.compact_pq_index(spark, idx_path)["pending"] == []
+
+    # a MAPPED empty reservation (crash between mapping and append) is
+    # NOT swept — its ingest batch replays and claims it
+    rid = ann_index.next_log_id(spark, idx_path)
+    fsutil.mkdirs(spark, f"{idx_path}/codes_append/batch={rid}")
+    spark.createDataFrame(
+        [(7, rid)], "ingest_batch_id long, index_batch_id long"
+    ).write.mode("overwrite").parquet(f"{idxmap_dir}/batch_id=7")
+    r8 = _append_serve_index(spark, admitted(8), cfg, "doc_id", 8, idxmap_dir)
+    assert r8["batch_id"] == rid + 1  # reserved PAST the kept reservation
+    assert fsutil.exists(spark, f"{idx_path}/codes_append/batch={rid}")
+    # the mapped batch's replay lands its reserved id
+    r7 = _append_serve_index(spark, admitted(7), cfg, "doc_id", 7, idxmap_dir)
+    assert r7["batch_id"] == rid and r7["rows"] == 1
