@@ -1171,20 +1171,32 @@ def _sweep_orphan_reservations(spark, base: str, mapping) -> int:
     from .. import fsutil
     from ..operators.ann_index import _attempted_log_ids, _codes_horizon
 
-    reserved_ids = set()
-    if mapping is not None:
-        reserved_ids = {
-            int(r.index_batch_id)
-            for r in mapping.select("index_batch_id").collect()
-        }
+    # candidates FIRST (normally zero), mapping check second — the idxmap
+    # holds one row per ingest batch forever, so an unconditional collect
+    # of every reserved id would grow with deployment lifetime; filtering
+    # by the (at most handful of) empty dirs keeps this output-sensitive
     horizon = _codes_horizon(spark, base)
     app_att, _tomb = _attempted_log_ids(spark, base, horizon)
+    empties = [
+        bid for bid in sorted(app_att)
+        # data or committer debris → a real batch, never swept
+        if not fsutil.child_names(spark, f"{base}/codes_append/batch={bid}")
+    ]
+    if not empties:
+        return 0
+    mapped = set()
+    if mapping is not None:
+        mapped = {
+            int(r.index_batch_id)
+            for r in mapping.filter(
+                F.col("index_batch_id").isin(empties)
+            ).collect()
+        }
     swept = 0
-    for bid in sorted(app_att - reserved_ids):
-        d = f"{base}/codes_append/batch={bid}"
-        if fsutil.child_names(spark, d):
-            continue  # data or committer debris — a real batch, keep
-        fsutil.delete(spark, d)
+    for bid in empties:
+        if bid in mapped:
+            continue  # crash between mapping and append — replay claims it
+        fsutil.delete(spark, f"{base}/codes_append/batch={bid}")
         swept += 1
     return swept
 
