@@ -56,40 +56,32 @@ def compact(
 ) -> None:
     """Small-file compaction: rewrite a partitioned dataset with a bounded
     file count per partition. Read → one shuffle keyed on (partition, file
-    slot) → overwrite. Run as maintenance, off the query path."""
-    import shutil
+    slot) → overwrite. Run as maintenance, off the query path.
+
+    The tmp/old swap and its kill-point recovery are the shared
+    ``statedir.replace_dir`` / ``recover_replaced_dir`` discipline
+    (round 9 — previously a hand-rolled ``os.path`` copy, which raised
+    instead of swapping on exactly the stores a 100 TB dataset lives on:
+    hdfs://, s3a://, any non-local URI). Recovery runs FIRST: a prior run
+    killed between the two renames leaves the ONLY copy of the original
+    at ``.__old__``."""
+    from .. import statedir
 
     pcols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
-    tmp = path.rstrip("/") + ".__compact__"
-    old = path.rstrip("/") + ".__old__"
-    # recover first, then clean: a prior run killed between the two renames
-    # leaves the ONLY copy of the original at .__old__ (path gone) — it
-    # must be restored before any deletion, or the pre-clean would destroy
-    # the dataset. With the live tree present, leftover .__old__ /
-    # .__compact__ are debris (a stale .__old__ would make the rename below
-    # fail; a stale .__compact__ is a half-written rewrite).
-    if not os.path.exists(path) and os.path.exists(old):
-        os.rename(old, path)
-    for stale in (tmp, old):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
-    df = spark.read.parquet(path)
-    slot = (F.crc32(F.concat_ws("\x00", *df.columns)) % target_files_per_partition)
-    compacted = df.repartition(*[F.col(c) for c in pcols], slot.alias("_slot"))
-    (
+    statedir.recover_replaced_dir(spark, path)
+
+    def _rewrite(tmp: str) -> None:
+        df = spark.read.parquet(path)
+        slot = (
+            F.crc32(F.concat_ws("\x00", *df.columns))
+            % target_files_per_partition
+        )
+        compacted = df.repartition(
+            *[F.col(c) for c in pcols], slot.alias("_slot")
+        )
         compacted.write.mode("overwrite").partitionBy(*pcols).parquet(tmp)
-    )
-    # swap with crash restore: the rewrite lands complete before the old
-    # tree moves; if the second rename dies, put the original back.
-    # (os.rename requires same-filesystem paths — both live under the
-    # dataset's parent dir by construction.)
-    os.rename(path, old)
-    try:
-        os.rename(tmp, path)
-    except BaseException:
-        os.rename(old, path)
-        raise
-    shutil.rmtree(old)
+
+    statedir.replace_dir(spark, path, _rewrite)
 
 
 def write_sharded(

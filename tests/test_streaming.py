@@ -403,9 +403,9 @@ def test_publish_journal_completes_ep3_round_trip(spark, tmp_path):
     man = incremental.published_manifest(spark, jdir)
     assert {(r.path, r.digest, r.run_id) for r in man.collect()} == want4
 
-    # run_id=None auto-assigns the next monotone id (max journaled + 1) —
-    # the journal enforces the monotonicity its replay semantics depend
-    # on instead of trusting every caller's counter
+    # run_id=None auto-assigns the next monotone id (max ATTEMPTED + 1,
+    # round 9) — the journal enforces the monotonicity its replay
+    # semantics depend on instead of trusting every caller's counter
     rep = incremental.journal_publish(spark, outs4, jdir)
     assert rep == {"published": 0, "unchanged": 2, "run_id": 5}
 
