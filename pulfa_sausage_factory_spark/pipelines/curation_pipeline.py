@@ -1076,10 +1076,19 @@ def _append_serve_index(spark, admitted, cfg, icol, batch_id,
 
     base = cfg.semdedup_index_path.rstrip("/")
     reserved = None
-    mapping = read_parquet_state(spark, idxmap_dir)
+    # mergeSchema + coalesce-to-partition-id: same upgrade-window
+    # treatment as _read_state — a pre-round-9 mapping row carries only
+    # the partition dir's batch_id, and missing it here would make that
+    # batch's replay reserve FRESH and append a silent duplicate copy
+    mapping = read_parquet_state(spark, idxmap_dir, mergeSchema="true")
     if mapping is not None:
+        key = (
+            F.coalesce(F.col("ingest_batch_id"), F.col("batch_id"))
+            if "ingest_batch_id" in mapping.columns
+            else F.col("batch_id")
+        )
         rows = (
-            mapping.filter(F.col("ingest_batch_id") == batch_id)
+            mapping.filter(key == batch_id)
             .select("index_batch_id").collect()
         )
         if rows:

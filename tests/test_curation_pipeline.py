@@ -1416,3 +1416,76 @@ def test_orphan_reservation_self_heals(spark, tmp_path):
     # the mapped batch's replay lands its reserved id
     r7 = _append_serve_index(spark, admitted(7), cfg, "doc_id", 7, idxmap_dir)
     assert r7["batch_id"] == rid and r7["rows"] == 1
+
+
+def test_idxmap_lookup_resolves_pre_upgrade_rows(spark, tmp_path):
+    # round-9 upgrade window, idxmap edition: a pre-round-9 reservation
+    # row carries only the partition dir's batch_id (no ingest_batch_id
+    # data column) — missing it would make that batch's replay reserve
+    # FRESH and append a silent duplicate copy to the serving index.
+    from pulfa_sausage_factory_spark.functions.vectors import (
+        hashed_text_embedding,
+    )
+    from pulfa_sausage_factory_spark.operators import ann_index
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _append_serve_index,
+    )
+
+    words = ("river forest fox dog bank quiet green lazy jumps runs far "
+             "away tonight brown quick over then into the and by").split()
+
+    def doc(i):
+        rot = words[i % len(words):] + words[:i % len(words)]
+        return " ".join(rot[:14])
+
+    cdf = spark.createDataFrame(
+        [(i, doc(i)) for i in range(12)], "vec_id long, text string"
+    ).select(
+        "vec_id", hashed_text_embedding(F.col("text"), dim=64).alias("embedding")
+    ).localCheckpoint()
+    idx_path = str(tmp_path / "upg_idx")
+    ann_index.save_pq_index(
+        ann_index.build_pq_index(
+            cdf, m=8, n_codes=8, n_cells=4, iters=1, sample_fraction=1.0
+        ),
+        idx_path,
+    )
+    state = str(tmp_path / "upg_state")
+    idxmap_dir = f"{state}/idxmap"
+    cfg = CurationConfig(
+        semdedup_index_path=idx_path, semantic_ledger=True,
+        serve_index_append=True,
+    )
+
+    def admitted(batch_id):
+        return spark.createDataFrame(
+            [(900 + batch_id, doc(batch_id))], "doc_id long, text string"
+        ).select(
+            "doc_id",
+            hashed_text_embedding(F.col("text"), dim=64).alias("_semvec"),
+        ).localCheckpoint()
+
+    # pre-round-9 reservation for ingest batch 0 → index id 1, old schema
+    spark.createDataFrame([(1,)], "index_batch_id long").write.parquet(
+        f"{idxmap_dir}/batch_id=0"
+    )
+    ann_index.append_to_pq_index(
+        spark, idx_path, admitted(0).select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("_semvec").alias("embedding"),
+        ), batch_id=1,
+    )
+    base_n = ann_index.load_pq_index(spark, idx_path).codes.count()
+
+    # that batch's replay resolves the OLD row and overwrite-repairs id 1
+    r0 = _append_serve_index(spark, admitted(0), cfg, "doc_id", 0, idxmap_dir)
+    assert r0["batch_id"] == 1
+    assert ann_index.load_pq_index(spark, idx_path).codes.count() == base_n
+
+    # a NEW batch writes the new schema into the same dir and both keep
+    # resolving through the merged view
+    r1 = _append_serve_index(spark, admitted(1), cfg, "doc_id", 1, idxmap_dir)
+    assert r1["batch_id"] == 2
+    r0b = _append_serve_index(spark, admitted(0), cfg, "doc_id", 0, idxmap_dir)
+    assert r0b["batch_id"] == 1
+    assert ann_index.load_pq_index(spark, idx_path).codes.count() == base_n + 1
