@@ -83,6 +83,30 @@ class CurationConfig:
     #: redelivery can collide with the reservation (refused loudly by
     #: the id discipline, never silently).
     serve_index_append: bool = False
+    #: incremental ingest: cross-run SUBSTRING-OVERLAP dedup — the lexical
+    #: family the other ledgers miss: a document that lifts a paragraph
+    #: into otherwise-new text has LOW whole-document Jaccard (MinHash
+    #: admits it) and often low cosine (the semantic ledger admits it),
+    #: but every shared span of length >= overlap_k+overlap_w-1 chars
+    #: contributes shared winnowed fingerprints (Schleimer et al.,
+    #: SIGMOD'03 — ``text.winnow_fingerprints_df``). Admitted docs
+    #: persist their mod-sampled fingerprints (``fps/`` — one ~8-byte row
+    #: per ~overlap_sample_mod·(w+1)/2 chars, thousandths of corpus
+    #: size); a new doc drops when it shares >= ``overlap_min_shared``
+    #: sampled fingerprints with ANY single admitted doc. Within-batch
+    #: first (connected components, canonical min id — the same rule as
+    #: the MinHash leg), then cross-batch/run via an equi-join on fp.
+    #: Fingerprints appearing in more than ``overlap_fp_df_cap`` docs are
+    #: boilerplate, not copying evidence, and are excluded on BOTH sides
+    #: (also bounds the join fan-out on viral fps). Defaults: k=16, w=8,
+    #: mod-16 sampling → ~1 sampled fp per ~72 shared chars, so
+    #: min_shared=4 reliably flags spans upwards of a few hundred chars.
+    overlap_ledger: bool = False
+    overlap_min_shared: int = 4
+    overlap_k: int = 16  # fingerprint k-gram length (chars)
+    overlap_w: int = 8  # winnow window (k-gram hashes)
+    overlap_sample_mod: int = 16  # keep fps with fp % mod == 0
+    overlap_fp_df_cap: int = 64  # fps in more docs than this are boilerplate
     #: incremental ingest: fold the serving index's append/tombstone log
     #: into a codes snapshot (``ann_index.compact_pq_index``) whenever
     #: the number of LIVE committed log entries reaches this many —
@@ -546,6 +570,14 @@ def run_incremental_curation(
     bounded by cell population (√n cells at the index's auto sizing),
     never a scan of all admitted vectors.
 
+    With ``cfg.overlap_ledger`` on, it extends to SUBSTRING OVERLAP —
+    the partial-copy family both of the above miss (a lifted paragraph in
+    otherwise-new text has low whole-doc Jaccard and often low cosine):
+    admitted docs persist mod-sampled winnowed fingerprints (``fps/``),
+    and a new doc drops when it shares ``overlap_min_shared`` sampled
+    fingerprints with any single admitted doc (boilerplate-capped; see
+    the config docstring for the span-length arithmetic).
+
     Crash safety / exactly-once effect: ``foreachBatch`` is at-least-once
     (a batch killed mid-write REPLAYS on restart with the same batch id),
     so every state write goes to its batch's own hive partition dir
@@ -722,15 +754,17 @@ def _ingest_batch(
     bands_dir = os.path.join(state_dir, "bands")
     semvecs_dir = os.path.join(state_dir, "semvecs")
     idxmap_dir = os.path.join(state_dir, "idxmap")
+    fps_dir = os.path.join(state_dir, "fps")
     # heal a killed compaction swap BEFORE any state read: a crash between
     # replace_dir's two renames leaves the dir absent with `.__old__`
     # holding the only copy, and an unhealed _read_state would see "no
     # state" and silently re-admit everything the ledger ever recorded.
-    # Ten existence checks — cheap enough to run unconditionally, and
+    # A dozen existence checks — cheap enough to run unconditionally, and
     # mandatory once cfg.ingest_compact_max_files folds mid-run.
     from .. import statedir
 
-    for d in (ledger_dir, sigs_dir, bands_dir, semvecs_dir, idxmap_dir):
+    for d in (ledger_dir, sigs_dir, bands_dir, semvecs_dir, idxmap_dir,
+              fps_dir):
         statedir.recover_replaced_dir(spark, d)
     num_hashes, n_bands = 32, 8
     rows_per_band = num_hashes // n_bands
@@ -763,7 +797,7 @@ def _ingest_batch(
             spark, parsed, batch_id, cfg, sch,
             ledger_dir, corpus_dir, sigs_dir, bands_dir,
             sig_udf, _band_keys, _part, num_hashes,
-            semvecs_dir, sem_centroids, idxmap_dir,
+            semvecs_dir, sem_centroids, idxmap_dir, fps_dir,
         )
     finally:
         parsed.unpersist()
@@ -773,7 +807,7 @@ def _ingest_batch_body(
     spark, parsed, batch_id, cfg, sch,
     ledger_dir, corpus_dir, sigs_dir, bands_dir,
     sig_udf, _band_keys, _part, num_hashes,
-    semvecs_dir=None, sem_centroids=None, idxmap_dir=None,
+    semvecs_dir=None, sem_centroids=None, idxmap_dir=None, fps_dir=None,
 ) -> dict:
     from ..sources.jsonl import CORRUPT_COL
 
@@ -855,6 +889,68 @@ def _ingest_batch_body(
                 .distinct()
             )
             batch_d = batch_d.join(near, icol, "left_anti")
+    fps_ckpt = None
+    if cfg.overlap_ledger:
+        # substring-overlap dedup (winnowed fingerprints — see the config
+        # docstring): within-batch first via the SAME connected-components
+        # canonical rule as the MinHash leg, then cross-batch/run against
+        # the admitted-fingerprint ledger. Boilerplate fps (present in
+        # more than overlap_fp_df_cap docs) are excluded on both sides —
+        # they are not copying evidence and they are exactly the viral
+        # keys that would blow up the equi-join fan-out.
+        bfps = text.winnow_fingerprints_df(
+            batch_d, text_col=tcol, id_col=icol,
+            k=cfg.overlap_k, w=cfg.overlap_w,
+        ).filter(
+            F.col("fp") % cfg.overlap_sample_mod == 0
+        ).localCheckpoint()  # winnowing is window-heavy; 4 consumers below
+        fps_ckpt = bfps
+        ok = bfps.join(
+            bfps.groupBy("fp").agg(F.countDistinct(icol).alias("_df"))
+            .filter(F.col("_df") <= cfg.overlap_fp_df_cap).select("fp"),
+            "fp", "left_semi",
+        )
+        pairs = (
+            ok.select(F.col(icol).alias("id_a"), "fp")
+            .join(ok.select(F.col(icol).alias("id_b"), "fp"), "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.countDistinct("fp").alias("_sh"))
+            .filter(F.col("_sh") >= cfg.overlap_min_shared)
+            .select("id_a", "id_b")
+        )
+        losers = (
+            dedup.dedup_clusters(pairs)
+            .filter(F.col("doc_id") != F.col("canonical_id"))
+            .select(F.col("doc_id").alias(icol))
+        )
+        batch_d = batch_d.join(losers, icol, "left_anti")
+        old_fps = _read_state(spark, fps_dir, batch_id)
+        if old_fps is not None:
+            old_ok = old_fps.join(
+                old_fps.groupBy("fp")
+                .agg(F.countDistinct("old_id").alias("_df"))
+                .filter(F.col("_df") <= cfg.overlap_fp_df_cap).select("fp"),
+                "fp", "left_semi",
+            )
+            # >= min_shared sampled fps with ANY SINGLE admitted doc — a
+            # doc sharing one fp each with many docs is not a copy
+            over = (
+                bfps.join(batch_d.select(icol), icol, "left_semi")
+                .join(old_ok, "fp")
+                .groupBy(icol, "old_id")
+                .agg(F.countDistinct("fp").alias("_sh"))
+                .filter(F.col("_sh") >= cfg.overlap_min_shared)
+                .select(icol)
+                .distinct()
+            )
+            batch_d = batch_d.join(over, icol, "left_anti")
+        # survivors' fingerprints ride to _write_admitted as an array
+        # column (short docs produce none → null, explode drops them)
+        batch_d = batch_d.join(
+            bfps.groupBy(icol).agg(F.collect_list("fp").alias("_fps")),
+            icol, "left",
+        )
     if cfg.semantic_ledger:
         # SemDeDup's cosine rule across batches AND runs (the semantic
         # analog of the MinHash leg above, same ordering: within-batch
@@ -920,7 +1016,7 @@ def _ingest_batch_body(
         n_admit = _write_admitted(admitted, cfg, icol, _part,
                                   ledger_dir, corpus_dir, sigs_dir,
                                   bands_dir, _band_keys, semvecs_dir,
-                                  batch_id=batch_id)
+                                  batch_id=batch_id, fps_dir=fps_dir)
         if cfg.serve_index_append:
             # after the ledgers commit: the admitted set is final for
             # this batch; a crash before the append replays the whole
@@ -934,6 +1030,8 @@ def _ingest_batch_body(
             # the eager checkpoint above is the last reader of the
             # embedding blocks — release them now, not at driver GC
             release_local_checkpoint(sem_emb_ckpt)
+        if fps_ckpt is not None:
+            release_local_checkpoint(fps_ckpt)
     rep = {
         "batch_id": batch_id,
         "corrupt_lines": n_corrupt,
@@ -982,7 +1080,7 @@ def _maybe_compact_serve_index(spark, cfg) -> dict | None:
 
 def _write_admitted(admitted, cfg, icol, _part, ledger_dir, corpus_dir,
                     sigs_dir, bands_dir, _band_keys,
-                    semvecs_dir=None, batch_id=None) -> int:
+                    semvecs_dir=None, batch_id=None, fps_dir=None) -> int:
     # every ledger row carries its producing batch as the src_batch_id
     # DATA column (round 9): the per-batch partition dir alone loses
     # provenance once compact_ingest_state folds it into the batch_id=-1
@@ -1016,6 +1114,13 @@ def _write_admitted(admitted, cfg, icol, _part, ledger_dir, corpus_dir,
             src,
         ).write.mode("overwrite").parquet(_part(semvecs_dir))
         admitted_out = admitted_out.drop("_semcell", "_semvec")
+    if cfg.overlap_ledger:
+        # the overlap ledger future batches equi-join on fp; explode of a
+        # null array (a doc too short to fingerprint) yields no rows
+        admitted.select(
+            F.col(icol).alias("old_id"), F.explode("_fps").alias("fp"), src
+        ).write.mode("overwrite").parquet(_part(fps_dir))
+        admitted_out = admitted_out.drop("_fps")
     admitted_out.drop("_digest").write.mode("overwrite").parquet(
         _part(corpus_dir)
     )
@@ -1139,7 +1244,8 @@ def ingest_state_report(spark: SparkSession, state_dir: str) -> DataFrame:
 
     base = state_dir.rstrip("/")
     rows = []
-    for sub in ("ledger", "sigs", "bands", "semvecs", "idxmap", "corpus"):
+    for sub in ("ledger", "sigs", "bands", "semvecs", "idxmap", "fps",
+                "corpus"):
         path = f"{base}/{sub}"
         old = fsutil.exists(spark, path + ".__old__")
         if not fsutil.is_dir(spark, path) and not old:
@@ -1257,7 +1363,7 @@ def compact_ingest_state(
     # carry the lookup key as the ingest_batch_id DATA column, so rows
     # archived into batch_id=-1 still resolve — a replayed ingest batch
     # re-lands the same index log id after compaction
-    for sub in ("ledger", "sigs", "bands", "semvecs", "idxmap"):
+    for sub in ("ledger", "sigs", "bands", "semvecs", "idxmap", "fps"):
         path = state_dir.rstrip("/") + "/" + sub
         # recover a prior killed swap FIRST — after a crash between the two
         # renames, `path` is gone and `.__old__` holds the only copy; an

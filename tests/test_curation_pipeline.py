@@ -1489,3 +1489,92 @@ def test_idxmap_lookup_resolves_pre_upgrade_rows(spark, tmp_path):
     r0b = _append_serve_index(spark, admitted(0), cfg, "doc_id", 0, idxmap_dir)
     assert r0b["batch_id"] == 1
     assert ann_index.load_pq_index(spark, idx_path).codes.count() == base_n + 1
+
+
+def test_overlap_ledger_catches_partial_copies(spark, tmp_path):
+    # round-9: cross-run SUBSTRING-OVERLAP dedup — a doc that lifts a
+    # paragraph into otherwise-new text has low whole-doc Jaccard (the
+    # MinHash leg admits it), but the lifted span shares winnowed
+    # fingerprints. Within-batch via connected components (canonical min
+    # id), cross-run via the persisted fps ledger, boilerplate capped,
+    # replay idempotent.
+    import json
+
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+    )
+
+    # ~420-char lifted paragraph; with k=16/w=8/mod=4 sampling it yields
+    # dozens of sampled fingerprints — far above min_shared=4
+    para = (
+        "the archival record of the expedition describes a long river "
+        "journey through dense forest where the party catalogued birds "
+        "and pressed plant specimens into heavy folios each evening by "
+        "lamplight while the boats were drawn up on gravel bars and the "
+        "notebooks slowly filled with measurements of water depth and "
+        "temperature and careful sketches of the canyon walls above the "
+        "camps "
+    )
+    filler_a = "unrelated text about cataloguing letters in archive boxes "
+    filler_b = ("completely different material on shelving practices and "
+                "inventory control for manuscript collections entirely ")
+    fresh = ("novel content with its own vocabulary about telescope "
+             "maintenance and mirror coating procedures in observatories "
+             "during winter months when the dome machinery needs care " * 3)
+
+    state = str(tmp_path / "overlap_state")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none",
+                         overlap_ledger=True, overlap_sample_mod=4)
+    sch = T.StructType.fromDDL("doc_id long, text string")
+
+    def lines(rows):
+        return spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "value string"
+        )
+
+    # within-batch: docs 1 and 2 share the paragraph → canonical (min id)
+    # survives; doc 3 is fresh
+    b0 = lines([
+        {"doc_id": 1, "text": para + filler_a},
+        {"doc_id": 2, "text": filler_b + para},
+        {"doc_id": 3, "text": fresh},
+    ])
+    r0 = _ingest_batch(spark, b0, 0, cfg, state, sch)
+    assert r0["admitted"] == 2
+    ids = {r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()}
+    assert ids == {1, 3}
+
+    # replay is idempotent (decides against pre-batch state)
+    r0b = _ingest_batch(spark, b0, 0, cfg, state, sch)
+    assert r0b["admitted"] == 2
+    assert {
+        r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()
+    } == {1, 3}
+
+    # cross-run: a NEW doc lifting the admitted paragraph into otherwise
+    # new text is dropped; a genuinely new doc is admitted
+    b1 = lines([
+        {"doc_id": 10, "text": "some fresh framing sentence " + para +
+                               "and a new conclusion paragraph here"},
+        {"doc_id": 11, "text": "entirely new subject matter concerning "
+                               "bridge engineering and load calculations "
+                               "for riveted iron spans " * 4},
+    ])
+    r1 = _ingest_batch(spark, b1, 1, cfg, state, sch)
+    assert r1["admitted"] == 1
+    ids = {r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()}
+    assert ids == {1, 3, 11}
+
+    # boilerplate cap as a negative control: with every fp classified
+    # boilerplate (cap 0), the same lifted paragraph is NOT evidence
+    state2 = str(tmp_path / "overlap_state_cap")
+    cfg_cap = CurationConfig(min_quality=0.0, neardup_method="none",
+                             overlap_ledger=True, overlap_sample_mod=4,
+                             overlap_fp_df_cap=0)
+    r = _ingest_batch(spark, lines([
+        {"doc_id": 1, "text": para + filler_a},
+        {"doc_id": 2, "text": filler_b + para},
+    ]), 0, cfg_cap, state2, sch)
+    assert r["admitted"] == 2
