@@ -90,9 +90,14 @@ class CurationConfig:
     #: but every shared span of length >= overlap_k+overlap_w-1 chars
     #: contributes shared winnowed fingerprints (Schleimer et al.,
     #: SIGMOD'03 — ``text.winnow_fingerprints_df``). Admitted docs
-    #: persist their mod-sampled fingerprints (``fps/`` — one ~8-byte row
-    #: per ~overlap_sample_mod·(w+1)/2 chars, thousandths of corpus
-    #: size); a new doc drops when it shares >= ``overlap_min_shared``
+    #: persist their mod-sampled fingerprints (``fps/`` — one row per
+    #: ~overlap_sample_mod·(w+1)/2 chars of admitted text: at the
+    #: defaults ~1 row / 72 chars, i.e. a DOUBLE-DIGIT-percent-of-corpus
+    #: state, the honest cost of substring-level evidence — state size,
+    #: per-batch join volume, AND detection granularity all scale as
+    #: 1/overlap_sample_mod, so raise the mod as the corpus grows and
+    #: compact_ingest_state keeps the dir folded); a new doc drops when
+    #: it shares >= ``overlap_min_shared``
     #: sampled fingerprints with ANY single admitted doc. Within-batch
     #: first (connected components, canonical min id — the same rule as
     #: the MinHash leg), then cross-batch/run via an equi-join on fp.

@@ -483,6 +483,64 @@ def main() -> None:
         print(f"# incremental_ingest FAILED — {exc}", file=sys.stderr)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+    # round-9 substring-OVERLAP ledger at amplified scale. Winnowing is
+    # the heaviest per-char state derivation in the engine (posexplode
+    # chars + two windows per doc), so measure it on a 10% slice of the
+    # amplified corpus, then land PARTIAL COPIES (a 600-char prefix of
+    # each admitted text inside fresh framing — low whole-doc Jaccard,
+    # different digest) and record how many the fps ledger rejects.
+    work = tempfile.mkdtemp(prefix="stress_overlap_")
+    try:
+        subset = docs.filter(F.col("doc_id") % 10 == 0).select(
+            "doc_id", "text"
+        )
+        landing = f"{work}/landing"
+        subset.write.mode("overwrite").option(
+            "maxRecordsPerFile", 100_000
+        ).json(landing)
+        ocfg = CurationConfig(
+            min_quality=0.0, neardup_method="none", overlap_ledger=True
+        )
+        t0 = time.perf_counter()
+        orep = run_incremental_curation(
+            spark, landing, f"{work}/state", ocfg
+        )
+        dt = round(time.perf_counter() - t0, 2)
+        subset.select(
+            (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("entirely new framing sentence before the lift "),
+                F.substring("text", 1, 600),
+                F.lit(" and an entirely new conclusion after it"),
+            ).alias("text"),
+        ).write.mode("append").option(
+            "maxRecordsPerFile", 100_000
+        ).json(landing)
+        t0 = time.perf_counter()
+        orep2 = run_incremental_curation(
+            spark, landing, f"{work}/state", ocfg
+        )
+        dt2 = round(time.perf_counter() - t0, 2)
+        out["ops"]["overlap_ingest"] = {
+            "rows": orep["total_admitted"],
+            "sec": dt,
+            "partial_copies_landed": orep2["batches"][-1]["input_rows"]
+            if orep2["batches"] else 0,
+            "partial_copy_admitted": orep2["total_admitted"],
+            "partial_copy_sec": dt2,
+        }
+        print(
+            f"# overlap_ingest: {orep['total_admitted']} rows in {dt}s "
+            f"(partial-copy re-land admitted {orep2['total_admitted']} "
+            f"in {dt2}s)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001 — record, keep the evidence
+        out["ops"]["overlap_ingest"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        print(f"# overlap_ingest FAILED — {exc}", file=sys.stderr)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
 
 
