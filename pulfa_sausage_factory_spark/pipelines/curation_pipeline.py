@@ -133,6 +133,13 @@ class CurationConfig:
     #: folded still decides against exactly the pre-batch state. ``None``
     #: = never compact in-pipeline (run it between runs by hand).
     ingest_compact_max_files: int | None = None
+    #: incremental ingest: record per-stage surviving-row counts in each
+    #: batch report (``rep["stage_rows"]``) — answers "WHICH gate/ledger
+    #: dropped my documents" the way ``curation_report_df`` does for the
+    #: batch DAG. Opt-in: each count is a full Spark job re-executing the
+    #: admission lineage to that stage; leave off on the hot path and
+    #: turn on to debug an admission-rate regression.
+    ingest_stage_counts: bool = False
     dsir_k: int | None = None  # DSIR target-matched selection (needs target=)
     dsir_dim: int = 8192
     keep_tiers: tuple[int, ...] | None = None  # CCNet tier gate (needs scores=)
@@ -826,12 +833,23 @@ def _ingest_batch_body(
         .filter(F.length(F.coalesce(tcol, F.lit(""))) > 0)
     )
     n_in = docs.count()
+
+    stage_rows: dict[str, int] = {}
+
+    def _st(name: str, df):
+        # opt-in per-stage survivor counts (cfg.ingest_stage_counts) —
+        # each one is a full job over the admission lineage, so the
+        # default is a no-op passthrough
+        if cfg.ingest_stage_counts:
+            stage_rows[name] = df.count()
+        return df
+
     # SAME clean stage as the batch DAG (shared _clean_docs) — gate/
     # digest/signature decisions must match run_curation on identical
     # documents, and the corpus must never admit unredacted PII through
     # the incremental path
     docs = _clean_docs(cfg, docs)
-    gated = docs.filter(_gate_condition(cfg, tcol))
+    gated = _st("gate", docs.filter(_gate_condition(cfg, tcol)))
     # within-batch exact dedup, then cross-batch/run dedup against the
     # ledger (anti-join on digests — text never reshuffles)
     batch_d = dedup.exact_dedup(gated, tcol, icol).withColumn(
@@ -844,6 +862,7 @@ def _ingest_batch_body(
             "_digest",
             "left_anti",
         )
+    batch_d = _st("exact_dedup", batch_d)
     if cfg.neardup_ledger:
         # within-batch near-dups first — the SAME connected-components
         # canonical rule as the batch DAG (per-pair greatest-id removal
@@ -894,6 +913,7 @@ def _ingest_batch_body(
                 .distinct()
             )
             batch_d = batch_d.join(near, icol, "left_anti")
+        batch_d = _st("neardup_dedup", batch_d)
     fps_ckpt = None
     if cfg.overlap_ledger:
         # substring-overlap dedup (winnowed fingerprints — see the config
@@ -950,6 +970,7 @@ def _ingest_batch_body(
                 .distinct()
             )
             batch_d = batch_d.join(over, icol, "left_anti")
+        batch_d = _st("overlap_dedup", batch_d)
         # survivors' fingerprints ride to _write_admitted as an array
         # column (short docs produce none → null, explode drops them)
         batch_d = batch_d.join(
@@ -1004,6 +1025,7 @@ def _ingest_batch_body(
                 .distinct()
             )
             batch_d = batch_d.join(near_sem, icol, "left_anti")
+        batch_d = _st("semantic_dedup", batch_d)
         batch_d = batch_d.join(
             cur.select(
                 F.col("vec_id").alias(icol),
@@ -1044,6 +1066,8 @@ def _ingest_batch_body(
         "admitted": n_admit,
         "dropped": n_in - n_admit,
     }
+    if stage_rows:
+        rep["stage_rows"] = stage_rows
     if idx_rep is not None:
         rep["index_batch_id"] = idx_rep["batch_id"]
         rep["index_appended"] = idx_rep["rows"]

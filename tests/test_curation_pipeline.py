@@ -1578,3 +1578,56 @@ def test_overlap_ledger_catches_partial_copies(spark, tmp_path):
         {"doc_id": 2, "text": filler_b + para},
     ]), 0, cfg_cap, state2, sch)
     assert r["admitted"] == 2
+
+
+def test_ingest_stage_counts(spark, tmp_path):
+    # round-9: opt-in per-stage survivor counts in the batch report —
+    # "which gate/ledger dropped my documents" for the incremental path,
+    # mirroring curation_report_df's per-stage rows for the batch DAG.
+    import json
+
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+    )
+
+    para = (
+        "the archival record of the expedition describes a long river "
+        "journey through dense forest where the party catalogued birds "
+        "and pressed plant specimens into heavy folios each evening by "
+        "lamplight while the boats were drawn up on gravel bars and the "
+        "notebooks slowly filled with measurements of water depth and "
+        "temperature and careful sketches of the canyon walls above "
+    )
+    state = str(tmp_path / "stage_counts_state")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none",
+                         neardup_ledger=True, overlap_ledger=True,
+                         overlap_sample_mod=4, ingest_stage_counts=True)
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    rows = [
+        {"doc_id": 1, "text": para + "unique tail alpha"},
+        {"doc_id": 2, "text": para + "unique tail alpha"},  # exact dup
+        {"doc_id": 3, "text": para + "unique tail beta"},   # near/overlap dup
+        {"doc_id": 4, "text": "totally different archival text about "
+                              "letters and shelving practices here"},
+    ]
+    lines = spark.createDataFrame(
+        [(json.dumps(r),) for r in rows], "value string"
+    )
+    rep = _ingest_batch(spark, lines, 0, cfg, state, sch)
+    sr = rep["stage_rows"]
+    assert set(sr) == {"gate", "exact_dedup", "neardup_dedup",
+                       "overlap_dedup"}
+    # monotone survivor counts, ending exactly at the admitted total
+    assert sr["gate"] == 4 and sr["exact_dedup"] == 3
+    assert sr["gate"] >= sr["exact_dedup"] >= sr["neardup_dedup"]
+    assert sr["neardup_dedup"] >= sr["overlap_dedup"] == rep["admitted"] == 2
+
+    # default stays count-free: no stage_rows key in the report
+    rep2 = _ingest_batch(
+        spark, lines, 0,
+        CurationConfig(min_quality=0.0, neardup_method="none"),
+        str(tmp_path / "nc_state"), sch,
+    )
+    assert "stage_rows" not in rep2
