@@ -1145,8 +1145,12 @@ def test_ingest_replay_after_ledger_compaction(spark, tmp_path):
     )
 
     state = str(tmp_path / "replay_fold_state")
+    # overlap ledger on too: these short docs yield ZERO sampled
+    # fingerprints at the default mod — the empty-fps-state write, fold,
+    # and replay paths must all be no-op-clean
     cfg = CurationConfig(min_quality=0.0, neardup_method="none",
-                         neardup_ledger=True, neardup_threshold=0.5)
+                         neardup_ledger=True, neardup_threshold=0.5,
+                         overlap_ledger=True)
     sch = T.StructType.fromDDL("doc_id long, text string")
 
     def lines(rows):
@@ -1166,7 +1170,7 @@ def test_ingest_replay_after_ledger_compaction(spark, tmp_path):
 
     # fold everything: per-batch dirs collapse into the archive
     done = compact_ingest_state(spark, state, max_files=0)
-    assert {"ledger", "sigs", "bands"} <= set(done)
+    assert {"ledger", "sigs", "bands", "fps"} <= set(done)
     assert fsutil.child_names(spark, f"{state}/ledger") == ["batch_id=-1"]
 
     # replay batch 0: its digests sit in the ARCHIVE now, but provenance
