@@ -499,8 +499,13 @@ def main() -> None:
         subset.write.mode("overwrite").option(
             "maxRecordsPerFile", 100_000
         ).json(landing)
+        # the in-pipeline fold cadence runs live at stress scale too: the
+        # fps dir lands ~32 shuffle-partition files per batch, so the
+        # bound forces a fold after each run and the second run's ledger
+        # reads go through the batch_id=-1 archive
         ocfg = CurationConfig(
-            min_quality=0.0, neardup_method="none", overlap_ledger=True
+            min_quality=0.0, neardup_method="none", overlap_ledger=True,
+            ingest_compact_max_files=8,
         )
         t0 = time.perf_counter()
         orep = run_incremental_curation(
