@@ -142,7 +142,23 @@ def uri_key(uri: str) -> tuple[str, str, str] | None:
     comparison (round-9 ADVICE fix): ``Path.toString`` decodes escapes
     (``%20`` → space) while ``inputFiles()`` entries can carry them
     encoded — without the unquote, keys for paths containing encodable
-    characters differ and under-this-base guards silently pass."""
+    characters differ and under-this-base guards silently pass.
+
+    Known limitation (round-10 ADVICE — documented, deliberately not
+    "fixed"): a path whose LITERAL characters happen to form an escape
+    (a file genuinely named ``a%20b``, arriving already-decoded) is
+    double-decoded here and collides with the key of the distinct path
+    ``a b``. The ambiguity is intrinsic — given only the string, an
+    encoded ``a b`` and a literal ``a%20b`` are the same bytes, and
+    re-encoding the decoded form (``quote(unquote(p))``) merges the
+    exact same pairs from the other direction, so no canonicalization
+    resolves it without provenance the caller doesn't have. The decoded
+    canonical form is kept because the collision direction is SAFE for
+    every consumer: ``uri_key`` feeds refuse-style guards
+    (``save_pq_index``'s reads-from-target check), where a collision
+    produces a loud spurious refusal, never a silent wrong match —
+    do not reuse this key for positive identity decisions (dedup,
+    ownership) where a collision would merge distinct paths."""
     from urllib.parse import unquote, urlsplit
 
     s = urlsplit(uri)

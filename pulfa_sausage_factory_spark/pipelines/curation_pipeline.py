@@ -1277,7 +1277,8 @@ def ingest_state_report(spark: SparkSession, state_dir: str) -> DataFrame:
                 "corpus"):
         path = f"{base}/{sub}"
         old = fsutil.exists(spark, path + ".__old__")
-        if not fsutil.is_dir(spark, path) and not old:
+        live = fsutil.is_dir(spark, path)
+        if not live and not old:
             continue
         n, b = fsutil.parquet_usage(spark, path)
         # live per-batch dirs only — the -1 archive is its own column
@@ -1285,10 +1286,25 @@ def ingest_state_report(spark: SparkSession, state_dir: str) -> DataFrame:
             statedir.numbered_dirs(spark, path, "batch_id=", above=-1)
         )
         archived = fsutil.is_dir(spark, f"{path}/batch_id=-1")
-        detail = (
-            "killed fold swap — only copy in .__old__, healed at next "
-            "ingest or compaction" if old else ""
-        )
+        # two distinct .__old__ states (round-10 ADVICE — the old report
+        # called both "only copy"): live dir ABSENT = a fold died between
+        # its two renames and .__old__ really is the only copy (the next
+        # recover_replaced_dir restores it); live dir PRESENT = the fold
+        # completed its rename-in but died before deleting the old copy —
+        # superseded debris, NOT awaiting recovery (recover_replaced_dir
+        # correctly leaves it; the dir's next fold clears it). The report
+        # does not delete it itself: on an object store a crash mid
+        # rename-in leaves a PARTIAL live dir alongside a FULL .__old__,
+        # and a listing-only report cannot tell that apart from debris.
+        if old and not live:
+            detail = ("killed fold swap — only copy in .__old__, healed "
+                      "at next ingest or compaction")
+        elif old:
+            detail = ("stale fold debris in .__old__ alongside the live "
+                      "dir (superseded copy — cleared at this dir's next "
+                      "fold)")
+        else:
+            detail = ""
         rows.append((sub, n, b, batches, archived, detail))
     return spark.createDataFrame(
         rows,
@@ -1408,9 +1424,19 @@ def compact_ingest_state(
             # dropDuplicates collapses replay debris — a batch replayed
             # after a fold rewrites its partition with rows the archive
             # already holds; coalesce (not repartition) rides the
-            # dedup's own shuffle down to the bounded file count
-            spark.read.parquet(path).drop("batch_id").dropDuplicates(
-            ).coalesce(
+            # dedup's own shuffle down to the bounded file count.
+            # mergeSchema (round-10 ADVICE): in a half-upgraded dir only
+            # SOME partitions carry the provenance column (src_batch_id /
+            # idxmap's ingest_batch_id) — without it Spark's footer
+            # sampling can fold an archive WITHOUT the column,
+            # permanently destroying per-row provenance for the
+            # post-upgrade rows (a later replay would then fall back to
+            # partition exclusion, see its own rows in the prior, and
+            # overwrite its corpus partition empty — exactly the failure
+            # _read_state's mergeSchema exists to prevent at read time)
+            spark.read.option("mergeSchema", "true").parquet(path).drop(
+                "batch_id"
+            ).dropDuplicates().coalesce(
                 max(1, max_files // 8)
             ).write.mode("overwrite").parquet(tmp + "/batch_id=-1")
 

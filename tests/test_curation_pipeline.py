@@ -1290,6 +1290,47 @@ def test_read_state_half_upgraded_dir_keeps_old_rows(spark, tmp_path):
     assert _read_state(spark, d, 0).columns == ["digest"]
 
 
+def test_fold_of_half_upgraded_dir_keeps_provenance(spark, tmp_path):
+    # round-10 ADVICE: compact_ingest_state's fold must read with
+    # mergeSchema — in a half-upgraded dir (pre-round-9 partitions
+    # without src_batch_id alongside new ones) Spark's footer sampling
+    # could otherwise fold an archive WITHOUT the provenance column,
+    # permanently destroying per-row provenance for the post-upgrade
+    # rows; a later replay of that batch would fall back to partition
+    # exclusion, see its own rows in the batch_id=-1 archive, admit
+    # zero docs, and overwrite its corpus partition empty.
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _read_state,
+        compact_ingest_state,
+    )
+
+    state = str(tmp_path / "mixed_fold_state")
+    d = f"{state}/ledger"
+    # pre-upgrade partition: no provenance column
+    spark.createDataFrame([("d0",)], "digest string").write.parquet(
+        f"{d}/batch_id=0"
+    )
+    # post-upgrade partition: carries it
+    spark.createDataFrame(
+        [("d1", 1)], "digest string, src_batch_id long"
+    ).write.parquet(f"{d}/batch_id=1")
+
+    done = compact_ingest_state(spark, state, max_files=0)
+    assert "ledger" in done
+
+    # the folded archive CARRIES the provenance column: d1 keeps its
+    # stamp, d0 reads as NULL (its partition id is gone — pre-upgrade
+    # rows folded before the upgrade completed lose partition fallback,
+    # which is why _write_* stamps rows at write time from round 9 on)
+    arch = spark.read.option("mergeSchema", "true").parquet(d)
+    rows = {r.digest: r.src_batch_id for r in arch.collect()}
+    assert rows == {"d0": None, "d1": 1}
+
+    # and the replay decision for batch 1 still excludes exactly its own
+    # rows AFTER the fold — the failure mode was admitting zero docs
+    assert {r.digest for r in _read_state(spark, d, 1).collect()} == {"d0"}
+
+
 def test_ingest_state_report(spark, tmp_path):
     # round-9: the observability convention (curation_report_df,
     # pq_index_report) applied to the ingest state — file/byte/batch
@@ -1344,6 +1385,20 @@ def test_ingest_state_report(spark, tmp_path):
     ]), 2, cfg, state, sch)
     rep = {r.artifact: r for r in ingest_state_report(spark, state).collect()}
     assert rep["ledger"].detail == "" and rep["ledger"].archived
+
+    # round-10 ADVICE: .__old__ ALONGSIDE the live dir (a fold crashed
+    # between its rename-in and the old-copy delete) is superseded
+    # debris, not a recovery situation — the report must not claim the
+    # only copy is in .__old__ (recover_replaced_dir correctly leaves
+    # both; the false alarm would otherwise persist until the next fold)
+    fsutil.mkdirs(spark, f"{state}/ledger.__old__")
+    rep = {r.artifact: r for r in ingest_state_report(spark, state).collect()}
+    assert "stale fold debris" in rep["ledger"].detail
+    assert "only copy" not in rep["ledger"].detail
+    # ...and the next fold of that dir clears the debris
+    compact_ingest_state(spark, state, max_files=0)
+    rep = {r.artifact: r for r in ingest_state_report(spark, state).collect()}
+    assert rep["ledger"].detail == ""
 
 
 def test_orphan_reservation_self_heals(spark, tmp_path):

@@ -65,6 +65,16 @@ def test_uri_key_percent_decodes_path(spark, tmp_path):
     d = str(tmp_path / "sp ace")
     q = fsutil.uri_key(fsutil.qualified_uri(spark, d))
     assert q is not None and q[2].endswith("/sp ace")
+    # round-10 ADVICE (documented limitation, pinned so a "fix" that
+    # flips the collision direction is a deliberate decision): a LITERAL
+    # '%20' in a filename double-decodes and collides with the distinct
+    # path 'a b' — intrinsically ambiguous without provenance, and safe
+    # for uri_key's consumers because they are refuse-style guards where
+    # a collision is a loud spurious refusal, never a silent match
+    assert (
+        fsutil.uri_key("file:///data/a%20b")
+        == fsutil.uri_key("file:///data/a b")
+    )
 
 
 def test_mkdirs_creates_and_tolerates_existing(spark, tmp_path):
