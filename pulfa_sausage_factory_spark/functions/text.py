@@ -233,6 +233,76 @@ def winnow_fingerprints_df(
     return mins.select(id_col, F.col("_fp").alias("fp")).distinct()
 
 
+def suggest_overlap_config(
+    span_chars: int = 600,
+    *,
+    total_chars: int | None = None,
+    target_state_rows: int | None = None,
+    k: int = 16,
+    w: int = 8,
+    min_shared: int = 4,
+) -> dict:
+    """Sizing arithmetic for the overlap ledger's sampling knobs (the
+    ``suggest_ann_config`` pattern applied to substring-overlap dedup —
+    round-10 VERDICT item 4). Winnowing keeps ~2/(w+1) fingerprints per
+    char (Schleimer et al.'s density bound) and the ledger mod-samples
+    them, so at ``sample_mod = m`` a shared span of L chars yields
+    ~``2L/((w+1)·m)`` sampled fingerprints in expectation and the fps
+    state costs ~1 row per ``m·(w+1)/2`` chars of admitted text.
+
+    Given the shortest lift the deployment must catch (``span_chars``),
+    pick the coarsest mod whose EXPECTED shared-fp count over that span
+    is ``2·min_shared`` — a 2× margin over the decision threshold,
+    because at exactly-the-expectation the catch rate is a coin flip
+    per doc (measured: 63% of 600-char lifts at the zero-margin
+    operating point, OVERLAP.md). With a state budget
+    (``total_chars`` + ``target_state_rows``), the mod is RAISED to fit
+    the budget and the resulting (weaker) detection floor is reported —
+    budget wins because an over-budget state dir fails operationally
+    while a coarser floor is a documented trade.
+
+    Mods are powers of two so a deployment that later coarsens its mod
+    keeps nested sampling (every fp kept at 2m was kept at m — old
+    state rows still match new probes at the coarser density).
+
+    Returns ``sample_mod`` plus the claims a user needs to verify the
+    choice: ``span_reliable_chars`` (expected 2·min_shared fps — the
+    documented-floor operating regime), ``span_expectation_chars``
+    (expected exactly min_shared — flips to coin-flip catching below
+    this), ``fp_state_rows_per_char``, and ``state_rows`` when
+    ``total_chars`` was given."""
+    if span_chars < k + w - 1:
+        raise ValueError(
+            f"span_chars={span_chars} is below the winnowing matching "
+            f"bound k+w-1={k + w - 1} — no fingerprint scheme at this "
+            "k/w can see spans that short"
+        )
+    # m such that 2·span/((w+1)·m) == 2·min_shared, floored to a power of
+    # two (floor: rounding the mod DOWN keeps the margin >= 2×)
+    raw = max(1, span_chars // (min_shared * (w + 1)))
+    mod = 1 << (raw.bit_length() - 1)
+    if target_state_rows is not None:
+        if total_chars is None:
+            raise ValueError("target_state_rows needs total_chars")
+        # state rows ~= 2·total_chars/((w+1)·m)  →  m for the budget,
+        # ceiled to a power of two (ceil: stay UNDER the row budget)
+        need = max(1, -(-2 * total_chars // ((w + 1) * target_state_rows)))
+        budget_mod = 1 << max(0, (need - 1).bit_length())
+        mod = max(mod, budget_mod)
+    out = {
+        "sample_mod": mod,
+        "min_shared": min_shared,
+        "k": k,
+        "w": w,
+        "fp_state_rows_per_char": 2.0 / ((w + 1) * mod),
+        "span_reliable_chars": mod * min_shared * (w + 1),
+        "span_expectation_chars": mod * min_shared * (w + 1) // 2,
+    }
+    if total_chars is not None:
+        out["state_rows"] = int(total_chars * 2 / ((w + 1) * mod))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # X4h — PII scrubbing (training-data hygiene: redact before training).
 # RE2-safe patterns (no lookaround) so the DuckDB oracle runs the identical

@@ -106,11 +106,24 @@ class CurationConfig:
     #: (also bounds the join fan-out on viral fps). Defaults: k=16, w=8,
     #: mod-16 sampling → ~1 sampled fp per ~72 shared chars, so
     #: min_shared=4 reliably flags spans upwards of a few hundred chars.
+    #: ``overlap_sample_mod``: keep fps with ``fp % mod == 0``. Accepts
+    #: ``"auto"`` (round 10): resolved once per state dir via
+    #: ``text.suggest_overlap_config()`` (catch-600-char-lifts default →
+    #: mod 16 today) and PERSISTED in ``fps_meta`` — the mod must be
+    #: identical at write and probe time across every run of a state dir
+    #: (sampling only one side silently zeroes the match rate), so later
+    #: batches adopt the persisted value even if the auto formula
+    #: changes, and an EXPLICIT mod/k/w that contradicts an existing
+    #: state dir's meta is refused loudly instead of silently missing
+    #: every pair. Size a deployment's own knobs with
+    #: ``suggest_overlap_config`` (detection floor + state budget →
+    #: mod); OVERLAP.md documents measured catch rates per operating
+    #: point.
     overlap_ledger: bool = False
     overlap_min_shared: int = 4
     overlap_k: int = 16  # fingerprint k-gram length (chars)
     overlap_w: int = 8  # winnow window (k-gram hashes)
-    overlap_sample_mod: int = 16  # keep fps with fp % mod == 0
+    overlap_sample_mod: int | str = 16
     overlap_fp_df_cap: int = 64  # fps in more docs than this are boilerplate
     #: incremental ingest: fold the serving index's append/tombstone log
     #: into a codes snapshot (``ann_index.compact_pq_index``) whenever
@@ -719,6 +732,66 @@ def _read_state(spark: SparkSession, path: str, exclude_batch: int):
     return df.filter(key != exclude_batch).drop("batch_id", "src_batch_id")
 
 
+def _resolve_overlap_mod(spark: SparkSession, fps_dir: str, cfg) -> int:
+    """Resolve the overlap ledger's sampling mod for this state dir and
+    pin it in the ``fps_meta`` sidecar (sibling of ``fps/`` — NOT inside
+    it, where ``compact_ingest_state``'s dir swap would delete it). The
+    mod (and k/w) must be identical at write and probe time across every
+    run of a state dir: probing at a different mod than the state was
+    written with silently zeroes the match rate, and a different k/w
+    makes the stored hashes meaningless. So the FIRST overlap batch
+    resolves the value (``"auto"`` → ``text.suggest_overlap_config()``;
+    an int → itself) and persists ``(k, w, sample_mod)``; every later
+    batch adopts the persisted mod — including ``"auto"`` runs after a
+    formula change — and an EXPLICIT config contradicting the meta is
+    refused loudly (the config-carrying-artifact contract: NBModel's
+    hasher/dim, PQ codebooks' cent_sig). Pre-round-10 state dirs (fps
+    rows, no meta yet) adopt the current config and write the meta —
+    those dirs were written at the then-only default, and refusing them
+    would brick every existing deployment on upgrade."""
+    from ..functions.text import suggest_overlap_config
+    from ..io import read_parquet_state
+
+    meta_dir = fps_dir.rstrip("/") + "_meta"
+    meta = read_parquet_state(spark, meta_dir)
+    row = meta.collect()[0] if meta is not None else None
+    if row is not None:
+        if (int(row.k), int(row.w)) != (cfg.overlap_k, cfg.overlap_w):
+            raise ValueError(
+                f"overlap ledger state at {fps_dir} was written with "
+                f"k={int(row.k)}, w={int(row.w)} but the config says "
+                f"k={cfg.overlap_k}, w={cfg.overlap_w} — the stored "
+                "fingerprints are not comparable; use a fresh state dir"
+            )
+        mod = int(row.sample_mod)
+        if (cfg.overlap_sample_mod != "auto"
+                and int(cfg.overlap_sample_mod) != mod):
+            raise ValueError(
+                f"overlap ledger state at {fps_dir} was sampled at "
+                f"mod={mod} but the config says "
+                f"mod={cfg.overlap_sample_mod} — probing at a different "
+                "mod than the state was written with silently misses "
+                "every cross-run pair; keep the persisted value (or "
+                "'auto', which adopts it) or use a fresh state dir"
+            )
+        return mod
+    if cfg.overlap_sample_mod == "auto":
+        mod = suggest_overlap_config(
+            k=cfg.overlap_k, w=cfg.overlap_w,
+            min_shared=cfg.overlap_min_shared,
+        )["sample_mod"]
+    else:
+        mod = int(cfg.overlap_sample_mod)
+    # one tiny row, overwrite-idempotent (a replayed first batch rewrites
+    # identical content); written BEFORE the batch's fps so a crash after
+    # any fps landed can never leave sampled state without its meta
+    spark.createDataFrame(
+        [(cfg.overlap_k, cfg.overlap_w, mod)],
+        "k int, w int, sample_mod int",
+    ).coalesce(1).write.mode("overwrite").parquet(meta_dir)
+    return mod
+
+
 def _ingest_batch(
     spark: SparkSession,
     lines: DataFrame,
@@ -923,11 +996,12 @@ def _ingest_batch_body(
         # more than overlap_fp_df_cap docs) are excluded on both sides —
         # they are not copying evidence and they are exactly the viral
         # keys that would blow up the equi-join fan-out.
+        overlap_mod = _resolve_overlap_mod(spark, fps_dir, cfg)
         bfps = text.winnow_fingerprints_df(
             batch_d, text_col=tcol, id_col=icol,
             k=cfg.overlap_k, w=cfg.overlap_w,
         ).filter(
-            F.col("fp") % cfg.overlap_sample_mod == 0
+            F.col("fp") % overlap_mod == 0
         ).localCheckpoint()  # winnowing is window-heavy; 4 consumers below
         fps_ckpt = bfps
         ok = bfps.join(
@@ -959,9 +1033,17 @@ def _ingest_batch_body(
                 "fp", "left_semi",
             )
             # >= min_shared sampled fps with ANY SINGLE admitted doc — a
-            # doc sharing one fp each with many docs is not a copy
+            # doc sharing one fp each with many docs is not a copy.
+            # The batch side joins the df-CAPPED `ok`, symmetric with the
+            # within-batch leg (round-10 VERDICT item 3): a fingerprint
+            # viral WITHIN the landing batch (new boilerplate — a header
+            # pasted into thousands of docs in one drop) is not copying
+            # evidence either, and uncapped it would fan out up to
+            # batch_occurrences × overlap_fp_df_cap rows in this join
+            # before the fp ever reaches state (where the read-time cap
+            # would start excluding it).
             over = (
-                bfps.join(batch_d.select(icol), icol, "left_semi")
+                ok.join(batch_d.select(icol), icol, "left_semi")
                 .join(old_ok, "fp")
                 .groupBy(icol, "old_id")
                 .agg(F.countDistinct("fp").alias("_sh"))

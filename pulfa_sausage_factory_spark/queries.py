@@ -1388,7 +1388,13 @@ def x3c_knn_ivf(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # X4d+X4g — document fingerprinting: winnowing fingerprints exploded to the
 # inverted-index shape, each row carrying the full-document rolling
-# polynomial hash (merged registration, round 3)
+# polynomial hash (merged registration, round 3). Round 10 widens the union
+# with the overlap LEDGER's operating point (k=16, w=8, fp % 16 == 0 —
+# curation_pipeline.CurationConfig.overlap_* defaults), so the exact
+# sampled-fingerprint stream the cross-run substring-overlap dedup persists
+# and equi-joins is hash-checked against DuckDB like every other pure
+# operator (VERDICT r9 item 6). doc_fp = -1 sentinel on the ledger rows
+# (nullable ints degrade to float64 in the driver's pandas hash).
 # ---------------------------------------------------------------------------
 @register(
     "x4d_fingerprints",
@@ -1413,16 +1419,43 @@ def x3c_knn_ivf(spark, sf_dir):
       SELECT doc_id,
              list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
                          (a, b) -> (a * 31 + b) % 2147483648) AS doc_fp
-      FROM codes)
-    SELECT fps.doc_id, fps.fp, docfp.doc_fp
+      FROM codes),
+    kg16 AS (
+      SELECT doc_id,
+             [list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+15]),
+                          (a, b) -> (a * 31 + b) % 2147483648)
+              FOR i IN range(1, len(cs) - 15 + 1)] AS hs
+      FROM codes WHERE len(cs) >= 23),
+    wins16 AS (
+      SELECT doc_id,
+             [list_min(hs[j:j+7]) FOR j IN range(1, len(hs) - 7 + 1)] AS mins
+      FROM kg16),
+    fps16 AS (
+      SELECT doc_id, UNNEST(list_distinct(mins)) AS fp FROM wins16)
+    SELECT fps.doc_id, fps.fp, docfp.doc_fp, 'k5w4' AS src
     FROM fps JOIN docfp ON fps.doc_id = docfp.doc_id
+    UNION ALL
+    SELECT doc_id, fp, CAST(-1 AS BIGINT) AS doc_fp, 'ledger' AS src
+    FROM fps16 WHERE fp % 16 = 0
     """,
 )
 def x4d_fingerprints(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     fps = text.winnow_fingerprints_df(docs, "text", "doc_id", k=5, w=4)
     docfp = docs.select("doc_id", text.rolling_hash("text").alias("doc_fp"))
-    return fps.join(docfp, "doc_id").select("doc_id", "fp", "doc_fp")
+    part1 = fps.join(docfp, "doc_id").select(
+        "doc_id", "fp", "doc_fp", F.lit("k5w4").alias("src")
+    )
+    # the overlap ledger's persisted stream: same call + sample filter as
+    # curation_pipeline's overlap branch at the default operating point
+    part2 = text.winnow_fingerprints_df(
+        docs, "text", "doc_id", k=16, w=8
+    ).filter(F.col("fp") % 16 == 0).select(
+        "doc_id", "fp",
+        F.lit(-1).cast("long").alias("doc_fp"),
+        F.lit("ledger").alias("src"),
+    )
+    return part1.unionByName(part2)
 
 
 # ---------------------------------------------------------------------------

@@ -490,6 +490,10 @@ def main() -> None:
     # amplified corpus, then land PARTIAL COPIES (a 600-char prefix of
     # each admitted text inside fresh framing — low whole-doc Jaccard,
     # different digest) and record how many the fps ledger rejects.
+    # Expect well under 100%: the prefix is truncated to the doc's own
+    # length (median 295 chars — the zero-margin coin-flip regime), so
+    # this is a THROUGHPUT figure; OVERLAP.md is the quality
+    # characterization with lift length controlled exactly.
     work = tempfile.mkdtemp(prefix="stress_overlap_")
     try:
         subset = docs.filter(F.col("doc_id") % 10 == 0).select(

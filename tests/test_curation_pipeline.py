@@ -1639,6 +1639,179 @@ def test_overlap_ledger_catches_partial_copies(spark, tmp_path):
     assert r["admitted"] == 2
 
 
+def test_documented_overlap_configs_reach_catch_floor(spark):
+    # OVERLAP.md's documented operating points, pinned (the
+    # test_documented_ann_configs_reach_recall_floor pattern applied to
+    # the overlap family): at span_reliable = mod·min_shared·(w+1) chars
+    # the catch rate clears 0.95, and below the floor the decay is real
+    # — both directions asserted so neither the rule nor the honesty of
+    # its documentation can silently drift. Hash-deterministic: the
+    # measured rates reproduce bit-for-bit on the pinned corpus.
+    import os
+
+    import pytest
+
+    import overlap as ovl
+
+    sf01 = os.environ.get("SPARK_GRAFT_RECALL_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf01):
+        pytest.skip(f"overlap corpus dir missing: {sf01} "
+                    "(set SPARK_GRAFT_RECALL_SF_DIR)")
+    docs = load_table(spark, sf01, "documents")
+    long_docs = ovl.build_long_docs(docs).localCheckpoint()
+    rows = {
+        (r["lift_chars"], r["sample_mod"]): r["catch"]
+        for r in ovl.measure_catch_rates(
+            spark, long_docs, lifts=(600,), mods=(4, 16, 64),
+            min_shareds=(2, 4),
+        )
+    }
+    # the default operating point: mod=16/min_shared=4 catches >= 0.95
+    # of lifts at its documented 576-char reliable span (measured 0.985
+    # at 600); finer mod=4 is saturated there
+    assert rows[(600, 16)][4] >= 0.95
+    assert rows[(600, 4)][4] >= 0.99
+    assert rows[(600, 16)][2] >= 0.99
+    # below-floor honesty: mod=64's reliable span is 2304 chars — at 600
+    # it must NOT look reliable (documented 0.14 at ms=4)
+    assert rows[(600, 64)][4] <= 0.3
+
+
+def test_overlap_cross_run_cap_is_symmetric(spark, tmp_path):
+    # round-10 VERDICT item 3: the cross-run leg joins the df-CAPPED
+    # batch-side fps (`ok`), symmetric with the within-batch leg — a
+    # fingerprint viral WITHIN the landing batch (new boilerplate pasted
+    # into many docs in one drop) is not copying evidence, and before the
+    # fix it fanned out batch_occurrences × cap rows in the cross-run
+    # join AND dropped every carrier that shared it with any one admitted
+    # doc. Real lifts (unique-to-two-docs spans) are caught exactly as
+    # before.
+    import json
+
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+    )
+
+    para = (
+        "the archival record of the expedition describes a long river "
+        "journey through dense forest where the party catalogued birds "
+        "and pressed plant specimens into heavy folios each evening by "
+        "lamplight while the boats were drawn up on gravel bars and the "
+        "notebooks slowly filled with measurements of water depth and "
+        "temperature and careful sketches of the canyon walls above the "
+        "camps "
+    )
+    boiler = (
+        "this electronic finding aid was produced by the department of "
+        "rare books and special collections using standard descriptive "
+        "practice and is provided for research purposes only with all "
+        "rights reserved by the university library which should be "
+        "contacted directly for permission to publish or to request "
+        "higher resolution reproductions of any listed material "
+    )
+    state = str(tmp_path / "overlap_sym_state")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none",
+                         overlap_ledger=True, overlap_sample_mod=4,
+                         overlap_fp_df_cap=4)
+    sch = T.StructType.fromDDL("doc_id long, text string")
+
+    def lines(rows):
+        return spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "value string"
+        )
+
+    # batch 0 admits one doc carrying the boilerplate and one carrying
+    # the paragraph — both sets of fps enter state with df=1 (under the
+    # state-side cap at read time)
+    r0 = _ingest_batch(spark, lines([
+        {"doc_id": 1, "text": boiler + "plus a unique accession note"},
+        {"doc_id": 2, "text": para + "plus distinct catalogue prose"},
+    ]), 0, cfg, state, sch)
+    assert r0["admitted"] == 2
+
+    # batch 1: ten docs sharing ONLY the (batch-viral: df=10 > cap=4)
+    # boilerplate with admitted doc 1, plus one REAL lift of doc 2's
+    # paragraph, plus one genuinely fresh doc
+    uniq = [
+        "completely separate subject on %s maintenance and repair" % w
+        for w in ("telescope", "harpsichord", "windmill", "lighthouse",
+                  "printing press", "seismograph", "icebreaker",
+                  "funicular", "observatory clock", "canal lock")
+    ]
+    b1 = lines(
+        [{"doc_id": 10 + i, "text": boiler + u} for i, u in enumerate(uniq)]
+        + [{"doc_id": 30, "text": "fresh framing " + para + "new ending"},
+           {"doc_id": 31, "text": "entirely new subject matter about "
+                                  "bridge engineering and load tables "
+                                  "for riveted iron spans " * 4}]
+    )
+    r1 = _ingest_batch(spark, b1, 1, cfg, state, sch)
+    # the 10 boilerplate carriers and the fresh doc are admitted; only
+    # the real lift is dropped by the cross-run leg
+    assert r1["admitted"] == 11
+    ids = {r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()}
+    assert 30 not in ids and {10 + i for i in range(10)} <= ids and 31 in ids
+
+
+def test_overlap_mod_auto_resolves_and_meta_pins_state_dir(spark, tmp_path):
+    # round-10 VERDICT item 4 wiring: overlap_sample_mod="auto" resolves
+    # via suggest_overlap_config and the resolved (k, w, mod) is PINNED
+    # in the fps_meta sidecar — the mod must be identical at write and
+    # probe time across every run of a state dir (a mismatch silently
+    # zeroes the cross-run match rate), so later batches adopt the
+    # persisted value and a contradicting EXPLICIT config is refused
+    # loudly instead of missing every pair.
+    import json
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        _resolve_overlap_mod,
+        compact_ingest_state,
+    )
+
+    state = str(tmp_path / "auto_mod_state")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none",
+                         overlap_ledger=True, overlap_sample_mod="auto")
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    b0 = spark.createDataFrame(
+        [(json.dumps({"doc_id": 1, "text": "short archival note"}),)],
+        "value string",
+    )
+    r0 = _ingest_batch(spark, b0, 0, cfg, state, sch)
+    assert r0["admitted"] == 1
+    meta = spark.read.parquet(f"{state}/fps_meta").collect()[0]
+    # auto == today's default operating point (pinned in the arithmetic
+    # test); what matters here is that it was PERSISTED
+    assert (meta.k, meta.w, meta.sample_mod) == (16, 8, 16)
+
+    # an "auto" run after any formula change adopts the persisted value;
+    # a matching explicit config is accepted too
+    assert _resolve_overlap_mod(spark, f"{state}/fps", cfg) == 16
+    cfg16 = CurationConfig(min_quality=0.0, neardup_method="none",
+                           overlap_ledger=True, overlap_sample_mod=16)
+    assert _resolve_overlap_mod(spark, f"{state}/fps", cfg16) == 16
+
+    # contradicting explicit mod / k / w → loud refusal, not silent zero
+    cfg8 = CurationConfig(min_quality=0.0, neardup_method="none",
+                          overlap_ledger=True, overlap_sample_mod=8)
+    with pytest.raises(ValueError, match="sampled at mod=16"):
+        _resolve_overlap_mod(spark, f"{state}/fps", cfg8)
+    cfgk = CurationConfig(min_quality=0.0, neardup_method="none",
+                          overlap_ledger=True, overlap_k=8)
+    with pytest.raises(ValueError, match="not comparable"):
+        _resolve_overlap_mod(spark, f"{state}/fps", cfgk)
+
+    # the sidecar survives state compaction (it lives NEXT TO fps/, not
+    # inside it, where the fold's dir swap would delete it)
+    compact_ingest_state(spark, state, max_files=0)
+    assert _resolve_overlap_mod(spark, f"{state}/fps", cfg) == 16
+
+
 def test_ingest_stage_counts(spark, tmp_path):
     # round-9: opt-in per-stage survivor counts in the batch report —
     # "which gate/ledger dropped my documents" for the incremental path,

@@ -755,3 +755,48 @@ def test_unicode_normalization_rescues_exact_dedup(spark):
     )
     assert plain["output_rows"] == 2   # different bytes → both survive
     assert normed["output_rows"] == 1  # normalized → exact dedup collapses
+
+
+def test_suggest_overlap_config_arithmetic():
+    # round-10 VERDICT item 4: the sizing arithmetic the overlap ledger's
+    # docstring used to leave to the operator, encoded like
+    # suggest_ann_config. Density: ~2/((w+1)·mod) sampled fps per char.
+    from pulfa_sausage_factory_spark.functions.text import (
+        suggest_overlap_config,
+    )
+
+    # the documented default operating point: catch 600-char lifts with a
+    # 2x margin over min_shared=4 at k=16/w=8 → mod 16 (today's default)
+    s = suggest_overlap_config()
+    assert s["sample_mod"] == 16
+    assert s["span_reliable_chars"] == 16 * 4 * 9 == 576
+    assert s["span_expectation_chars"] == 288
+    assert abs(s["fp_state_rows_per_char"] - 2 / (9 * 16)) < 1e-12
+
+    # mods are powers of two (nested sampling when a deployment coarsens)
+    for span in (60, 300, 600, 2400, 10_000):
+        m = suggest_overlap_config(span)["sample_mod"]
+        assert m & (m - 1) == 0 and m >= 1
+    # finer floor → finer mod; 4x the span → 4x the mod (both pow2 exact)
+    assert suggest_overlap_config(2400)["sample_mod"] == 64
+
+    # a state budget RAISES the mod and the weaker floor is reported
+    b = suggest_overlap_config(
+        600, total_chars=1_000_000_000, target_state_rows=1_000_000
+    )
+    assert b["sample_mod"] == 256
+    assert b["state_rows"] <= 1_000_000
+    assert b["span_reliable_chars"] == 256 * 4 * 9
+    # ...but never LOWERS it below the detection-floor choice
+    loose = suggest_overlap_config(
+        600, total_chars=1000, target_state_rows=1_000_000
+    )
+    assert loose["sample_mod"] == 16
+
+    # spans below the winnowing matching bound are impossible at this k/w
+    import pytest
+
+    with pytest.raises(ValueError, match="matching bound"):
+        suggest_overlap_config(10)
+    with pytest.raises(ValueError, match="needs total_chars"):
+        suggest_overlap_config(600, target_state_rows=10)
