@@ -137,7 +137,20 @@ EXTRA_KEYS = [
     "q3_bucketed",
     "q5_bucketed",
     "q10_bucketed",
+    "overlap_fps_ingest",
 ]
+
+#: Per-query rep-count floors (round-10 watch-list adjudication): the
+#: r8→r9 dedup_clusters "drift" (+20% on byte-identical plans — dedup.py
+#: untouched since round 7) reproduced under min-of-3 but vanished at
+#: min-of-10 (1.341 s, BELOW the r8 figure): the iterative
+#: label-propagation query runs ~10 small jobs per rep and keeps cooling
+#: for ~5 reps (measured trace 2.19, 1.95, 1.75, 1.66, 1.44, 1.43, 1.60,
+#: 1.40, 1.34, 1.41), so three reps sample only the still-warming regime
+#: and the min is an overestimate with rounds-scale variance. Floors
+#: apply to extras only — the headline estimator stays min-of-REPS for
+#: cross-round comparability.
+EXTRA_REPS = {"dedup_clusters": 8}
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -407,6 +420,29 @@ def main() -> None:
     def _q10_bucketed(spark, sf_dir):
         return _bq.q10_bucketed(spark, sf_dir)
 
+    def _overlap_fps_ingest(spark, sf_dir):
+        # the overlap ledger's per-batch state derivation at the default
+        # operating point (k=16/w=8/mod-16, OVERLAP.md): winnow sf0.1
+        # documents, mod-sample, land the fps parquet — the cost every
+        # ingest batch pays on top of its other ledgers (round-9 VERDICT
+        # item 2: the winnowing cost had no stable bench key)
+        import shutil
+        import tempfile
+
+        from pulfa_sausage_factory_spark.functions import text as _text
+
+        work = tempfile.mkdtemp(prefix="bench_overlap_fps_")
+        try:
+            _text.winnow_fingerprints_df(
+                docs, text_col="text", id_col="doc_id", k=16, w=8
+            ).filter(F.col("fp") % 16 == 0).write.mode("overwrite").parquet(
+                f"{work}/fps"
+            )
+            # footer-only count of what landed (metadata read, ~free)
+            return spark.read.parquet(f"{work}/fps").count()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     extras: dict[str, float | None] = {}
     # the one-time ingest cost the bucketed twins amortize — reported so
     # the trade is honest: twin_time × query_count + bucketize ≷ plain
@@ -424,6 +460,7 @@ def main() -> None:
         ("q3_bucketed", _q3_bucketed, (_bq,)),
         ("q5_bucketed", _q5_bucketed, (_bq,)),
         ("q10_bucketed", _q10_bucketed, (_bq,)),
+        ("overlap_fps_ingest", _overlap_fps_ingest, (docs,)),
     )
     # keep the worst-case budget test honest: the measured extras must be
     # exactly the published vocabulary
@@ -442,7 +479,7 @@ def main() -> None:
         try:
             _rows(fn(spark, sf_dir))  # untimed warmup, same JMH shape
             times = []
-            for _ in range(reps):
+            for _ in range(max(reps, EXTRA_REPS.get(name, 0))):
                 t0 = time.perf_counter()
                 n = _rows(fn(spark, sf_dir))
                 times.append(time.perf_counter() - t0)

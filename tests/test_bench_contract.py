@@ -98,5 +98,6 @@ def test_headline_vocabulary_is_pinned():
     # runtime inside main(), and this pins both lists' sizes so silent
     # growth shows up here first
     assert len(bench.BENCH_QUERIES) == 14
-    assert len(bench.EXTRA_KEYS) == 13
+    # 14th extra added round 10 (overlap_fps_ingest — VERDICT r9 item 2)
+    assert len(bench.EXTRA_KEYS) == 14
     assert len(set(bench.BENCH_QUERIES) & set(bench.EXTRA_KEYS)) == 0
