@@ -7,6 +7,10 @@ OVERLAP.md's tables).
 
     python overlap.py                       # full sweep (prints markdown
                                             # rows + one final JSON line)
+    python overlap.py short                 # §short-docs table: adaptive
+                                            # per-doc floor (catch + FP
+                                            # rates on mostly-copied vs
+                                            # held-out fresh short docs)
     SPARK_GRAFT_SF_DIR=... python overlap.py
 
 Method:
@@ -165,6 +169,113 @@ def measure_catch_rates(
     return out
 
 
+SHORT_DOC_LENS = (100, 150, 300, 600)
+SHORT_FRAC = 0.5
+SHORT_FRAME = 8  # chars of framing per side — the doc IS mostly the copy
+
+
+def measure_short_doc_rates(
+    spark,
+    long_docs,
+    doc_lens=SHORT_DOC_LENS,
+    mod: int = 16,
+    frac: float = SHORT_FRAC,
+    abs_ms: int = 4,
+    n_probes: int = N_PROBES,
+    df_cap: int = DF_CAP,
+) -> list[dict]:
+    """OVERLAP.md §short-docs: catch AND false-positive rates of the
+    adaptive per-doc floor (``CurationConfig.overlap_short_doc_frac``) on
+    MOSTLY-copied short docs vs genuinely fresh short docs. State = the
+    even-``src_id`` half of the long sources; "copied" probes are exact
+    L-char cuts of STATE docs in 8-char framing (the doc is the copy),
+    "fresh" probes the same construction over the HELD-OUT half — real
+    driver text the state has never admitted, so the fresh side measures
+    the true coincidental-match rate (shared common phrases), not a
+    gibberish strawman. Decision replayed driver-side per probe:
+    absolute = ``max_sh >= abs_ms``; adaptive =
+    ``max_sh >= min(abs_ms, max(2, ceil(frac·own)))``."""
+    state = long_docs.filter(F.col("src_id") % 2 == 0)
+    heldout = long_docs.filter(F.col("src_id") % 2 == 1)
+    s = winnow_fingerprints_df(
+        state.select(F.col("src_id").alias("old_id"), "text"),
+        text_col="text", id_col="old_id", k=K, w=W,
+    ).filter(F.col("fp") % mod == 0).localCheckpoint()
+    ok = s.join(
+        s.groupBy("fp").agg(F.countDistinct("old_id").alias("_df"))
+        .filter(F.col("_df") <= df_cap).select("fp"),
+        "fp", "left_semi",
+    )
+
+    def probes_from(src, length):
+        eligible = (
+            src.filter(F.length("text") >= length)
+            .orderBy("src_id").limit(n_probes)
+        )
+        start = F.lit(1) + (F.col("src_id") * 37) % (
+            F.length("text") - F.lit(length) + 1
+        )
+        sid = F.col("src_id").cast("string")
+        frame = lambda tag: F.substring(  # noqa: E731
+            F.sha2(F.concat(F.lit(tag), sid), 256), 1, SHORT_FRAME
+        )
+        return eligible.select(
+            F.col("src_id").alias("probe_id"),
+            F.concat(
+                frame("fa"), F.lit(" "),
+                F.col("text").substr(start, F.lit(length)),
+                F.lit(" "), frame("fb"),
+            ).alias("text"),
+        )
+
+    def rates(probe_df):
+        pfps = winnow_fingerprints_df(
+            probe_df, text_col="text", id_col="probe_id", k=K, w=W
+        ).filter(F.col("fp") % mod == 0).localCheckpoint()
+        n = probe_df.count()
+        own = {
+            r.probe_id: r.own
+            for r in pfps.groupBy("probe_id")
+            .agg(F.countDistinct("fp").alias("own")).collect()
+        }
+        mx = {
+            r.probe_id: r.max_sh
+            for r in pfps.join(ok, "fp")
+            .groupBy("probe_id", "old_id")
+            .agg(F.countDistinct("fp").alias("sh"))
+            .groupBy("probe_id")
+            .agg(F.max("sh").alias("max_sh")).collect()
+        }
+        import math
+
+        def hit(pid, adaptive):
+            sh = mx.get(pid, 0)
+            if not adaptive:
+                return sh >= abs_ms
+            o = own.get(pid, 0)
+            return sh >= min(abs_ms, max(2, math.ceil(frac * o)))
+
+        ids = [r.probe_id for r in probe_df.select("probe_id").collect()]
+        return (
+            n,
+            round(sum(own.get(i, 0) for i in ids) / max(1, n), 2),
+            round(sum(1 for i in ids if hit(i, False)) / max(1, n), 3),
+            round(sum(1 for i in ids if hit(i, True)) / max(1, n), 3),
+        )
+
+    out = []
+    for length in doc_lens:
+        n_c, own_c, abs_c, ada_c = rates(probes_from(state, length))
+        n_f, own_f, abs_f, ada_f = rates(probes_from(heldout, length))
+        out.append({
+            "doc_chars": length, "sample_mod": mod, "frac": frac,
+            "n_probes": n_c, "own_mean": own_c,
+            "catch_abs": abs_c, "catch_adaptive": ada_c,
+            "fp_abs": abs_f, "fp_adaptive": ada_f,
+        })
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("overlap-floor")
@@ -175,6 +286,23 @@ def main() -> None:
     n_src = long_docs.count()
     print(f"# {n_src} long sources (GROUP={GROUP}) from {sf_dir}",
           file=sys.stderr)
+    if len(sys.argv) > 1 and sys.argv[1] == "short":
+        rows = measure_short_doc_rates(spark, long_docs)
+        print("| doc chars | mod | own mean | catch abs | catch adaptive "
+              "| FP abs | FP adaptive |")
+        print("|" + "---|" * 7)
+        for r in rows:
+            print(
+                f"| {r['doc_chars']} | {r['sample_mod']} | {r['own_mean']} "
+                f"| {r['catch_abs']} | {r['catch_adaptive']} "
+                f"| {r['fp_abs']} | {r['fp_adaptive']} |"
+            )
+        print(json.dumps({
+            "mode": "short", "k": K, "w": W, "frac": SHORT_FRAC,
+            "rows": rows, "sec": round(time.time() - t0, 1),
+            "sf_dir": sf_dir,
+        }))
+        return
     rows = measure_catch_rates(spark, long_docs)
     hdr = "| lift chars | mod | E[shared] | mean shared |" + "".join(
         f" catch@ms={ms} |" for ms in MIN_SHAREDS

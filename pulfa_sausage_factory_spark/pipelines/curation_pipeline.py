@@ -125,6 +125,24 @@ class CurationConfig:
     overlap_w: int = 8  # winnow window (k-gram hashes)
     overlap_sample_mod: int | str = 16
     overlap_fp_df_cap: int = 64  # fps in more docs than this are boilerplate
+    #: opt-in ADAPTIVE evidence floor for short batch docs (round 10): a
+    #: short doc wholesale-copied out of an admitted doc carries too few
+    #: sampled fps to reach overlap_min_shared (a 150-char body has ~2
+    #: at the defaults) yet slips every other ledger too (different
+    #: digest; whole-doc Jaccard vs the long source is low; cosine
+    #: likewise). With a fraction f set, the CROSS-RUN leg also drops a
+    #: doc when ONE admitted doc shares >= max(2, ceil(f·own)) of the
+    #: doc's OWN sampled (non-boilerplate) fps — "most of this doc's
+    #: evidence points at one admitted doc" — while long docs keep the
+    #: absolute threshold (the per-doc threshold is the MIN of the two
+    #: rules, so it only ever gets more sensitive). The floor of 2
+    #: keeps single-fp coincidences (one shared 23-char phrase) from
+    #: deciding alone. Within-batch the absolute rule stays: the
+    #: min-id canonical rule would drop the LONG original of an
+    #: asymmetric containment pair. Catch/false-positive rates per doc
+    #: length: OVERLAP.md §short-docs (python overlap.py short).
+    #: None = absolute threshold only.
+    overlap_short_doc_frac: float | None = None
     #: incremental ingest: fold the serving index's append/tombstone log
     #: into a codes snapshot (``ann_index.compact_pq_index``) whenever
     #: the number of LIVE committed log entries reaches this many —
@@ -1042,14 +1060,35 @@ def _ingest_batch_body(
             # batch_occurrences × overlap_fp_df_cap rows in this join
             # before the fp ever reaches state (where the read-time cap
             # would start excluding it).
-            over = (
+            shared = (
                 ok.join(batch_d.select(icol), icol, "left_semi")
                 .join(old_ok, "fp")
                 .groupBy(icol, "old_id")
                 .agg(F.countDistinct("fp").alias("_sh"))
-                .filter(F.col("_sh") >= cfg.overlap_min_shared)
-                .select(icol)
-                .distinct()
+            )
+            thr = F.lit(cfg.overlap_min_shared)
+            if cfg.overlap_short_doc_frac is not None:
+                # adaptive short-doc floor (see the config docstring):
+                # per-doc threshold = min(absolute, max(2, ceil(f·own)))
+                # where own counts the doc's non-boilerplate sampled fps
+                # — the same capped population _sh is counted over, so
+                # the fraction is a true share of the doc's evidence
+                own = ok.groupBy(icol).agg(
+                    F.countDistinct("fp").alias("_own")
+                )
+                shared = shared.join(own, icol)
+                thr = F.least(
+                    thr,
+                    F.greatest(
+                        F.lit(2),
+                        F.ceil(
+                            F.lit(float(cfg.overlap_short_doc_frac))
+                            * F.col("_own")
+                        ).cast("int"),
+                    ),
+                )
+            over = (
+                shared.filter(F.col("_sh") >= thr).select(icol).distinct()
             )
             batch_d = batch_d.join(over, icol, "left_anti")
         batch_d = _st("overlap_dedup", batch_d)

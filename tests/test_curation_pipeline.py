@@ -1676,6 +1676,16 @@ def test_documented_overlap_configs_reach_catch_floor(spark):
     # it must NOT look reliable (documented 0.14 at ms=4)
     assert rows[(600, 64)][4] <= 0.3
 
+    # OVERLAP.md §short-docs (overlap_short_doc_frac=0.5 at the default
+    # config, 300-char wholesale copies): the adaptive floor roughly
+    # doubles catch (documented 0.465 → 0.875) while flagging <= 10% of
+    # held-out same-distribution fresh docs
+    srow = ovl.measure_short_doc_rates(spark, long_docs,
+                                       doc_lens=(300,))[0]
+    assert srow["catch_adaptive"] >= 0.85
+    assert srow["catch_abs"] <= 0.55
+    assert srow["fp_adaptive"] <= 0.10
+
 
 def test_overlap_cross_run_cap_is_symmetric(spark, tmp_path):
     # round-10 VERDICT item 3: the cross-run leg joins the df-CAPPED
@@ -1810,6 +1820,72 @@ def test_overlap_mod_auto_resolves_and_meta_pins_state_dir(spark, tmp_path):
     # inside it, where the fold's dir swap would delete it)
     compact_ingest_state(spark, state, max_files=0)
     assert _resolve_overlap_mod(spark, f"{state}/fps", cfg) == 16
+
+
+def test_overlap_adaptive_short_doc_floor(spark, tmp_path):
+    # round-10: opt-in overlap_short_doc_frac — a SHORT doc wholesale-
+    # copied out of an admitted doc carries too few sampled fps to reach
+    # the absolute min_shared (the documented floor) and slips every
+    # other ledger (different digest, low whole-doc Jaccard); with the
+    # fraction set, the cross-run leg also drops a doc when one admitted
+    # doc holds >= max(2, ceil(frac·own)) of the doc's OWN sampled fps.
+    # Fresh short docs (novel text) stay admitted — the floor of 2 and
+    # the fraction guard specificity. OVERLAP.md §short-docs carries the
+    # measured catch/FP rates; this pins the mechanism end-to-end.
+    import json
+
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+    )
+
+    para = (
+        "the archival record of the expedition describes a long river "
+        "journey through dense forest where the party catalogued birds "
+        "and pressed plant specimens into heavy folios each evening by "
+        "lamplight while the boats were drawn up on gravel bars and the "
+        "notebooks slowly filled with measurements of water depth and "
+        "temperature and careful sketches of the canyon walls above the "
+        "camps "
+    )
+    # ~110 chars of the admitted paragraph inside 3-char framing: the
+    # doc IS mostly the copy, but at mod=8 it yields only ~2-3 sampled
+    # fps — under the absolute min_shared=4 floor
+    short_copy = "zq " + para[60:170] + " xv"
+    fresh_short = ("entirely novel short text concerning lighthouse lens "
+                   "rotation schedules and keeper logbooks kept offshore")
+    sch = T.StructType.fromDDL("doc_id long, text string")
+
+    def lines(rows):
+        return spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "value string"
+        )
+
+    def run(state, cfg):
+        r0 = _ingest_batch(spark, lines([
+            {"doc_id": 1, "text": para + "plus distinct catalogue prose"},
+        ]), 0, cfg, state, sch)
+        assert r0["admitted"] == 1
+        _ingest_batch(spark, lines([
+            {"doc_id": 10, "text": short_copy},
+            {"doc_id": 11, "text": fresh_short},
+        ]), 1, cfg, state, sch)
+        return {
+            r.doc_id
+            for r in spark.read.parquet(f"{state}/corpus").collect()
+        }
+
+    base = dict(min_quality=0.0, neardup_method="none",
+                overlap_ledger=True, overlap_sample_mod=8)
+    # absolute threshold only: the short wholesale copy slips through —
+    # the documented floor, not a bug (OVERLAP.md)
+    ids = run(str(tmp_path / "abs_state"), CurationConfig(**base))
+    assert ids == {1, 10, 11}
+    # adaptive floor on: the copy is dropped, the fresh doc is not
+    ids = run(str(tmp_path / "ada_state"),
+              CurationConfig(**base, overlap_short_doc_frac=0.5))
+    assert ids == {1, 11}
 
 
 def test_ingest_stage_counts(spark, tmp_path):
