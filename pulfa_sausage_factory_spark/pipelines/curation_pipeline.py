@@ -1482,6 +1482,87 @@ def _sweep_orphan_reservations(spark, base: str, mapping) -> int:
     return swept
 
 
+def coarsen_overlap_mod(
+    spark: SparkSession, state_dir: str, new_mod: int
+) -> dict:
+    """Maintenance verb that makes "raise the mod as the corpus grows"
+    (the overlap config's standing advice, arithmetic in
+    ``text.suggest_overlap_config``) an actual operation: re-pin the
+    state dir's ``fps_meta`` at a COARSER power-of-two multiple of the
+    current mod and shrink the ``fps/`` state to match. Without this
+    verb the meta contract (round 10) correctly refuses any mod change,
+    so a live deployment could only coarsen by discarding its ledger.
+
+    Only nested coarsening is legal — ``new_mod`` a power-of-two
+    multiple of the persisted mod — because every fp kept at ``2m`` was
+    kept at ``m``: old state rows keep matching new probes at the
+    coarser density, and the shrink is a pure filter
+    (``fp % new_mod == 0``). Refusing finer/non-multiple mods is not
+    pedantry: fps the finer sampling would need were never persisted,
+    so "migrating" down would silently zero the match rate on old state
+    — the exact failure the meta exists to prevent.
+
+    Crash ordering: the meta is re-pinned FIRST, then ``fps/`` is folded
+    through the shared ``statedir.replace_dir`` swap. A crash between
+    the two leaves meta=new over unshrunk state — a SUPERSET, still
+    correct (probes sample at new_mod; the extra finer rows simply never
+    match) and re-running the verb completes the shrink. The reverse
+    ordering would leave meta=old over already-shrunk state: probes at
+    the finer mod would sample fps the state no longer holds and
+    silently miss cross-run pairs. Returns
+    ``{"old_mod", "new_mod", "fps_rows_before", "fps_rows_after"}``."""
+    from .. import statedir
+    from ..io import read_parquet_state
+
+    base = state_dir.rstrip("/")
+    fps_dir, meta_dir = f"{base}/fps", f"{base}/fps_meta"
+    meta = read_parquet_state(spark, meta_dir)
+    if meta is None:
+        raise ValueError(
+            f"no fps_meta at {meta_dir} — nothing to coarsen (the meta "
+            "is written by the first overlap batch)"
+        )
+    row = meta.collect()[0]
+    old_mod = int(row.sample_mod)
+    if new_mod == old_mod:
+        return {"old_mod": old_mod, "new_mod": new_mod,
+                "fps_rows_before": None, "fps_rows_after": None}
+    ratio = new_mod // old_mod if old_mod else 0
+    if new_mod < old_mod or ratio * old_mod != new_mod or (
+            ratio & (ratio - 1)) != 0:
+        raise ValueError(
+            f"coarsen_overlap_mod: new_mod={new_mod} is not a "
+            f"power-of-two multiple of the persisted mod={old_mod} — "
+            "only nested coarsening keeps old state rows matching new "
+            "probes; a finer mod needs fps that were never persisted "
+            "(use a fresh state dir)"
+        )
+    spark.createDataFrame(
+        [(int(row.k), int(row.w), new_mod)], "k int, w int, sample_mod int"
+    ).coalesce(1).write.mode("overwrite").parquet(meta_dir)
+
+    statedir.recover_replaced_dir(spark, fps_dir)
+    state = read_parquet_state(spark, fps_dir)
+    if state is None:  # meta written, no fps yet (empty-corpus dir)
+        return {"old_mod": old_mod, "new_mod": new_mod,
+                "fps_rows_before": 0, "fps_rows_after": 0}
+    before = state.count()
+
+    def _shrink(tmp: str) -> None:
+        # keep per-row provenance (src_batch_id) exactly as the generic
+        # fold does; replay debris collapses the same way
+        spark.read.option("mergeSchema", "true").parquet(fps_dir).drop(
+            "batch_id"
+        ).filter(F.col("fp") % new_mod == 0).dropDuplicates().coalesce(
+            8
+        ).write.mode("overwrite").parquet(tmp + "/batch_id=-1")
+
+    statedir.replace_dir(spark, fps_dir, _shrink)
+    after = spark.read.parquet(fps_dir).count()
+    return {"old_mod": old_mod, "new_mod": new_mod,
+            "fps_rows_before": before, "fps_rows_after": after}
+
+
 def compact_ingest_state(
     spark: SparkSession, state_dir: str, max_files: int = 64
 ) -> dict:

@@ -1888,6 +1888,83 @@ def test_overlap_adaptive_short_doc_floor(spark, tmp_path):
     assert ids == {1, 11}
 
 
+def test_coarsen_overlap_mod_migrates_live_state(spark, tmp_path):
+    # round-10: the maintenance verb behind "raise the mod as the corpus
+    # grows" — re-pin fps_meta at a coarser power-of-two multiple and
+    # shrink fps/ to match (nested sampling: every fp kept at 2m was
+    # kept at m, so old state keeps matching new probes). Finer or
+    # non-multiple mods refuse: the fps a finer sampling needs were
+    # never persisted, and "migrating" down would silently zero the
+    # cross-run match rate.
+    import json
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        coarsen_overlap_mod,
+    )
+
+    para = (
+        "the archival record of the expedition describes a long river "
+        "journey through dense forest where the party catalogued birds "
+        "and pressed plant specimens into heavy folios each evening by "
+        "lamplight while the boats were drawn up on gravel bars and the "
+        "notebooks slowly filled with measurements of water depth and "
+        "temperature and careful sketches of the canyon walls above the "
+        "camps "
+    )
+    state = str(tmp_path / "coarsen_state")
+    sch = T.StructType.fromDDL("doc_id long, text string")
+
+    def lines(rows):
+        return spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "value string"
+        )
+
+    def cfg(mod):
+        return CurationConfig(min_quality=0.0, neardup_method="none",
+                              overlap_ledger=True, overlap_sample_mod=mod)
+
+    with pytest.raises(ValueError, match="nothing to coarsen"):
+        coarsen_overlap_mod(spark, state, 8)
+
+    r0 = _ingest_batch(spark, lines([
+        {"doc_id": 1, "text": para + "plus distinct catalogue prose"},
+    ]), 0, cfg(4), state, sch)
+    assert r0["admitted"] == 1
+
+    for bad in (3, 12, 2):  # non-multiple, non-pow2 ratio, finer
+        with pytest.raises(ValueError, match="power-of-two multiple"):
+            coarsen_overlap_mod(spark, state, bad)
+
+    rep = coarsen_overlap_mod(spark, state, 8)
+    assert rep["old_mod"] == 4 and rep["new_mod"] == 8
+    assert 0 < rep["fps_rows_after"] < rep["fps_rows_before"]
+    meta = spark.read.parquet(f"{state}/fps_meta").collect()[0]
+    assert meta.sample_mod == 8
+    # idempotent re-run (the crash-window completion path) is a no-op
+    rep2 = coarsen_overlap_mod(spark, state, 8)
+    assert rep2["fps_rows_before"] is None
+
+    # the old explicit config now refuses; the migrated one works AND
+    # the shrunk state still catches a cross-run lift at the coarser mod
+    with pytest.raises(ValueError, match="sampled at mod=8"):
+        _ingest_batch(spark, lines([
+            {"doc_id": 5, "text": "whatever text here"},
+        ]), 1, cfg(4), state, sch)
+    r1 = _ingest_batch(spark, lines([
+        {"doc_id": 10, "text": "fresh framing " + para + "new ending"},
+        {"doc_id": 11, "text": "entirely new subject matter concerning "
+                               "bridge engineering and load tables for "
+                               "riveted iron spans " * 4},
+    ]), 1, cfg(8), state, sch)
+    assert r1["admitted"] == 1
+    ids = {r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()}
+    assert 10 not in ids and 11 in ids
+
+
 def test_ingest_stage_counts(spark, tmp_path):
     # round-9: opt-in per-stage survivor counts in the batch report —
     # "which gate/ledger dropped my documents" for the incremental path,
