@@ -1509,7 +1509,11 @@ def coarsen_overlap_mod(
     match) and re-running the verb completes the shrink. The reverse
     ordering would leave meta=old over already-shrunk state: probes at
     the finer mod would sample fps the state no longer holds and
-    silently miss cross-run pairs. Returns
+    silently miss cross-run pairs. Like ``compact_ingest_state``, this
+    is maintenance under the state dir's single-writer contract — run it
+    between ingest runs (a batch writing fps at the old mod concurrently
+    with the shrink would land rows the meta no longer describes).
+    Returns
     ``{"old_mod", "new_mod", "fps_rows_before", "fps_rows_after"}``."""
     from .. import statedir
     from ..io import read_parquet_state
