@@ -794,10 +794,22 @@ def _resolve_overlap_mod(spark: SparkSession, fps_dir: str, cfg) -> int:
             )
         return mod
     if cfg.overlap_sample_mod == "auto":
-        mod = suggest_overlap_config(
-            k=cfg.overlap_k, w=cfg.overlap_w,
-            min_shared=cfg.overlap_min_shared,
-        )["sample_mod"]
+        from ..io import read_parquet_state as _rps
+
+        legacy = _rps(spark, fps_dir)
+        if legacy is not None:
+            # pre-round-10 state (fps rows, no meta): the dir can only
+            # have been written at the then-only default, 16 — pin THAT,
+            # not today's suggestion (which moves with min_shared and
+            # any future formula change; e.g. min_shared=8 suggests
+            # mod 8, and probing a mod-16 dir at 8 silently halves the
+            # cross-run match rate)
+            mod = 16
+        else:
+            mod = suggest_overlap_config(
+                k=cfg.overlap_k, w=cfg.overlap_w,
+                min_shared=cfg.overlap_min_shared,
+            )["sample_mod"]
     else:
         mod = int(cfg.overlap_sample_mod)
     # one tiny row, overwrite-idempotent (a replayed first batch rewrites

@@ -438,6 +438,7 @@ def main() -> None:
     import tempfile
 
     from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        ingest_state_report,
         run_incremental_curation,
     )
 
@@ -538,6 +539,15 @@ def main() -> None:
             if orep2["batches"] else 0,
             "partial_copy_admitted": orep2["total_admitted"],
             "partial_copy_sec": dt2,
+            # measured state cost per artifact (files/bytes from the
+            # listing — ingest_state_report): the fps dir's honest
+            # double-digit-%-of-corpus cost as a number, not a prediction
+            "state": {
+                r.artifact: {"files": r.files, "bytes": r.bytes}
+                for r in ingest_state_report(
+                    spark, f"{work}/state"
+                ).collect()
+            },
         }
         print(
             f"# overlap_ingest: {orep['total_admitted']} rows in {dt}s "

@@ -1821,6 +1821,22 @@ def test_overlap_mod_auto_resolves_and_meta_pins_state_dir(spark, tmp_path):
     compact_ingest_state(spark, state, max_files=0)
     assert _resolve_overlap_mod(spark, f"{state}/fps", cfg) == 16
 
+    # legacy upgrade path: a pre-round-10 dir (fps rows, NO meta) under
+    # "auto" must pin the then-only default 16 — NOT today's suggestion,
+    # which moves with min_shared (here it would suggest 8 and silently
+    # halve the cross-run match rate on the mod-16 state)
+    legacy = str(tmp_path / "legacy_state")
+    spark.createDataFrame(
+        [(1, 160)], "doc_id long, fp long"
+    ).write.parquet(f"{legacy}/fps/batch_id=0")
+    cfg_ms8 = CurationConfig(min_quality=0.0, neardup_method="none",
+                             overlap_ledger=True, overlap_sample_mod="auto",
+                             overlap_min_shared=8)
+    assert _resolve_overlap_mod(spark, f"{legacy}/fps", cfg_ms8) == 16
+    # ...and on a FRESH dir the same config consults the suggestion
+    fresh = str(tmp_path / "fresh_state")
+    assert _resolve_overlap_mod(spark, f"{fresh}/fps", cfg_ms8) == 8
+
 
 def test_overlap_adaptive_short_doc_floor(spark, tmp_path):
     # round-10: opt-in overlap_short_doc_frac — a SHORT doc wholesale-
