@@ -1407,8 +1407,19 @@ def ingest_state_report(spark: SparkSession, state_dir: str) -> DataFrame:
     base = state_dir.rstrip("/")
     rows = []
     for sub in ("ledger", "sigs", "bands", "semvecs", "idxmap", "fps",
-                "corpus"):
+                "fps_meta", "corpus"):
         path = f"{base}/{sub}"
+        if sub == "fps_meta":
+            # the overlap sampling-config sidecar (round 10) is state too
+            # — the report convention covers every artifact a dir holds.
+            # Listing-only like every other row; the pinned mod/k/w are
+            # one read_parquet_state away for whoever needs the values.
+            if fsutil.is_dir(spark, path):
+                n, b = fsutil.parquet_usage(spark, path)
+                rows.append((sub, n, b, 0, False,
+                             "overlap sampling-config sidecar (pinned "
+                             "mod/k/w; coarsen_overlap_mod migrates it)"))
+            continue
         old = fsutil.exists(spark, path + ".__old__")
         live = fsutil.is_dir(spark, path)
         if not live and not old:

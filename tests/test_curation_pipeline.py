@@ -1826,6 +1826,15 @@ def test_overlap_mod_auto_resolves_and_meta_pins_state_dir(spark, tmp_path):
     compact_ingest_state(spark, state, max_files=0)
     assert _resolve_overlap_mod(spark, f"{state}/fps", cfg) == 16
 
+    # ...and it shows up in the state report like every other artifact
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        ingest_state_report,
+    )
+
+    rep = {r.artifact: r for r in ingest_state_report(spark, state).collect()}
+    assert "fps_meta" in rep and rep["fps_meta"].files > 0
+    assert "sidecar" in rep["fps_meta"].detail
+
     # legacy upgrade path: a pre-round-10 dir (fps rows, NO meta) under
     # "auto" must pin the then-only default 16 — NOT today's suggestion,
     # which moves with min_shared (here it would suggest 8 and silently
