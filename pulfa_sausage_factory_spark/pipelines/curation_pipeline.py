@@ -793,17 +793,14 @@ def _resolve_overlap_mod(spark: SparkSession, fps_dir: str, cfg) -> int:
                 "'auto', which adopts it) or use a fresh state dir"
             )
         return mod
+    legacy = read_parquet_state(spark, fps_dir)
     if cfg.overlap_sample_mod == "auto":
-        from ..io import read_parquet_state as _rps
-
-        legacy = _rps(spark, fps_dir)
         if legacy is not None:
-            # pre-round-10 state (fps rows, no meta): the dir can only
-            # have been written at the then-only default, 16 — pin THAT,
+            # pre-round-10 state (fps rows, no meta): pin the DEFAULT, 16,
             # not today's suggestion (which moves with min_shared and
             # any future formula change; e.g. min_shared=8 suggests
             # mod 8, and probing a mod-16 dir at 8 silently halves the
-            # cross-run match rate)
+            # cross-run match rate) — subject to the sanity check below
             mod = 16
         else:
             mod = suggest_overlap_config(
@@ -812,6 +809,32 @@ def _resolve_overlap_mod(spark: SparkSession, fps_dir: str, cfg) -> int:
             )["sample_mod"]
     else:
         mod = int(cfg.overlap_sample_mod)
+    if legacy is not None and "fp" in legacy.columns:
+        # round-11 (ADVICE): before adopting ANY mod for a meta-less dir
+        # — the legacy default 16 above, or an explicit config value —
+        # check the claim against the rows themselves: every stored fp
+        # must satisfy fp % mod == 0 (one cheap aggregate over the
+        # fps-sized state). overlap_sample_mod was configurable before
+        # the meta existed, so "the then-only default" is a heuristic a
+        # legacy dir written at an explicit FINER mod would contradict —
+        # and pinning the wrong mod silently zeroes the cross-run match
+        # rate, the exact failure fps_meta exists to prevent. Limits: a
+        # legacy dir written at a COARSER multiple (e.g. 32 when pinning
+        # 16) passes this check — its rows are a nested subset, so
+        # matching degrades to the coarser density rather than zero; the
+        # check catches the silent-zero direction, which is the
+        # dangerous one.
+        bad = legacy.filter(F.col("fp") % mod != 0).count()
+        if bad:
+            raise ValueError(
+                f"overlap ledger state at {fps_dir} has no fps_meta and "
+                f"{bad} stored fingerprint rows contradict the mod "
+                f"({mod}) about to be pinned for it (fp % {mod} != 0) — "
+                "the dir was written at a finer or non-nested mod; "
+                "probing it at this mod would silently miss cross-run "
+                "pairs. Pass the mod the state was actually written "
+                "with, or use a fresh state dir"
+            )
     # one tiny row, overwrite-idempotent (a replayed first batch rewrites
     # identical content); written BEFORE the batch's fps so a crash after
     # any fps landed can never leave sampled state without its meta
@@ -1506,7 +1529,7 @@ def _sweep_orphan_reservations(spark, base: str, mapping) -> int:
 
 
 def coarsen_overlap_mod(
-    spark: SparkSession, state_dir: str, new_mod: int
+    spark: SparkSession, state_dir: str, new_mod: int, max_files: int = 64
 ) -> dict:
     """Maintenance verb that makes "raise the mod as the corpus grows"
     (the overlap config's standing advice, arithmetic in
@@ -1529,14 +1552,24 @@ def coarsen_overlap_mod(
     through the shared ``statedir.replace_dir`` swap. A crash between
     the two leaves meta=new over unshrunk state — a SUPERSET, still
     correct (probes sample at new_mod; the extra finer rows simply never
-    match) and re-running the verb completes the shrink. The reverse
+    match) and re-running the verb completes the shrink: when
+    ``new_mod`` already equals the persisted mod, the verb checks the
+    state for rows a finished shrink could not contain
+    (``fp % new_mod != 0`` — one cheap aggregate) and runs the fold iff
+    any exist, so the crash-window re-run actually reclaims the space
+    instead of early-returning on the meta equality (round-11 ADVICE —
+    the previous no-op kept the finer rows forever; matching stayed
+    correct but the docstring's promised reclamation never happened). A
+    clean re-run (no such rows) stays a fold-free no-op. The reverse
     ordering would leave meta=old over already-shrunk state: probes at
     the finer mod would sample fps the state no longer holds and
     silently miss cross-run pairs. Like ``compact_ingest_state``, this
     is maintenance under the state dir's single-writer contract — run it
     between ingest runs (a batch writing fps at the old mod concurrently
     with the shrink would land rows the meta no longer describes).
-    Returns
+    ``max_files`` bounds the folded state's file count exactly as
+    ``compact_ingest_state`` does (shared ``max(1, max_files // 8)``
+    convention — round-11 ADVICE replaced a hardcoded 8). Returns
     ``{"old_mod", "new_mod", "fps_rows_before", "fps_rows_after"}``."""
     from .. import statedir
     from ..io import read_parquet_state
@@ -1551,28 +1584,36 @@ def coarsen_overlap_mod(
         )
     row = meta.collect()[0]
     old_mod = int(row.sample_mod)
-    if new_mod == old_mod:
-        return {"old_mod": old_mod, "new_mod": new_mod,
-                "fps_rows_before": None, "fps_rows_after": None}
-    ratio = new_mod // old_mod if old_mod else 0
-    if new_mod < old_mod or ratio * old_mod != new_mod or (
-            ratio & (ratio - 1)) != 0:
-        raise ValueError(
-            f"coarsen_overlap_mod: new_mod={new_mod} is not a "
-            f"power-of-two multiple of the persisted mod={old_mod} — "
-            "only nested coarsening keeps old state rows matching new "
-            "probes; a finer mod needs fps that were never persisted "
-            "(use a fresh state dir)"
-        )
-    spark.createDataFrame(
-        [(int(row.k), int(row.w), new_mod)], "k int, w int, sample_mod int"
-    ).coalesce(1).write.mode("overwrite").parquet(meta_dir)
+    if new_mod != old_mod:
+        ratio = new_mod // old_mod if old_mod else 0
+        if new_mod < old_mod or ratio * old_mod != new_mod or (
+                ratio & (ratio - 1)) != 0:
+            raise ValueError(
+                f"coarsen_overlap_mod: new_mod={new_mod} is not a "
+                f"power-of-two multiple of the persisted mod={old_mod} — "
+                "only nested coarsening keeps old state rows matching new "
+                "probes; a finer mod needs fps that were never persisted "
+                "(use a fresh state dir)"
+            )
+        spark.createDataFrame(
+            [(int(row.k), int(row.w), new_mod)],
+            "k int, w int, sample_mod int",
+        ).coalesce(1).write.mode("overwrite").parquet(meta_dir)
 
     statedir.recover_replaced_dir(spark, fps_dir)
     state = read_parquet_state(spark, fps_dir)
     if state is None:  # meta written, no fps yet (empty-corpus dir)
         return {"old_mod": old_mod, "new_mod": new_mod,
                 "fps_rows_before": 0, "fps_rows_after": 0}
+    if new_mod == old_mod:
+        # meta already at new_mod: either a clean re-run (no-op) or the
+        # completion half of a crash between the meta re-pin and the fold
+        # — distinguished by whether rows a finished shrink could not
+        # contain are still present (see docstring)
+        unshrunk = state.filter(F.col("fp") % new_mod != 0).count()
+        if unshrunk == 0:
+            return {"old_mod": old_mod, "new_mod": new_mod,
+                    "fps_rows_before": None, "fps_rows_after": None}
     before = state.count()
 
     def _shrink(tmp: str) -> None:
@@ -1581,7 +1622,7 @@ def coarsen_overlap_mod(
         spark.read.option("mergeSchema", "true").parquet(fps_dir).drop(
             "batch_id"
         ).filter(F.col("fp") % new_mod == 0).dropDuplicates().coalesce(
-            8
+            max(1, max_files // 8)
         ).write.mode("overwrite").parquet(tmp + "/batch_id=-1")
 
     statedir.replace_dir(spark, fps_dir, _shrink)

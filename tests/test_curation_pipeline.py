@@ -1851,6 +1851,30 @@ def test_overlap_mod_auto_resolves_and_meta_pins_state_dir(spark, tmp_path):
     fresh = str(tmp_path / "fresh_state")
     assert _resolve_overlap_mod(spark, f"{fresh}/fps", cfg_ms8) == 8
 
+    # round-11 (ADVICE): pinning a mod onto a meta-less dir is sanity-
+    # checked against the rows themselves — a legacy dir actually written
+    # at an explicit FINER mod (fp=8 contradicts mod 16) refuses loudly
+    # under "auto" instead of adopting 16 and silently zeroing the
+    # cross-run match rate; the explicit-mod path on the same dir is
+    # checked identically. No meta is written by a refused pin.
+    finer = str(tmp_path / "finer_legacy_state")
+    spark.createDataFrame(
+        [(1, 8), (1, 160)], "doc_id long, fp long"
+    ).write.parquet(f"{finer}/fps/batch_id=0")
+    with pytest.raises(ValueError, match="contradict the mod"):
+        _resolve_overlap_mod(spark, f"{finer}/fps", cfg)
+    cfg32 = CurationConfig(min_quality=0.0, neardup_method="none",
+                           overlap_ledger=True, overlap_sample_mod=32)
+    with pytest.raises(ValueError, match="contradict the mod"):
+        _resolve_overlap_mod(spark, f"{finer}/fps", cfg32)
+    import os as _os
+
+    assert not _os.path.isdir(f"{finer}/fps_meta")
+    # the mod the rows actually satisfy pins fine (and writes the meta)
+    cfg8_ok = CurationConfig(min_quality=0.0, neardup_method="none",
+                             overlap_ledger=True, overlap_sample_mod=8)
+    assert _resolve_overlap_mod(spark, f"{finer}/fps", cfg8_ok) == 8
+
 
 def test_overlap_adaptive_short_doc_floor(spark, tmp_path):
     # round-10: opt-in overlap_short_doc_frac — a SHORT doc wholesale-
@@ -1974,7 +1998,7 @@ def test_coarsen_overlap_mod_migrates_live_state(spark, tmp_path):
     assert 0 < rep["fps_rows_after"] < rep["fps_rows_before"]
     meta = spark.read.parquet(f"{state}/fps_meta").collect()[0]
     assert meta.sample_mod == 8
-    # idempotent re-run (the crash-window completion path) is a no-op
+    # a CLEAN re-run (shrunk state, equal mods) is a fold-free no-op
     rep2 = coarsen_overlap_mod(spark, state, 8)
     assert rep2["fps_rows_before"] is None
 
@@ -1993,6 +2017,30 @@ def test_coarsen_overlap_mod_migrates_live_state(spark, tmp_path):
     assert r1["admitted"] == 1
     ids = {r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()}
     assert 10 not in ids and 11 in ids
+
+    # the crash-window completion path (round-11 ADVICE): a crash between
+    # the meta re-pin and the fps fold leaves meta=new over UNSHRUNK
+    # state — simulated by hand-re-pinning the meta at 16 over the mod-8
+    # state — and the re-run with new_mod == persisted mod must detect
+    # the finer rows (fp % 16 != 0) and actually run the fold, not
+    # early-return on the meta equality
+    spark.createDataFrame(
+        [(16, 8, 16)], "k int, w int, sample_mod int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{state}/fps_meta")
+    n_finer = (
+        spark.read.parquet(f"{state}/fps")
+        .filter(F.col("fp") % 16 != 0).count()
+    )
+    assert n_finer > 0  # the simulated crash really left finer rows
+    rep3 = coarsen_overlap_mod(spark, state, 16)
+    assert rep3["old_mod"] == rep3["new_mod"] == 16
+    assert rep3["fps_rows_after"] < rep3["fps_rows_before"]
+    assert (
+        spark.read.parquet(f"{state}/fps")
+        .filter(F.col("fp") % 16 != 0).count() == 0
+    )
+    # ...and once completed, the equal-mod re-run is a no-op again
+    assert coarsen_overlap_mod(spark, state, 16)["fps_rows_before"] is None
 
 
 def test_ingest_stage_counts(spark, tmp_path):
