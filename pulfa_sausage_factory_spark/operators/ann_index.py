@@ -100,9 +100,10 @@ def build_pq_index(
         suggest_ann_config,
     )
 
+    n_train = corpus.count()
     n_probe_suggested = None
     if n_cells == "auto":
-        cfg = suggest_ann_config(corpus.count())
+        cfg = suggest_ann_config(n_train)
         n_cells, n_probe_suggested = cfg["n_cells"], cfg["n_probe"]
     centroids = None
     if n_cells is not None:
@@ -137,6 +138,12 @@ def build_pq_index(
         "cb_sig": _codebook_signature(codebooks),
         "id_col": id_col,
         "vec_col": vec_col,
+        # staleness denominator (round 11): appends encode new vectors
+        # against codebooks/centroids FROZEN at this build — recall decays
+        # as the appended fraction grows (RECALL.md §append documents the
+        # measured decay + retrain threshold); pq_index_report surfaces
+        # appended/train_rows so the drift is visible, not silent
+        "train_rows": int(n_train),
     }
     if n_probe_suggested is not None:
         meta["n_probe_suggested"] = n_probe_suggested
@@ -150,6 +157,7 @@ def index_from_artifacts(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe_suggested: int | None = None,
+    train_rows: int | None = None,
 ) -> PQIndex:
     """Assemble a :class:`PQIndex` from ALREADY-TRAINED artifacts — the
     advanced/harness path (``build_pq_index`` trains everything itself).
@@ -197,6 +205,11 @@ def index_from_artifacts(
     }
     if n_probe_suggested is not None:
         meta["n_probe_suggested"] = int(n_probe_suggested)
+    if train_rows is not None:
+        # not derived from codes.count() here: the codes argument may be
+        # a lazily-computed encode, and counting it would force the full
+        # corpus encode inside what is otherwise a schema-only assembly
+        meta["train_rows"] = int(train_rows)
     return PQIndex(codebooks, codes, centroids, meta)
 
 
@@ -865,7 +878,10 @@ def pq_index_report(spark: SparkSession, path: str) -> DataFrame:
     corpus-sized codes table, every append batch) with parquet file
     count + bytes from the FileSystem LISTING (nothing is scanned — at
     100 TB "how big is my index, which append batches are live" must not
-    cost a codes pass). ``committed`` is False for an append batch whose
+    cost a codes pass). The one exception is the ``appended_staleness``
+    row (round 11), which reads parquet FOOTER row counts — metadata,
+    zero data pages — to compare appended rows against the manifest's
+    ``train_rows``. ``committed`` is False for an append batch whose
     job-commit marker is missing (a killed append awaiting replay —
     loads skip it); such rows above the horizon additionally say
     "blocks compaction" in ``detail`` and roll up into one ``pending``
@@ -939,6 +955,55 @@ def pq_index_report(spark: SparkSession, path: str) -> DataFrame:
             "pending", 0, 0, False,
             f"uncommitted log ids {sorted(pending)} cap compaction below "
             f"{min(pending)}",
+        ))
+    # appended-fraction / staleness row (round 11): appends encode new
+    # vectors against codebooks+centroids FROZEN at build time, so recall
+    # decays silently as the appended fraction grows (measured decay and
+    # the retrain threshold: RECALL.md §append, `python recall.py
+    # append`). The manifest records the build corpus size (train_rows);
+    # this row compares it to what has been appended since. Row counts
+    # here come from parquet FOOTERS (rowCount metadata — batch-sized
+    # dirs plus, after a compaction, the snapshot; zero data pages are
+    # read, keeping the report's no-codes-scan promise). After a
+    # compaction the appended estimate is `snapshot_rows - train_rows`
+    # plus live appends — a LOWER bound once tombstones of build rows
+    # have folded away, stated on the row.
+    meta = json.loads(meta_json)
+    train = meta.get("train_rows")
+    app_rows = 0
+    for bid in _append_batches(spark, base, horizon):
+        app_rows += spark.read.parquet(
+            f"{base}/codes_append/batch={bid}"
+        ).count()
+    if train is not None:
+        folded = 0
+        if horizon >= 0:
+            folded = max(
+                0,
+                spark.read.parquet(
+                    f"{base}/codes_head/upto={horizon}"
+                ).count() - int(train),
+            )
+        appended = app_rows + folded
+        frac = appended / train if train else float("inf")
+        detail = (
+            f"~{appended} rows appended over train_rows={train} "
+            f"(fraction {frac:.2f}); appends encode against codebooks "
+            "frozen at build — RECALL.md §append has the measured "
+            "recall-vs-appended-fraction decay and retrain threshold"
+        )
+        if horizon >= 0:
+            detail += (
+                "; post-compaction estimate is a lower bound (tombstoned "
+                "build rows fold away)"
+            )
+        rows.append(("appended_staleness", 0, 0, True, detail))
+    elif app_rows:
+        rows.append((
+            "appended_staleness", 0, 0, True,
+            f"{app_rows} live appended rows; train_rows unknown "
+            "(pre-round-11 manifest) — rebuild or re-save to track "
+            "staleness",
         ))
     return spark.createDataFrame(
         rows,

@@ -143,6 +143,50 @@ class CurationConfig:
     #: length: OVERLAP.md §short-docs (python overlap.py short).
     #: None = absolute threshold only.
     overlap_short_doc_frac: float | None = None
+    #: incremental ingest: AUTO-COARSEN cadence for the fps state (round
+    #: 11) — ``coarsen_overlap_mod`` exists as a manual verb, but the fps
+    #: state grows linearly in admitted chars, so a long deployment at a
+    #: fixed (or "auto"-resolved) mod eventually blows the state-row
+    #: budget ``suggest_overlap_config`` sized for. With this set, each
+    #: micro-batch checks the fps row count (a parquet FOOTER-metadata
+    #: count — row counts are not derivable from a bare file listing, but
+    #: the count job reads O(files) footers and zero data pages, and the
+    #: file count is bounded by ``ingest_compact_max_files``) and, when
+    #: the budget is exceeded, coarsens the mod in-pipeline by the
+    #: smallest power-of-two ratio that brings the state back under it
+    #: (rows halve per doubling — the nested-sampling arithmetic). The
+    #: migration is ``coarsen_overlap_mod``'s meta-first crash ordering
+    #: under the same single-writer contract the other in-pipeline
+    #: maintenance (``ingest_compact_after_batches`` pattern) relies on;
+    #: the batch report records ``rep["overlap_coarsened"]``. The trade
+    #: is documented, not silent: a coarser mod raises the reliable-
+    #: detection span floor (OVERLAP.md) — the report row carries the new
+    #: mod so an operator can see the floor move. ``None`` = manual
+    #: coarsening only. Requires ``overlap_ledger`` AND
+    #: ``overlap_sample_mod="auto"`` — an explicit config mod would
+    #: contradict the re-pinned meta after the first in-pipeline coarsen
+    #: and every later batch would refuse loudly; "auto" adopts the
+    #: coarsened value, which is the point.
+    overlap_coarsen_above_rows: int | None = None
+    #: incremental ingest: overlap-drop PROVENANCE (round 11, opt-in) —
+    #: the adaptive short-doc floor carries a measured 3-6.5% FP rate on
+    #: held-out real text (OVERLAP.md §short-docs); at 100 TB that is
+    #: millions of docs silently dropped with no way to audit which
+    #: admitted doc claimed them. With this on, every doc the CROSS-RUN
+    #: overlap leg drops lands one audit row per matching admitted doc —
+    #: ``(doc_id, old_id, shared_fps, threshold)`` — in
+    #: ``overlap_drops/batch_id=N`` (same per-batch overwrite discipline
+    #: as every ledger, so replays rewrite identical rows), the batch
+    #: report records ``rep["overlap_dropped_pairs"]``, and the dir shows
+    #: up in ``ingest_state_report``. The drop decision itself is then
+    #: DERIVED from the written audit (read back, distinct doc ids), so
+    #: the audit provably matches what was dropped. Within-batch overlap
+    #: losers are not audited here — they collapse through the same
+    #: connected-components rule as the MinHash leg and keep a canonical
+    #: representative; the cross-run leg is where the FP-rate concern
+    #: (and the "which admitted doc claimed it" question) lives.
+    #: Requires ``overlap_ledger``.
+    overlap_drop_audit: bool = False
     #: incremental ingest: fold the serving index's append/tombstone log
     #: into a codes snapshot (``ann_index.compact_pq_index``) whenever
     #: the number of LIVE committed log entries reaches this many —
@@ -663,6 +707,14 @@ def run_incremental_curation(
             )
             if done:
                 rep["state_compacted"] = done
+        if cfg.overlap_coarsen_above_rows is not None:
+            # in-pipeline fps-budget maintenance (round 11): runs between
+            # batches like the fold above, under the same single-writer
+            # contract — see the config docstring for the budget check's
+            # cost (footer count, zero data pages)
+            coarsened = _maybe_coarsen_overlap(spark, state_dir, cfg)
+            if coarsened:
+                rep["overlap_coarsened"] = coarsened
         batches.append(rep)
 
     (
@@ -880,6 +932,25 @@ def _ingest_batch(
             "an externally-managed index with ann_index.compact_pq_index "
             "directly"
         )
+    if cfg.overlap_coarsen_above_rows and not cfg.overlap_ledger:
+        raise ValueError(
+            "cfg.overlap_coarsen_above_rows needs cfg.overlap_ledger — "
+            "it bounds the fps state that ledger grows; coarsen a state "
+            "dir by hand with coarsen_overlap_mod"
+        )
+    if cfg.overlap_coarsen_above_rows and cfg.overlap_sample_mod != "auto":
+        raise ValueError(
+            "cfg.overlap_coarsen_above_rows needs "
+            "overlap_sample_mod='auto' — after an in-pipeline coarsen "
+            "re-pins the meta, an explicit mod in the config would "
+            "contradict it and every later batch would refuse loudly "
+            "(the meta contract); 'auto' adopts the coarsened value"
+        )
+    if cfg.overlap_drop_audit and not cfg.overlap_ledger:
+        raise ValueError(
+            "cfg.overlap_drop_audit needs cfg.overlap_ledger — the audit "
+            "records the cross-run overlap leg's drops"
+        )
     if cfg.semantic_ledger and sem_centroids is None:
         sem_centroids = _load_semantic_centroids(spark, cfg)
     full = T.StructType(
@@ -893,16 +964,20 @@ def _ingest_batch(
     semvecs_dir = os.path.join(state_dir, "semvecs")
     idxmap_dir = os.path.join(state_dir, "idxmap")
     fps_dir = os.path.join(state_dir, "fps")
+    retracted_dir = os.path.join(state_dir, "retracted")
+    overlap_drops_dir = os.path.join(state_dir, "overlap_drops")
     # heal a killed compaction swap BEFORE any state read: a crash between
     # replace_dir's two renames leaves the dir absent with `.__old__`
     # holding the only copy, and an unhealed _read_state would see "no
     # state" and silently re-admit everything the ledger ever recorded.
     # A dozen existence checks — cheap enough to run unconditionally, and
-    # mandatory once cfg.ingest_compact_max_files folds mid-run.
+    # mandatory once cfg.ingest_compact_max_files folds mid-run. The
+    # corpus and retracted dirs heal here too since retract_documents
+    # rewrites them through the same swap.
     from .. import statedir
 
     for d in (ledger_dir, sigs_dir, bands_dir, semvecs_dir, idxmap_dir,
-              fps_dir):
+              fps_dir, corpus_dir, retracted_dir):
         statedir.recover_replaced_dir(spark, d)
     num_hashes, n_bands = 32, 8
     rows_per_band = num_hashes // n_bands
@@ -936,6 +1011,7 @@ def _ingest_batch(
             ledger_dir, corpus_dir, sigs_dir, bands_dir,
             sig_udf, _band_keys, _part, num_hashes,
             semvecs_dir, sem_centroids, idxmap_dir, fps_dir,
+            retracted_dir, overlap_drops_dir,
         )
     finally:
         parsed.unpersist()
@@ -946,7 +1022,10 @@ def _ingest_batch_body(
     ledger_dir, corpus_dir, sigs_dir, bands_dir,
     sig_udf, _band_keys, _part, num_hashes,
     semvecs_dir=None, sem_centroids=None, idxmap_dir=None, fps_dir=None,
+    retracted_dir=None, overlap_drops_dir=None,
 ) -> dict:
+    import os
+
     from ..sources.jsonl import CORRUPT_COL
 
     tcol, icol = cfg.text_col, cfg.id_col
@@ -959,6 +1038,27 @@ def _ingest_batch_body(
         .filter(F.length(F.coalesce(tcol, F.lit(""))) > 0)
     )
     n_in = docs.count()
+    # retraction replay guard (round 11 — see retract_documents): an
+    # at-least-once REPLAY of this batch recomputes admission against the
+    # pre-batch state and would re-land docs a takedown removed, silently
+    # undoing the retraction. Retraction rows carry the batch that
+    # admitted each doc; excluding docs retracted out of THIS batch id
+    # makes the replay re-exclude exactly them — while the same text
+    # re-submitted in a LATER batch (different id) is admitted fresh, the
+    # documented re-submission semantics. The read is takedown-sized and
+    # returns None on the (overwhelmingly common) no-retractions path.
+    if retracted_dir is None and fps_dir is not None:
+        retracted_dir = os.path.join(os.path.dirname(fps_dir), "retracted")
+    if retracted_dir is not None:
+        from ..io import read_parquet_state
+
+        retr = read_parquet_state(spark, retracted_dir, mergeSchema="true")
+        if retr is not None:
+            guard = (
+                retr.filter(F.col("admitted_batch_id") == batch_id)
+                .select(F.col("doc_id").alias(icol)).distinct()
+            )
+            docs = docs.join(F.broadcast(guard), icol, "left_anti")
 
     stage_rows: dict[str, int] = {}
 
@@ -1041,6 +1141,7 @@ def _ingest_batch_body(
             batch_d = batch_d.join(near, icol, "left_anti")
         batch_d = _st("neardup_dedup", batch_d)
     fps_ckpt = None
+    n_overlap_drop_pairs = 0 if cfg.overlap_drop_audit else None
     if cfg.overlap_ledger:
         # substring-overlap dedup (winnowed fingerprints — see the config
         # docstring): within-batch first via the SAME connected-components
@@ -1122,9 +1223,29 @@ def _ingest_batch_body(
                         ).cast("int"),
                     ),
                 )
-            over = (
-                shared.filter(F.col("_sh") >= thr).select(icol).distinct()
-            )
+            dropped = shared.filter(F.col("_sh") >= thr)
+            if cfg.overlap_drop_audit:
+                # land the audit rows FIRST, then derive the drop set
+                # from what landed — the audit provably matches the
+                # decision, and a replayed batch overwrites its own
+                # partition with identical rows (see the config docstring)
+                if overlap_drops_dir is None:
+                    overlap_drops_dir = os.path.join(
+                        os.path.dirname(fps_dir), "overlap_drops"
+                    )
+                dropped.select(
+                    F.col(icol),
+                    F.col("old_id"),
+                    F.col("_sh").alias("shared_fps"),
+                    thr.cast("int").alias("threshold"),
+                ).withColumn(
+                    "src_batch_id", F.lit(int(batch_id)).cast("long")
+                ).write.mode("overwrite").parquet(_part(overlap_drops_dir))
+                audit = spark.read.parquet(_part(overlap_drops_dir))
+                n_overlap_drop_pairs = audit.count()
+                over = audit.select(icol).distinct()
+            else:
+                over = dropped.select(icol).distinct()
             batch_d = batch_d.join(over, icol, "left_anti")
         batch_d = _st("overlap_dedup", batch_d)
         # survivors' fingerprints ride to _write_admitted as an array
@@ -1224,12 +1345,52 @@ def _ingest_batch_body(
     }
     if stage_rows:
         rep["stage_rows"] = stage_rows
+    if n_overlap_drop_pairs is not None:
+        rep["overlap_dropped_pairs"] = n_overlap_drop_pairs
     if idx_rep is not None:
         rep["index_batch_id"] = idx_rep["batch_id"]
         rep["index_appended"] = idx_rep["rows"]
         comp = _maybe_compact_serve_index(spark, cfg)
         if comp is not None:
             rep["index_compacted"] = comp
+    return rep
+
+
+def _maybe_coarsen_overlap(spark, state_dir: str, cfg) -> dict | None:
+    """``cfg.overlap_coarsen_above_rows``: when the fps state's row count
+    exceeds the budget, coarsen the sampling mod in-pipeline by the
+    smallest power-of-two ratio that brings the EXPECTED post-shrink
+    count back under it (rows at mod ``r·m`` are the ``fp % (r·m) == 0``
+    subset — ~``1/r`` of the rows at ``m``, the nested-sampling
+    arithmetic ``suggest_overlap_config`` documents). The check is a
+    parquet footer-metadata count (no data pages; O(files) footers with
+    the file count bounded by the fold cadence); the migration itself is
+    :func:`coarsen_overlap_mod` — meta-first crash ordering, refused
+    non-nested targets, the works. Returns its report dict (plus the
+    row budget) or ``None`` when under budget / no state yet."""
+    import math
+    import os
+
+    from ..io import read_parquet_state
+
+    fps_dir = os.path.join(state_dir, "fps")
+    state = read_parquet_state(spark, fps_dir)
+    if state is None:
+        return None
+    rows = state.count()
+    budget = int(cfg.overlap_coarsen_above_rows)
+    if rows <= budget:
+        return None
+    meta_df = read_parquet_state(spark, fps_dir.rstrip("/") + "_meta")
+    if meta_df is None:  # fps rows without meta: resolver hasn't run yet
+        return None
+    old_mod = int(meta_df.collect()[0].sample_mod)
+    ratio = 1 << max(1, math.ceil(math.log2(rows / budget)))
+    rep = coarsen_overlap_mod(
+        spark, state_dir, old_mod * ratio,
+        max_files=cfg.ingest_compact_max_files or 64,
+    )
+    rep["row_budget"] = budget
     return rep
 
 
@@ -1415,7 +1576,8 @@ def ingest_state_report(spark: SparkSession, state_dir: str) -> DataFrame:
     small queryable DataFrame — the ``curation_report_df`` /
     ``pq_index_report`` observability convention applied to the third
     state surface: one row per state artifact (``ledger``, ``sigs``,
-    ``bands``, ``semvecs``, ``idxmap``, ``corpus``) with parquet file
+    ``bands``, ``semvecs``, ``idxmap``, ``fps``, ``retracted``,
+    ``corpus``) with parquet file
     count + bytes from the FileSystem LISTING (nothing is scanned), the
     number of live per-batch partition dirs, whether a fold archive
     (``batch_id=-1``) exists, and a loud ``detail`` flag when a KILLED
@@ -1430,7 +1592,7 @@ def ingest_state_report(spark: SparkSession, state_dir: str) -> DataFrame:
     base = state_dir.rstrip("/")
     rows = []
     for sub in ("ledger", "sigs", "bands", "semvecs", "idxmap", "fps",
-                "fps_meta", "corpus"):
+                "fps_meta", "retracted", "overlap_drops", "corpus"):
         path = f"{base}/{sub}"
         if sub == "fps_meta":
             # the overlap sampling-config sidecar (round 10) is state too
@@ -1526,6 +1688,209 @@ def _sweep_orphan_reservations(spark, base: str, mapping) -> int:
         fsutil.delete(spark, f"{base}/codes_append/batch={bid}")
         swept += 1
     return swept
+
+
+def retract_documents(
+    spark: SparkSession, state_dir: str, ids, cfg: CurationConfig
+) -> dict:
+    """Takedown/retraction verb for the incremental-ingest state — the
+    missing lifecycle quadrant (round-10 VERDICT item 1): append, compact,
+    abandon, and replay all had verbs, but a GDPR/right-to-erasure request
+    against an ADMITTED document previously meant hand-editing six state
+    surfaces under the single-writer contract — exactly the
+    hand-deleted-dirs failure mode ``abandon_log_entry`` /
+    ``abandon_run`` were built to prevent. One call removes a doc-id set
+    from every surface its admission touched:
+
+      ``corpus/``  — the document rows themselves (the erasure);
+      ``ledger/``  — its md5 digest (keyed by digest, recomputed from the
+      corpus text before the corpus is scrubbed);
+      ``sigs/`` + ``bands/`` — its MinHash signature and band buckets;
+      ``semvecs/`` — its per-cell embedding;
+      ``fps/``     — its winnowed fingerprints;
+      the serving index — a tombstone through the shared WAL id sequence
+      (``ann_index.remove_from_pq_index``) when the index is
+      pipeline-managed (``cfg.serve_index_append``).
+
+    Physical deletes, not read-side filtering: each ledger dir is
+    rewritten without the retracted rows through the shared
+    ``statedir.replace_dir`` tmp/old swap (per-row delete via the swap
+    discipline — the hive ``batch_id`` partition layout is preserved by
+    ``partitionBy``, so live per-batch dirs, the ``batch_id=-1`` fold
+    archive, and per-row ``src_batch_id`` provenance all survive and
+    replay exclusion keeps working). Dirs holding no matching rows are
+    skipped (one semi-join count each — the verb is output-sensitive
+    except for those membership scans).
+
+    At-least-once interaction — the one subtle hazard: a batch killed
+    BEFORE its stream checkpoint committed will REPLAY after this verb
+    ran, recompute its admission against the pre-batch state, and
+    re-land its full row set — silently undoing the retraction for any
+    retracted doc it admitted. So the verb FIRST records
+    ``(doc_id, digest, admitted_batch_id)`` in a ``retracted/`` ledger
+    (takedown-sized, batch-dir layout like every sibling), and
+    ``_ingest_batch`` anti-joins each batch's docs against retraction
+    rows whose ``admitted_batch_id`` equals the CURRENT batch id — a
+    replay of batch N re-excludes exactly the docs retracted out of
+    batch N, while a genuine re-submission of the same text in a LATER
+    batch is admitted fresh (its batch id differs), which is the
+    documented semantics: retraction removes the doc's ledger footprint,
+    it does not blocklist the content.
+
+    Crash ordering / idempotence: record → scrub ledgers → scrub corpus
+    → index tombstone. A crash anywhere is completed by re-running the
+    verb with the same ids: the digest keys needed for the ``ledger/``
+    scrub are read back from ``retracted/`` (the corpus rows they came
+    from may already be gone), already-scrubbed dirs count zero matches
+    and skip, and the index leg tombstones only ids still PRESENT in
+    the served view (membership probe against the assembled codes —
+    ids whose tombstone already landed are invisible, so a replayed
+    verb never lands a duplicate tombstone entry). A retraction of ids
+    never admitted is a loud-free no-op, same as deleting an absent
+    file. Run it between ingest runs (single-writer contract, like
+    every maintenance verb here); the replay guard covers the one
+    redelivery that can straddle it.
+
+    ``ids`` is an iterable of doc ids or a one-column DataFrame —
+    takedown-sized (it is collected and broadcast), never corpus-sized.
+    Returns ``{"requested", "found", "scrubbed": {surface: rows_removed},
+    "retract_batch_id": id | None, "index_tombstone": dict | None}`` and
+    the ``retracted/`` ledger shows up in ``ingest_state_report``.
+
+    Deliberately retained: ``overlap_drops/`` audit rows naming the
+    retracted doc as the matched ``old_id`` (they record why OTHER docs
+    were dropped and hold ids and counts, never content) and the
+    ``retracted/`` record itself (doc id + content digest — the replay
+    guard and crash-recovery keys; scrub-the-scrub would reopen the
+    replay hole the record exists to close)."""
+    import os
+
+    from .. import statedir
+    from ..io import read_parquet_state
+
+    base = state_dir.rstrip("/")
+    tcol, icol = cfg.text_col, cfg.id_col
+    if isinstance(ids, DataFrame):
+        if len(ids.columns) != 1:
+            raise ValueError(
+                f"retract_documents: ids DataFrame has columns "
+                f"{ids.columns} — pass exactly one id column"
+            )
+        id_vals = [r[0] for r in ids.distinct().collect()]
+    else:
+        id_vals = sorted(set(ids))
+    out: dict = {"requested": len(id_vals), "found": 0, "scrubbed": {},
+                 "retract_batch_id": None, "index_tombstone": None}
+    if not id_vals:
+        return out
+
+    retr_dir = os.path.join(base, "retracted")
+    corpus_dir = os.path.join(base, "corpus")
+    for d in ("ledger", "sigs", "bands", "semvecs", "fps", "corpus",
+              "retracted"):
+        statedir.recover_replaced_dir(spark, os.path.join(base, d))
+
+    # the retraction keys: (doc_id, digest, admitted_batch_id) from the
+    # corpus rows still present, UNIONED with rows already recorded by a
+    # prior (possibly crashed) run of this verb for the same ids — after
+    # the corpus scrub the text (and so the digest) is only recoverable
+    # from the record, which is why the record is written first
+    corpus = read_parquet_state(spark, corpus_dir, mergeSchema="true")
+    found = None
+    if corpus is not None and icol in corpus.columns:
+        found = corpus.filter(F.col(icol).isin(id_vals)).select(
+            F.col(icol).alias("doc_id"),
+            F.md5(F.col(tcol)).alias("digest"),
+            F.col("batch_id").cast("long").alias("admitted_batch_id"),
+        ).localCheckpoint()
+    prior = read_parquet_state(spark, retr_dir, mergeSchema="true")
+    keys = None
+    if prior is not None:
+        keys = prior.filter(F.col("doc_id").isin(id_vals)).select(
+            "doc_id", "digest", "admitted_batch_id"
+        )
+    if found is not None:
+        keys = found if keys is None else keys.unionByName(found)
+    if keys is None:
+        return out
+    keys = keys.dropDuplicates(["doc_id", "digest"]).localCheckpoint()
+    out["found"] = keys.count()
+    if out["found"] == 0:
+        release_local_checkpoint(keys)
+        if found is not None:
+            release_local_checkpoint(found)
+        return out
+
+    # 1. record NEWLY-found rows as a retraction event (skipped when the
+    #    corpus holds nothing new — a verb replay must not re-record)
+    if found is not None and found.count() > 0:
+        next_id = max(
+            statedir.numbered_dirs(spark, retr_dir, "batch_id="),
+            default=-1,
+        ) + 1
+        found.write.mode("overwrite").parquet(
+            os.path.join(retr_dir, f"batch_id={next_id}")
+        )
+        out["retract_batch_id"] = next_id
+
+    def _scrub(sub: str, key_col: str, keys_col: str) -> None:
+        path = os.path.join(base, sub)
+        df = read_parquet_state(spark, path, mergeSchema="true")
+        if df is None or key_col not in df.columns:
+            return
+        drop = keys.select(F.col(keys_col).alias(key_col)).distinct()
+        n = df.join(F.broadcast(drop), key_col, "left_semi").count()
+        if n == 0:
+            return
+
+        def _rewrite(tmp: str) -> None:
+            src = spark.read.option("mergeSchema", "true").parquet(path)
+            src.join(F.broadcast(drop), key_col, "left_anti").write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(tmp)
+
+        statedir.replace_dir(spark, path, _rewrite)
+        out["scrubbed"][sub] = n
+
+    # 2. ledgers first (their keys live in `keys` regardless of corpus
+    #    state), the corpus-sized dir last
+    _scrub("ledger", "digest", "digest")
+    _scrub("sigs", "id", "doc_id")
+    _scrub("bands", "old_id", "doc_id")
+    _scrub("semvecs", "old_id", "doc_id")
+    _scrub("fps", "old_id", "doc_id")
+    _scrub("corpus", icol, "doc_id")
+
+    # 3. serving-index tombstone, only for ids the assembled view still
+    #    SERVES (live tombstones already hide previously-retracted ids,
+    #    so a verb replay probes zero and lands nothing) — through the
+    #    shared WAL id sequence, after the ledgers so a crash here is
+    #    completed by the re-run's probe
+    if cfg.serve_index_append and cfg.semdedup_index_path:
+        from ..operators.ann_index import load_pq_index, remove_from_pq_index
+
+        idx = load_pq_index(spark, cfg.semdedup_index_path)
+        id_type = idx.codes.schema["id"].dataType
+        present = [
+            r.id
+            for r in idx.codes.join(
+                F.broadcast(
+                    keys.select(
+                        F.col("doc_id").cast(id_type).alias("id")
+                    ).distinct()
+                ),
+                "id",
+                "left_semi",
+            ).select("id").distinct().collect()
+        ]
+        if present:
+            out["index_tombstone"] = remove_from_pq_index(
+                spark, cfg.semdedup_index_path, present
+            )
+    release_local_checkpoint(keys)
+    if found is not None:
+        release_local_checkpoint(found)
+    return out
 
 
 def coarsen_overlap_mod(
@@ -1677,8 +2042,12 @@ def compact_ingest_state(
     # idxmap folds too (round-8 VERDICT item 2): its reservation rows
     # carry the lookup key as the ingest_batch_id DATA column, so rows
     # archived into batch_id=-1 still resolve — a replayed ingest batch
-    # re-lands the same index log id after compaction
-    for sub in ("ledger", "sigs", "bands", "semvecs", "idxmap", "fps"):
+    # re-lands the same index log id after compaction. retracted (round
+    # 11) folds like any sibling: its lookup keys (doc_id,
+    # admitted_batch_id) are data columns, so the replay guard and a
+    # crashed retract_documents' digest recovery both survive the fold.
+    for sub in ("ledger", "sigs", "bands", "semvecs", "idxmap", "fps",
+                "retracted", "overlap_drops"):
         path = state_dir.rstrip("/") + "/" + sub
         # recover a prior killed swap FIRST — after a crash between the two
         # renames, `path` is gone and `.__old__` holds the only copy; an

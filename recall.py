@@ -95,11 +95,140 @@ def _normalize(df):
     )
 
 
+def append_mode(spark, sf_dir) -> None:
+    """RECALL.md §append (round 11): recall decay under APPEND GROWTH.
+    ``append_to_pq_index`` encodes new vectors against codebooks and
+    coarse centroids FROZEN at build time, so recall over the grown
+    corpus decays as the appended fraction rises — faster when the
+    appends DRIFT from the training distribution. Measured exactly the
+    way a deployment would hit it: build the documented ≥0.9 serving
+    config (residual cells=16 / nprobe=8 / rerank shortlist=200) on a
+    BASE slice of the text corpus, save it, append growth slices through
+    the real WAL path, and serve each step through
+    ``knn_from_index(check_corpus=True)`` against exact brute-force
+    ground truth over the SAME grown corpus.
+
+    Two append flavors:
+    - in-distribution: held-out rows of the same text-embedding corpus
+      (queries: base rows — the standard serving question);
+    - shifted-family: the synthetic near-uniform ``embeddings`` table —
+      a genuinely different vector family (queries: appended-family
+      rows, i.e. "can the stale index find the NEW data", which is where
+      frozen quantizers hurt first; base-row queries barely move because
+      their true neighbors stay base-dominated).
+
+    Everything is hash-deterministic → the numbers reproduce bit-for-bit
+    and the retrain threshold is floor-pinnable
+    (tests/test_ann_index.py::test_append_staleness_recall_floor)."""
+    import shutil
+    import tempfile
+
+    from pulfa_sausage_factory_spark.functions.vectors import (
+        hashed_text_embedding,
+    )
+    from pulfa_sausage_factory_spark.operators import ann_index
+
+    docs = io.load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        hashed_text_embedding("text", dim=64).alias("embedding"),
+    )
+    text_corpus = _normalize(docs).localCheckpoint()
+    base = text_corpus.filter(F.col("vec_id") % 5 == 0).localCheckpoint()
+    pool_in = text_corpus.filter(F.col("vec_id") % 5 != 0)
+    shifted_pool = _normalize(
+        io.load_table(spark, sf_dir, "embeddings")
+    ).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    ).localCheckpoint()
+    n_train = base.count()
+    print(f"# base(train)={n_train} text vectors; in-dist pool="
+          f"{pool_in.count()}, shifted pool={shifted_pool.count()}",
+          file=sys.stderr)
+
+    def build_index(tmp):
+        idx = ann_index.build_pq_index(
+            base, m=8, n_codes=256, n_cells=16, iters=2, ivf_iters=3,
+            sample_fraction=1.0,
+        )
+        ann_index.save_pq_index(idx, tmp)
+
+    def row_recall(served_rows, truth_rows):
+        got: dict[int, set] = {}
+        for r in served_rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        truth: dict[int, set] = {}
+        for r in truth_rows:
+            truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(got.get(q, set()) & t) / float(K) for q, t in truth.items()
+        ) / max(1, len(truth))
+
+    results = {}
+    print(f"| mode | appended fraction | appended rows | recall@{K} | sec |")
+    print("|---|---|---|---|---|")
+    for label, pool, query_src in (
+        ("in-distribution", pool_in, "base"),
+        ("shifted-family", shifted_pool, "appended"),
+    ):
+        pool_ids = sorted(r.vec_id for r in pool.select("vec_id").collect())
+        fracs = (0.1, 0.25, 0.5, 1.0)
+        tmp = tempfile.mkdtemp(prefix="recall_append_idx_")
+        try:
+            build_index(tmp)
+            prev_cut = None
+            for f in fracs:
+                want = int(f * n_train)
+                if want > len(pool_ids):
+                    break
+                cut = pool_ids[want - 1] if want else None
+                if cut is None:
+                    continue
+                slice_new = pool.filter(
+                    (F.col("vec_id") <= cut)
+                    & (F.lit(prev_cut is None) | (F.col("vec_id") > (prev_cut or 0)))
+                )
+                ann_index.append_to_pq_index(
+                    spark, tmp, slice_new, assign_impl="arrow"
+                )
+                prev_cut = cut
+                grown = base.unionByName(
+                    pool.filter(F.col("vec_id") <= cut)
+                ).localCheckpoint()
+                # FIXED query set across all fraction steps (recall rows
+                # must be comparable): the 50 lowest base ids, or — for
+                # the shifted flavor — the 50 lowest pool ids, which are
+                # inside every nested slice from f=0.1 on
+                if query_src == "base":
+                    queries = base.orderBy("vec_id").limit(N_QUERIES)
+                else:
+                    queries = pool.orderBy("vec_id").limit(N_QUERIES)
+                queries = queries.localCheckpoint()
+                t0 = time.perf_counter()
+                loaded = ann_index.load_pq_index(spark, tmp)
+                served = ann_index.knn_from_index(
+                    loaded, grown, queries, k=K, shortlist=200, n_probe=8,
+                    check_corpus=True,
+                ).collect()
+                dt = time.perf_counter() - t0
+                truth = similarity.knn_bruteforce(grown, queries, k=K).collect()
+                rec = row_recall(served, truth)
+                results[f"{label} f={f}"] = round(rec, 4)
+                print(f"| {label} | {f} | {want} | {rec:.3f} | {dt:.1f} |")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps({"metric": "ann_recall_under_append_growth", "k": K,
+                      "train_rows": n_train, "recall": results}))
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "100"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("recall")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if mode == "append":
+        append_mode(spark, sf_dir)
+        return
 
     if mode == "text":
         # RECALL.md table 2: realistic clustered geometry — sf0.1 documents

@@ -439,6 +439,7 @@ def main() -> None:
 
     from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
         ingest_state_report,
+        retract_documents,
         run_incremental_curation,
     )
 
@@ -553,6 +554,35 @@ def main() -> None:
             f"# overlap_ingest: {orep['total_admitted']} rows in {dt}s "
             f"(partial-copy re-land admitted {orep2['total_admitted']} "
             f"in {dt2}s)",
+            file=sys.stderr,
+        )
+        # round-11 retraction verb at scale: take down a 1,000-doc batch
+        # from the populated state (digest ledger + fps + corpus here —
+        # the per-surface swap rewrite at full state volume, the part
+        # that actually costs), then verify the ids are physically gone
+        rids = [
+            r.doc_id
+            for r in spark.read.parquet(f"{work}/state/corpus")
+            .select("doc_id").limit(1000).collect()
+        ]
+        t0 = time.perf_counter()
+        rrep = retract_documents(spark, f"{work}/state", rids, ocfg)
+        dt3 = round(time.perf_counter() - t0, 2)
+        left = (
+            spark.read.parquet(f"{work}/state/corpus")
+            .filter(F.col("doc_id").isin(rids)).count()
+        )
+        out["ops"]["retract_documents"] = {
+            "requested": len(rids),
+            "found": rrep["found"],
+            "scrubbed": rrep["scrubbed"],
+            "sec": dt3,
+            "still_present_after": left,
+        }
+        print(
+            f"# retract_documents: {rrep['found']} of {len(rids)} ids "
+            f"scrubbed from {sorted(rrep['scrubbed'])} in {dt3}s "
+            f"(still present after: {left})",
             file=sys.stderr,
         )
     except Exception as exc:  # noqa: BLE001 — record, keep the evidence

@@ -2094,3 +2094,367 @@ def test_ingest_stage_counts(spark, tmp_path):
         str(tmp_path / "nc_state"), sch,
     )
     assert "stage_rows" not in rep2
+
+
+def test_retract_documents_spans_all_state_surfaces(spark, tmp_path):
+    # round-11: the takedown/retraction verb — one call removes a doc-id
+    # set from every surface its admission touched (corpus, digest
+    # ledger, minhash sigs + bands, semvecs, fps, and the pipeline-
+    # managed serving index via a WAL tombstone), is idempotent when
+    # re-run, survives an at-least-once batch replay (the guard), and
+    # leaves a genuine RE-SUBMISSION of the same text admissible — the
+    # documented semantics: erase the footprint, don't blocklist content.
+    import json
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.functions.vectors import (
+        hashed_text_embedding,
+    )
+    from pulfa_sausage_factory_spark.operators import ann_index
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        compact_ingest_state,
+        ingest_state_report,
+        retract_documents,
+    )
+
+    para = (
+        "the archival record of the expedition describes a long river "
+        "journey through dense forest where the party catalogued birds "
+        "and pressed plant specimens into heavy folios each evening by "
+        "lamplight while the boats were drawn up on gravel bars and the "
+        "notebooks slowly filled with measurements of water depth and "
+        "temperature and careful sketches of the canyon walls above "
+    )
+    other = (
+        "totally different archival material concerning lighthouse lens "
+        "rotation schedules and keeper logbooks maintained offshore with "
+        "monthly oil consumption figures and visitation registers kept "
+        "in the district office for later inspection by the board "
+    )
+    third = (
+        "bridge engineering notes with load tables for riveted iron "
+        "spans and maintenance intervals for painting and rivet "
+        "replacement recorded by the county surveyor over two decades "
+    )
+
+    # pipeline-managed serving index, trained on a small synthetic corpus
+    base_vecs = spark.createDataFrame(
+        [(1000 + i, (para if i % 2 else other) + f" tail {i}",)
+         for i in range(12)],
+        "vec_id long, text string",
+    ).select(
+        "vec_id", hashed_text_embedding(F.col("text"), dim=64).alias("embedding")
+    ).localCheckpoint()
+    idx_path = str(tmp_path / "retract_idx")
+    ann_index.save_pq_index(
+        ann_index.build_pq_index(
+            base_vecs, m=8, n_codes=8, n_cells=4, iters=2, sample_fraction=1.0
+        ),
+        idx_path,
+    )
+
+    state = str(tmp_path / "retract_state")
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    cfg = CurationConfig(
+        min_quality=0.0, neardup_method="none", neardup_ledger=True,
+        overlap_ledger=True, overlap_sample_mod=4,
+        semantic_ledger=True, semdedup_threshold=0.95,
+        semdedup_index_path=idx_path, serve_index_append=True,
+    )
+
+    def lines(rows):
+        return spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "value string"
+        )
+
+    b0 = lines([
+        {"doc_id": 1, "text": para + "unique ending alpha"},
+        {"doc_id": 2, "text": other + "unique ending beta"},
+    ])
+    r0 = _ingest_batch(spark, b0, 0, cfg, state, sch)
+    assert r0["admitted"] == 2
+    r1 = _ingest_batch(
+        spark, lines([{"doc_id": 3, "text": third + "unique ending gamma"}]),
+        1, cfg, state, sch,
+    )
+    assert r1["admitted"] == 1
+    digest1 = spark.read.parquet(f"{state}/corpus").filter(
+        F.col("doc_id") == 1
+    ).select(F.md5("text")).collect()[0][0]
+
+    # ids never admitted no-op loudly-free and leave no record
+    rep = retract_documents(spark, state, [777], cfg)
+    assert rep["found"] == 0 and rep["scrubbed"] == {}
+    import os
+
+    assert not os.path.isdir(f"{state}/retracted")
+
+    rep = retract_documents(spark, state, [1], cfg)
+    assert rep["requested"] == 1 and rep["found"] == 1
+    assert rep["retract_batch_id"] == 0
+    # every surface the doc touched reports scrubbed rows
+    assert set(rep["scrubbed"]) == {
+        "corpus", "ledger", "sigs", "bands", "semvecs", "fps"
+    }
+    assert rep["index_tombstone"] is not None
+
+    # physically gone from all six surfaces; other docs intact
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()
+    ) == [2, 3]
+    ledg = [r.digest for r in spark.read.parquet(f"{state}/ledger").collect()]
+    assert digest1 not in ledg and len(ledg) == 2
+    assert spark.read.parquet(f"{state}/sigs").filter(
+        F.col("id") == 1
+    ).count() == 0
+    assert spark.read.parquet(f"{state}/bands").filter(
+        F.col("old_id") == 1
+    ).count() == 0
+    assert spark.read.parquet(f"{state}/semvecs").filter(
+        F.col("old_id") == 1
+    ).count() == 0
+    assert spark.read.parquet(f"{state}/fps").filter(
+        F.col("old_id") == 1
+    ).count() == 0
+    loaded = ann_index.load_pq_index(spark, idx_path)
+    assert loaded.codes.filter(F.col("id") == 1).count() == 0
+    assert loaded.codes.filter(F.col("id").isin(2, 3)).count() == 2
+
+    # visible in the state report
+    arts = {r.artifact for r in ingest_state_report(spark, state).collect()}
+    assert "retracted" in arts
+
+    # idempotent re-run: nothing found to scrub, no duplicate tombstone
+    from pulfa_sausage_factory_spark.operators.ann_index import (
+        _tombstone_batches,
+    )
+
+    tombs_before = _tombstone_batches(spark, idx_path)
+    rep2 = retract_documents(spark, state, [1], cfg)
+    assert rep2["found"] == 1  # the recorded keys are still visible
+    assert rep2["scrubbed"] == {} and rep2["index_tombstone"] is None
+    assert rep2["retract_batch_id"] is None  # no second event recorded
+    assert _tombstone_batches(spark, idx_path) == tombs_before
+
+    # at-least-once replay of batch 0 AFTER the retraction: the guard
+    # re-excludes exactly the retracted doc — it must not resurface in
+    # any ledger, and doc 2 survives the partition overwrite
+    r0b = _ingest_batch(spark, b0, 0, cfg, state, sch)
+    assert r0b["admitted"] == 1
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()
+    ) == [2, 3]
+    assert spark.read.parquet(f"{state}/sigs").filter(
+        F.col("id") == 1
+    ).count() == 0
+    assert spark.read.parquet(f"{state}/fps").filter(
+        F.col("old_id") == 1
+    ).count() == 0
+    loaded = ann_index.load_pq_index(spark, idx_path)
+    assert loaded.codes.filter(F.col("id") == 1).count() == 0
+    assert loaded.codes.filter(F.col("id") == 2).count() == 1
+
+    # a RE-SUBMISSION of the identical text in a LATER batch is admitted
+    # fresh — the footprint was erased, the content is not blocklisted
+    r2 = _ingest_batch(
+        spark, lines([{"doc_id": 99, "text": para + "unique ending alpha"}]),
+        2, cfg, state, sch,
+    )
+    assert r2["admitted"] == 1
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()
+    ) == [2, 3, 99]
+
+    # ...and the retraction record survives the generic state fold, so
+    # the replay guard keeps working after compaction
+    compact_ingest_state(spark, state, max_files=0)
+    r0c = _ingest_batch(spark, b0, 0, cfg, state, sch)
+    assert r0c["admitted"] == 1
+    ids_after = sorted(
+        r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()
+    )
+    assert ids_after == [2, 3, 99]
+
+
+def test_overlap_drop_audit_records_provenance(spark, tmp_path):
+    # round-11: cfg.overlap_drop_audit — every doc the CROSS-RUN overlap
+    # leg drops lands (doc_id, old_id, shared_fps, threshold) audit rows
+    # in overlap_drops/batch_id=N, the batch report carries the pair
+    # count, and the drop set is DERIVED from the written audit so the
+    # two provably agree. Replays overwrite identical rows.
+    import json
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        ingest_state_report,
+    )
+
+    para = (
+        "the archival record of the expedition describes a long river "
+        "journey through dense forest where the party catalogued birds "
+        "and pressed plant specimens into heavy folios each evening by "
+        "lamplight while the boats were drawn up on gravel bars and the "
+        "notebooks slowly filled with measurements of water depth and "
+        "temperature and careful sketches of the canyon walls above "
+    )
+    state = str(tmp_path / "audit_state")
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none",
+                         overlap_ledger=True, overlap_sample_mod=4,
+                         overlap_drop_audit=True)
+
+    def lines(rows):
+        return spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "value string"
+        )
+
+    # the audit needs the overlap ledger
+    with pytest.raises(ValueError, match="overlap_drop_audit"):
+        _ingest_batch(
+            spark, lines([]), 0,
+            CurationConfig(min_quality=0.0, neardup_method="none",
+                           overlap_drop_audit=True),
+            str(tmp_path / "bad_state"), sch,
+        )
+
+    r0 = _ingest_batch(spark, lines([
+        {"doc_id": 1, "text": para + "unique catalogue ending"},
+    ]), 0, cfg, state, sch)
+    # first batch: no cross-run leg ran, the audit count is present and 0
+    assert r0["admitted"] == 1 and r0["overlap_dropped_pairs"] == 0
+
+    r1 = _ingest_batch(spark, lines([
+        {"doc_id": 10, "text": "fresh framing " + para + "novel ending"},
+        {"doc_id": 11, "text": "entirely new subject matter concerning "
+                               "bridge engineering and load tables for "
+                               "riveted iron spans " * 4},
+    ]), 1, cfg, state, sch)
+    assert r1["admitted"] == 1 and r1["overlap_dropped_pairs"] >= 1
+    rows = spark.read.parquet(f"{state}/overlap_drops").collect()
+    assert {(r.doc_id, r.old_id) for r in rows} == {(10, 1)}
+    assert all(r.shared_fps >= r.threshold == 4 for r in rows)
+    ids = {r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()}
+    assert ids == {1, 11}
+
+    # replay of batch 1 rewrites an identical audit partition
+    snap = sorted(
+        (r.doc_id, r.old_id, r.shared_fps, r.threshold) for r in rows
+    )
+    r1b = _ingest_batch(spark, lines([
+        {"doc_id": 10, "text": "fresh framing " + para + "novel ending"},
+        {"doc_id": 11, "text": "entirely new subject matter concerning "
+                               "bridge engineering and load tables for "
+                               "riveted iron spans " * 4},
+    ]), 1, cfg, state, sch)
+    assert r1b["overlap_dropped_pairs"] == r1["overlap_dropped_pairs"]
+    assert sorted(
+        (r.doc_id, r.old_id, r.shared_fps, r.threshold)
+        for r in spark.read.parquet(f"{state}/overlap_drops").collect()
+    ) == snap
+
+    # surfaced in the state report like every other artifact
+    arts = {r.artifact for r in ingest_state_report(spark, state).collect()}
+    assert "overlap_drops" in arts
+
+    # audit off: no dir, no report key (the default path is unchanged)
+    state2 = str(tmp_path / "no_audit_state")
+    cfg_off = CurationConfig(min_quality=0.0, neardup_method="none",
+                             overlap_ledger=True, overlap_sample_mod=4)
+    r = _ingest_batch(spark, lines([
+        {"doc_id": 1, "text": para + "unique catalogue ending"},
+    ]), 0, cfg_off, state2, sch)
+    assert "overlap_dropped_pairs" not in r
+    import os
+
+    assert not os.path.isdir(f"{state2}/overlap_drops")
+
+
+def test_overlap_auto_coarsen_cadence(spark, tmp_path):
+    # round-11: cfg.overlap_coarsen_above_rows — the in-pipeline budget
+    # cadence for the fps state (the index_compact_after_batches pattern
+    # applied to coarsen_overlap_mod): when the footer-count exceeds the
+    # budget, the mod is coarsened by the smallest power-of-two ratio
+    # whose expected post-shrink count fits, the meta re-pins, and the
+    # batch report says so. Requires overlap_sample_mod="auto" (an
+    # explicit mod would contradict the re-pinned meta next batch).
+    import json
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        run_incremental_curation,
+    )
+
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap_sample_mod='auto'"):
+        _ingest_batch(
+            spark, spark.createDataFrame([("x",)], "value string"), 0,
+            CurationConfig(min_quality=0.0, neardup_method="none",
+                           overlap_ledger=True, overlap_sample_mod=4,
+                           overlap_coarsen_above_rows=10),
+            str(tmp_path / "bad_state"), sch,
+        )
+    with pytest.raises(ValueError, match="overlap_coarsen_above_rows"):
+        _ingest_batch(
+            spark, spark.createDataFrame([("x",)], "value string"), 0,
+            CurationConfig(min_quality=0.0, neardup_method="none",
+                           overlap_coarsen_above_rows=10),
+            str(tmp_path / "bad_state2"), sch,
+        )
+
+    # winnowed fps are DISTINCT per doc, so the long doc must not repeat
+    # itself (a repeated paragraph contributes each fp once); ~7k chars
+    # of varied text → ~2·7000/(9·16) ≈ 97 expected fps at the auto mod
+    words = ("archival river forest birds folios lamplight gravel "
+             "notebooks measurements sketches canyon walls journey "
+             "specimens evening temperature").split()
+    long_doc = " ".join(
+        words[i % len(words)] + str(i) for i in range(700)
+    )
+
+    in_dir = tmp_path / "landing"
+    in_dir.mkdir()
+    state = str(tmp_path / "cadence_state")
+    cfg = CurationConfig(
+        min_quality=0.0, neardup_method="none",
+        overlap_ledger=True, overlap_sample_mod="auto",
+        overlap_coarsen_above_rows=10,
+    )
+    (in_dir / "b1.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": long_doc})
+    )
+    rep = run_incremental_curation(spark, str(in_dir), state, cfg)
+    assert rep["total_admitted"] == 1
+    co = rep["batches"][-1].get("overlap_coarsened")
+    assert co is not None and co["row_budget"] == 10
+    # auto resolved 16 first (the documented default operating point),
+    # then the cadence coarsened by a power-of-two ratio sized to the
+    # measured overshoot
+    assert co["old_mod"] == 16 and co["new_mod"] % 16 == 0
+    assert co["new_mod"] > 16
+    assert co["fps_rows_after"] < co["fps_rows_before"]
+    meta = spark.read.parquet(f"{state}/fps_meta").collect()[0]
+    assert meta.sample_mod == co["new_mod"]
+    fps = spark.read.parquet(f"{state}/fps")
+    assert fps.filter(F.col("fp") % co["new_mod"] != 0).count() == 0
+
+    # a later run adopts the coarsened mod ("auto") and, while the state
+    # stays under budget, the cadence is a no-op
+    (in_dir / "b2.jsonl").write_text(
+        json.dumps({"doc_id": 2, "text": "entirely new subject matter "
+                    "concerning bridge engineering and load tables for "
+                    "riveted iron spans recorded by the county surveyor"})
+    )
+    rep2 = run_incremental_curation(spark, str(in_dir), state, cfg)
+    assert rep2["total_admitted"] == 1
+    assert "overlap_coarsened" not in rep2["batches"][-1]
+    assert spark.read.parquet(f"{state}/fps_meta").collect()[0].sample_mod \
+        == co["new_mod"]
