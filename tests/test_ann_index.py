@@ -399,6 +399,14 @@ def test_pq_index_report(spark, vecs, tmp_path):
     assert rep["codes"].files >= 1 and rep["codes"].bytes > 0
     assert rep["codes_append/batch=1"].committed is True
     assert rep["codes_append/batch=2"].committed is False
+    # round-11 staleness: the manifest records the build corpus size and
+    # the report compares appended footer-counts against it (the killed
+    # batch=2 copy is uncommitted — loads skip it, so it must not count)
+    n = vecs.count()
+    assert json.loads(rep["meta"].detail)["train_rows"] == n
+    st = rep["appended_staleness"].detail
+    assert f"train_rows={n}" in st and "~7 rows appended" in st
+    assert f"fraction {7 / n:.2f}" in st
     # the uncommitted batch is exactly what load skips
     assert ann_index.load_pq_index(spark, path).codes.count() == (
         vecs.count() + 7
@@ -799,3 +807,100 @@ def test_abandon_log_entry(spark, vecs, tmp_path):
     assert ann_index.compact_pq_index(spark, path)["pending"] == [rid]
     assert ann_index.abandon_log_entry(spark, path, rid)["kind"] == "append"
     assert ann_index.compact_pq_index(spark, path)["pending"] == []
+
+
+def test_append_staleness_recall_floor(spark):
+    # RECALL.md §append, floor-pinned (round 11): appends encode against
+    # quantizers FROZEN at build. In-distribution growth holds the ≥0.9
+    # serving floor through the measured range (0.974 at appended
+    # fraction 0.5 — pinned here); distribution-SHIFTED appends break it
+    # at any fraction (0.726 at f=0.1 — direction pinned here), which is
+    # why the retrain guidance keys on drift as well as the
+    # appended_staleness report fraction. Same corpus + config as
+    # `python recall.py append`; everything is hash-deterministic.
+    import os
+    import shutil
+    import tempfile
+
+    import recall as recall_harness
+    from pulfa_sausage_factory_spark.functions.vectors import (
+        hashed_text_embedding,
+    )
+    from pulfa_sausage_factory_spark.operators.similarity import (
+        knn_bruteforce,
+    )
+
+    sf01 = os.environ.get("SPARK_GRAFT_RECALL_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf01):
+        pytest.skip(f"recall corpus dir missing: {sf01} "
+                    "(set SPARK_GRAFT_RECALL_SF_DIR)")
+    docs = load_table(spark, sf01, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        hashed_text_embedding("text", dim=64).alias("embedding"),
+    )
+    corpus = recall_harness._normalize(docs).localCheckpoint()
+    base = corpus.filter(F.col("vec_id") % 5 == 0).localCheckpoint()
+    pool = corpus.filter(F.col("vec_id") % 5 != 0)
+    n_train = base.count()
+
+    def recall_of(served, truth):
+        got, want = {}, {}
+        for r in served:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for r in truth:
+            want.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(got.get(q, set()) & t) / 10.0 for q, t in want.items()
+        ) / len(want)
+
+    def measure(append_slice, queries):
+        tmp = tempfile.mkdtemp(prefix="stale_idx_")
+        try:
+            ann_index.save_pq_index(
+                ann_index.build_pq_index(
+                    base, m=8, n_codes=256, n_cells=16, iters=2,
+                    ivf_iters=3, sample_fraction=1.0,
+                ),
+                tmp,
+            )
+            ann_index.append_to_pq_index(
+                spark, tmp, append_slice, assign_impl="arrow"
+            )
+            grown = base.unionByName(append_slice).localCheckpoint()
+            loaded = ann_index.load_pq_index(spark, tmp)
+            served = ann_index.knn_from_index(
+                loaded, grown, queries, k=10, shortlist=200, n_probe=8,
+                check_corpus=True,
+            ).collect()
+            truth = knn_bruteforce(grown, queries, k=10).collect()
+            rep = {
+                r.artifact: r
+                for r in ann_index.pq_index_report(spark, tmp).collect()
+            }
+            return recall_of(served, truth), rep["appended_staleness"].detail
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # in-distribution, appended fraction 0.5: floor holds (measured 0.974)
+    pool_ids = sorted(r.vec_id for r in pool.select("vec_id").collect())
+    cut = pool_ids[n_train // 2 - 1]
+    in_slice = pool.filter(F.col("vec_id") <= cut).localCheckpoint()
+    rec_in, detail = measure(
+        in_slice, base.orderBy("vec_id").limit(50).localCheckpoint()
+    )
+    assert rec_in >= 0.9, rec_in
+    # ...and the report's staleness row states exactly this fraction
+    assert f"fraction {(n_train // 2) / n_train:.2f}" in detail
+
+    # shifted-family, appended fraction 0.1: the floor is GONE already —
+    # drift, not volume, is the decay lever (measured 0.726)
+    shifted = recall_harness._normalize(
+        load_table(spark, sf01, "embeddings")
+    ).select((F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+    s_ids = sorted(r.vec_id for r in shifted.select("vec_id").collect())
+    s_cut = s_ids[max(50, n_train // 10) - 1]
+    s_slice = shifted.filter(F.col("vec_id") <= s_cut).localCheckpoint()
+    rec_sh, _ = measure(
+        s_slice, s_slice.orderBy("vec_id").limit(50).localCheckpoint()
+    )
+    assert rec_sh < 0.9 < rec_in and rec_sh < rec_in, (rec_sh, rec_in)
