@@ -665,6 +665,12 @@ def run_incremental_curation(
     fingerprints with any single admitted doc (boilerplate-capped; see
     the config docstring for the span-length arithmetic).
 
+    Takedowns: :func:`retract_documents` (round 11) removes an admitted
+    doc-id set from every state surface above plus the corpus and the
+    pipeline-managed serving index; its ``retracted/`` record makes each
+    batch here immune to the replay-resurrection hazard (docs retracted
+    out of batch N stay excluded when batch N redelivers).
+
     Crash safety / exactly-once effect: ``foreachBatch`` is at-least-once
     (a batch killed mid-write REPLAYS on restart with the same batch id),
     so every state write goes to its batch's own hive partition dir
@@ -977,8 +983,15 @@ def _ingest_batch(
     from .. import statedir
 
     for d in (ledger_dir, sigs_dir, bands_dir, semvecs_dir, idxmap_dir,
-              fps_dir, corpus_dir, retracted_dir):
+              fps_dir, corpus_dir, retracted_dir, overlap_drops_dir):
         statedir.recover_replaced_dir(spark, d)
+        # ...and complete a killed retraction's partition swaps (round
+        # 11): a committed .__partswap__ sidecar holds replacement
+        # children awaiting their rename — adopting them finishes the
+        # scrub; a marker-less one is a killed write, discarded (the
+        # verb re-runs). Without this, a crash mid-retraction would
+        # leave the sidecar pinned forever.
+        statedir.recover_partition_swaps(spark, d)
     num_hashes, n_bands = 32, 8
     rows_per_band = num_hashes // n_bands
     sig_udf = _minhash_sig_udf(num_hashes=num_hashes, n=3)
@@ -1634,6 +1647,19 @@ def ingest_state_report(spark: SparkSession, state_dir: str) -> DataFrame:
                       "fold)")
         else:
             detail = ""
+        # a retraction's partition-swap sidecar (round 11): committed =
+        # replacement children awaiting their rename (completed at the
+        # next ingest batch or retract call); marker-less = a killed
+        # write, discarded at the next heal — flagged either way so an
+        # operator sees a retraction died mid-flight
+        swap = path + ".__partswap__"
+        if fsutil.exists(spark, swap):
+            committed = fsutil.exists(spark, f"{swap}/{statedir.MARKER}")
+            state = ("pending completion" if committed
+                     else "killed write, discarded at next heal")
+            detail = (detail + "; " if detail else "") + (
+                f"retraction partition swap in .__partswap__ ({state})"
+            )
         rows.append((sub, n, b, batches, archived, detail))
     return spark.createDataFrame(
         rows,
@@ -1712,15 +1738,24 @@ def retract_documents(
       (``ann_index.remove_from_pq_index``) when the index is
       pipeline-managed (``cfg.serve_index_append``).
 
-    Physical deletes, not read-side filtering: each ledger dir is
-    rewritten without the retracted rows through the shared
-    ``statedir.replace_dir`` tmp/old swap (per-row delete via the swap
-    discipline — the hive ``batch_id`` partition layout is preserved by
-    ``partitionBy``, so live per-batch dirs, the ``batch_id=-1`` fold
-    archive, and per-row ``src_batch_id`` provenance all survive and
-    replay exclusion keeps working). Dirs holding no matching rows are
-    skipped (one semi-join count each — the verb is output-sensitive
-    except for those membership scans).
+    Physical deletes, not read-side filtering — and PARTITION-PRUNED
+    after one key-resolution pass: resolving ids to
+    ``(digest, admitted_batch_id)`` costs a single column-pruned corpus
+    scan (id + text columns — there is no id→row index to consult;
+    batch takedowns amortize it). From there every state surface
+    partitions by the admitting ingest batch (plus the ``batch_id=-1``
+    fold archive), and the keys carry each doc's ``admitted_batch_id``,
+    so candidate partitions come from the keys without further scans,
+    the membership count scans only those partitions, and only
+    partitions actually holding retracted rows are rewritten
+    (``statedir.swap_partitions`` — sidecar write + job-commit marker,
+    per-child swap, heal shared with the ingest entry). At 100 TB a
+    takedown's WRITE cost is the affected partitions, never a corpus
+    rewrite; after ``compact_ingest_state`` folds a ledger, its archive
+    partition is the granularity floor (the documented compaction trade
+    — the never-folded corpus keeps per-batch granularity forever).
+    Per-row ``src_batch_id`` provenance survives the rewrite, so replay
+    exclusion keeps working.
 
     At-least-once interaction — the one subtle hazard: a batch killed
     BEFORE its stream checkpoint committed will REPLAY after this verb
@@ -1765,7 +1800,7 @@ def retract_documents(
     replay hole the record exists to close)."""
     import os
 
-    from .. import statedir
+    from .. import fsutil, statedir
     from ..io import read_parquet_state
 
     base = state_dir.rstrip("/")
@@ -1789,6 +1824,10 @@ def retract_documents(
     for d in ("ledger", "sigs", "bands", "semvecs", "fps", "corpus",
               "retracted"):
         statedir.recover_replaced_dir(spark, os.path.join(base, d))
+        # complete a prior killed retraction's pending swaps BEFORE any
+        # read — otherwise the keys lookup sees pre-swap rows and this
+        # run records a duplicate (harmless but noisy) event for them
+        statedir.recover_partition_swaps(spark, os.path.join(base, d))
 
     # the retraction keys: (doc_id, digest, admitted_batch_id) from the
     # corpus rows still present, UNIONED with rows already recorded by a
@@ -1833,24 +1872,60 @@ def retract_documents(
         )
         out["retract_batch_id"] = next_id
 
+    # every state surface partitions by the admitting ingest batch (or
+    # the batch_id=-1 fold archive), and the retraction keys carry each
+    # doc's admitted_batch_id — so the scrub is PARTITION-PRUNED end to
+    # end: candidate partitions come from the keys (no scan), the
+    # membership count scans only those partitions, and the rewrite
+    # touches only the partitions that actually hold retracted rows. At
+    # 100 TB a takedown costs the affected partitions, never a corpus
+    # pass. The per-partition swap is statedir.swap_partitions (sidecar
+    # + job-commit marker; heal shared with _ingest_batch's entry).
+    cand_batches = sorted(
+        int(r.admitted_batch_id)
+        for r in keys.select("admitted_batch_id").distinct().collect()
+    )
+
     def _scrub(sub: str, key_col: str, keys_col: str) -> None:
         path = os.path.join(base, sub)
+        statedir.recover_partition_swaps(spark, path)
         df = read_parquet_state(spark, path, mergeSchema="true")
         if df is None or key_col not in df.columns:
             return
-        drop = keys.select(F.col(keys_col).alias(key_col)).distinct()
-        n = df.join(F.broadcast(drop), key_col, "left_semi").count()
-        if n == 0:
+        parts = [
+            p for p in cand_batches
+            if fsutil.is_dir(spark, f"{path}/batch_id={p}")
+        ]
+        if fsutil.is_dir(spark, f"{path}/batch_id=-1"):
+            parts.append(-1)  # folded archive may hold any batch's rows
+        if not parts:
             return
+        drop = keys.select(F.col(keys_col).alias(key_col)).distinct()
+        pruned = df.filter(F.col("batch_id").isin(parts))
+        hits = (
+            pruned.join(F.broadcast(drop), key_col, "left_semi")
+            .groupBy("batch_id").count().collect()
+        )
+        if not hits:
+            return
+        affected = sorted(int(r.batch_id) for r in hits)
 
         def _rewrite(tmp: str) -> None:
             src = spark.read.option("mergeSchema", "true").parquet(path)
-            src.join(F.broadcast(drop), key_col, "left_anti").write.mode(
-                "overwrite"
-            ).partitionBy("batch_id").parquet(tmp)
+            src.filter(F.col("batch_id").isin(affected)).join(
+                F.broadcast(drop), key_col, "left_anti"
+            ).write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
 
-        statedir.replace_dir(spark, path, _rewrite)
-        out["scrubbed"][sub] = n
+        swapped = statedir.swap_partitions(spark, path, _rewrite)
+        # a partition whose every row was retracted yields no replacement
+        # child (partitionBy writes no dir for zero rows) — empty it by
+        # deleting the live child; a crash before these deletes is
+        # completed by re-running the verb (the rows still match)
+        swapped_ids = {int(n.split("=", 1)[1]) for n in swapped}
+        for p in affected:
+            if p not in swapped_ids:
+                fsutil.delete(spark, f"{path}/batch_id={p}")
+        out["scrubbed"][sub] = int(sum(r["count"] for r in hits))
 
     # 2. ledgers first (their keys live in `keys` regardless of corpus
     #    state), the corpus-sized dir last

@@ -159,6 +159,59 @@ def recover_replaced_dir(spark: SparkSession, path: str) -> None:
         fsutil.rename(spark, old, path)
 
 
+def recover_partition_swaps(spark: SparkSession, path: str) -> list[str]:
+    """Crash recovery AND normal completion for :func:`swap_partitions`:
+    if ``<path>.__partswap__`` exists and carries the job-commit marker,
+    every partition child it still holds is swapped into ``path``
+    (delete the live child, rename the replacement in) and the sidecar
+    is removed; a marker-less sidecar is a killed write and is discarded
+    whole (the producing verb re-runs). Idempotent from any kill point —
+    children already swapped before a crash were renamed OUT of the
+    sidecar, so completion is exactly the remainder. Returns the child
+    names swapped in."""
+    tmp = path.rstrip("/") + ".__partswap__"
+    if not fsutil.exists(spark, tmp):
+        return []
+    if not fsutil.exists(spark, f"{tmp}/{MARKER}"):
+        fsutil.delete(spark, tmp)
+        return []
+    swapped = []
+    for name in fsutil.child_names(spark, tmp):
+        if "=" not in name:  # the marker / committer debris, not a child
+            continue
+        fsutil.delete(spark, f"{path.rstrip('/')}/{name}")
+        fsutil.rename(spark, f"{tmp}/{name}", f"{path.rstrip('/')}/{name}")
+        swapped.append(name)
+    fsutil.delete(spark, tmp)
+    return swapped
+
+
+def swap_partitions(spark: SparkSession, path: str, write) -> list[str]:
+    """Replace a SUBSET of a hive-partitioned dir's partition children —
+    the per-row-delete discipline for surgical rewrites (retraction)
+    where :func:`replace_dir`'s whole-dir fold would re-write data the
+    operation never touched (at 100 TB a takedown must cost the affected
+    partitions, not a corpus pass). ``write(tmp)`` must land the
+    replacement children under ``tmp`` via ``partitionBy`` on the dir's
+    partition column; Spark's job commit writes the sidecar's marker
+    LAST, so the swap phase (shared with crash recovery —
+    :func:`recover_partition_swaps` is both the completion and the heal)
+    only ever acts on a fully-written replacement set. Crash windows:
+    during the write → marker-less sidecar, discarded at the next heal,
+    verb re-runs; during the swaps → the heal completes the remainder
+    (already-swapped children left the sidecar). A partition whose every
+    row the rewrite drops produces NO child (partitionBy writes no dir
+    for zero rows) — callers that need empty-out semantics delete those
+    live children explicitly after the swap, keyed on what this returns.
+    Readers of ``path`` never see the sidecar (sibling dir, not a
+    ``batch_id=…`` child), so partition-column type inference is never
+    polluted by in-flight state. Returns the swapped child names."""
+    tmp = path.rstrip("/") + ".__partswap__"
+    fsutil.delete(spark, tmp)
+    write(tmp)
+    return recover_partition_swaps(spark, path)
+
+
 def replace_dir(spark: SparkSession, path: str, write) -> None:
     """In-place fold: replace ``path``'s contents with what
     ``write(tmp_path)`` produces, via the tmp/old double-rename swap (the

@@ -556,6 +556,40 @@ def main() -> None:
             f"in {dt2}s)",
             file=sys.stderr,
         )
+        # round-11 auto-coarsen cadence at scale: land a small fresh drop
+        # and drain with the row budget set to half the current fps rows
+        # — exactly one power-of-two coarsen fires in-pipeline (the
+        # meta-first migration + fps fold at full state volume, which is
+        # what costs). "auto" adopts the persisted mod; the budget check
+        # itself is a footer-metadata count.
+        from dataclasses import replace as dc_replace
+
+        fps_rows = spark.read.parquet(f"{work}/state/fps").count()
+        subset.limit(100).select(
+            (F.col("doc_id") + 3_000_000_000).alias("doc_id"), "text"
+        ).write.mode("append").option(
+            "maxRecordsPerFile", 100_000
+        ).json(landing)
+        ocfg_c = dc_replace(
+            ocfg, overlap_sample_mod="auto",
+            overlap_coarsen_above_rows=max(1, fps_rows // 2),
+        )
+        t0 = time.perf_counter()
+        orep3 = run_incremental_curation(spark, landing, f"{work}/state", ocfg_c)
+        dt_c = round(time.perf_counter() - t0, 2)
+        co = (orep3["batches"][-1].get("overlap_coarsened")
+              if orep3["batches"] else None)
+        out["ops"]["overlap_auto_coarsen"] = {
+            "fps_rows_before_run": fps_rows,
+            "row_budget": max(1, fps_rows // 2),
+            "cadence": co,
+            "sec": dt_c,
+        }
+        print(
+            f"# overlap_auto_coarsen: {co} in {dt_c}s "
+            f"(fps rows before: {fps_rows})",
+            file=sys.stderr,
+        )
         # round-11 retraction verb at scale: take down a 1,000-doc batch
         # from the populated state (digest ledger + fps + corpus here —
         # the per-surface swap rewrite at full state volume, the part

@@ -2278,6 +2278,35 @@ def test_retract_documents_spans_all_state_surfaces(spark, tmp_path):
     )
     assert ids_after == [2, 3, 99]
 
+    # a pending (committed) partition-swap sidecar — a retraction killed
+    # between its sidecar write and the per-child renames — is flagged
+    # by the state report and COMPLETED by the next ingest batch's heal
+    import pulfa_sausage_factory_spark.fsutil as fsutil
+
+    sig_len = len(
+        spark.read.parquet(f"{state}/sigs").limit(1).collect()[0].old_sig
+    )
+    swap = f"{state}/sigs.__partswap__"
+    spark.createDataFrame(
+        [(555, [1] * sig_len, 1, 99)],
+        "id long, old_sig array<bigint>, src_batch_id long, batch_id int",
+    ).write.partitionBy("batch_id").parquet(swap)
+    assert fsutil.exists(spark, f"{swap}/_SUCCESS")
+    flagged = {
+        r.artifact: r.detail
+        for r in ingest_state_report(spark, state).collect()
+    }
+    assert "pending completion" in flagged["sigs"]
+    _ingest_batch(
+        spark, lines([{"doc_id": 600, "text": third + "fresh tail delta "
+                       "about inspection schedules"}]),
+        4, cfg, state, sch,
+    )
+    assert not fsutil.exists(spark, swap)
+    assert spark.read.parquet(f"{state}/sigs").filter(
+        F.col("id") == 555
+    ).count() == 1  # the sidecar's child was swapped in by the heal
+
 
 def test_overlap_drop_audit_records_provenance(spark, tmp_path):
     # round-11: cfg.overlap_drop_audit — every doc the CROSS-RUN overlap

@@ -112,3 +112,58 @@ def test_touch_creates_and_overwrites(spark, tmp_path):
     assert fsutil.exists(spark, p)
     fsutil.touch(spark, p)  # idempotent overwrite
     assert fsutil.exists(spark, p)
+
+
+def test_swap_partitions_and_recovery(spark, tmp_path):
+    # round-11: the per-partition swap behind retract_documents — a
+    # committed sidecar's children swap in (normal path AND crash heal,
+    # one routine); a marker-less sidecar is a killed write and is
+    # discarded; children already swapped before a crash left the
+    # sidecar, so completion is exactly the remainder.
+    from pulfa_sausage_factory_spark import fsutil, statedir
+
+    base = str(tmp_path / "part_state")
+    for b, v in ((0, 10), (1, 20), (2, 30)):
+        spark.createDataFrame([(v,)], "x long").write.parquet(
+            f"{base}/batch_id={b}"
+        )
+
+    def rewrite(tmp):
+        # replace partitions 0 and 2 (drop one value, keep structure)
+        spark.createDataFrame(
+            [(11, 0), (31, 2)], "x long, batch_id int"
+        ).write.partitionBy("batch_id").parquet(tmp)
+
+    swapped = statedir.swap_partitions(spark, base, rewrite)
+    assert sorted(swapped) == ["batch_id=0", "batch_id=2"]
+    got = {
+        (r.batch_id, r.x)
+        for r in spark.read.parquet(base).collect()
+    }
+    assert got == {(0, 11), (1, 20), (2, 31)}
+    assert not fsutil.exists(spark, base + ".__partswap__")
+
+    # crash heal, committed sidecar: children awaiting rename swap in
+    tmp = base + ".__partswap__"
+    spark.createDataFrame(
+        [(99, 1)], "x long, batch_id int"
+    ).write.partitionBy("batch_id").parquet(tmp)
+    assert fsutil.exists(spark, f"{tmp}/_SUCCESS")
+    assert statedir.recover_partition_swaps(spark, base) == ["batch_id=1"]
+    assert {
+        (r.batch_id, r.x) for r in spark.read.parquet(base).collect()
+    } == {(0, 11), (1, 99), (2, 31)}
+
+    # crash heal, marker-less sidecar (killed write): discarded whole
+    spark.createDataFrame(
+        [(777, 0)], "x long, batch_id int"
+    ).write.partitionBy("batch_id").parquet(tmp)
+    fsutil.delete(spark, f"{tmp}/_SUCCESS")
+    assert statedir.recover_partition_swaps(spark, base) == []
+    assert not fsutil.exists(spark, tmp)
+    assert {
+        (r.batch_id, r.x) for r in spark.read.parquet(base).collect()
+    } == {(0, 11), (1, 99), (2, 31)}
+
+    # no sidecar → no-op
+    assert statedir.recover_partition_swaps(spark, base) == []
