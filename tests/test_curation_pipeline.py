@@ -2487,3 +2487,69 @@ def test_overlap_auto_coarsen_cadence(spark, tmp_path):
     assert "overlap_coarsened" not in rep2["batches"][-1]
     assert spark.read.parquet(f"{state}/fps_meta").collect()[0].sample_mod \
         == co["new_mod"]
+
+
+def test_retract_documents_touches_only_affected_partitions(spark, tmp_path):
+    # round-11 scale pin: the takedown's WRITE cost is the affected
+    # partitions, never a dir rewrite — partitions that hold none of the
+    # retracted rows keep their exact part-files (same names, same
+    # bytes), which is only possible if the scrub never rewrote them.
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        retract_documents,
+    )
+
+    state = str(tmp_path / "pp_state")
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none")
+
+    def lines(rows):
+        return spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "value string"
+        )
+
+    texts = {
+        1: "first archival document about river expeditions and folios",
+        2: "second archival document about lighthouse keepers offshore",
+        3: "third archival document about bridge engineering load tables",
+    }
+    for b, (i, t) in enumerate(texts.items()):
+        _ingest_batch(spark, lines([{"doc_id": i, "text": t}]), b, cfg,
+                      state, sch)
+
+    def listing(sub):
+        out = {}
+        for b in (0, 1, 2):
+            d = f"{state}/{sub}/batch_id={b}"
+            out[b] = sorted(
+                (os.path.basename(p), os.path.getsize(p))
+                for p in glob.glob(f"{d}/part-*")
+            )
+        return out
+
+    corpus_before = listing("corpus")
+    ledger_before = listing("ledger")
+
+    rep = retract_documents(spark, state, [2], cfg)  # admitted by batch 1
+    assert rep["found"] == 1
+    assert rep["scrubbed"] == {"corpus": 1, "ledger": 1}
+
+    corpus_after = listing("corpus")
+    ledger_after = listing("ledger")
+    for b in (0, 2):  # untouched partitions: byte-identical part files
+        assert corpus_after[b] == corpus_before[b]
+        assert ledger_after[b] == ledger_before[b]
+    # the affected partition was emptied (its only row was retracted):
+    # no replacement child is written for zero rows — the live child is
+    # deleted outright
+    assert corpus_after[1] == [] and ledger_after[1] == []
+    assert not os.path.isdir(f"{state}/corpus/batch_id=1")
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()
+    ) == [1, 3]
