@@ -2553,3 +2553,76 @@ def test_retract_documents_touches_only_affected_partitions(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()
     ) == [1, 3]
+
+
+def test_retract_documents_string_ids_and_sidecar_flags(spark, tmp_path):
+    # id_col is configurable and may be a string — the retraction verb's
+    # keys, guard, and scrubs must not assume numeric ids. Also pins the
+    # state report's marker-less (killed-write) sidecar flag, the
+    # counterpart of the committed flag pinned in the main retract test.
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    import pulfa_sausage_factory_spark.fsutil as fsutil
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        ingest_state_report,
+        retract_documents,
+    )
+
+    state = str(tmp_path / "strid_state")
+    sch = T.StructType.fromDDL("id string, text string")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none",
+                         id_col="id")
+
+    def lines(rows):
+        return spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "value string"
+        )
+
+    b0 = lines([
+        {"id": "doc-alpha", "text": "first archival document about river "
+                                    "expeditions and pressed folios"},
+        {"id": "doc-beta", "text": "second archival document about "
+                                   "lighthouse keepers working offshore"},
+    ])
+    r0 = _ingest_batch(spark, b0, 0, cfg, state, sch)
+    assert r0["admitted"] == 2
+
+    rep = retract_documents(spark, state, ["doc-alpha"], cfg)
+    assert rep["found"] == 1 and rep["scrubbed"] == {"corpus": 1,
+                                                     "ledger": 1}
+    assert sorted(
+        r.id for r in spark.read.parquet(f"{state}/corpus").collect()
+    ) == ["doc-beta"]
+    # the replay guard keys on the string id too
+    r0b = _ingest_batch(spark, b0, 0, cfg, state, sch)
+    assert r0b["admitted"] == 1
+    assert sorted(
+        r.id for r in spark.read.parquet(f"{state}/corpus").collect()
+    ) == ["doc-beta"]
+
+    # marker-less partition-swap sidecar (a retraction killed mid-WRITE):
+    # flagged as discarded-at-next-heal, and the next batch discards it
+    swap = f"{state}/ledger.__partswap__"
+    spark.createDataFrame(
+        [("deadbeef", 1, 0)],
+        "digest string, src_batch_id long, batch_id int",
+    ).write.partitionBy("batch_id").parquet(swap)
+    fsutil.delete(spark, f"{swap}/_SUCCESS")
+    flagged = {
+        r.artifact: r.detail
+        for r in ingest_state_report(spark, state).collect()
+    }
+    assert "killed write" in flagged["ledger"]
+    _ingest_batch(spark, lines([
+        {"id": "doc-gamma", "text": "third archival document about county "
+                                    "bridge engineering load tables"},
+    ]), 1, cfg, state, sch)
+    assert not os.path.isdir(swap)
+    # the discarded sidecar's row never reached the ledger
+    assert spark.read.parquet(f"{state}/ledger").filter(
+        F.col("digest") == "deadbeef"
+    ).count() == 0
