@@ -1717,7 +1717,8 @@ def _sweep_orphan_reservations(spark, base: str, mapping) -> int:
 
 
 def retract_documents(
-    spark: SparkSession, state_dir: str, ids, cfg: CurationConfig
+    spark: SparkSession, state_dir: str, ids, cfg: CurationConfig,
+    dry_run: bool = False,
 ) -> dict:
     """Takedown/retraction verb for the incremental-ingest state — the
     missing lifecycle quadrant (round-10 VERDICT item 1): append, compact,
@@ -1792,6 +1793,19 @@ def retract_documents(
     "retract_batch_id": id | None, "index_tombstone": dict | None}`` and
     the ``retracted/`` ledger shows up in ``ingest_state_report``.
 
+    ``dry_run=True`` is the takedown PREVIEW: the same key resolution
+    and partition-pruned membership counts, no new mutations — no
+    ``retracted/`` record, no scrubs, no tombstone (the entry heal still
+    completes a PRIOR crashed retraction's committed swaps: that work
+    was already decided, and skipping it would preview rows that are
+    logically gone). The report's ``scrubbed`` counts become would-scrub
+    counts, ``index_tombstone`` becomes ``{"would_remove": n}`` for ids
+    the index still serves, and ``dry_run: True`` rides the dict so
+    callers can't mistake a preview for the real thing.
+    Preview-then-execute is not atomic (a batch landing between the two
+    can change the counts) — the executing call recomputes everything
+    itself, so the preview is advisory only.
+
     Deliberately retained: ``overlap_drops/`` audit rows naming the
     retracted doc as the matched ``old_id`` (they record why OTHER docs
     were dropped and hold ids and counts, never content) and the
@@ -1816,6 +1830,8 @@ def retract_documents(
         id_vals = sorted(set(ids))
     out: dict = {"requested": len(id_vals), "found": 0, "scrubbed": {},
                  "retract_batch_id": None, "index_tombstone": None}
+    if dry_run:
+        out["dry_run"] = True
     if not id_vals:
         return out
 
@@ -1862,7 +1878,7 @@ def retract_documents(
 
     # 1. record NEWLY-found rows as a retraction event (skipped when the
     #    corpus holds nothing new — a verb replay must not re-record)
-    if found is not None and found.count() > 0:
+    if not dry_run and found is not None and found.count() > 0:
         next_id = max(
             statedir.numbered_dirs(spark, retr_dir, "batch_id="),
             default=-1,
@@ -1907,6 +1923,9 @@ def retract_documents(
             .groupBy("batch_id").count().collect()
         )
         if not hits:
+            return
+        if dry_run:
+            out["scrubbed"][sub] = int(sum(r["count"] for r in hits))
             return
         affected = sorted(int(r.batch_id) for r in hits)
 
@@ -1958,7 +1977,9 @@ def retract_documents(
                 "left_semi",
             ).select("id").distinct().collect()
         ]
-        if present:
+        if present and dry_run:
+            out["index_tombstone"] = {"would_remove": len(present)}
+        elif present:
             out["index_tombstone"] = remove_from_pq_index(
                 spark, cfg.semdedup_index_path, present
             )

@@ -2192,6 +2192,18 @@ def test_retract_documents_spans_all_state_surfaces(spark, tmp_path):
 
     assert not os.path.isdir(f"{state}/retracted")
 
+    # preview first: would-scrub counts on all six surfaces + the index
+    # leg's would_remove, with nothing mutated
+    prev = retract_documents(spark, state, [1], cfg, dry_run=True)
+    assert prev["dry_run"] is True and prev["found"] == 1
+    assert set(prev["scrubbed"]) == {
+        "corpus", "ledger", "sigs", "bands", "semvecs", "fps"
+    }
+    assert prev["index_tombstone"] == {"would_remove": 1}
+    assert spark.read.parquet(f"{state}/sigs").filter(
+        F.col("id") == 1
+    ).count() == 1  # untouched by the preview
+
     rep = retract_documents(spark, state, [1], cfg)
     assert rep["requested"] == 1 and rep["found"] == 1
     assert rep["retract_batch_id"] == 0
@@ -2591,7 +2603,19 @@ def test_retract_documents_string_ids_and_sidecar_flags(spark, tmp_path):
     r0 = _ingest_batch(spark, b0, 0, cfg, state, sch)
     assert r0["admitted"] == 2
 
+    # dry_run: same keys + would-scrub counts, zero mutations
+    prev = retract_documents(spark, state, ["doc-alpha"], cfg,
+                             dry_run=True)
+    assert prev["dry_run"] is True and prev["found"] == 1
+    assert prev["scrubbed"] == {"corpus": 1, "ledger": 1}
+    assert prev["retract_batch_id"] is None
+    assert not os.path.isdir(f"{state}/retracted")
+    assert sorted(
+        r.id for r in spark.read.parquet(f"{state}/corpus").collect()
+    ) == ["doc-alpha", "doc-beta"]
+
     rep = retract_documents(spark, state, ["doc-alpha"], cfg)
+    assert "dry_run" not in rep
     assert rep["found"] == 1 and rep["scrubbed"] == {"corpus": 1,
                                                      "ledger": 1}
     assert sorted(
