@@ -1790,8 +1790,14 @@ def retract_documents(
     ``ids`` is an iterable of doc ids or a one-column DataFrame —
     takedown-sized (it is collected and broadcast), never corpus-sized.
     Returns ``{"requested", "found", "scrubbed": {surface: rows_removed},
-    "retract_batch_id": id | None, "index_tombstone": dict | None}`` and
-    the ``retracted/`` ledger shows up in ``ingest_state_report``.
+    "retract_batch_id": id | None, "index_tombstone": dict | None,
+    "residual": n}`` and the ``retracted/`` ledger shows up in
+    ``ingest_state_report``. ``residual`` is the verb's own
+    postcondition check — a fresh partition-pruned membership probe for
+    the retraction keys across every scrubbed surface (plus the served
+    index when pipeline-managed) AFTER the scrubs; zero on success, and
+    a non-zero value (broken down in ``residual_by_surface``) means the
+    takedown did NOT fully land — loud, never silent.
 
     ``dry_run=True`` is the takedown PREVIEW: the same key resolution
     and partition-pruned membership counts, no new mutations — no
@@ -1868,8 +1874,21 @@ def retract_documents(
         keys = found if keys is None else keys.unionByName(found)
     if keys is None:
         return out
-    keys = keys.dropDuplicates(["doc_id", "digest"]).localCheckpoint()
-    out["found"] = keys.count()
+    # dedup on the FULL key including admitted_batch_id (round-11 VERDICT
+    # item 1): a doc retracted, then re-submitted under the same id with
+    # identical text, then retracted again contributes TWO rows differing
+    # only in admitted_batch_id — the prior retracted/ record and the
+    # fresh corpus row. Collapsing to one arbitrary row let the STALE
+    # record win, prune cand_batches to the old batch's partitions, and
+    # silently skip the live copy (found=1, scrubbed={}). Keeping both
+    # rows keeps both admission batches in cand_batches; the record step
+    # and replay guard already handle duplicates per batch correctly.
+    keys = keys.dropDuplicates(
+        ["doc_id", "digest", "admitted_batch_id"]
+    ).localCheckpoint()
+    # "found" counts DOCS, not key rows — a re-admitted doc carries one
+    # key row per admission batch but is still one takedown subject
+    out["found"] = keys.select("doc_id").distinct().count()
     if out["found"] == 0:
         release_local_checkpoint(keys)
         if found is not None:
@@ -1983,6 +2002,64 @@ def retract_documents(
             out["index_tombstone"] = remove_from_pq_index(
                 spark, cfg.semdedup_index_path, present
             )
+
+    # 4. postcondition SELF-CHECK (round-11 VERDICT item 1): re-probe
+    #    membership for the retraction keys on every surface just
+    #    scrubbed, the same partition-pruned scan shape as the scrubs.
+    #    A takedown verb must verify its own erasure — a bug upstream
+    #    (like the round-11 key-dedup defect) becomes a LOUD non-zero
+    #    `residual` in the report instead of a silent success. The
+    #    deliberately-retained `retracted/` record and overlap_drops/
+    #    audit rows are excluded by design (see docstring).
+    if not dry_run:
+        residual: dict = {}
+        for sub, key_col, keys_col in (
+            ("ledger", "digest", "digest"),
+            ("sigs", "id", "doc_id"),
+            ("bands", "old_id", "doc_id"),
+            ("semvecs", "old_id", "doc_id"),
+            ("fps", "old_id", "doc_id"),
+            ("corpus", icol, "doc_id"),
+        ):
+            path = os.path.join(base, sub)
+            df = read_parquet_state(spark, path, mergeSchema="true")
+            if df is None or key_col not in df.columns:
+                continue
+            parts = [
+                p for p in cand_batches
+                if fsutil.is_dir(spark, f"{path}/batch_id={p}")
+            ]
+            if fsutil.is_dir(spark, f"{path}/batch_id=-1"):
+                parts.append(-1)
+            if not parts:
+                continue
+            drop = keys.select(F.col(keys_col).alias(key_col)).distinct()
+            n = (
+                df.filter(F.col("batch_id").isin(parts))
+                .join(F.broadcast(drop), key_col, "left_semi")
+                .count()
+            )
+            if n:
+                residual[sub] = int(n)
+        if cfg.serve_index_append and cfg.semdedup_index_path:
+            idx2 = load_pq_index(spark, cfg.semdedup_index_path)
+            id_type2 = idx2.codes.schema["id"].dataType
+            n = (
+                idx2.codes.join(
+                    F.broadcast(
+                        keys.select(
+                            F.col("doc_id").cast(id_type2).alias("id")
+                        ).distinct()
+                    ),
+                    "id",
+                    "left_semi",
+                ).count()
+            )
+            if n:
+                residual["index"] = int(n)
+        out["residual"] = int(sum(residual.values()))
+        if residual:
+            out["residual_by_surface"] = residual
     release_local_checkpoint(keys)
     if found is not None:
         release_local_checkpoint(found)

@@ -2320,6 +2320,148 @@ def test_retract_documents_spans_all_state_surfaces(spark, tmp_path):
     ).count() == 1  # the sidecar's child was swapped in by the heal
 
 
+def test_retract_readmitted_same_id_scrubs_live_copy(spark, tmp_path):
+    # round-11 VERDICT item 1 regression: a doc retracted, RE-SUBMITTED
+    # under the SAME id with identical text (the verb's documented
+    # semantics — erase the footprint, don't blocklist content), and
+    # retracted AGAIN used to silently no-op: the keys union held the
+    # prior retracted/ record (admitted_batch_id=0) and the fresh corpus
+    # row (admitted_batch_id=1), dropDuplicates(["doc_id","digest"])
+    # kept an ARBITRARY one, and when the stale record won, cand_batches
+    # pruned every scrub to batch 0 — found=1, scrubbed={}, doc + ledger
+    # digest still live. The fix dedups on the full key including
+    # admitted_batch_id so BOTH admission batches stay in cand_batches;
+    # the verb also self-checks its postcondition (`residual`).
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.functions.vectors import (
+        hashed_text_embedding,
+    )
+    from pulfa_sausage_factory_spark.operators import ann_index
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        retract_documents,
+    )
+
+    para = (
+        "the archival record of the expedition describes a long river "
+        "journey through dense forest where the party catalogued birds "
+        "and pressed plant specimens into heavy folios each evening by "
+        "lamplight while the boats were drawn up on gravel bars and the "
+        "notebooks slowly filled with measurements of water depth and "
+        "temperature and careful sketches of the canyon walls above "
+    )
+    other = (
+        "totally different archival material concerning lighthouse lens "
+        "rotation schedules and keeper logbooks maintained offshore with "
+        "monthly oil consumption figures and visitation registers kept "
+        "in the district office for later inspection by the board "
+    )
+
+    base_vecs = spark.createDataFrame(
+        [(1000 + i, (para if i % 2 else other) + f" tail {i}",)
+         for i in range(12)],
+        "vec_id long, text string",
+    ).select(
+        "vec_id", hashed_text_embedding(F.col("text"), dim=64).alias("embedding")
+    ).localCheckpoint()
+    idx_path = str(tmp_path / "readmit_idx")
+    ann_index.save_pq_index(
+        ann_index.build_pq_index(
+            base_vecs, m=8, n_codes=8, n_cells=4, iters=2, sample_fraction=1.0
+        ),
+        idx_path,
+    )
+
+    state = str(tmp_path / "readmit_state")
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    cfg = CurationConfig(
+        min_quality=0.0, neardup_method="none", neardup_ledger=True,
+        overlap_ledger=True, overlap_sample_mod=4,
+        semantic_ledger=True, semdedup_threshold=0.95,
+        semdedup_index_path=idx_path, serve_index_append=True,
+    )
+
+    def lines(rows):
+        return spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "value string"
+        )
+
+    doc = {"doc_id": 1, "text": para + "unique ending alpha"}
+    bystander = {"doc_id": 2, "text": other + "unique ending beta"}
+
+    # batch 0: admit doc 1 (+ a bystander that must survive everything)
+    r0 = _ingest_batch(spark, lines([doc, bystander]), 0, cfg, state, sch)
+    assert r0["admitted"] == 2
+
+    # first takedown: full scrub, clean self-check
+    rep1 = retract_documents(spark, state, [1], cfg)
+    assert rep1["found"] == 1 and rep1["scrubbed"] != {}
+    assert rep1["residual"] == 0 and "residual_by_surface" not in rep1
+    assert rep1["retract_batch_id"] == 0
+
+    # re-submission of the SAME doc_id + identical text in a later batch
+    # is admitted fresh (the documented semantics)
+    r1 = _ingest_batch(spark, lines([doc]), 1, cfg, state, sch)
+    assert r1["admitted"] == 1
+    assert spark.read.parquet(f"{state}/corpus").filter(
+        F.col("doc_id") == 1
+    ).count() == 1
+
+    # SECOND takedown — the exact round-11 repro. The keys now span two
+    # admission batches; the scrub must reach the LIVE copy in batch 1.
+    rep2 = retract_documents(spark, state, [1], cfg)
+    assert rep2["found"] == 1
+    assert rep2["scrubbed"] != {}, (
+        "second takedown of a re-admitted doc silently no-opped"
+    )
+    assert rep2["scrubbed"].get("corpus", 0) == 1
+    assert rep2["retract_batch_id"] == 1  # a second event is recorded
+    assert rep2["residual"] == 0 and "residual_by_surface" not in rep2
+
+    # zero rows on every surface; bystander intact
+    digest = __import__("hashlib").md5(
+        doc["text"].encode()
+    ).hexdigest()
+    assert spark.read.parquet(f"{state}/corpus").filter(
+        F.col("doc_id") == 1
+    ).count() == 0
+    assert spark.read.parquet(f"{state}/ledger").filter(
+        F.col("digest") == digest
+    ).count() == 0
+    for sub, col in (("sigs", "id"), ("bands", "old_id"),
+                     ("semvecs", "old_id"), ("fps", "old_id")):
+        if os.path.isdir(f"{state}/{sub}"):
+            assert spark.read.parquet(f"{state}/{sub}").filter(
+                F.col(col) == 1
+            ).count() == 0, sub
+    loaded = ann_index.load_pq_index(spark, idx_path)
+    assert loaded.codes.filter(F.col("id") == 1).count() == 0
+    assert spark.read.parquet(f"{state}/corpus").filter(
+        F.col("doc_id") == 2
+    ).count() == 1
+
+    # both admission batches' records are in retracted/ so replays of
+    # EITHER batch re-exclude the doc
+    recs = spark.read.parquet(f"{state}/retracted").filter(
+        F.col("doc_id") == 1
+    ).collect()
+    assert sorted(int(r.admitted_batch_id) for r in recs) == [0, 1]
+    for bid, batch in ((0, [doc, bystander]), (1, [doc])):
+        _ingest_batch(spark, lines(batch), bid, cfg, state, sch)
+        assert spark.read.parquet(f"{state}/corpus").filter(
+            F.col("doc_id") == 1
+        ).count() == 0, f"replay of batch {bid} resurrected the doc"
+
+    # idempotent verb replay still sees the recorded keys, scrubs nothing
+    rep3 = retract_documents(spark, state, [1], cfg)
+    assert rep3["found"] == 1 and rep3["scrubbed"] == {}
+    assert rep3["residual"] == 0
+
+
 def test_overlap_drop_audit_records_provenance(spark, tmp_path):
     # round-11: cfg.overlap_drop_audit — every doc the CROSS-RUN overlap
     # leg drops lands (doc_id, old_id, shared_fps, threshold) audit rows
