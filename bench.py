@@ -76,9 +76,76 @@ STDOUT_FIELDS = (
     "queries",
     "extra_queries",
     "failed",
+    "env",
     "stats_file",
     "sf",
 )
+
+
+def _load1() -> float | None:
+    """1-minute loadavg (None off-Linux)."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _proc_stat_cpu() -> tuple[int, int, int] | None:
+    """Cumulative host CPU jiffies from /proc/stat's aggregate line:
+    ``(busy, steal, total)`` — deltas over the bench run give the
+    host-contention and hypervisor-steal fractions that adjudicate
+    cross-round drift (None off-Linux)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        if parts[0] != "cpu":
+            return None
+        vals = [int(v) for v in parts[1:]]
+        # user nice system idle iowait irq softirq steal [guest guest_nice]
+        total = sum(vals[:8])
+        idle = vals[3] + vals[4]
+        steal = vals[7] if len(vals) > 7 else 0
+        return total - idle, steal, total
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _calibrate_ms(reps: int = 3) -> float:
+    """Fixed tiny CPU-bound loop, min-of-reps wall time in ms — a
+    direct single-core steal/contention probe: the loop's work is
+    constant, so any wall-time excess over the machine's own baseline is
+    the session's contention, and dividing a cross-round headline delta
+    by the calibration delta separates code regressions from host
+    variance (round-11 VERDICT item 4 — adjudicating r10→r11's
+    7.4→8.8 s drift cost the judge a full manual rerun)."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(500_000):
+            acc += i * i
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1000.0, 2)
+
+
+def _env_context(start: dict) -> dict:
+    """Close out the environment context begun by the start sample:
+    bounded scalar keys only (rides the stdout line — keys are part of
+    the round-over-round contract, keep them stable)."""
+    env = {
+        "load1_start": start.get("load1"),
+        "load1_end": _load1(),
+        "calib_ms_start": start.get("calib_ms"),
+        "calib_ms_end": _calibrate_ms(),
+        "wall_sec": round(time.perf_counter() - start["t0"], 1),
+    }
+    cpu0, cpu1 = start.get("cpu"), _proc_stat_cpu()
+    if cpu0 and cpu1 and cpu1[2] > cpu0[2]:
+        dt = cpu1[2] - cpu0[2]
+        env["host_busy_pct"] = round(100.0 * (cpu1[0] - cpu0[0]) / dt, 1)
+        env["steal_pct"] = round(100.0 * (cpu1[1] - cpu0[1]) / dt, 2)
+    return env
 
 #: Hard budget for the serialized stdout line — the driver keeps the last
 #: 2,000 chars of stdout; 1,900 leaves margin for a trailing newline and
@@ -173,6 +240,10 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    # environment context start sample (round-11 VERDICT item 4): taken
+    # before the JVM spins up so the calibration baseline is clean
+    env_start = {"t0": time.perf_counter(), "load1": _load1(),
+                 "calib_ms": _calibrate_ms(), "cpu": _proc_stat_cpu()}
     spark = get_spark("pulfa-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -538,6 +609,13 @@ def main() -> None:
         # against a filled cache — measurable against the ≤2×-warm target.
         "cache_build_queries": cache_build,
         "extra_queries": extras,
+        # per-run environment context (round-11 VERDICT item 4): loadavg
+        # at start/end, host busy/steal fractions over the run from
+        # /proc/stat deltas, and a fixed CPU-bound calibration loop timed
+        # at both ends — a future cross-round headline delta divides out
+        # the session instead of costing a manual judge rerun. Bounded
+        # scalar keys; stable vocabulary.
+        "env": _env_context(env_start),
         "sf": sf,
         "stats_file": "BENCH_STATS.json",
         "cold_note": (

@@ -46,6 +46,17 @@ def _worst_case_full() -> dict:
         "cold_queries": {name: wide for name in bench.BENCH_QUERIES},
         "cache_build_queries": {name: wide for name in bench.BENCH_QUERIES},
         "extra_queries": extras,
+        # round-12 env context: bounded scalar vocabulary, worst-case
+        # widths (the projection passes it through to the line)
+        "env": {
+            "load1_start": wide,
+            "load1_end": wide,
+            "calib_ms_start": wide,
+            "calib_ms_end": wide,
+            "wall_sec": wide,
+            "host_busy_pct": 100.0,
+            "steal_pct": 100.0,
+        },
         "sf": 0.1,
         "stats_file": "BENCH_STATS.json",
         "cold_note": "n" * 200,
@@ -84,7 +95,8 @@ def test_stdout_payload_drops_unbounded_fields():
 def test_stdout_payload_keeps_headline_fields():
     full = _worst_case_full()
     out = bench.build_stdout_payload(full)
-    for key in ("metric", "value", "unit", "estimator", "queries", "extra_queries", "sf"):
+    for key in ("metric", "value", "unit", "estimator", "queries",
+                "extra_queries", "env", "sf"):
         assert out[key] == full[key]
     # no-failures runs omit `failed` entirely (keys stay stable otherwise)
     clean = dict(full)
