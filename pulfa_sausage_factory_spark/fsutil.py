@@ -96,6 +96,65 @@ def touch(spark: SparkSession, path: str) -> None:
     fs.create(p, True).close()
 
 
+def create_exclusive(spark: SparkSession, path: str, content: str = "") -> None:
+    """Create ``path`` with ``content`` iff it does not already exist —
+    the mutual-exclusion primitive (Hadoop ``create(overwrite=false)`` is
+    atomic on HDFS and local disk; object stores approximate it). An
+    already-existing file raises OSError: the loser of an acquisition
+    race must refuse, never overwrite the winner's record."""
+    from py4j.protocol import Py4JJavaError
+
+    fs, p = _fs_path(spark, path)
+    try:
+        out = fs.create(p, False)
+    except Py4JJavaError as exc:
+        raise OSError(
+            f"create_exclusive failed (already exists?): {path}: "
+            f"{exc.java_exception.getMessage()}"
+        ) from None
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    """UTF-8 contents of the file at ``path``, or ``None`` when it does
+    not exist (a reader racing a delete must see absence, not an
+    exception)."""
+    from py4j.protocol import Py4JJavaError
+
+    fs, p = _fs_path(spark, path)
+    try:
+        stream = fs.open(p)
+    except Py4JJavaError:
+        return None
+    try:
+        # commons-io ships on Spark's classpath; a py4j-side bytearray
+        # would be copied by value and never mutated back
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def mtime_ms(spark: SparkSession, path: str) -> int:
+    """Modification time of ``path`` in epoch milliseconds (raises when
+    missing) — lease-expiry arithmetic reads it, ``touch``-style renewals
+    advance it."""
+    fs, p = _fs_path(spark, path)
+    return int(fs.getFileStatus(p).getModificationTime())
+
+
+def set_mtime_ms(spark: SparkSession, path: str, mtime: int) -> None:
+    """Set ``path``'s modification time (epoch ms) — lease renewal
+    (and test clocks) go through Hadoop ``setTimes`` so they work on any
+    store the session reaches."""
+    fs, p = _fs_path(spark, path)
+    fs.setTimes(p, int(mtime), -1)
+
+
 def mkdirs(spark: SparkSession, path: str) -> None:
     """Create ``path`` (and parents) as a directory; an already-existing
     directory is a no-op, any other failure raises OSError. The id-

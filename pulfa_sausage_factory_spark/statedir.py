@@ -45,6 +45,208 @@ from pulfa_sausage_factory_spark import fsutil
 MARKER = "_SUCCESS"
 
 
+#: lease sidecar dir name — ``_``-prefixed so Spark's partition discovery
+#: of the parent never sees it (same trick as ``_head`` snapshots)
+LEASE_DIR = "_lease"
+
+
+class LeaseError(RuntimeError):
+    """Base class for writer-lease failures."""
+
+
+class LeaseHeld(LeaseError):
+    """Another writer holds a live lease on the directory."""
+
+
+class LeaseFenced(LeaseError):
+    """This holder's lease epoch was superseded (stale-lease takeover by
+    another writer) — every further write by this holder must abort."""
+
+
+class WriterLease:
+    """A held single-writer lease on a state directory — see
+    :func:`acquire_lease`. Context manager: ``with acquire_lease(...)``
+    releases on exit. ``token`` is the FENCING TOKEN: a monotone epoch
+    number; a takeover creates a higher epoch, after which every
+    ``check``/``renew`` by the old holder raises :class:`LeaseFenced`."""
+
+    def __init__(self, spark, base: str, token: int, nonce: str,
+                 owner: str, ttl_sec: float):
+        self.spark = spark
+        self.base = base
+        self.token = int(token)
+        self.nonce = nonce
+        self.owner = owner
+        self.ttl_sec = float(ttl_sec)
+
+    @property
+    def path(self) -> str:
+        return f"{self.base}/{LEASE_DIR}/epoch={self.token}"
+
+    def _live_epoch(self) -> int:
+        return max(
+            numbered_dirs(self.spark, f"{self.base}/{LEASE_DIR}", "epoch="),
+            default=-1,
+        )
+
+    def check(self) -> None:
+        """Raise :class:`LeaseFenced` unless this lease is still the
+        directory's current epoch AND the epoch record is ours (the nonce
+        guards against epoch-number reuse after a clean release). Writers
+        call this immediately before destructive steps — the filesystem
+        can't verify tokens on every write the way a fencing-aware store
+        would, so the discipline is: validate the token at the last
+        responsible moment, then perform the (already crash-safe)
+        mutation."""
+        live = self._live_epoch()
+        if live != self.token:
+            raise LeaseFenced(
+                f"writer lease on {self.base} fenced: held epoch "
+                f"{self.token}, current epoch {live} — another writer "
+                "took over (stale-lease takeover); abort all writes"
+            )
+        rec = fsutil.read_text(self.spark, self.path)
+        if rec is None or self.nonce not in rec:
+            raise LeaseFenced(
+                f"writer lease on {self.base} fenced: epoch {self.token} "
+                "record is missing or belongs to another holder"
+            )
+
+    def renew(self) -> None:
+        """Extend the lease (advance the epoch file's mtime). Raises
+        :class:`LeaseFenced` when the lease was taken over — long-running
+        holders (an ingest run) renew between batches so a live run is
+        never mistaken for a crashed one."""
+        self.check()
+        import time
+
+        fsutil.set_mtime_ms(self.spark, self.path, int(time.time() * 1000))
+
+    def release(self) -> None:
+        """Release the lease (delete our epoch record). A fenced lease
+        releases as a no-op — the successor's record must not be
+        touched."""
+        try:
+            self.check()
+        except LeaseFenced:
+            return
+        fsutil.delete(self.spark, self.path)
+
+    def __enter__(self) -> "WriterLease":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+def acquire_lease(
+    spark: SparkSession,
+    state_dir: str,
+    owner: str = "",
+    ttl_sec: float = 900.0,
+) -> WriterLease:
+    """Acquire the single-writer lease on ``state_dir`` — the ENFORCED
+    form of the single-writer contract every maintenance verb documents
+    (round-11 VERDICT item 2: at 100 TB with cron-driven maintenance,
+    two concurrent ingest runs or an ingest racing a retraction WILL
+    happen, and without a lease the failure is silent state corruption).
+
+    Layout: ``<state_dir>/_lease/epoch=<token>`` — one file per epoch,
+    content = JSON ``{owner, nonce, acquired_at}``, liveness = the file's
+    mtime within ``ttl_sec`` (renewals advance it). Acquisition:
+
+    - a LIVE current epoch held by anyone else → :class:`LeaseHeld`,
+      loudly, with the holder's record in the message;
+    - no epoch, or the current epoch EXPIRED (holder crashed without
+      releasing) → take over at ``token = current + 1`` via
+      ``fsutil.create_exclusive`` — create-if-absent arbitrates racing
+      acquirers (both compute the same next token; exactly one create
+      wins, the loser gets :class:`LeaseHeld`). The monotone token is the
+      fencing token: the superseded holder's next ``check``/``renew``
+      raises :class:`LeaseFenced` before it can damage state.
+
+    Epoch files below the new token are swept on acquisition. All
+    writers of one state dir must use the same ``ttl_sec`` (expiry is
+    judged with the prober's value). The nonce makes epoch-number reuse
+    after a clean release detectable (an ancient holder whose token
+    number comes around again still fences on the nonce mismatch)."""
+    import json
+    import os
+    import time
+    import uuid
+
+    base = state_dir.rstrip("/")
+    ldir = f"{base}/{LEASE_DIR}"
+    now_ms = int(time.time() * 1000)
+    epochs = numbered_dirs(spark, ldir, "epoch=")
+    cur = max(epochs, default=-1)
+    if cur >= 0:
+        cur_path = f"{ldir}/{epochs[cur]}"
+        try:
+            age_ms = now_ms - fsutil.mtime_ms(spark, cur_path)
+        except Exception:
+            age_ms = None  # deleted under us (a release racing in) — free
+        if age_ms is not None and age_ms <= ttl_sec * 1000:
+            rec = fsutil.read_text(spark, cur_path) or "<unreadable>"
+            raise LeaseHeld(
+                f"writer lease on {base} is held (epoch {cur}, age "
+                f"{age_ms / 1000.0:.1f}s <= ttl {ttl_sec}s): {rec} — "
+                "refusing to run a second concurrent writer; if the "
+                "holder crashed, retry after the ttl expires "
+                "(stale-lease takeover is automatic)"
+            )
+    token = cur + 1
+    nonce = uuid.uuid4().hex
+    rec = json.dumps({
+        "owner": owner or f"pid={os.getpid()}",
+        "nonce": nonce,
+        "acquired_at_ms": now_ms,
+        "ttl_sec": ttl_sec,
+    })
+    try:
+        fsutil.create_exclusive(spark, f"{ldir}/epoch={token}", rec)
+    except OSError as exc:
+        raise LeaseHeld(
+            f"writer lease on {base}: lost the acquisition race for "
+            f"epoch {token}: {exc}"
+        ) from None
+    for old, name in epochs.items():
+        if old < token:
+            fsutil.delete(spark, f"{ldir}/{name}")
+    return WriterLease(spark, base, token, nonce,
+                       owner or f"pid={os.getpid()}", ttl_sec)
+
+
+def lease_scope(
+    spark: SparkSession,
+    state_dir: str,
+    owner: str,
+    lease: "WriterLease | None" = None,
+):
+    """Context manager for verb-scoped lease holding: ``lease=None``
+    acquires the dir's writer lease for the scope and releases it on
+    exit; a passed-through lease (a run-scoped holder calling a
+    maintenance verb) is RENEWED on entry — which validates the fencing
+    token, so a superseded holder aborts loudly before writing — and NOT
+    released. The shared implementation behind every verb's ``lease``
+    parameter (curation verbs and the index WAL verbs alike)."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _scope():
+        if lease is not None:
+            lease.renew()
+            yield lease
+        else:
+            own = acquire_lease(spark, state_dir, owner=owner)
+            try:
+                yield own
+            finally:
+                own.release()
+
+    return _scope()
+
+
 def numbered_dirs(
     spark: SparkSession,
     path: str,
@@ -93,6 +295,7 @@ def write_snapshot(
     snap_dir: str,
     up_to: int,
     prefix: str = "upto=",
+    lease: "WriterLease | None" = None,
 ) -> int:
     """Land ``df`` as the ``<snap_dir>/<prefix><up_to>`` snapshot with
     crash-safe ordering; returns its row count. The write goes to a
@@ -109,6 +312,10 @@ def write_snapshot(
     df.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
     fsutil.delete(spark, f"{tmp}/{MARKER}")
+    if lease is not None:
+        # fencing check at the last responsible moment: a superseded
+        # writer aborts here, before anything destructive
+        lease.check()
     # only ever debris here: callers advance the horizon monotonically
     # (early-return at or below the current one), so a marker-carrying
     # snapshot at this exact name cannot exist
@@ -186,7 +393,10 @@ def recover_partition_swaps(spark: SparkSession, path: str) -> list[str]:
     return swapped
 
 
-def swap_partitions(spark: SparkSession, path: str, write) -> list[str]:
+def swap_partitions(
+    spark: SparkSession, path: str, write,
+    lease: "WriterLease | None" = None,
+) -> list[str]:
     """Replace a SUBSET of a hive-partitioned dir's partition children —
     the per-row-delete discipline for surgical rewrites (retraction)
     where :func:`replace_dir`'s whole-dir fold would re-write data the
@@ -209,10 +419,25 @@ def swap_partitions(spark: SparkSession, path: str, write) -> list[str]:
     tmp = path.rstrip("/") + ".__partswap__"
     fsutil.delete(spark, tmp)
     write(tmp)
+    if lease is not None:
+        # fencing: re-commit the sidecar only while the lease is still
+        # held. Spark's job commit can't lease-check, so its marker is
+        # stripped first and re-created strictly after check() — a writer
+        # fenced during the write leaves a MARKER-LESS sidecar that every
+        # heal discards, instead of a committed one whose stale
+        # replacement children a successor's heal would swap over newer
+        # rows. (The check→touch gap is a microsecond-scale residual
+        # window, same class as the object-store rename caveat above.)
+        fsutil.delete(spark, f"{tmp}/{MARKER}")
+        lease.check()
+        fsutil.touch(spark, f"{tmp}/{MARKER}")
     return recover_partition_swaps(spark, path)
 
 
-def replace_dir(spark: SparkSession, path: str, write) -> None:
+def replace_dir(
+    spark: SparkSession, path: str, write,
+    lease: "WriterLease | None" = None,
+) -> None:
     """In-place fold: replace ``path``'s contents with what
     ``write(tmp_path)`` produces, via the tmp/old double-rename swap (the
     ingest ledger's compaction discipline). Ordering: write the
@@ -228,6 +453,11 @@ def replace_dir(spark: SparkSession, path: str, write) -> None:
     for stale in (tmp, old):
         fsutil.delete(spark, stale)
     write(tmp)
+    if lease is not None:
+        # fencing check at the last responsible moment: a superseded
+        # writer aborts here with only tmp debris (swept by the next
+        # replace_dir), before the live dir is touched
+        lease.check()
     fsutil.rename(spark, base, old)
     try:
         fsutil.rename(spark, tmp, base)

@@ -85,3 +85,26 @@ def test_mkdirs_creates_and_tolerates_existing(spark, tmp_path):
     assert fsutil.is_dir(spark, d)
     fsutil.mkdirs(spark, d)  # idempotent
     assert fsutil.is_dir(spark, d)
+
+
+def test_lease_primitives(spark, tmp_path):
+    # round-12 lease building blocks: create-if-absent arbitration,
+    # content read-back, mtime read/advance through the Hadoop API
+    import time
+
+    import pytest
+
+    p = str(tmp_path / "lock" / "epoch=0")
+    fsutil.create_exclusive(spark, p, '{"owner": "w1"}')
+    assert fsutil.read_text(spark, p) == '{"owner": "w1"}'
+    # the loser of an acquisition race refuses, never overwrites
+    with pytest.raises(OSError, match="create_exclusive"):
+        fsutil.create_exclusive(spark, p, '{"owner": "w2"}')
+    assert fsutil.read_text(spark, p) == '{"owner": "w1"}'
+    # missing file reads as absence, not an exception
+    assert fsutil.read_text(spark, str(tmp_path / "nope")) is None
+    # mtime read + renewal-style advance
+    m0 = fsutil.mtime_ms(spark, p)
+    assert abs(m0 - time.time() * 1000) < 60_000
+    fsutil.set_mtime_ms(spark, p, m0 - 120_000)
+    assert fsutil.mtime_ms(spark, p) == m0 - 120_000

@@ -167,3 +167,177 @@ def test_swap_partitions_and_recovery(spark, tmp_path):
 
     # no sidecar → no-op
     assert statedir.recover_partition_swaps(spark, base) == []
+
+
+def test_writer_lease_lifecycle(spark, tmp_path):
+    # round-12 (r11 VERDICT item 2): the ENFORCED single-writer contract.
+    # acquire / a second concurrent writer refuses loudly / renew /
+    # release / stale-lease takeover with a monotone fencing token / the
+    # nonce guard against epoch-number reuse after a clean release.
+    import time
+
+    base = str(tmp_path / "leased")
+    l1 = statedir.acquire_lease(spark, base, owner="w1", ttl_sec=60)
+    assert l1.token == 0
+
+    with pytest.raises(statedir.LeaseHeld, match="held"):
+        statedir.acquire_lease(spark, base, owner="w2", ttl_sec=60)
+
+    l1.renew()
+    l1.check()
+
+    # stale takeover: the holder "crashed" (its mtime ages past the ttl)
+    fsutil.set_mtime_ms(spark, l1.path, int(time.time() * 1000) - 120_000)
+    l2 = statedir.acquire_lease(spark, base, owner="w2", ttl_sec=60)
+    assert l2.token == 1  # monotone fencing token
+    with pytest.raises(statedir.LeaseFenced, match="fenced"):
+        l1.check()
+    with pytest.raises(statedir.LeaseFenced):
+        l1.renew()
+    # a fenced holder's release must not touch the successor's record
+    l1.release()
+    l2.check()
+
+    # clean release → reacquirable; the epoch number restarts but the
+    # NONCE fences an ancient holder whose token number comes around
+    l2.release()
+    l3 = statedir.acquire_lease(spark, base, owner="w3", ttl_sec=60)
+    ghost = statedir.WriterLease(
+        spark, l3.base, l3.token, "other-nonce", "ghost", 60
+    )
+    with pytest.raises(statedir.LeaseFenced, match="another holder"):
+        ghost.check()
+    l3.release()
+
+    # context-manager form releases on exit
+    with statedir.acquire_lease(spark, base, owner="w4", ttl_sec=60) as l4:
+        l4.check()
+    statedir.acquire_lease(spark, base, owner="w5", ttl_sec=60).release()
+
+
+def test_fenced_writer_aborts_before_destruction(spark, tmp_path):
+    # the fencing token is validated at the last responsible moment of
+    # each destructive primitive: a superseded writer's replace_dir
+    # aborts with the live dir untouched, and its swap_partitions leaves
+    # only a MARKER-LESS sidecar that every heal discards — never a
+    # committed sidecar whose stale children a successor would adopt.
+    import time
+
+    base = str(tmp_path / "fenced_state")
+    data = f"{base}/data"
+    spark.createDataFrame(
+        [(1, 0), (2, 1)], "v long, batch_id int"
+    ).write.partitionBy("batch_id").parquet(data)
+
+    lease = statedir.acquire_lease(spark, base, owner="old", ttl_sec=60)
+    fsutil.set_mtime_ms(spark, lease.path, int(time.time() * 1000) - 120_000)
+    statedir.acquire_lease(spark, base, owner="new", ttl_sec=60)
+
+    def _fold(tmp):
+        spark.createDataFrame([(99, -1)], "v long, batch_id int").write\
+            .partitionBy("batch_id").parquet(tmp)
+
+    with pytest.raises(statedir.LeaseFenced):
+        statedir.replace_dir(spark, data, _fold, lease=lease)
+    assert {r.v for r in spark.read.parquet(data).collect()} == {1, 2}
+
+    def _swap(tmp):
+        spark.createDataFrame([(77, 0)], "v long, batch_id int").write\
+            .partitionBy("batch_id").parquet(tmp)
+
+    with pytest.raises(statedir.LeaseFenced):
+        statedir.swap_partitions(spark, data, _swap, lease=lease)
+    assert {r.v for r in spark.read.parquet(data).collect()} == {1, 2}
+    # the stale writer's sidecar is marker-less → discarded by the heal
+    assert not fsutil.exists(spark, f"{data}.__partswap__/_SUCCESS")
+    assert statedir.recover_partition_swaps(spark, data) == []
+    assert {r.v for r in spark.read.parquet(data).collect()} == {1, 2}
+
+
+def test_verbs_enforce_single_writer(spark, tmp_path):
+    # every state-mutating curation verb and index WAL verb refuses while
+    # another writer's lease is live — the documented contract is now
+    # mechanical, not conventional.
+    import json
+
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.operators import ann_index
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        CurationConfig,
+        _ingest_batch,
+        compact_ingest_state,
+        retract_documents,
+    )
+    from pyspark.sql import functions as F
+
+    state = str(tmp_path / "locked_state")
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none")
+    lines = spark.createDataFrame(
+        [(json.dumps({"doc_id": 1, "text": "some archival text " * 20}),)],
+        "value string",
+    )
+    # normal path: verbs acquire + release transparently
+    rep = _ingest_batch(spark, lines, 0, cfg, state, sch)
+    assert rep["admitted"] == 1
+
+    other = statedir.acquire_lease(spark, state, owner="other-writer")
+    try:
+        with pytest.raises(statedir.LeaseHeld):
+            _ingest_batch(spark, lines, 1, cfg, state, sch)
+        with pytest.raises(statedir.LeaseHeld):
+            retract_documents(spark, state, [1], cfg)
+        with pytest.raises(statedir.LeaseHeld):
+            compact_ingest_state(spark, state, max_files=0)
+        # the holder itself passes its lease through
+        rep2 = _ingest_batch(spark, lines, 1, cfg, state, sch, lease=other)
+        assert rep2["admitted"] == 0  # duplicate text — but it RAN
+    finally:
+        other.release()
+
+    # the index WAL verbs hold a lease on the INDEX dir
+    from pulfa_sausage_factory_spark.functions.vectors import (
+        hashed_text_embedding,
+    )
+
+    para = (
+        "the archival record of the expedition describes a long river "
+        "journey through dense forest where the party catalogued birds "
+    )
+    other = (
+        "totally different archival material concerning lighthouse lens "
+        "rotation schedules and keeper logbooks maintained offshore "
+    )
+    vecs = spark.createDataFrame(
+        [(1000 + i, (para if i % 2 else other) + f" tail {i}")
+         for i in range(12)],
+        "vec_id long, text string",
+    ).select(
+        "vec_id",
+        hashed_text_embedding(F.col("text"), dim=64).alias("embedding"),
+    ).localCheckpoint()
+    idx_path = str(tmp_path / "locked_idx")
+    ann_index.save_pq_index(
+        ann_index.build_pq_index(
+            vecs, m=8, n_codes=8, n_cells=4, iters=2, sample_fraction=1.0
+        ),
+        idx_path,
+    )
+    idx_lease = statedir.acquire_lease(spark, idx_path, owner="other")
+    try:
+        with pytest.raises(statedir.LeaseHeld):
+            ann_index.append_to_pq_index(spark, idx_path, vecs.limit(2))
+        with pytest.raises(statedir.LeaseHeld):
+            ann_index.remove_from_pq_index(spark, idx_path, [1])
+        with pytest.raises(statedir.LeaseHeld):
+            ann_index.compact_pq_index(spark, idx_path)
+        # pass-through works for the holder
+        out = ann_index.remove_from_pq_index(
+            spark, idx_path, [1], lease=idx_lease
+        )
+        assert out["rows"] == 1
+    finally:
+        idx_lease.release()
+    # released → verbs run again
+    assert ann_index.compact_pq_index(spark, idx_path)["folded_batches"] == 1
