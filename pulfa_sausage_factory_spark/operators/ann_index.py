@@ -606,6 +606,7 @@ def append_to_pq_index(
     id_col: str | None = None,
     vec_col: str | None = None,
     assign_impl: str = "expr",
+    lease=None,
 ) -> dict:
     """Incrementally extend a persisted index with a new corpus batch —
     encode ONLY the new vectors against the existing (validated)
@@ -645,37 +646,42 @@ def append_to_pq_index(
 
     Returns ``{"batch_id": id, "rows": n}``.
     """
-    from pulfa_sausage_factory_spark import fsutil
+    from pulfa_sausage_factory_spark import fsutil, statedir
 
     base = path.rstrip("/")
-    index = load_pq_index(spark, path)
-    id_col = id_col or index.meta.get("id_col", "vec_id")
-    vec_col = vec_col or index.meta.get("vec_col", "embedding")
-    dim = index.meta.get("dim")
-    if dim is not None:
-        probe = new_rows.select(F.size(vec_col).alias("d")).limit(1).collect()
-        if probe and probe[0].d != dim:
-            raise ValueError(
-                f"append_to_pq_index: new rows carry {probe[0].d}-dim "
-                f"vectors but the index was built for dim={dim} — these "
-                "cannot be encoded against its codebooks"
-            )
-    horizon = _codes_horizon(spark, base)
-    app_att, tomb_att = _attempted_log_ids(spark, base, horizon)
-    batch_id = _validate_log_batch_id(
-        batch_id, horizon, app_att, tomb_att,
-        "append_to_pq_index", "tombstone",
-    )
-    codes = pq_encode(
-        new_rows, index.codebooks, id_col=id_col, vec_col=vec_col,
-        centroids=index.centroids, assign_impl=assign_impl,
-    )
-    bdir = f"{base}/codes_append/batch={int(batch_id)}"
-    # overwrite also repairs a marker-less partial dir from a killed run
-    fsutil.delete(spark, bdir)
-    codes.write.mode("overwrite").parquet(bdir)
-    n = spark.read.parquet(bdir).count()
-    return {"batch_id": int(batch_id), "rows": n}
+    with statedir.lease_scope(spark, base, "append_to_pq_index",
+                              lease=lease):
+        index = load_pq_index(spark, path)
+        id_col = id_col or index.meta.get("id_col", "vec_id")
+        vec_col = vec_col or index.meta.get("vec_col", "embedding")
+        dim = index.meta.get("dim")
+        if dim is not None:
+            probe = new_rows.select(
+                F.size(vec_col).alias("d")
+            ).limit(1).collect()
+            if probe and probe[0].d != dim:
+                raise ValueError(
+                    f"append_to_pq_index: new rows carry {probe[0].d}-dim "
+                    f"vectors but the index was built for dim={dim} — "
+                    "these cannot be encoded against its codebooks"
+                )
+        horizon = _codes_horizon(spark, base)
+        app_att, tomb_att = _attempted_log_ids(spark, base, horizon)
+        batch_id = _validate_log_batch_id(
+            batch_id, horizon, app_att, tomb_att,
+            "append_to_pq_index", "tombstone",
+        )
+        codes = pq_encode(
+            new_rows, index.codebooks, id_col=id_col, vec_col=vec_col,
+            centroids=index.centroids, assign_impl=assign_impl,
+        )
+        bdir = f"{base}/codes_append/batch={int(batch_id)}"
+        # overwrite also repairs a marker-less partial dir from a killed
+        # run
+        fsutil.delete(spark, bdir)
+        codes.write.mode("overwrite").parquet(bdir)
+        n = spark.read.parquet(bdir).count()
+        return {"batch_id": int(batch_id), "rows": n}
 
 
 def remove_from_pq_index(
@@ -683,6 +689,7 @@ def remove_from_pq_index(
     path: str,
     ids,
     batch_id: int | None = None,
+    lease=None,
 ) -> dict:
     """Tombstone deletes for a persisted index — the takedown half of the
     lifecycle: curation and the ingest ledgers can drop documents, but
@@ -708,37 +715,42 @@ def remove_from_pq_index(
 
     Returns ``{"batch_id": id, "rows": n}``.
     """
-    from pulfa_sausage_factory_spark import fsutil
+    from pulfa_sausage_factory_spark import fsutil, statedir
 
     base = path.rstrip("/")
-    index = load_pq_index(spark, path)  # artifact cross-validation first
-    id_type = index.codes.schema["id"].dataType
-    if isinstance(ids, DataFrame):
-        if len(ids.columns) != 1:
-            raise ValueError(
-                f"remove_from_pq_index: ids DataFrame has columns "
-                f"{ids.columns} — pass exactly one id column"
+    with statedir.lease_scope(spark, base, "remove_from_pq_index",
+                              lease=lease):
+        index = load_pq_index(spark, path)  # artifact cross-validation
+        id_type = index.codes.schema["id"].dataType
+        if isinstance(ids, DataFrame):
+            if len(ids.columns) != 1:
+                raise ValueError(
+                    f"remove_from_pq_index: ids DataFrame has columns "
+                    f"{ids.columns} — pass exactly one id column"
+                )
+            tomb = ids.select(
+                F.col(ids.columns[0]).cast(id_type).alias("id")
             )
-        tomb = ids.select(F.col(ids.columns[0]).cast(id_type).alias("id"))
-    else:
-        tomb = spark.createDataFrame(
-            [(str(i),) for i in ids], "id string"
-        ).select(F.col("id").cast(id_type).alias("id"))
-    tomb = tomb.distinct()
-    horizon = _codes_horizon(spark, base)
-    app_att, tomb_att = _attempted_log_ids(spark, base, horizon)
-    batch_id = _validate_log_batch_id(
-        batch_id, horizon, tomb_att, app_att,
-        "remove_from_pq_index", "append",
-    )
-    bdir = f"{base}/tombstones/batch={int(batch_id)}"
-    fsutil.delete(spark, bdir)  # repair a marker-less partial dir
-    tomb.write.mode("overwrite").parquet(bdir)
-    n = spark.read.parquet(bdir).count()
-    return {"batch_id": int(batch_id), "rows": n}
+        else:
+            tomb = spark.createDataFrame(
+                [(str(i),) for i in ids], "id string"
+            ).select(F.col("id").cast(id_type).alias("id"))
+        tomb = tomb.distinct()
+        horizon = _codes_horizon(spark, base)
+        app_att, tomb_att = _attempted_log_ids(spark, base, horizon)
+        batch_id = _validate_log_batch_id(
+            batch_id, horizon, tomb_att, app_att,
+            "remove_from_pq_index", "append",
+        )
+        bdir = f"{base}/tombstones/batch={int(batch_id)}"
+        fsutil.delete(spark, bdir)  # repair a marker-less partial dir
+        tomb.write.mode("overwrite").parquet(bdir)
+        n = spark.read.parquet(bdir).count()
+        return {"batch_id": int(batch_id), "rows": n}
 
 
-def abandon_log_entry(spark: SparkSession, path: str, batch_id: int) -> dict:
+def abandon_log_entry(spark: SparkSession, path: str, batch_id: int,
+                      lease=None) -> dict:
     """Deliberately abandon an ATTEMPTED-UNCOMMITTED log entry — a killed
     append/tombstone awaiting a redelivery that will never come, or an
     orphaned reservation (``_append_serve_index`` crashed between its
@@ -759,33 +771,35 @@ def abandon_log_entry(spark: SparkSession, path: str, batch_id: int) -> dict:
     from pulfa_sausage_factory_spark import fsutil, statedir
 
     base = path.rstrip("/")
-    horizon = _codes_horizon(spark, base)
-    app_att, tomb_att = _attempted_log_ids(spark, base, horizon)
-    bid = int(batch_id)
-    if bid in app_att:
-        kind, sub = "append", "codes_append"
-    elif bid in tomb_att:
-        kind, sub = "tombstone", "tombstones"
-    else:
-        raise ValueError(
-            f"abandon_log_entry: batch_id={bid} is not an attempted log "
-            f"entry above the compaction horizon ({horizon}) — nothing "
-            "to abandon"
-        )
-    d = f"{base}/{sub}/batch={bid}"
-    if fsutil.exists(spark, f"{d}/{statedir.MARKER}"):
-        raise ValueError(
-            f"abandon_log_entry: batch_id={bid} is a COMMITTED {kind} "
-            "batch — its entry is serving history, and deleting it would "
-            "silently change results; use remove_from_pq_index for "
-            "takedowns and compact_pq_index to fold, never abandon "
-            "committed entries"
-        )
-    fsutil.delete(spark, d)
-    return {"batch_id": bid, "kind": kind}
+    with statedir.lease_scope(spark, base, "abandon_log_entry",
+                              lease=lease):
+        horizon = _codes_horizon(spark, base)
+        app_att, tomb_att = _attempted_log_ids(spark, base, horizon)
+        bid = int(batch_id)
+        if bid in app_att:
+            kind, sub = "append", "codes_append"
+        elif bid in tomb_att:
+            kind, sub = "tombstone", "tombstones"
+        else:
+            raise ValueError(
+                f"abandon_log_entry: batch_id={bid} is not an attempted "
+                f"log entry above the compaction horizon ({horizon}) — "
+                "nothing to abandon"
+            )
+        d = f"{base}/{sub}/batch={bid}"
+        if fsutil.exists(spark, f"{d}/{statedir.MARKER}"):
+            raise ValueError(
+                f"abandon_log_entry: batch_id={bid} is a COMMITTED {kind} "
+                "batch — its entry is serving history, and deleting it "
+                "would silently change results; use remove_from_pq_index "
+                "for takedowns and compact_pq_index to fold, never "
+                "abandon committed entries"
+            )
+        fsutil.delete(spark, d)
+        return {"batch_id": bid, "kind": kind}
 
 
-def compact_pq_index(spark: SparkSession, path: str) -> dict:
+def compact_pq_index(spark: SparkSession, path: str, lease=None) -> dict:
     """Fold the index's append/tombstone log into one codes snapshot —
     the growth bound ``append_to_pq_index`` deliberately left open (every
     load lists, stamp-checks, and unions EVERY batch dir; a daily-append
@@ -825,50 +839,54 @@ def compact_pq_index(spark: SparkSession, path: str) -> dict:
     from pulfa_sausage_factory_spark import fsutil, statedir
 
     base = path.rstrip("/")
-    horizon = _codes_horizon(spark, base)
-    committed = set(_append_batches(spark, base, horizon)) | set(
-        _tombstone_batches(spark, base, horizon)
-    )
-    app_att, tomb_att = _attempted_log_ids(spark, base, horizon)
-    pending = sorted((app_att | tomb_att) - committed)
-    fold = (
-        {i for i in committed if i < pending[0]} if pending else committed
-    )
+    with statedir.lease_scope(spark, base, "compact_pq_index",
+                              lease=lease) as held:
+        horizon = _codes_horizon(spark, base)
+        committed = set(_append_batches(spark, base, horizon)) | set(
+            _tombstone_batches(spark, base, horizon)
+        )
+        app_att, tomb_att = _attempted_log_ids(spark, base, horizon)
+        pending = sorted((app_att | tomb_att) - committed)
+        fold = (
+            {i for i in committed if i < pending[0]} if pending
+            else committed
+        )
 
-    def _sweep(up_to: int) -> int:
-        removed = statedir.delete_folded(
-            spark, f"{base}/codes_append", "batch=", up_to
-        )
-        removed += statedir.delete_folded(
-            spark, f"{base}/tombstones", "batch=", up_to
-        )
-        removed += statedir.delete_superseded_snapshots(
-            spark, f"{base}/codes_head", up_to
-        )
-        if up_to >= 0 and fsutil.exists(spark, f"{base}/codes"):
-            # any committed snapshot supersedes the original build codes
-            # (the corpus-sized artifact — reclaiming it is the point)
-            fsutil.delete(spark, f"{base}/codes")
-            removed += 1
-        return removed
+        def _sweep(up_to: int) -> int:
+            removed = statedir.delete_folded(
+                spark, f"{base}/codes_append", "batch=", up_to
+            )
+            removed += statedir.delete_folded(
+                spark, f"{base}/tombstones", "batch=", up_to
+            )
+            removed += statedir.delete_superseded_snapshots(
+                spark, f"{base}/codes_head", up_to
+            )
+            if up_to >= 0 and fsutil.exists(spark, f"{base}/codes"):
+                # any committed snapshot supersedes the original build
+                # codes (the corpus-sized artifact — reclaiming it is the
+                # point)
+                fsutil.delete(spark, f"{base}/codes")
+                removed += 1
+            return removed
 
-    if not fold:
-        return {"horizon": horizon, "snapshot_rows": None,
-                "folded_batches": 0, "removed_dirs": _sweep(horizon),
-                "pending": pending}
-    up_to = max(fold)
-    # the bounded live view IS the fold result — assembling it through
-    # the loader keeps "what compaction writes" and "what serving reads"
-    # one code path (and re-validates the artifacts); the bound only
-    # matters when a pending hole capped the fold below later committed
-    # entries
-    live = load_pq_index(spark, path, up_to_entry=up_to)
-    n_snap = statedir.write_snapshot(
-        spark, live.codes, f"{base}/codes_head", up_to
-    )
-    return {"horizon": int(up_to), "snapshot_rows": n_snap,
-            "folded_batches": len(fold), "removed_dirs": _sweep(up_to),
-            "pending": pending}
+        if not fold:
+            return {"horizon": horizon, "snapshot_rows": None,
+                    "folded_batches": 0, "removed_dirs": _sweep(horizon),
+                    "pending": pending}
+        up_to = max(fold)
+        # the bounded live view IS the fold result — assembling it through
+        # the loader keeps "what compaction writes" and "what serving
+        # reads" one code path (and re-validates the artifacts); the bound
+        # only matters when a pending hole capped the fold below later
+        # committed entries
+        live = load_pq_index(spark, path, up_to_entry=up_to)
+        n_snap = statedir.write_snapshot(
+            spark, live.codes, f"{base}/codes_head", up_to, lease=held
+        )
+        return {"horizon": int(up_to), "snapshot_rows": n_snap,
+                "folded_batches": len(fold),
+                "removed_dirs": _sweep(up_to), "pending": pending}
 
 
 def pq_index_report(spark: SparkSession, path: str) -> DataFrame:
@@ -880,8 +898,12 @@ def pq_index_report(spark: SparkSession, path: str) -> DataFrame:
     100 TB "how big is my index, which append batches are live" must not
     cost a codes pass). The one exception is the ``appended_staleness``
     row (round 11), which reads parquet FOOTER row counts — metadata,
-    zero data pages — to compare appended rows against the manifest's
-    ``train_rows``. ``committed`` is False for an append batch whose
+    zero data pages, and ONE unioned scan job each for appends and live
+    tombstones regardless of how many batches are live (round-11 VERDICT
+    item 6: a per-batch count loop was O(batches) jobs per report call)
+    — to compare appended rows against the manifest's ``train_rows``;
+    while tombstones are live the appended figure is an upper bound
+    (they may cover appended rows) and the row says so. ``committed`` is False for an append batch whose
     job-commit marker is missing (a killed append awaiting replay —
     loads skip it); such rows above the horizon additionally say
     "blocks compaction" in ``detail`` and roll up into one ``pending``
@@ -970,11 +992,32 @@ def pq_index_report(spark: SparkSession, path: str) -> DataFrame:
     # have folded away, stated on the row.
     meta = json.loads(meta_json)
     train = meta.get("train_rows")
-    app_rows = 0
-    for bid in _append_batches(spark, base, horizon):
-        app_rows += spark.read.parquet(
-            f"{base}/codes_append/batch={bid}"
-        ).count()
+    # ONE unioned footer-count scan over every live append batch (round-11
+    # VERDICT item 6): a per-batch count() loop is one Spark job per live
+    # batch — O(batches) jobs per report call at thousands of
+    # pre-compaction batches. read.parquet(*paths).count() reads the same
+    # footers (zero data pages) in a single job regardless of batch count.
+    app_paths = [
+        f"{base}/codes_append/batch={bid}"
+        for bid in _append_batches(spark, base, horizon)
+    ]
+    app_rows = (
+        spark.read.parquet(*app_paths).count() if app_paths else 0
+    )
+    # live tombstones may cover appended rows (round-11 ADVICE): the gross
+    # append count then OVERSTATES the live appended fraction. Tombstoned
+    # ids are not attributable to base vs appended rows from metadata
+    # alone (they name ids, not batches), so the figure is reported as an
+    # upper bound with the live tombstone row count alongside — never
+    # silently subtracted (that would swing the error the other way when
+    # tombstones cover base rows).
+    tomb_paths = [
+        f"{base}/tombstones/batch={bid}"
+        for bid in _tombstone_batches(spark, base, horizon)
+    ]
+    tomb_rows = (
+        spark.read.parquet(*tomb_paths).count() if tomb_paths else 0
+    )
     if train is not None:
         folded = 0
         if horizon >= 0:
@@ -996,6 +1039,11 @@ def pq_index_report(spark: SparkSession, path: str) -> DataFrame:
             detail += (
                 "; post-compaction estimate is a lower bound (tombstoned "
                 "build rows fold away)"
+            )
+        if tomb_rows:
+            detail += (
+                f"; upper bound while {tomb_rows} tombstoned ids are live "
+                "(tombstones may cover appended rows)"
             )
         rows.append(("appended_staleness", 0, 0, True, detail))
     elif app_rows:

@@ -86,6 +86,7 @@ def journal_publish(
     outputs: DataFrame,
     journal_dir: str,
     run_id: int | None = None,
+    lease=None,
 ) -> dict:
     """EP3 round-trip completion — the commit-manifest analog of the
     reference's post-processing ``svn ci`` (``bin/batch.sh:34-37``: commit
@@ -143,8 +144,25 @@ def journal_publish(
     original prior manifest no longer exists (the Kafka-log-compaction
     trade: bounded reads for replayability of compacted history).
 
-    Returns ``{"published": n, "unchanged": n, "run_id": id}``.
+    Returns ``{"published": n, "unchanged": n, "run_id": id}``. The
+    journal's single-writer contract is ENFORCED (round-11 VERDICT item
+    2): the verb holds the journal dir's writer lease — two concurrent
+    publishers (or a publish racing a compaction) refuse loudly at
+    acquisition instead of double-assigning run ids.
     """
+    from pulfa_sausage_factory_spark import statedir
+
+    with statedir.lease_scope(spark, journal_dir, "journal_publish",
+                              lease=lease):
+        return _journal_publish_body(spark, outputs, journal_dir, run_id)
+
+
+def _journal_publish_body(
+    spark: SparkSession,
+    outputs: DataFrame,
+    journal_dir: str,
+    run_id: int | None = None,
+) -> dict:
     import os
 
     from pyspark import StorageLevel
@@ -263,7 +281,8 @@ def published_manifest(
 
 
 def compact_journal(
-    spark: SparkSession, journal_dir: str, up_to_run: int | None = None
+    spark: SparkSession, journal_dir: str, up_to_run: int | None = None,
+    lease=None,
 ) -> dict:
     """Bound the journal's prior-state reads: fold every run with
     ``run_id <= up_to_run`` (default: all committed runs) into ONE
@@ -301,8 +320,19 @@ def compact_journal(
     them.
 
     Returns ``{"horizon": id, "snapshot_paths": n, "removed_dirs": k}``
-    (``horizon=-1`` when there was nothing to compact).
+    (``horizon=-1`` when there was nothing to compact). Holds the
+    journal dir's writer lease (round-11 VERDICT item 2).
     """
+    from .. import statedir
+
+    with statedir.lease_scope(spark, journal_dir, "compact_journal",
+                              lease=lease) as held:
+        return _compact_journal_body(spark, journal_dir, up_to_run, held)
+
+
+def _compact_journal_body(
+    spark: SparkSession, journal_dir: str, up_to_run, lease,
+) -> dict:
     import os
 
     from pyspark.sql import Window
@@ -353,7 +383,8 @@ def compact_journal(
         .select("path", "digest", "run_id")
     )
     head_dir = os.path.join(journal_dir, "_head")
-    n_snap = statedir.write_snapshot(spark, head, head_dir, int(up_to_run))
+    n_snap = statedir.write_snapshot(spark, head, head_dir, int(up_to_run),
+                                     lease=lease)
     # only now is it safe to drop what the snapshot supersedes
     removed = statedir.delete_folded(spark, journal_dir, "run_id=",
                                      int(up_to_run))
@@ -363,7 +394,8 @@ def compact_journal(
             "removed_dirs": removed, "pending": pending}
 
 
-def abandon_run(spark: SparkSession, journal_dir: str, run_id: int) -> dict:
+def abandon_run(spark: SparkSession, journal_dir: str, run_id: int,
+                lease=None) -> dict:
     """Deliberately abandon a KILLED run (attempted ``run_id=N`` dir
     whose job-commit marker is missing) so ``compact_journal`` can
     advance past it — the "deliberately abandon" half of its
@@ -377,27 +409,30 @@ def abandon_run(spark: SparkSession, journal_dir: str, run_id: int) -> dict:
     pool, so a redelivery arriving afterwards would collide with
     whatever new run took it.
 
-    Returns ``{"run_id": id}``."""
+    Returns ``{"run_id": id}``. Holds the journal dir's writer lease
+    (round-11 VERDICT item 2)."""
     from .. import fsutil, statedir
 
     base = journal_dir.rstrip("/")
-    horizon = _journal_horizon(spark, journal_dir)
-    rid = int(run_id)
-    dirs = statedir.numbered_dirs(spark, base, "run_id=", above=horizon)
-    if rid not in dirs:
-        raise ValueError(
-            f"abandon_run: run_id={rid} is not an attempted run above "
-            f"the compaction horizon ({horizon}) — nothing to abandon"
-        )
-    d = f"{base}/{dirs[rid]}"
-    if fsutil.exists(spark, f"{d}/{statedir.MARKER}"):
-        raise ValueError(
-            f"abandon_run: run_id={rid} is a COMMITTED run — deleting it "
-            "would silently rewrite audit history; fold history with "
-            "compact_journal instead, never abandon committed runs"
-        )
-    fsutil.delete(spark, d)
-    return {"run_id": rid}
+    with statedir.lease_scope(spark, base, "abandon_run", lease=lease):
+        horizon = _journal_horizon(spark, journal_dir)
+        rid = int(run_id)
+        dirs = statedir.numbered_dirs(spark, base, "run_id=", above=horizon)
+        if rid not in dirs:
+            raise ValueError(
+                f"abandon_run: run_id={rid} is not an attempted run above "
+                f"the compaction horizon ({horizon}) — nothing to abandon"
+            )
+        d = f"{base}/{dirs[rid]}"
+        if fsutil.exists(spark, f"{d}/{statedir.MARKER}"):
+            raise ValueError(
+                f"abandon_run: run_id={rid} is a COMMITTED run — deleting "
+                "it would silently rewrite audit history; fold history "
+                "with compact_journal instead, never abandon committed "
+                "runs"
+            )
+        fsutil.delete(spark, d)
+        return {"run_id": rid}
 
 
 def _journal_horizon(spark: SparkSession, journal_dir: str) -> int:

@@ -411,6 +411,21 @@ def test_pq_index_report(spark, vecs, tmp_path):
     assert ann_index.load_pq_index(spark, path).codes.count() == (
         vecs.count() + 7
     )
+    # no live tombstones yet: the fraction rides without the upper-bound
+    # qualifier
+    assert "upper bound" not in st
+    # round-11 ADVICE: live tombstones may cover appended rows, so the
+    # gross appended count overstates the live fraction — the row says so
+    # (with the tombstone row count) instead of silently subtracting
+    ids = [r.vec_id for r in vecs.limit(2).collect()]
+    ann_index.remove_from_pq_index(spark, path, ids)
+    rep2 = {
+        r.artifact: r
+        for r in ann_index.pq_index_report(spark, path).collect()
+    }
+    st2 = rep2["appended_staleness"].detail
+    assert "~7 rows appended" in st2  # gross count unchanged
+    assert "upper bound while 2 tombstoned ids are live" in st2
     with pytest.raises(ValueError, match="manifest"):
         ann_index.pq_index_report(spark, str(tmp_path / "nope"))
 

@@ -2320,6 +2320,69 @@ def test_retract_documents_spans_all_state_surfaces(spark, tmp_path):
     ).count() == 1  # the sidecar's child was swapped in by the heal
 
 
+def test_folds_heal_pending_partition_swaps_first(spark, tmp_path):
+    # round-11 ADVICE (medium): compact_ingest_state and
+    # coarsen_overlap_mod must complete a retraction killed mid
+    # swap_partitions BEFORE folding. A committed .__partswap__ sidecar
+    # with unswapped children means the live dir still holds PRE-SCRUB
+    # rows; folding those archives the unscrubbed rows into batch_id=-1
+    # while the sidecar (a sibling — outside the fold's replace_dir swap)
+    # survives and the next heal completes the swap WITHOUT re-scrubbing
+    # the archive — the erasure is silently undone.
+    import pulfa_sausage_factory_spark.fsutil as fsutil
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        coarsen_overlap_mod,
+        compact_ingest_state,
+    )
+
+    state = str(tmp_path / "heal_state")
+    spark.createDataFrame(
+        [(1, [1, 2], 0, 0), (2, [3, 4], 0, 0), (3, [5, 6], 1, 1)],
+        "id long, old_sig array<bigint>, src_batch_id long, batch_id int",
+    ).write.partitionBy("batch_id").parquet(f"{state}/sigs")
+    # killed retraction: committed sidecar whose batch_id=0 replacement
+    # scrubbed id 1, crash before the child swap
+    swap = f"{state}/sigs.__partswap__"
+    spark.createDataFrame(
+        [(2, [3, 4], 0, 0)],
+        "id long, old_sig array<bigint>, src_batch_id long, batch_id int",
+    ).write.partitionBy("batch_id").parquet(swap)
+    assert fsutil.exists(spark, f"{swap}/_SUCCESS")
+
+    rep = compact_ingest_state(spark, state, max_files=0)
+    assert "sigs" in rep
+    assert not fsutil.exists(spark, swap)
+    assert sorted(
+        r.id for r in spark.read.parquet(f"{state}/sigs").collect()
+    ) == [2, 3], "fold archived the pre-swap (unscrubbed) rows"
+
+    # same hazard on coarsen_overlap_mod's fps shrink
+    state2 = str(tmp_path / "heal_state2")
+    spark.createDataFrame(
+        [(16, 8, 4)], "k int, w int, sample_mod int"
+    ).coalesce(1).write.parquet(f"{state2}/fps_meta")
+    spark.createDataFrame(
+        [(1, 8, 0, 0), (2, 16, 0, 0), (3, 24, 1, 1)],
+        "old_id long, fp long, src_batch_id long, batch_id int",
+    ).write.partitionBy("batch_id").parquet(f"{state2}/fps")
+    swap2 = f"{state2}/fps.__partswap__"
+    # the scrub removed old_id 1 (fp=8 — survives the mod-8 shrink, so
+    # only the heal ordering keeps it out)
+    spark.createDataFrame(
+        [(2, 16, 0, 0)],
+        "old_id long, fp long, src_batch_id long, batch_id int",
+    ).write.partitionBy("batch_id").parquet(swap2)
+    assert fsutil.exists(spark, f"{swap2}/_SUCCESS")
+
+    rep2 = coarsen_overlap_mod(spark, state2, new_mod=8)
+    assert rep2["new_mod"] == 8
+    assert not fsutil.exists(spark, swap2)
+    rows = spark.read.parquet(f"{state2}/fps").collect()
+    assert sorted((r.old_id, r.fp) for r in rows) == [(2, 16), (3, 24)], (
+        "shrink folded the pre-swap (unscrubbed) fps rows"
+    )
+
+
 def test_retract_readmitted_same_id_scrubs_live_copy(spark, tmp_path):
     # round-11 VERDICT item 1 regression: a doc retracted, RE-SUBMITTED
     # under the SAME id with identical text (the verb's documented
@@ -2451,15 +2514,248 @@ def test_retract_readmitted_same_id_scrubs_live_copy(spark, tmp_path):
     ).collect()
     assert sorted(int(r.admitted_batch_id) for r in recs) == [0, 1]
     for bid, batch in ((0, [doc, bystander]), (1, [doc])):
-        _ingest_batch(spark, lines(batch), bid, cfg, state, sch)
+        rrep = _ingest_batch(spark, lines(batch), bid, cfg, state, sch)
         assert spark.read.parquet(f"{state}/corpus").filter(
             F.col("doc_id") == 1
         ).count() == 0, f"replay of batch {bid} resurrected the doc"
+        # round-11 ADVICE: the guard runs before input_rows is counted
+        # and reports its exclusions, so the batch report reconciles
+        assert rrep["retraction_excluded"] == 1
+        assert rrep["input_rows"] == len(batch) - 1
 
     # idempotent verb replay still sees the recorded keys, scrubs nothing
     rep3 = retract_documents(spark, state, [1], cfg)
     assert rep3["found"] == 1 and rep3["scrubbed"] == {}
     assert rep3["residual"] == 0
+
+
+def test_retract_vs_index_compaction_interleavings(spark, tmp_path):
+    # round-12 (r11 VERDICT item 5): retraction tombstones only ids the
+    # assembled view still SERVES, and compact_pq_index folds tombstones
+    # into the snapshot — this pins the interleavings: retract →
+    # in-pipeline compact (index_compact_after_batches) → verb replay →
+    # re-append of the same id, asserting the id serves exactly when it
+    # should at every step.
+    import json
+
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.functions.vectors import (
+        hashed_text_embedding,
+    )
+    from pulfa_sausage_factory_spark.operators import ann_index
+    from pulfa_sausage_factory_spark.operators.ann_index import (
+        _codes_horizon,
+        _tombstone_batches,
+    )
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        retract_documents,
+    )
+
+    para = (
+        "the archival record of the expedition describes a long river "
+        "journey through dense forest where the party catalogued birds "
+        "and pressed plant specimens into heavy folios each evening by "
+        "lamplight while the boats were drawn up on gravel bars and the "
+        "notebooks slowly filled with measurements of water depth and "
+        "temperature and careful sketches of the canyon walls above "
+    )
+    other = (
+        "totally different archival material concerning lighthouse lens "
+        "rotation schedules and keeper logbooks maintained offshore with "
+        "monthly oil consumption figures and visitation registers kept "
+        "in the district office for later inspection by the board "
+    )
+    third = (
+        "bridge engineering notes with load tables for riveted iron "
+        "spans and maintenance intervals for painting and rivet "
+        "replacement recorded by the county surveyor over two decades "
+    )
+
+    base_vecs = spark.createDataFrame(
+        [(1000 + i, (para if i % 2 else other) + f" tail {i}",)
+         for i in range(12)],
+        "vec_id long, text string",
+    ).select(
+        "vec_id",
+        hashed_text_embedding(F.col("text"), dim=64).alias("embedding"),
+    ).localCheckpoint()
+    idx_path = str(tmp_path / "ix_idx")
+    ann_index.save_pq_index(
+        ann_index.build_pq_index(
+            base_vecs, m=8, n_codes=8, n_cells=4, iters=2,
+            sample_fraction=1.0,
+        ),
+        idx_path,
+    )
+
+    state = str(tmp_path / "ix_state")
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    cfg = CurationConfig(
+        min_quality=0.0, neardup_method="none", neardup_ledger=True,
+        semantic_ledger=True, semdedup_threshold=0.95,
+        semdedup_index_path=idx_path, serve_index_append=True,
+        index_compact_after_batches=2,
+    )
+
+    def lines(rows):
+        return spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "value string"
+        )
+
+    def served(doc_id) -> bool:
+        codes = ann_index.load_pq_index(spark, idx_path).codes
+        return codes.filter(F.col("id") == doc_id).count() > 0
+
+    docA = {"doc_id": 1, "text": para + "unique ending alpha"}
+    docB = {"doc_id": 2, "text": other + "unique ending beta"}
+
+    # batch 0 admits A+B → index append (log id 0); the cadence may
+    # already fold it — either way both serve
+    r0 = _ingest_batch(spark, lines([docA, docB]), 0, cfg, state, sch)
+    assert r0["index_appended"] == 2
+    assert served(1) and served(2)
+
+    # retract A → tombstone; A stops serving, B keeps serving
+    rep = retract_documents(spark, state, [1], cfg)
+    assert rep["index_tombstone"] is not None and rep["residual"] == 0
+    assert not served(1) and served(2)
+
+    # batch 1 (doc C) appends and trips the in-pipeline compaction —
+    # the tombstone folds into the snapshot; A must STAY absent
+    r1 = _ingest_batch(
+        spark, lines([{"doc_id": 3, "text": third + "unique ending gamma"}]),
+        1, cfg, state, sch,
+    )
+    assert r1["index_appended"] == 1
+    assert "index_compacted" in r1, "cadence should have fired"
+    assert _codes_horizon(spark, idx_path) >= 0
+    assert _tombstone_batches(spark, idx_path) == []  # folded away
+    assert not served(1) and served(2) and served(3)
+
+    # verb replay AFTER the fold: the probe reads the assembled view, A
+    # is absent → no new tombstone lands (the folded one is history)
+    tombs = _tombstone_batches(spark, idx_path)
+    rep2 = retract_documents(spark, state, [1], cfg)
+    assert rep2["index_tombstone"] is None and rep2["residual"] == 0
+    assert _tombstone_batches(spark, idx_path) == tombs
+    assert not served(1)
+
+    # re-submission of the same id+text in a later batch: admitted, its
+    # vectors re-append under a NEW log id, and the id serves again —
+    # tombstones are WAL-ordered so the fold must not resurrect or
+    # re-suppress across the re-append
+    r2 = _ingest_batch(spark, lines([docA]), 2, cfg, state, sch)
+    assert r2["admitted"] == 1 and r2["index_appended"] == 1
+    assert served(1) and served(2) and served(3)
+
+    # and a final retraction takes it down again (fresh tombstone above
+    # the horizon)
+    rep3 = retract_documents(spark, state, [1], cfg)
+    assert rep3["index_tombstone"] is not None and rep3["residual"] == 0
+    assert not served(1) and served(2) and served(3)
+
+
+def test_prune_ingest_audit_retention(spark, tmp_path):
+    # round-12 (r11 VERDICT item 3): the append-only audit ledgers
+    # (retracted/, overlap_drops/) fold but never EXPIRED. The prune verb
+    # drops rows at/below the stream checkpoint's committed horizon —
+    # overlap_drops by src_batch_id; retracted/ only when the scrub
+    # provably completed (a membership probe finds no trace) — and
+    # refuses an explicit horizon above the replay window.
+    import hashlib
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        _stream_commit_horizon,
+        prune_ingest_audit,
+        retract_documents,
+    )
+
+    para = (
+        "the archival record of the expedition describes a long river "
+        "journey through dense forest where the party catalogued birds "
+        "and pressed plant specimens into heavy folios each evening by "
+        "lamplight while the boats were drawn up on gravel bars and the "
+        "notebooks slowly filled with measurements of water depth and "
+        "temperature and careful sketches of the canyon walls above "
+    )
+    state = str(tmp_path / "prune_state")
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none",
+                         overlap_ledger=True, overlap_sample_mod=4,
+                         overlap_drop_audit=True)
+
+    def lines(rows):
+        return spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "value string"
+        )
+
+    _ingest_batch(spark, lines([
+        {"doc_id": 1, "text": para + "unique catalogue ending"},
+        {"doc_id": 2, "text": "entirely new subject matter concerning "
+                              "bridge engineering and load tables for "
+                              "riveted iron spans " * 4},
+    ]), 0, cfg, state, sch)
+    _ingest_batch(spark, lines([
+        {"doc_id": 10, "text": "fresh framing " + para + "novel ending"},
+    ]), 1, cfg, state, sch)  # overlap drop (10, 1) → audit row
+    assert spark.read.parquet(f"{state}/overlap_drops").count() >= 1
+
+    # a COMPLETED retraction of doc 2 → record only
+    rep = retract_documents(spark, state, [2], cfg)
+    assert rep["residual"] == 0
+    assert spark.read.parquet(f"{state}/retracted").count() == 1
+
+    # no checkpoint at all → horizon sentinel -2, default prunes nothing
+    assert _stream_commit_horizon(spark, state) == -2
+    out = prune_ingest_audit(spark, state, cfg)
+    assert out["up_to_batch"] == -1
+    assert out["overlap_drops"] is None and out["retracted"] is None
+    assert spark.read.parquet(f"{state}/retracted").count() == 1
+
+    # fake the stream checkpoint: batches 0 and 1 committed
+    os.makedirs(f"{state}/checkpoint/commits", exist_ok=True)
+    for b in ("0", "1"):
+        open(f"{state}/checkpoint/commits/{b}", "w").close()
+    assert _stream_commit_horizon(spark, state) == 1
+
+    # an INCOMPLETE retraction: a hand-landed record for doc 1, which is
+    # still fully live (simulates a crash after the record, before any
+    # scrub) — the membership probe must retain it
+    d1 = hashlib.md5((para + "unique catalogue ending").encode()).hexdigest()
+    spark.createDataFrame(
+        [(1, d1, 0)], "doc_id long, digest string, admitted_batch_id long"
+    ).write.mode("overwrite").parquet(f"{state}/retracted/batch_id=1")
+    assert spark.read.parquet(f"{state}/retracted").count() == 2
+
+    # refuse-beyond: rows above the committed horizon are load-bearing
+    with pytest.raises(ValueError, match="above the stream checkpoint"):
+        prune_ingest_audit(spark, state, cfg, up_to_batch=5)
+
+    out = prune_ingest_audit(spark, state, cfg)
+    assert out["horizon"] == 1 and out["up_to_batch"] == 1
+    # all audit drops were src_batch_id <= 1 → gone
+    assert out["overlap_drops"][0] >= 1 and out["overlap_drops"][1] == 0
+    # doc 2's completed record dropped; doc 1's incomplete record kept
+    assert out["retracted"] == [2, 1]
+    assert out["retained_incomplete"] == 1
+    left = spark.read.parquet(f"{state}/retracted").collect()
+    assert [(r.doc_id, r.admitted_batch_id) for r in left] == [(1, 0)]
+
+    # finishing the scrub makes the record prunable; idempotent re-run
+    rep = retract_documents(spark, state, [1], cfg)
+    assert rep["residual"] == 0
+    out2 = prune_ingest_audit(spark, state, cfg)
+    assert out2["retracted"][1] == 0 and out2["retained_incomplete"] == 0
+    out3 = prune_ingest_audit(spark, state, cfg)
+    assert out3["retracted"] in (None, [0, 0])
 
 
 def test_overlap_drop_audit_records_provenance(spark, tmp_path):
