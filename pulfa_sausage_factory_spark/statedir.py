@@ -167,9 +167,15 @@ def acquire_lease(
 
     Epoch files below the new token are swept on acquisition. All
     writers of one state dir must use the same ``ttl_sec`` (expiry is
-    judged with the prober's value). The nonce makes epoch-number reuse
-    after a clean release detectable (an ancient holder whose token
-    number comes around again still fences on the nonce mismatch)."""
+    judged with the prober's value), and ``ttl_sec`` must exceed the
+    longest single write a verb performs between lease checks — a fold
+    whose Spark job outlives the ttl can be taken over mid-write; the
+    stale writer still aborts safely at its next check (the primitives
+    validate before anything destructive), but it wasted the work.
+    Long-running holders renew between steps (the ingest run renews per
+    micro-batch). The nonce makes epoch-number reuse after a clean
+    release detectable (an ancient holder whose token number comes
+    around again still fences on the nonce mismatch)."""
     import json
     import os
     import time

@@ -284,6 +284,16 @@ def test_verbs_enforce_single_writer(spark, tmp_path):
 
     other = statedir.acquire_lease(spark, state, owner="other-writer")
     try:
+        # the live lease is observable in the state report
+        from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+            ingest_state_report,
+        )
+
+        srep = {
+            r.artifact: r.detail
+            for r in ingest_state_report(spark, state).collect()
+        }
+        assert "_lease" in srep and "other-writer" in srep["_lease"]
         with pytest.raises(statedir.LeaseHeld):
             _ingest_batch(spark, lines, 1, cfg, state, sch)
         with pytest.raises(statedir.LeaseHeld):
@@ -326,6 +336,12 @@ def test_verbs_enforce_single_writer(spark, tmp_path):
     )
     idx_lease = statedir.acquire_lease(spark, idx_path, owner="other")
     try:
+        # the live lease is observable in the index report
+        rep = {
+            r.artifact: r.detail
+            for r in ann_index.pq_index_report(spark, idx_path).collect()
+        }
+        assert "_lease" in rep and "other" in rep["_lease"]
         with pytest.raises(statedir.LeaseHeld):
             ann_index.append_to_pq_index(spark, idx_path, vecs.limit(2))
         with pytest.raises(statedir.LeaseHeld):
@@ -339,5 +355,10 @@ def test_verbs_enforce_single_writer(spark, tmp_path):
         assert out["rows"] == 1
     finally:
         idx_lease.release()
-    # released → verbs run again
+    # released → verbs run again, and the report's lease row is gone
     assert ann_index.compact_pq_index(spark, idx_path)["folded_batches"] == 1
+    arts = {
+        r.artifact
+        for r in ann_index.pq_index_report(spark, idx_path).collect()
+    }
+    assert "_lease" not in arts
