@@ -611,12 +611,40 @@ def main() -> None:
             "found": rrep["found"],
             "scrubbed": rrep["scrubbed"],
             "sec": dt3,
+            # the verb's own postcondition check (round 12) next to the
+            # external probe it mirrors
+            "residual": rrep.get("residual"),
             "still_present_after": left,
         }
         print(
             f"# retract_documents: {rrep['found']} of {len(rids)} ids "
             f"scrubbed from {sorted(rrep['scrubbed'])} in {dt3}s "
             f"(still present after: {left})",
+            file=sys.stderr,
+        )
+        # round-12 audit retention at scale: the state above holds the
+        # retraction records + any overlap-drop audit rows; prune at the
+        # stream checkpoint's committed horizon. The retracted/ leg pays
+        # the completed-scrub membership probe at full state volume —
+        # the part that actually costs.
+        from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+            prune_ingest_audit,
+        )
+
+        t0 = time.perf_counter()
+        prep = prune_ingest_audit(spark, f"{work}/state", ocfg)
+        dt4 = round(time.perf_counter() - t0, 2)
+        out["ops"]["prune_ingest_audit"] = {
+            "horizon": prep["horizon"],
+            "retracted": prep["retracted"],
+            "overlap_drops": prep["overlap_drops"],
+            "retained_incomplete": prep["retained_incomplete"],
+            "sec": dt4,
+        }
+        print(
+            f"# prune_ingest_audit: retracted {prep['retracted']} "
+            f"overlap_drops {prep['overlap_drops']} (retained "
+            f"incomplete: {prep['retained_incomplete']}) in {dt4}s",
             file=sys.stderr,
         )
     except Exception as exc:  # noqa: BLE001 — record, keep the evidence
