@@ -1798,6 +1798,52 @@ def _sweep_orphan_reservations(spark, base: str, mapping) -> int:
     return swept
 
 
+def _state_surfaces(icol: str) -> tuple:
+    """The six scrubbed ingest-state surfaces as ``(dir, surface key
+    column, retraction-key column)`` — ledgers first, the corpus-sized
+    dir last (the scrub/probe order shared by ``retract_documents``'s
+    scrubs, its ``residual`` self-check, and ``prune_ingest_audit``'s
+    completed-scrub detection)."""
+    return (
+        ("ledger", "digest", "digest"),
+        ("sigs", "id", "doc_id"),
+        ("bands", "old_id", "doc_id"),
+        ("semvecs", "old_id", "doc_id"),
+        ("fps", "old_id", "doc_id"),
+        ("corpus", icol, "doc_id"),
+    )
+
+
+def _live_matches(spark, base: str, sub: str, key_col: str,
+                  keys: DataFrame, keys_col: str, batches):
+    """Rows of ``<base>/<sub>`` whose ``key_col`` matches
+    ``keys[keys_col]``, partition-pruned to ``batches`` plus the
+    ``batch_id=-1`` fold archive — the ONE membership-probe
+    implementation behind the takedown scrub's hit counts, its
+    post-scrub ``residual`` self-check, and the audit prune's
+    completed-scrub detection (three hand-rolled copies of the pruning
+    logic would drift). ``None`` when the surface, its key column, or
+    every candidate partition is absent."""
+    from .. import fsutil
+    from ..io import read_parquet_state
+
+    path = f"{base}/{sub}"
+    df = read_parquet_state(spark, path, mergeSchema="true")
+    if df is None or key_col not in df.columns:
+        return None
+    parts = [
+        p for p in batches if fsutil.is_dir(spark, f"{path}/batch_id={p}")
+    ]
+    if fsutil.is_dir(spark, f"{path}/batch_id=-1"):
+        parts.append(-1)  # folded archive may hold any batch's rows
+    if not parts:
+        return None
+    probe = keys.select(F.col(keys_col).alias(key_col)).distinct()
+    return df.filter(F.col("batch_id").isin(parts)).join(
+        F.broadcast(probe), key_col, "left_semi"
+    )
+
+
 def retract_documents(
     spark: SparkSession, state_dir: str, ids, cfg: CurationConfig,
     dry_run: bool = False, lease=None,
@@ -2024,23 +2070,12 @@ def _retract_documents_body(
     def _scrub(sub: str, key_col: str, keys_col: str) -> None:
         path = os.path.join(base, sub)
         statedir.recover_partition_swaps(spark, path)
-        df = read_parquet_state(spark, path, mergeSchema="true")
-        if df is None or key_col not in df.columns:
-            return
-        parts = [
-            p for p in cand_batches
-            if fsutil.is_dir(spark, f"{path}/batch_id={p}")
-        ]
-        if fsutil.is_dir(spark, f"{path}/batch_id=-1"):
-            parts.append(-1)  # folded archive may hold any batch's rows
-        if not parts:
+        matches = _live_matches(spark, base, sub, key_col, keys, keys_col,
+                                cand_batches)
+        if matches is None:
             return
         drop = keys.select(F.col(keys_col).alias(key_col)).distinct()
-        pruned = df.filter(F.col("batch_id").isin(parts))
-        hits = (
-            pruned.join(F.broadcast(drop), key_col, "left_semi")
-            .groupBy("batch_id").count().collect()
-        )
+        hits = matches.groupBy("batch_id").count().collect()
         if not hits:
             return
         if dry_run:
@@ -2067,13 +2102,9 @@ def _retract_documents_body(
         out["scrubbed"][sub] = int(sum(r["count"] for r in hits))
 
     # 2. ledgers first (their keys live in `keys` regardless of corpus
-    #    state), the corpus-sized dir last
-    _scrub("ledger", "digest", "digest")
-    _scrub("sigs", "id", "doc_id")
-    _scrub("bands", "old_id", "doc_id")
-    _scrub("semvecs", "old_id", "doc_id")
-    _scrub("fps", "old_id", "doc_id")
-    _scrub("corpus", icol, "doc_id")
+    #    state), the corpus-sized dir last (_state_surfaces order)
+    for sub, key_col, keys_col in _state_surfaces(icol):
+        _scrub(sub, key_col, keys_col)
 
     # 3. serving-index tombstone, only for ids the assembled view still
     #    SERVES (live tombstones already hide previously-retracted ids,
@@ -2114,32 +2145,12 @@ def _retract_documents_body(
     #    audit rows are excluded by design (see docstring).
     if not dry_run:
         residual: dict = {}
-        for sub, key_col, keys_col in (
-            ("ledger", "digest", "digest"),
-            ("sigs", "id", "doc_id"),
-            ("bands", "old_id", "doc_id"),
-            ("semvecs", "old_id", "doc_id"),
-            ("fps", "old_id", "doc_id"),
-            ("corpus", icol, "doc_id"),
-        ):
-            path = os.path.join(base, sub)
-            df = read_parquet_state(spark, path, mergeSchema="true")
-            if df is None or key_col not in df.columns:
+        for sub, key_col, keys_col in _state_surfaces(icol):
+            matches = _live_matches(spark, base, sub, key_col, keys,
+                                    keys_col, cand_batches)
+            if matches is None:
                 continue
-            parts = [
-                p for p in cand_batches
-                if fsutil.is_dir(spark, f"{path}/batch_id={p}")
-            ]
-            if fsutil.is_dir(spark, f"{path}/batch_id=-1"):
-                parts.append(-1)
-            if not parts:
-                continue
-            drop = keys.select(F.col(keys_col).alias(key_col)).distinct()
-            n = (
-                df.filter(F.col("batch_id").isin(parts))
-                .join(F.broadcast(drop), key_col, "left_semi")
-                .count()
-            )
+            n = matches.count()
             if n:
                 residual[sub] = int(n)
         if cfg.serve_index_append and cfg.semdedup_index_path:
@@ -2334,44 +2345,18 @@ def _prune_ingest_audit_body(
                         "admitted_batch_id"
                     ).distinct().collect()
                 )
-                icol = cfg.id_col
-                for sub, key_col, keys_col in (
-                    ("ledger", "digest", "digest"),
-                    ("sigs", "id", "doc_id"),
-                    ("bands", "old_id", "doc_id"),
-                    ("semvecs", "old_id", "doc_id"),
-                    ("fps", "old_id", "doc_id"),
-                    ("corpus", icol, "doc_id"),
-                ):
-                    spath = f"{base}/{sub}"
-                    sdf = read_parquet_state(spark, spath,
-                                             mergeSchema="true")
-                    if sdf is None or key_col not in sdf.columns:
-                        continue
-                    parts = [
-                        p for p in batches
-                        if fsutil.is_dir(spark, f"{spath}/batch_id={p}")
-                    ]
-                    if fsutil.is_dir(spark, f"{spath}/batch_id=-1"):
-                        parts.append(-1)
-                    if not parts:
+                for sub, key_col, keys_col in _state_surfaces(cfg.id_col):
+                    matches = _live_matches(spark, base, sub, key_col,
+                                            cand, keys_col, batches)
+                    if matches is None:
                         continue
                     # key VALUES still live on this surface (small —
                     # bounded by the candidate set), then back to the
                     # candidate RECORDS they retain: a hit on either key
                     # keeps the whole (doc_id, digest, batch) record
-                    hit_vals = (
-                        sdf.filter(F.col("batch_id").isin(parts))
-                        .join(
-                            F.broadcast(
-                                cand.select(
-                                    F.col(keys_col).alias(key_col)
-                                ).distinct()
-                            ),
-                            key_col, "left_semi",
-                        )
-                        .select(F.col(key_col).alias(keys_col)).distinct()
-                    )
+                    hit_vals = matches.select(
+                        F.col(key_col).alias(keys_col)
+                    ).distinct()
                     hit_recs = cand.join(
                         F.broadcast(hit_vals), keys_col, "left_semi"
                     )
