@@ -168,12 +168,16 @@ def acquire_lease(
     Epoch files below the new token are swept on acquisition. All
     writers of one state dir must use the same ``ttl_sec`` (expiry is
     judged with the prober's value), and ``ttl_sec`` must exceed the
-    longest single write a verb performs between lease checks — a fold
-    whose Spark job outlives the ttl can be taken over mid-write; the
-    stale writer still aborts safely at its next check (the primitives
-    validate before anything destructive), but it wasted the work.
-    Long-running holders renew between steps (the ingest run renews per
-    micro-batch). The nonce makes epoch-number reuse after a clean
+    longest single write a verb performs between lease checks — the
+    destructive primitives RENEW at entry so the ttl window covers
+    their Spark write, but a fold that still outlives the ttl can be
+    taken over mid-write; the stale writer then aborts safely at its
+    next check (the primitives validate before anything destructive),
+    it just wasted the work. Long-running holders renew between steps
+    (the ingest run renews per micro-batch). Expiry compares the
+    prober's clock against the stored mtime, so writers' clocks must be
+    synchronized to well under the ttl (NTP-level skew is fine at the
+    900 s default). The nonce makes epoch-number reuse after a clean
     release detectable (an ancient holder whose token number comes
     around again still fences on the nonce mismatch)."""
     import json
@@ -314,6 +318,9 @@ def write_snapshot(
     from a prior crash and is replaced."""
     tmp = snap_dir.rstrip("/") + "/.snapshot_tmp"
     final = snap_dir.rstrip("/") + f"/{prefix}{int(up_to)}"
+    if lease is not None:
+        # renew at entry so the ttl window covers the snapshot write
+        lease.renew()
     fsutil.delete(spark, tmp)
     df.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
@@ -423,6 +430,10 @@ def swap_partitions(
     ``batch_id=…`` child), so partition-column type inference is never
     polluted by in-flight state. Returns the swapped child names."""
     tmp = path.rstrip("/") + ".__partswap__"
+    if lease is not None:
+        # renew at entry so the ttl window covers the Spark write below
+        # (a fold outliving the ttl invites a takeover mid-write)
+        lease.renew()
     fsutil.delete(spark, tmp)
     write(tmp)
     if lease is not None:
@@ -456,6 +467,9 @@ def replace_dir(
     restores the original after a crash anywhere in it."""
     base = path.rstrip("/")
     tmp, old = base + ".__compact__", base + ".__old__"
+    if lease is not None:
+        # renew at entry so the ttl window covers the Spark write below
+        lease.renew()
     for stale in (tmp, old):
         fsutil.delete(spark, stale)
     write(tmp)
