@@ -2242,7 +2242,16 @@ def prune_ingest_audit(
       ``retained_incomplete``, and the operator re-runs
       ``retract_documents`` to finish the scrub first. Pruning them
       would strand unscrubable ledger digests (the record is the only
-      carrier of the digest once the corpus text is gone).
+      carrier of the digest once the corpus text is gone). The probe
+      errs toward RETENTION: the membership scan includes the
+      ``batch_id=-1`` fold archive, which holds rows from EVERY batch —
+      so after a ``compact_ingest_state`` fold, a record whose doc was
+      later legitimately RE-ADMITTED (same digest, newer batch, rows
+      now in the archive) probes as "still live" and is conservatively
+      kept, even though its own admission's scrub completed. Harmless
+      (a kept audit row, never a kept document) and bounded by the
+      re-admission rate; the trade buys never dropping a record whose
+      scrub might still need its digest.
 
     Both rewrites ride ``statedir.replace_dir`` (kept rows land in the
     ``batch_id=-1`` archive partition, bounded to the shared
