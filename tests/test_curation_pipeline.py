@@ -2758,6 +2758,68 @@ def test_prune_ingest_audit_retention(spark, tmp_path):
     assert out3["retracted"] in (None, [0, 0])
 
 
+def test_prune_retention_is_conservative_after_fold(spark, tmp_path):
+    # the documented retention trade: the completed-scrub probe includes
+    # the batch_id=-1 fold archive (rows from EVERY batch), so after a
+    # compact_ingest_state fold, a record whose doc was later
+    # legitimately RE-ADMITTED (same digest, newer batch) probes as
+    # "still live" and is conservatively KEPT — while pre-fold, the
+    # per-batch partition pruning correctly proves the old admission's
+    # scrub complete and drops the record.
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        compact_ingest_state,
+        prune_ingest_audit,
+        retract_documents,
+    )
+
+    doc = {"doc_id": 1, "text": "a sufficiently long archival paragraph "
+                               "about river journeys and folio pressing "
+                               "repeated for length " * 3}
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none")
+
+    def lines(rows):
+        return spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "value string"
+        )
+
+    def setup(state):
+        _ingest_batch(spark, lines([doc]), 0, cfg, state, sch)
+        rep = retract_documents(spark, state, [1], cfg)
+        assert rep["residual"] == 0
+        _ingest_batch(spark, lines([doc]), 1, cfg, state, sch)  # re-admit
+        os.makedirs(f"{state}/checkpoint/commits", exist_ok=True)
+        for b in ("0", "1"):
+            open(f"{state}/checkpoint/commits/{b}", "w").close()
+
+    # pre-fold: per-batch pruning proves batch 0's scrub complete → drop
+    s1 = str(tmp_path / "nofold")
+    setup(s1)
+    out = prune_ingest_audit(spark, s1, cfg)
+    assert out["retracted"] == [1, 0] and out["retained_incomplete"] == 0
+    # the re-admitted copy is untouched by the prune
+    assert spark.read.parquet(f"{s1}/corpus").filter(
+        F.col("doc_id") == 1
+    ).count() == 1
+
+    # post-fold: the archive holds the re-admission's digest → the probe
+    # errs toward retention (kept audit row, never a kept document)
+    s2 = str(tmp_path / "folded")
+    setup(s2)
+    compact_ingest_state(spark, s2, max_files=0)
+    out2 = prune_ingest_audit(spark, s2, cfg)
+    assert out2["retracted"] == [1, 1] and out2["retained_incomplete"] == 1
+    assert spark.read.parquet(f"{s2}/corpus").filter(
+        F.col("doc_id") == 1
+    ).count() == 1
+
+
 def test_overlap_drop_audit_records_provenance(spark, tmp_path):
     # round-11: cfg.overlap_drop_audit — every doc the CROSS-RUN overlap
     # leg drops lands (doc_id, old_id, shared_fps, threshold) audit rows
