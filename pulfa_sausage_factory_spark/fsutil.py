@@ -98,20 +98,28 @@ def touch(spark: SparkSession, path: str) -> None:
 
 def create_exclusive(spark: SparkSession, path: str, content: str = "") -> None:
     """Create ``path`` with ``content`` iff it does not already exist —
-    the mutual-exclusion primitive (Hadoop ``create(overwrite=false)`` is
-    atomic on HDFS and local disk; object stores approximate it). An
-    already-existing file raises OSError: the loser of an acquisition
-    race must refuse, never overwrite the winner's record."""
+    the mutual-exclusion primitive. An already-existing file raises
+    ``FileExistsError``: the loser of an acquisition race must refuse,
+    never overwrite the winner's record. Other failures (permissions,
+    transient IO) raise plain OSError — callers must not mistake them
+    for a lost race. Caveat: ``create(overwrite=false)`` is enforced
+    store-side on HDFS but is an exists-then-create pair on
+    LocalFileSystem (no O_EXCL), so same-host racers have a microsecond
+    window — the lease layer closes it with a post-create read-back
+    (``statedir.acquire_lease``)."""
     from py4j.protocol import Py4JJavaError
 
     fs, p = _fs_path(spark, path)
     try:
         out = fs.create(p, False)
     except Py4JJavaError as exc:
-        raise OSError(
-            f"create_exclusive failed (already exists?): {path}: "
-            f"{exc.java_exception.getMessage()}"
-        ) from None
+        cls = exc.java_exception.getClass().getName()
+        msg = exc.java_exception.getMessage()
+        if "AlreadyExists" in cls or fs.exists(p):
+            raise FileExistsError(
+                f"create_exclusive: already exists: {path}: {msg}"
+            ) from None
+        raise OSError(f"create_exclusive failed: {path}: {msg}") from None
     try:
         out.write(bytearray(content.encode("utf-8")))
     finally:

@@ -1056,26 +1056,11 @@ def pq_index_report(spark: SparkSession, path: str) -> DataFrame:
     # the index dir's writer lease (round 12) is observable here like
     # every other artifact — "who is mutating this index / is a crashed
     # holder about to be taken over" without listing _lease by hand
-    import time
-
     from pulfa_sausage_factory_spark import statedir
 
-    epochs = statedir.numbered_dirs(spark, f"{base}/{statedir.LEASE_DIR}",
-                                    "epoch=")
-    if epochs:
-        cur = max(epochs)
-        lpath = f"{base}/{statedir.LEASE_DIR}/{epochs[cur]}"
-        try:
-            age_s = (time.time() * 1000
-                     - fsutil.mtime_ms(spark, lpath)) / 1000.0
-            rec = fsutil.read_text(spark, lpath) or "<unreadable>"
-            rows.append((
-                "_lease", 0, 0, True,
-                f"writer lease epoch {cur}, renewed {age_s:.1f}s ago: "
-                f"{rec}",
-            ))
-        except Exception:
-            pass  # released between the listing and the stat — no row
+    lease_detail = statedir.lease_report_detail(spark, base)
+    if lease_detail is not None:
+        rows.append(("_lease", 0, 0, True, lease_detail))
     return spark.createDataFrame(
         rows,
         "artifact string, files int, bytes long, committed boolean, "

@@ -1121,7 +1121,11 @@ def _ingest_batch_body(
                 retr.filter(F.col("admitted_batch_id") == batch_id)
                 .select(F.col("doc_id").alias(icol)).distinct()
             )
-            if guard.count() > 0:  # takedown-sized
+            # isEmpty (limit-1 over the takedown-sized frame) gates the
+            # reconciliation counts — the common case (a state dir with
+            # retraction history but none for THIS batch id) pays one
+            # cheap probe job, not two full counts, per micro-batch
+            if not guard.isEmpty():
                 pre_guard = docs.count()
                 docs = docs.join(F.broadcast(guard), icol, "left_anti")
     n_in = docs.count()
@@ -1725,24 +1729,9 @@ def ingest_state_report(spark: SparkSession, state_dir: str) -> DataFrame:
     # holder record, and whether it is live or expired — "who is writing
     # this dir / is a crashed holder blocking maintenance" should be
     # answerable from the report, not from listing _lease by hand
-    import time
-
-    lease_dir = f"{base}/{statedir.LEASE_DIR}"
-    epochs = statedir.numbered_dirs(spark, lease_dir, "epoch=")
-    if epochs:
-        cur = max(epochs)
-        lpath = f"{lease_dir}/{epochs[cur]}"
-        try:
-            age_s = (time.time() * 1000
-                     - fsutil.mtime_ms(spark, lpath)) / 1000.0
-            rec = fsutil.read_text(spark, lpath) or "<unreadable>"
-            rows.append((
-                "_lease", 0, 0, 0, False,
-                f"writer lease epoch {cur}, renewed {age_s:.1f}s ago: "
-                f"{rec}",
-            ))
-        except Exception:
-            pass  # released between the listing and the stat — no row
+    lease_detail = statedir.lease_report_detail(spark, base)
+    if lease_detail is not None:
+        rows.append(("_lease", 0, 0, 0, False, lease_detail))
     return spark.createDataFrame(
         rows,
         "artifact string, files int, bytes long, batches int, "
@@ -2236,7 +2225,13 @@ def prune_ingest_audit(
     - ``retracted``: rows with ``admitted_batch_id <= up_to_batch`` drop
       ONLY if their scrub provably completed — a partition-pruned
       membership probe (same shape as the verb's own ``residual``
-      self-check) finds no trace of the key on any surface. Rows still
+      self-check) finds no trace of the key on any state surface, AND —
+      when the pipeline manages a serving index
+      (``cfg.serve_index_append``) — the id is not still served: the
+      index tombstone is the takedown's LAST step, so a record whose
+      state scrubs completed but whose tombstone never landed must stay
+      (pruning it would leave the verb's re-run nothing to find and the
+      id serving forever). Rows still
       matching live state belong to an INCOMPLETE retraction (crashed
       mid-scrub): they are retained, counted in
       ``retained_incomplete``, and the operator re-runs
@@ -2368,6 +2363,45 @@ def _prune_ingest_audit_body(
                     ).distinct()
                     hit_recs = cand.join(
                         F.broadcast(hit_vals), keys_col, "left_semi"
+                    )
+                    incomplete = (
+                        hit_recs if incomplete is None
+                        else incomplete.unionByName(hit_recs)
+                    )
+                if cfg.serve_index_append and cfg.semdedup_index_path:
+                    # the takedown's LAST step is the serving-index
+                    # tombstone: a record whose six state scrubs all
+                    # completed but whose tombstone never landed (crash
+                    # between steps, or a LeaseHeld on the index dir)
+                    # probes clean on the surfaces above yet is NOT
+                    # prunable — dropping it would strand the id
+                    # serving forever, because the verb's re-run would
+                    # find no keys (corpus scrubbed, record gone) and
+                    # return before ever reaching its index leg. Same
+                    # probe the verb's own `residual` self-check runs.
+                    from ..operators.ann_index import load_pq_index
+
+                    codes = load_pq_index(
+                        spark, cfg.semdedup_index_path
+                    ).codes
+                    id_type = codes.schema["id"].dataType
+                    doc_type = cand.schema["doc_id"].dataType
+                    hit_vals = (
+                        codes.join(
+                            F.broadcast(
+                                cand.select(
+                                    F.col("doc_id").cast(id_type)
+                                    .alias("id")
+                                ).distinct()
+                            ),
+                            "id", "left_semi",
+                        )
+                        .select(
+                            F.col("id").cast(doc_type).alias("doc_id")
+                        ).distinct()
+                    )
+                    hit_recs = cand.join(
+                        F.broadcast(hit_vals), "doc_id", "left_semi"
                     )
                     incomplete = (
                         hit_recs if incomplete is None

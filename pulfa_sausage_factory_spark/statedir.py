@@ -195,7 +195,12 @@ def acquire_lease(
         try:
             age_ms = now_ms - fsutil.mtime_ms(spark, cur_path)
         except Exception:
-            age_ms = None  # deleted under us (a release racing in) — free
+            # only a lease RELEASED under us (file gone) reads as free —
+            # a transient stat failure on a still-present lease must not
+            # become a steal of a live healthy holder
+            if fsutil.exists(spark, cur_path):
+                raise
+            age_ms = None
         if age_ms is not None and age_ms <= ttl_sec * 1000:
             rec = fsutil.read_text(spark, cur_path) or "<unreadable>"
             raise LeaseHeld(
@@ -215,16 +220,42 @@ def acquire_lease(
     })
     try:
         fsutil.create_exclusive(spark, f"{ldir}/epoch={token}", rec)
-    except OSError as exc:
+    except FileExistsError as exc:
         raise LeaseHeld(
             f"writer lease on {base}: lost the acquisition race for "
             f"epoch {token}: {exc}"
         ) from None
+    # post-create verification closes the remaining races (the
+    # create-if-absent only arbitrates SAME-token racers):
+    # 1. a release landing between our listing and our create lets a
+    #    second prober compute a DIFFERENT token (it saw the empty dir)
+    #    — both creates succeed; re-listing makes the LOWER token lose
+    #    deterministically (the higher epoch fences it anyway);
+    # 2. on stores whose create(overwrite=false) is exists-then-create
+    #    rather than O_EXCL (LocalFileSystem), a same-token racer can
+    #    slip through and overwrite our record — the nonce read-back
+    #    catches the loser (whoever's content did not survive). A racer
+    #    landing between this read-back and our return is the residual
+    #    window, same class as the object-store rename caveat.
+    lease = WriterLease(spark, base, token, nonce,
+                        owner or f"pid={os.getpid()}", ttl_sec)
+    try:
+        lease.check()
+    except LeaseFenced as exc:
+        # clean up ONLY a record that is still provably ours (lost to a
+        # higher epoch); a same-token loser's file now holds the
+        # WINNER's record and must be left alone
+        rec_now = fsutil.read_text(spark, lease.path)
+        if rec_now is not None and nonce in rec_now:
+            fsutil.delete(spark, lease.path)
+        raise LeaseHeld(
+            f"writer lease on {base}: lost the acquisition race after "
+            f"creating epoch {token}: {exc}"
+        ) from None
     for old, name in epochs.items():
         if old < token:
             fsutil.delete(spark, f"{ldir}/{name}")
-    return WriterLease(spark, base, token, nonce,
-                       owner or f"pid={os.getpid()}", ttl_sec)
+    return lease
 
 
 def lease_scope(
@@ -245,6 +276,20 @@ def lease_scope(
     @contextmanager
     def _scope():
         if lease is not None:
+            # a lease for a DIFFERENT directory renews fine against its
+            # own _lease sidecar and would silently disable enforcement
+            # on THIS one (one misplaced keyword away: passing the state
+            # run lease to an index verb) — refuse loudly instead
+            want = state_dir.rstrip("/")
+            if lease.base != want and fsutil.qualified_uri(
+                spark, lease.base
+            ) != fsutil.qualified_uri(spark, want):
+                raise LeaseError(
+                    f"lease_scope({owner}): the passed lease is held on "
+                    f"{lease.base!r}, not on {want!r} — holding some "
+                    "OTHER directory's lease provides no exclusion here; "
+                    "pass this directory's lease or none"
+                )
             lease.renew()
             yield lease
         else:
@@ -255,6 +300,33 @@ def lease_scope(
                 own.release()
 
     return _scope()
+
+
+def lease_report_detail(spark: SparkSession, base: str) -> str | None:
+    """One-line description of the CURRENT writer lease on ``base``
+    (epoch, renewal age, holder record), or ``None`` when no lease is
+    live — the shared formatting behind the ``_lease`` rows in
+    ``ingest_state_report`` and ``pq_index_report`` (two hand-rolled
+    copies would drift, and both had blanket excepts that made a
+    PERMISSION failure read as "no writer" mid-diagnosis). Only the
+    released-between-list-and-stat race maps to ``None``; other probe
+    failures propagate."""
+    import time
+
+    base = base.rstrip("/")
+    epochs = numbered_dirs(spark, f"{base}/{LEASE_DIR}", "epoch=")
+    if not epochs:
+        return None
+    cur = max(epochs)
+    lpath = f"{base}/{LEASE_DIR}/{epochs[cur]}"
+    try:
+        age_s = (time.time() * 1000 - fsutil.mtime_ms(spark, lpath)) / 1000.0
+    except Exception:
+        if fsutil.exists(spark, lpath):
+            raise  # real probe failure — never report it as "no writer"
+        return None  # released between the listing and the stat
+    rec = fsutil.read_text(spark, lpath) or "<unreadable>"
+    return f"writer lease epoch {cur}, renewed {age_s:.1f}s ago: {rec}"
 
 
 def numbered_dirs(

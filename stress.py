@@ -593,60 +593,74 @@ def main() -> None:
         # round-11 retraction verb at scale: take down a 1,000-doc batch
         # from the populated state (digest ledger + fps + corpus here —
         # the per-surface swap rewrite at full state volume, the part
-        # that actually costs), then verify the ids are physically gone
-        rids = [
-            r.doc_id
-            for r in spark.read.parquet(f"{work}/state/corpus")
-            .select("doc_id").limit(1000).collect()
-        ]
-        t0 = time.perf_counter()
-        rrep = retract_documents(spark, f"{work}/state", rids, ocfg)
-        dt3 = round(time.perf_counter() - t0, 2)
-        left = (
-            spark.read.parquet(f"{work}/state/corpus")
-            .filter(F.col("doc_id").isin(rids)).count()
-        )
-        out["ops"]["retract_documents"] = {
-            "requested": len(rids),
-            "found": rrep["found"],
-            "scrubbed": rrep["scrubbed"],
-            "sec": dt3,
-            # the verb's own postcondition check (round 12) next to the
-            # external probe it mirrors
-            "residual": rrep.get("residual"),
-            "still_present_after": left,
-        }
-        print(
-            f"# retract_documents: {rrep['found']} of {len(rids)} ids "
-            f"scrubbed from {sorted(rrep['scrubbed'])} in {dt3}s "
-            f"(still present after: {left})",
-            file=sys.stderr,
-        )
+        # that actually costs), then verify the ids are physically gone.
+        # Own try/except: a failure here must land under ITS key, never
+        # overwrite the already-recorded overlap_ingest evidence.
+        try:
+            rids = [
+                r.doc_id
+                for r in spark.read.parquet(f"{work}/state/corpus")
+                .select("doc_id").limit(1000).collect()
+            ]
+            t0 = time.perf_counter()
+            rrep = retract_documents(spark, f"{work}/state", rids, ocfg)
+            dt3 = round(time.perf_counter() - t0, 2)
+            left = (
+                spark.read.parquet(f"{work}/state/corpus")
+                .filter(F.col("doc_id").isin(rids)).count()
+            )
+            out["ops"]["retract_documents"] = {
+                "requested": len(rids),
+                "found": rrep["found"],
+                "scrubbed": rrep["scrubbed"],
+                "sec": dt3,
+                # the verb's own postcondition check (round 12) next to
+                # the external probe it mirrors
+                "residual": rrep.get("residual"),
+                "still_present_after": left,
+            }
+            print(
+                f"# retract_documents: {rrep['found']} of {len(rids)} "
+                f"ids scrubbed from {sorted(rrep['scrubbed'])} in {dt3}s "
+                f"(still present after: {left})",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            out["ops"]["retract_documents"] = {
+                "error": f"{type(exc).__name__}: {exc}"[:300]
+            }
+            print(f"# retract_documents FAILED — {exc}", file=sys.stderr)
         # round-12 audit retention at scale: the state above holds the
         # retraction records + any overlap-drop audit rows; prune at the
         # stream checkpoint's committed horizon. The retracted/ leg pays
         # the completed-scrub membership probe at full state volume —
         # the part that actually costs.
-        from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
-            prune_ingest_audit,
-        )
+        try:
+            from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (  # noqa: E501
+                prune_ingest_audit,
+            )
 
-        t0 = time.perf_counter()
-        prep = prune_ingest_audit(spark, f"{work}/state", ocfg)
-        dt4 = round(time.perf_counter() - t0, 2)
-        out["ops"]["prune_ingest_audit"] = {
-            "horizon": prep["horizon"],
-            "retracted": prep["retracted"],
-            "overlap_drops": prep["overlap_drops"],
-            "retained_incomplete": prep["retained_incomplete"],
-            "sec": dt4,
-        }
-        print(
-            f"# prune_ingest_audit: retracted {prep['retracted']} "
-            f"overlap_drops {prep['overlap_drops']} (retained "
-            f"incomplete: {prep['retained_incomplete']}) in {dt4}s",
-            file=sys.stderr,
-        )
+            t0 = time.perf_counter()
+            prep = prune_ingest_audit(spark, f"{work}/state", ocfg)
+            dt4 = round(time.perf_counter() - t0, 2)
+            out["ops"]["prune_ingest_audit"] = {
+                "horizon": prep["horizon"],
+                "retracted": prep["retracted"],
+                "overlap_drops": prep["overlap_drops"],
+                "retained_incomplete": prep["retained_incomplete"],
+                "sec": dt4,
+            }
+            print(
+                f"# prune_ingest_audit: retracted {prep['retracted']} "
+                f"overlap_drops {prep['overlap_drops']} (retained "
+                f"incomplete: {prep['retained_incomplete']}) in {dt4}s",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            out["ops"]["prune_ingest_audit"] = {
+                "error": f"{type(exc).__name__}: {exc}"[:300]
+            }
+            print(f"# prune_ingest_audit FAILED — {exc}", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001 — record, keep the evidence
         out["ops"]["overlap_ingest"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
         print(f"# overlap_ingest FAILED — {exc}", file=sys.stderr)

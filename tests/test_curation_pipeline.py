@@ -2758,6 +2758,111 @@ def test_prune_ingest_audit_retention(spark, tmp_path):
     assert out3["retracted"] in (None, [0, 0])
 
 
+def test_prune_retains_record_with_pending_index_tombstone(
+    spark, tmp_path, monkeypatch
+):
+    # round-12 review finding: the index tombstone is the takedown's
+    # LAST step — a retraction that scrubbed all six state surfaces but
+    # crashed (or hit LeaseHeld on the index dir) before
+    # remove_from_pq_index leaves the id SERVING with only the
+    # retracted/ record pointing at it. Pruning that record would strand
+    # the takedown forever: the verb's re-run would find no keys and
+    # return before its index leg. The prune probe therefore includes
+    # the served index and retains the record until the tombstone lands.
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.functions.vectors import (
+        hashed_text_embedding,
+    )
+    from pulfa_sausage_factory_spark.operators import ann_index
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        prune_ingest_audit,
+        retract_documents,
+    )
+
+    para = (
+        "the archival record of the expedition describes a long river "
+        "journey through dense forest where the party catalogued birds "
+        "and pressed plant specimens into heavy folios each evening by "
+        "lamplight while the boats were drawn up on gravel bars above "
+    )
+    other = (
+        "totally different archival material concerning lighthouse lens "
+        "rotation schedules and keeper logbooks maintained offshore by "
+        "the district office for later inspection by the board members "
+    )
+    base_vecs = spark.createDataFrame(
+        [(1000 + i, (para if i % 2 else other) + f" tail {i}",)
+         for i in range(12)],
+        "vec_id long, text string",
+    ).select(
+        "vec_id",
+        hashed_text_embedding(F.col("text"), dim=64).alias("embedding"),
+    ).localCheckpoint()
+    idx_path = str(tmp_path / "strand_idx")
+    ann_index.save_pq_index(
+        ann_index.build_pq_index(
+            base_vecs, m=8, n_codes=8, n_cells=4, iters=2,
+            sample_fraction=1.0,
+        ),
+        idx_path,
+    )
+    state = str(tmp_path / "strand_state")
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    cfg = CurationConfig(
+        min_quality=0.0, neardup_method="none", neardup_ledger=True,
+        semantic_ledger=True, semdedup_threshold=0.95,
+        semdedup_index_path=idx_path, serve_index_append=True,
+    )
+    lines = spark.createDataFrame(
+        [(json.dumps({"doc_id": 1, "text": para + "unique alpha"}),),
+         (json.dumps({"doc_id": 2, "text": other + "unique beta"}),)],
+        "value string",
+    )
+    assert _ingest_batch(spark, lines, 0, cfg, state, sch)["admitted"] == 2
+    os.makedirs(f"{state}/checkpoint/commits", exist_ok=True)
+    open(f"{state}/checkpoint/commits/0", "w").close()
+
+    # retraction crashes AFTER the state scrubs, BEFORE the tombstone
+    def _boom(*a, **k):
+        raise RuntimeError("injected crash before index tombstone")
+
+    monkeypatch.setattr(
+        "pulfa_sausage_factory_spark.operators.ann_index."
+        "remove_from_pq_index", _boom,
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        retract_documents(spark, state, [1], cfg)
+    monkeypatch.undo()
+    # state scrubbed, record present, id STILL SERVING
+    assert spark.read.parquet(f"{state}/corpus").filter(
+        F.col("doc_id") == 1
+    ).count() == 0
+    assert ann_index.load_pq_index(spark, idx_path).codes.filter(
+        F.col("id") == 1
+    ).count() == 1
+
+    # the prune must RETAIN the record — the only pointer to the
+    # pending tombstone
+    out = prune_ingest_audit(spark, state, cfg)
+    assert out["retracted"] == [1, 1] and out["retained_incomplete"] == 1
+
+    # re-running the verb completes the takedown; then the record prunes
+    rep = retract_documents(spark, state, [1], cfg)
+    assert rep["index_tombstone"] is not None and rep["residual"] == 0
+    assert ann_index.load_pq_index(spark, idx_path).codes.filter(
+        F.col("id") == 1
+    ).count() == 0
+    out2 = prune_ingest_audit(spark, state, cfg)
+    assert out2["retracted"][1] == 0 and out2["retained_incomplete"] == 0
+
+
 def test_prune_retention_is_conservative_after_fold(spark, tmp_path):
     # the documented retention trade: the completed-scrub probe includes
     # the batch_id=-1 fold archive (rows from EVERY batch), so after a
