@@ -2677,3 +2677,338 @@ def _compact_ingest_state_body(
         statedir.replace_dir(spark, path, _fold, lease=lease)
         done[sub] = (before, fsutil.parquet_file_count(spark, path))
     return done
+
+
+def check_ingest_state(
+    spark: SparkSession,
+    state_dir: str,
+    cfg: CurationConfig,
+    batches=None,
+    lease=None,
+) -> DataFrame:
+    """Cross-surface consistency check (fsck) for an incremental-ingest
+    state dir — the verification complement of the per-verb
+    postconditions: ``retract_documents`` re-probes its OWN keys
+    (``residual``) and ``prune_ingest_audit`` probes before dropping,
+    but nothing verified the standing cross-surface INVARIANTS the
+    ledgers rely on. After a crash healed, a by-hand repair, or an
+    off-contract writer, each of these holes is silent until it causes
+    a wrong admission (a stale digest blocks a legitimate doc forever)
+    or wrong serving (the index serves a retracted doc). One call
+    cross-checks every invariant and returns findings as a DataFrame —
+    the ``curation_report_df`` / ``ingest_state_report`` observability
+    convention — with one row per check so a clean run is visibly
+    clean, not merely empty:
+
+      ``ledger_digest_without_corpus_row`` — a ``ledger/`` digest whose
+      content no corpus row hashes to: dead weight that silently REFUSES
+      re-admission of that content forever (the exact-dedup anti-join
+      keys on it). Root causes: a corpus partition lost/hand-deleted, or
+      a crashed scrub that finished ``corpus/`` but not ``ledger/``.
+      ``corpus_row_without_ledger_digest`` — the reverse hole: an
+      admitted doc exact-dedup no longer knows about, so a byte-identical
+      duplicate would be re-admitted.
+      ``derived_row_without_corpus_row`` (× ``sigs``/``bands``/
+      ``semvecs``/``fps``, per the configured ledgers) — dedup evidence
+      for a doc the corpus no longer holds: every future batch pays the
+      join fan-out for it, and a near-duplicate of retracted content is
+      silently dropped against a ghost.
+      ``idxmap_reservation_without_append`` — an ``idxmap/`` row naming
+      an index log id that is neither folded into the codes snapshot nor
+      a committed (or attempted) ``codes_append`` batch: that batch's
+      admitted vectors are NOT being served and no replay will repair
+      them (an attempted-uncommitted dir is only a warning — the
+      redelivery repairs it).
+      ``admitted_doc_not_in_index`` — a corpus doc from an
+      idxmap-reserved batch absent from every committed codes source
+      (snapshot ∪ committed appends, TOMBSTONES IGNORED — a live manual
+      tombstone is intentional absence, so those ids are excluded
+      before flagging).
+      ``retracted_doc_still_served`` — a ``retracted/`` doc id the
+      assembled index view still serves: the takedown's index leg never
+      landed (the exact failure mode the verb's last-step ordering +
+      ``prune_ingest_audit``'s keep-while-served rule exist to contain).
+      ``retraction_residual`` — ``retracted/`` keys still matching any
+      state surface (the takedown verb's own residual probe, run over
+      the WHOLE retraction history instead of one call's keys). WARN,
+      not FAIL: after a ``compact_ingest_state`` fold the probe includes
+      the ``batch_id=-1`` archive and a legitimately RE-ADMITTED doc
+      probes as live (the same conservative direction
+      ``prune_ingest_audit`` documents); pre-fold it is precise.
+
+    ``status`` per row: ``ok`` (invariant holds), ``fail`` (violated),
+    ``warn`` (violated-or-conservative, see the check), ``skipped``
+    (surface absent / not configured). ``n`` is the
+    violation count and ``detail`` carries up to 5 sample keys so the operator can go look.
+
+    Cost posture at 100 TB: the corpus appears in these joins as its
+    (id, md5(text)) projection — ONE column-pruned corpus scan shared
+    across the checks via ``localCheckpoint``, the same honest trade as
+    ``retract_documents``' key resolution; every other side is
+    ledger/metadata-sized. ``batches=[...]`` scopes the scan to those
+    ingest batches (partition-pruned on every surface, plus each dir's
+    fold archive) for an incremental post-maintenance check — verify
+    the batches a crash window touched without paying a full pass.
+
+    Read-only on the data surfaces (it mutates nothing it checks), but
+    it HOLDS the writer lease: the entry heal completes prior killed
+    swaps (already-decided work, same as ``retract_documents``'
+    dry-run), and a concurrent writer would make every finding a
+    false positive — quiescence is what makes fsck answers meaningful."""
+    with _writer_lease(spark, state_dir.rstrip("/"), "check_ingest_state",
+                       lease=lease):
+        return _check_ingest_state_body(spark, state_dir, cfg, batches)
+
+
+def _check_ingest_state_body(
+    spark: SparkSession, state_dir: str, cfg: CurationConfig, batches,
+) -> DataFrame:
+    import os
+
+    from .. import fsutil, statedir
+    from ..io import read_parquet_state
+
+    base = state_dir.rstrip("/")
+    icol, tcol = cfg.id_col, cfg.text_col
+    bsel = sorted(int(b) for b in batches) if batches is not None else None
+    rows: list[tuple] = []
+    schema = ("check string, surface string, status string, n long, "
+              "detail string")
+
+    def emit(check, surface, status, n, detail=""):
+        rows.append((check, surface, status, int(n), detail))
+
+    def sample(df, col, n=5):
+        vals = [str(r[0]) for r in df.select(col).limit(n).collect()]
+        return ("sample " + col + ": " + ", ".join(vals)) if vals else ""
+
+    def scoped(df):
+        """Partition-pruned batch scope: live per-batch dirs carry their
+        provenance as the partition value, folded rows carry it in the
+        src_batch_id data column under batch_id=-1 — prune on the
+        partition, then filter exactly on the provenance."""
+        if bsel is None:
+            return df
+        prov = (
+            F.coalesce(F.col("src_batch_id"), F.col("batch_id"))
+            if "src_batch_id" in df.columns else F.col("batch_id")
+        )
+        return df.filter(
+            F.col("batch_id").isin(bsel + [-1]) & prov.isin(bsel)
+        )
+
+    for d in ("ledger", "sigs", "bands", "semvecs", "idxmap", "fps",
+              "retracted", "overlap_drops", "corpus"):
+        statedir.recover_replaced_dir(spark, os.path.join(base, d))
+        statedir.recover_partition_swaps(spark, os.path.join(base, d))
+
+    corpus = read_parquet_state(
+        spark, os.path.join(base, "corpus"), mergeSchema="true"
+    )
+    have_corpus = corpus is not None and icol in corpus.columns
+    ckeys = None
+    if have_corpus:
+        cs = corpus if bsel is None else corpus.filter(
+            F.col("batch_id").isin(bsel)
+        )
+        # the one corpus-sized scan, shared by every check below
+        ckeys = cs.select(
+            F.col(icol).alias("doc_id"), F.md5(F.col(tcol)).alias("digest")
+        ).localCheckpoint()
+
+    # ledger ↔ corpus digest bijection (both directions)
+    led = read_parquet_state(
+        spark, os.path.join(base, "ledger"), mergeSchema="true"
+    )
+    if led is None or ckeys is None:
+        why = "no corpus" if ckeys is None else "no ledger"
+        emit("ledger_digest_without_corpus_row", "ledger", "skipped", 0, why)
+        emit("corpus_row_without_ledger_digest", "corpus", "skipped", 0, why)
+    else:
+        led_d = scoped(led).select("digest").distinct()
+        orphan = led_d.join(
+            ckeys.select("digest").distinct(), "digest", "left_anti"
+        )
+        n = orphan.count()
+        emit("ledger_digest_without_corpus_row", "ledger",
+             "fail" if n else "ok", n, sample(orphan, "digest"))
+        unled = ckeys.join(led_d, "digest", "left_anti")
+        n = unled.count()
+        emit("corpus_row_without_ledger_digest", "corpus",
+             "fail" if n else "ok", n, sample(unled, "doc_id"))
+
+    # derived ledgers → corpus: evidence rows for ghosts
+    derived = (("sigs", "id", cfg.neardup_ledger),
+               ("bands", "old_id", cfg.neardup_ledger),
+               ("semvecs", "old_id", cfg.semantic_ledger),
+               ("fps", "old_id", cfg.overlap_ledger))
+    for sub, key, configured in derived:
+        df = read_parquet_state(
+            spark, os.path.join(base, sub), mergeSchema="true"
+        )
+        if df is None or key not in df.columns or ckeys is None:
+            if configured:
+                emit("derived_row_without_corpus_row", sub, "skipped", 0,
+                     "no corpus" if ckeys is None else "surface absent")
+            continue
+        ghost = scoped(df).select(F.col(key).alias("doc_id")).distinct().join(
+            ckeys.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        n = ghost.count()
+        emit("derived_row_without_corpus_row", sub, "fail" if n else "ok",
+             n, sample(ghost, "doc_id"))
+
+    # serving-index cross-checks (pipeline-managed index only)
+    if cfg.serve_index_append and cfg.semdedup_index_path:
+        from ..operators.ann_index import (
+            _append_batches,
+            _attempted_log_ids,
+            _codes_horizon,
+            _tombstone_batches,
+            load_pq_index,
+        )
+
+        ibase = cfg.semdedup_index_path.rstrip("/")
+        mapping = read_parquet_state(
+            spark, os.path.join(base, "idxmap"), mergeSchema="true"
+        )
+        if mapping is None:
+            emit("idxmap_reservation_without_append", "idxmap", "skipped",
+                 0, "no idxmap")
+            emit("admitted_doc_not_in_index", "corpus", "skipped", 0,
+                 "no idxmap")
+        else:
+            ing = (
+                F.coalesce(F.col("ingest_batch_id"), F.col("batch_id"))
+                if "ingest_batch_id" in mapping.columns
+                else F.col("batch_id")
+            ).alias("ingest")
+            mrows = mapping.select(ing, "index_batch_id").collect()
+            if bsel is not None:
+                mrows = [r for r in mrows if int(r.ingest) in bsel]
+            horizon = _codes_horizon(spark, ibase)
+            committed = set(_append_batches(spark, ibase, horizon))
+            att_app, _ = _attempted_log_ids(spark, ibase, horizon)
+            lost = sorted(
+                int(r.index_batch_id) for r in mrows
+                if int(r.index_batch_id) > horizon
+                and int(r.index_batch_id) not in att_app
+            )
+            pending = sorted(
+                int(r.index_batch_id) for r in mrows
+                if int(r.index_batch_id) > horizon
+                and int(r.index_batch_id) in att_app - committed
+            )
+            if lost:
+                emit("idxmap_reservation_without_append", "idxmap", "fail",
+                     len(lost),
+                     f"index log ids with no trace: {lost[:5]}")
+            elif pending:
+                emit("idxmap_reservation_without_append", "idxmap", "warn",
+                     len(pending),
+                     f"attempted-uncommitted (replay repairs): "
+                     f"{pending[:5]}")
+            else:
+                emit("idxmap_reservation_without_append", "idxmap", "ok",
+                     0, "")
+
+            if ckeys is None:
+                emit("admitted_doc_not_in_index", "corpus", "skipped", 0,
+                     "no corpus")
+            else:
+                mapped_ing = sorted({int(r.ingest) for r in mrows})
+                srcs = [
+                    f"{ibase}/codes_head/upto={horizon}" if horizon >= 0
+                    else f"{ibase}/codes"
+                ] + [
+                    f"{ibase}/codes_append/batch={b}"
+                    for b in sorted(committed)
+                ]
+                served_any = spark.read.parquet(*srcs).select("id")
+                id_type = served_any.schema["id"].dataType
+                mcorp = corpus.filter(F.col("batch_id").isin(mapped_ing))
+                if bsel is not None:
+                    mcorp = mcorp.filter(F.col("batch_id").isin(bsel))
+                missing = mcorp.select(
+                    F.col(icol).cast(id_type).alias("id")
+                ).distinct().join(served_any, "id", "left_anti")
+                # a live manual tombstone is INTENTIONAL absence
+                tomb_ids = _tombstone_batches(spark, ibase, horizon)
+                if tomb_ids:
+                    tombs = spark.read.parquet(*[
+                        f"{ibase}/tombstones/batch={t}" for t in tomb_ids
+                    ]).select(F.col("id").cast(id_type).alias("id"))
+                    missing = missing.join(tombs, "id", "left_anti")
+                n = missing.count()
+                emit("admitted_doc_not_in_index", "corpus",
+                     "fail" if n else "ok", n,
+                     (sample(missing, "id") +
+                      ("; absent from snapshot + committed appends (or "
+                       "tombstoned then compacted)" if n else "")))
+
+        retr = read_parquet_state(
+            spark, os.path.join(base, "retracted"), mergeSchema="true"
+        )
+        if retr is None:
+            emit("retracted_doc_still_served", "index", "skipped", 0,
+                 "no retractions recorded")
+        else:
+            idx = load_pq_index(spark, cfg.semdedup_index_path)
+            id_type = idx.codes.schema["id"].dataType
+            rsel = retr if bsel is None else retr.filter(
+                F.col("admitted_batch_id").isin(bsel)
+            )
+            still = idx.codes.join(
+                F.broadcast(
+                    rsel.select(
+                        F.col("doc_id").cast(id_type).alias("id")
+                    ).distinct()
+                ),
+                "id", "left_semi",
+            ).select("id").distinct()
+            n = still.count()
+            emit("retracted_doc_still_served", "index",
+                 "fail" if n else "ok", n, sample(still, "id"))
+
+    # retraction residual across the whole history (the verb's own
+    # self-check shape; conservative post-fold — see docstring)
+    retr = read_parquet_state(
+        spark, os.path.join(base, "retracted"), mergeSchema="true"
+    )
+    if retr is None:
+        emit("retraction_residual", "all", "skipped", 0,
+             "no retractions recorded")
+    else:
+        cand = retr if bsel is None else retr.filter(
+            F.col("admitted_batch_id").isin(bsel)
+        )
+        cand = cand.select(
+            "doc_id", "digest", "admitted_batch_id"
+        ).distinct().localCheckpoint()
+        cand_batches = sorted(
+            int(r.admitted_batch_id)
+            for r in cand.select("admitted_batch_id").distinct().collect()
+        )
+        per_surface = []
+        total = 0
+        for sub, key_col, keys_col in _state_surfaces(icol):
+            matches = _live_matches(spark, base, sub, key_col, cand,
+                                    keys_col, cand_batches)
+            if matches is None:
+                continue
+            n = matches.count()
+            if n:
+                per_surface.append(f"{sub}={n}")
+                total += n
+        emit("retraction_residual", "all", "warn" if total else "ok",
+             total,
+             ("; ".join(per_surface) +
+              "; incomplete scrub OR a re-admitted doc probed via the "
+              "fold archive (conservative)") if total else "")
+        release_local_checkpoint(cand)
+
+    if ckeys is not None:
+        release_local_checkpoint(ckeys)
+    if not have_corpus:
+        emit("corpus", "corpus", "skipped", 0, "corpus absent")
+    return spark.createDataFrame(rows, schema)

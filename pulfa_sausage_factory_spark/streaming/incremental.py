@@ -280,6 +280,104 @@ def published_manifest(
     return _read_journal(spark, journal_dir, before_run=None, keep_run=True)
 
 
+def journal_report(spark: SparkSession, journal_dir: str) -> DataFrame:
+    """Artifact-level report of a publish journal as a small queryable
+    DataFrame — the observability convention (``curation_report_df``,
+    ``pq_index_report``, ``ingest_state_report``) applied to the FOURTH
+    state surface, which until round 12 answered "is my journal bounded,
+    which runs are killed and blocking compaction, where is the horizon,
+    who holds the lease" only from driver logs and hand listings:
+
+      one row per attempted ``run_id=N`` partition (row count, file
+      count, bytes, ``committed`` = job-commit marker) — a killed run
+      above the horizon says "blocks compaction; replay or abandon_run"
+      in ``detail`` and rolls up into one ``pending`` summary row
+      (mirroring ``compact_journal``'s return dict), while an attempted
+      dir AT/BELOW the horizon is crash debris awaiting the next
+      compaction's sweep and is labeled as such;
+      one row per ``_head/upto=N`` snapshot (``serving`` at the horizon,
+      ``superseded``/uncommitted otherwise — a marker-less snapshot is a
+      partial object-store copy that must never be adopted);
+      a ``_lease`` row when a writer lease exists (epoch, holder, age —
+      same as ``ingest_state_report``).
+
+    Cost: FileSystem listings plus ONE zero-data-page scan for the
+    per-run row counts (the root read excludes ``_head`` via the ``_``
+    prefix; counting a killed run's partial rows is intentional — the
+    number a replay will overwrite) and one for the serving snapshot —
+    never O(runs) jobs, the same discipline as ``pq_index_report``'s
+    staleness row. Read-only: takes no lease and mutates nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .. import fsutil, statedir
+    from ..io import read_parquet_state
+
+    base = journal_dir.rstrip("/")
+    horizon = _journal_horizon(spark, base)
+    rows: list[tuple] = []
+
+    per_run: dict[int, int] = {}
+    root = read_parquet_state(spark, base)
+    if root is not None and "run_id" in root.columns:
+        per_run = {
+            int(r.run_id): int(r.n)
+            for r in root.groupBy("run_id").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+
+    pending: list[int] = []
+    dirs = statedir.numbered_dirs(spark, base, "run_id=")
+    for rid in sorted(dirs):
+        d = f"{base}/{dirs[rid]}"
+        nf, nb = fsutil.parquet_usage(spark, d)
+        committed = fsutil.exists(spark, f"{d}/{statedir.MARKER}")
+        if rid <= horizon:
+            detail = "folded — debris awaiting the next compaction's sweep"
+        elif not committed:
+            detail = "killed — blocks compaction; replay or abandon_run"
+            pending.append(rid)
+        else:
+            detail = ""
+        rows.append((f"run_id={rid}", per_run.get(rid, 0), nf, nb,
+                     committed, detail))
+
+    for up in sorted(
+        statedir.numbered_dirs(spark, os.path.join(base, "_head"), "upto=")
+    ):
+        d = f"{base}/_head/upto={up}"
+        nf, nb = fsutil.parquet_usage(spark, d)
+        committed = fsutil.exists(spark, f"{d}/{statedir.MARKER}")
+        if not committed:
+            detail = ("uncommitted — partial snapshot copy, never adopted "
+                      "as the horizon")
+            n = 0
+        elif up == horizon:
+            detail = "serving — prior reads = this snapshot + runs above"
+            n = spark.read.parquet(d).count()
+        else:
+            detail = "superseded"
+            n = 0
+        rows.append((f"_head/upto={up}", n, nf, nb, committed, detail))
+
+    if pending:
+        rows.append((
+            "pending", 0, 0, 0, False,
+            f"killed run(s) {sorted(pending)} cap compaction below "
+            f"{min(pending)}",
+        ))
+    lease_detail = statedir.lease_report_detail(spark, base)
+    if lease_detail is not None:
+        rows.append(("_lease", 0, 0, 0, True, lease_detail))
+    return spark.createDataFrame(
+        rows,
+        "artifact string, rows long, files int, bytes long, "
+        "committed boolean, detail string",
+    )
+
+
 def compact_journal(
     spark: SparkSession, journal_dir: str, up_to_run: int | None = None,
     lease=None,

@@ -661,6 +661,39 @@ def main() -> None:
                 "error": f"{type(exc).__name__}: {exc}"[:300]
             }
             print(f"# prune_ingest_audit FAILED — {exc}", file=sys.stderr)
+        # round-12 fsck at scale: the cross-surface consistency check
+        # over the same populated state — pays the corpus (id, md5)
+        # scan plus every ledger-sized anti-join at full volume; on a
+        # healthy state every check must come back ok/skipped (the
+        # retraction above already completed and was pruned).
+        try:
+            from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (  # noqa: E501
+                check_ingest_state,
+            )
+
+            t0 = time.perf_counter()
+            frep = check_ingest_state(spark, f"{work}/state", ocfg)
+            checks = frep.collect()
+            dt5 = round(time.perf_counter() - t0, 2)
+            bad = {
+                f"{r.check}/{r.surface}": [r.status, int(r.n)]
+                for r in checks if r.status in ("fail", "warn")
+            }
+            out["ops"]["check_ingest_state"] = {
+                "checks": len(checks),
+                "not_ok": bad,
+                "sec": dt5,
+            }
+            print(
+                f"# check_ingest_state: {len(checks)} checks, "
+                f"not_ok={bad or '{}'} in {dt5}s",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            out["ops"]["check_ingest_state"] = {
+                "error": f"{type(exc).__name__}: {exc}"[:300]
+            }
+            print(f"# check_ingest_state FAILED — {exc}", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001 — record, keep the evidence
         out["ops"]["overlap_ingest"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
         print(f"# overlap_ingest FAILED — {exc}", file=sys.stderr)

@@ -1,0 +1,204 @@
+"""check_ingest_state — the cross-surface fsck verb (round 12): every
+standing invariant between corpus/ledger/derived-ledgers/idxmap/index/
+retractions is verified as a report DataFrame, with planted corruptions
+caught and batch-scoped checks partition-pruned to the batches asked."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+    CurationConfig,
+)
+
+
+def _lines(spark, rows):
+    return spark.createDataFrame(
+        [(json.dumps(r),) for r in rows], "value string"
+    )
+
+
+def _by_check(df):
+    return {(r.check, r.surface): r for r in df.collect()}
+
+
+def test_check_ingest_state_ledger_invariants(spark, tmp_path):
+    from pulfa_sausage_factory_spark import fsutil
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        check_ingest_state,
+    )
+
+    state = str(tmp_path / "state")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none",
+                         neardup_ledger=True, overlap_ledger=True,
+                         overlap_sample_mod=4)
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    mk = lambda i, t: {"doc_id": i, "text": t}  # noqa: E731
+
+    _ingest_batch(spark, _lines(spark, [
+        mk(1, "the quick brown fox jumps over the lazy dog today"),
+        mk(2, "totally different archival text about letters here"),
+    ]), 0, cfg, state, sch)
+    _ingest_batch(spark, _lines(spark, [
+        mk(3, "fresh unrelated content never before seen anywhere"),
+    ]), 1, cfg, state, sch)
+
+    # clean state: every configured check ran and holds; none fail/warn
+    rep = _by_check(check_ingest_state(spark, state, cfg))
+    assert rep[("ledger_digest_without_corpus_row", "ledger")].status == "ok"
+    assert rep[("corpus_row_without_ledger_digest", "corpus")].status == "ok"
+    for sub in ("sigs", "bands", "fps"):
+        row = rep[("derived_row_without_corpus_row", sub)]
+        assert row.status == "ok" and row.n == 0
+    # semvecs not configured → no row at all (not even skipped)
+    assert ("derived_row_without_corpus_row", "semvecs") not in rep
+    assert rep[("retraction_residual", "all")].status == "skipped"
+    assert not any(r.status in ("fail", "warn") for r in rep.values())
+
+    # plant: lose batch 1's corpus partition → its ledger digest is an
+    # orphan and every derived surface holds evidence for a ghost
+    fsutil.delete(spark, f"{state}/corpus/batch_id=1")
+    rep = _by_check(check_ingest_state(spark, state, cfg))
+    orphan = rep[("ledger_digest_without_corpus_row", "ledger")]
+    assert orphan.status == "fail" and orphan.n == 1
+    assert "sample digest:" in orphan.detail
+    for sub in ("sigs", "bands", "fps"):
+        row = rep[("derived_row_without_corpus_row", sub)]
+        assert row.status == "fail" and row.n == 1
+        assert "3" in row.detail  # the ghost doc id is named
+    # the reverse direction still holds
+    assert rep[("corpus_row_without_ledger_digest", "corpus")].status == "ok"
+
+    # batch scoping: the corruption is invisible from batch 0's scope
+    # (partition-pruned) and caught from batch 1's
+    rep0 = _by_check(check_ingest_state(spark, state, cfg, batches=[0]))
+    assert not any(r.status == "fail" for r in rep0.values())
+    rep1 = _by_check(check_ingest_state(spark, state, cfg, batches=[1]))
+    assert rep1[("ledger_digest_without_corpus_row", "ledger")].n == 1
+    assert rep1[("derived_row_without_corpus_row", "sigs")].n == 1
+
+    # plant the reverse hole: lose batch 0's ledger partition → admitted
+    # docs exact-dedup no longer knows about, named by id
+    fsutil.delete(spark, f"{state}/ledger/batch_id=0")
+    rep = _by_check(check_ingest_state(spark, state, cfg))
+    unled = rep[("corpus_row_without_ledger_digest", "corpus")]
+    assert unled.status == "fail" and unled.n == 2
+
+
+def test_check_ingest_state_index_invariants(spark, tmp_path):
+    from pulfa_sausage_factory_spark import fsutil
+    from pulfa_sausage_factory_spark.functions.vectors import (
+        hashed_text_embedding,
+    )
+    from pulfa_sausage_factory_spark.operators import ann_index
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        check_ingest_state,
+        retract_documents,
+    )
+
+    # family-clustered vocabulary + an index trained on the same family
+    # (the semantic-ledger corpus contract; see the serve-append test)
+    fams = {
+        0: ("river forest fox dog bank quiet green lazy jumps runs far "
+            "away tonight brown quick over then into the and by").split(),
+        1: ("archive letter aid princeton collection finding material box "
+            "folder series inventory manuscript curator shelf record").split(),
+    }
+
+    def doc(f, i):
+        w = fams[f]
+        rot = w[i % len(w):] + w[:i % len(w)]
+        return " ".join(rot[:14])
+
+    corpus = [(f * 100 + i, doc(f, i)) for f in fams for i in range(10)]
+    cdf = spark.createDataFrame(corpus, "vec_id long, text string").select(
+        "vec_id",
+        hashed_text_embedding(F.col("text"), dim=64).alias("embedding"),
+    ).localCheckpoint()
+    idx_path = str(tmp_path / "serve_idx")
+    ann_index.save_pq_index(
+        ann_index.build_pq_index(
+            cdf, m=8, n_codes=8, n_cells=4, iters=2, sample_fraction=1.0
+        ),
+        idx_path,
+    )
+
+    state = str(tmp_path / "state")
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    cfg = CurationConfig(
+        min_quality=0.0, neardup_method="none",
+        semantic_ledger=True, semdedup_threshold=0.8,
+        semdedup_index_path=idx_path, serve_index_append=True,
+    )
+
+    r0 = _ingest_batch(spark, _lines(spark, [
+        {"doc_id": 900, "text": doc(0, 3)},
+        {"doc_id": 901, "text": doc(1, 5)},
+    ]), 0, cfg, state, sch)
+    assert r0["admitted"] == 2
+    r1 = _ingest_batch(spark, _lines(spark, [
+        {"doc_id": 902, "text": doc(0, 12)},
+    ]), 1, cfg, state, sch)
+    assert r1["admitted"] == 1
+
+    rep = _by_check(check_ingest_state(spark, state, cfg))
+    assert rep[("idxmap_reservation_without_append", "idxmap")].status == "ok"
+    assert rep[("admitted_doc_not_in_index", "corpus")].status == "ok"
+    assert rep[("retracted_doc_still_served", "index")].status == "skipped"
+    assert not any(r.status in ("fail", "warn") for r in rep.values())
+
+    # a real takedown leaves NOTHING for fsck to flag: scrubs complete,
+    # tombstone landed, and the retained retracted/ record probes clean
+    out = retract_documents(spark, state, [900], cfg)
+    assert out["found"] == 1 and out.get("residual", 0) == 0
+    rep = _by_check(check_ingest_state(spark, state, cfg))
+    assert rep[("retraction_residual", "all")].status == "ok"
+    assert rep[("retracted_doc_still_served", "index")].status == "ok"
+    # ...and the tombstoned id is not flagged as missing-from-index
+    assert rep[("admitted_doc_not_in_index", "corpus")].status == "ok"
+
+    # a MANUAL tombstone (operator takedown of a still-admitted doc) is
+    # intentional absence, excluded before flagging
+    ann_index.remove_from_pq_index(spark, idx_path, [901])
+    rep = _by_check(check_ingest_state(spark, state, cfg))
+    assert rep[("admitted_doc_not_in_index", "corpus")].status == "ok"
+
+    # plant an incomplete scrub: a retracted/ record for a doc whose
+    # surfaces were never scrubbed → residual WARN with the surfaces
+    # named, and the id still served → FAIL
+    digest = spark.read.parquet(f"{state}/corpus").filter(
+        F.col("doc_id") == 902
+    ).select(F.md5("text")).collect()[0][0]
+    spark.createDataFrame(
+        [(902, digest, 1)],
+        "doc_id long, digest string, admitted_batch_id long",
+    ).write.mode("overwrite").parquet(f"{state}/retracted/batch_id=9")
+    rep = _by_check(check_ingest_state(spark, state, cfg))
+    resid = rep[("retraction_residual", "all")]
+    assert resid.status == "warn" and resid.n >= 2
+    assert "corpus=1" in resid.detail and "ledger=1" in resid.detail
+    served = rep[("retracted_doc_still_served", "index")]
+    assert served.status == "fail" and served.n == 1
+    fsutil.delete(spark, f"{state}/retracted/batch_id=9")
+
+    # plant a killed append: strip batch 1's job-commit marker → the
+    # reservation is attempted-uncommitted (replay repairs it) = WARN,
+    # and its rows are not in any committed source = FAIL
+    bid = r1["index_batch_id"]
+    fsutil.delete(spark, f"{idx_path}/codes_append/batch={bid}/_SUCCESS")
+    rep = _by_check(check_ingest_state(spark, state, cfg))
+    resv = rep[("idxmap_reservation_without_append", "idxmap")]
+    assert resv.status == "warn" and str(bid) in resv.detail
+    missing = rep[("admitted_doc_not_in_index", "corpus")]
+    assert missing.status == "fail" and missing.n == 1
+
+    # ...now lose the dir entirely: no replay can repair it = FAIL
+    fsutil.delete(spark, f"{idx_path}/codes_append/batch={bid}")
+    rep = _by_check(check_ingest_state(spark, state, cfg))
+    resv = rep[("idxmap_reservation_without_append", "idxmap")]
+    assert resv.status == "fail" and str(bid) in resv.detail

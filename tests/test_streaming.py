@@ -608,6 +608,60 @@ def test_partial_journal_snapshot_is_not_adopted(spark, tmp_path):
     assert manifest2 == {("/a", "d1"), ("/b", "d2")}
 
 
+def test_journal_report_surfaces_runs_horizon_and_blockers(spark, tmp_path):
+    # round-12: the journal joins the observability convention — one
+    # report DataFrame answering "is my journal bounded, which runs are
+    # killed and blocking compaction, where is the horizon" (the other
+    # three state surfaces had curation_report_df / pq_index_report /
+    # ingest_state_report; the journal had driver logs).
+    import os
+
+    jdir = str(tmp_path / "journal_r")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "path string, digest string"
+    )
+    incremental.journal_publish(spark, mk([("/a", "d1"), ("/b", "d2")]),
+                                jdir, run_id=1)
+    incremental.journal_publish(spark, mk([("/a", "d1-v2")]), jdir, run_id=2)
+    incremental.journal_publish(spark, mk([("/c", "d3")]), jdir, run_id=3)
+    os.makedirs(f"{jdir}/run_id=4")  # killed run-4 write
+
+    rep = {r.artifact: r for r in
+           incremental.journal_report(spark, jdir).collect()}
+    assert rep["run_id=1"].committed and rep["run_id=1"].rows == 2
+    assert rep["run_id=2"].rows == 1 and rep["run_id=3"].rows == 1
+    assert not rep["run_id=4"].committed
+    assert "blocks compaction" in rep["run_id=4"].detail
+    assert "4" in rep["pending"].detail
+
+    # compaction folds up to the killed run; the report shows the
+    # serving snapshot (HEAD row count) and the still-pending blocker
+    crep = incremental.compact_journal(spark, jdir)
+    assert crep["horizon"] == 3 and crep["pending"] == [4]
+    rep = {r.artifact: r for r in
+           incremental.journal_report(spark, jdir).collect()}
+    assert rep["_head/upto=3"].committed
+    assert rep["_head/upto=3"].rows == 3  # /a@2, /b@1, /c@3
+    assert "serving" in rep["_head/upto=3"].detail
+    assert "run_id=1" not in rep and "run_id=2" not in rep
+    assert "pending" in rep
+
+    # a marker-less snapshot (partial object-store copy) is reported
+    # uncommitted, never adopted
+    os.makedirs(f"{jdir}/_head/upto=9")
+    rep = {r.artifact: r for r in
+           incremental.journal_report(spark, jdir).collect()}
+    assert not rep["_head/upto=9"].committed
+    assert "never adopted" in rep["_head/upto=9"].detail
+
+    # the redelivery repairs run 4 → blocker gone, run row committed
+    incremental.journal_publish(spark, mk([("/d", "d4")]), jdir, run_id=4)
+    rep = {r.artifact: r for r in
+           incremental.journal_report(spark, jdir).collect()}
+    assert rep["run_id=4"].committed and rep["run_id=4"].rows == 1
+    assert "pending" not in rep
+
+
 def test_journal_auto_id_skips_killed_runs(spark, tmp_path):
     # round-9 ADVICE: auto run-id assignment must advance past every
     # ATTEMPTED run, not just committed ones — landing different rows
