@@ -91,3 +91,132 @@ def profile_table(
             stats[name] = v
         out["columns"][f.name] = stats
     return out
+
+
+def compare_profiles(
+    spark,
+    ref: dict,
+    cur: dict,
+    rel_tol: float = 0.10,
+    null_frac_tol: float = 0.05,
+) -> DataFrame:
+    """Drift report between two ``profile_table`` results — the
+    monitoring half of the profiler: a 100 TB ingest trusts its input by
+    comparing each incoming batch's profile against a REFERENCE profile
+    (the corpus the gates/classifiers/index were tuned on), and "did the
+    distribution move" must be answerable without re-deriving anything.
+    Returns one row per (column, statistic) as a DataFrame in the report
+    convention::
+
+        column | stat | ref | cur | delta | drifted | detail
+
+    Statistics compared SCALE-FREE wherever the raw profile values are
+    volume-dependent, so a 10× bigger batch does not read as drift:
+    ``null_frac`` (nulls/rows — absolute delta vs ``null_frac_tol``) and
+    ``distinct`` (regime-free: the minimum of the absolute-count and
+    the distinct/rows-ratio relative deltas — under pure volume change
+    one of the two is invariant for any column, categorical or
+    key-like, while genuine cardinality drift moves both; see the
+    inline comment). Value-space statistics (``mean``, ``min``, ``max``,
+    each quantile, string length stats) compare on relative delta
+    ``|cur − ref| / max(|ref|, |cur|)`` vs ``rel_tol`` — quantile
+    movement is the distribution-shape proxy available from a one-pass
+    profile (no histograms are retained; a PSI-grade test would need
+    binned counts the profiler deliberately does not carry at scale).
+    ``rows`` is reported for context, never flagged (batch sizes vary
+    by cadence, not by drift). Schema changes are findings, not errors:
+    a column only in ``ref`` reports ``presence/removed``, only in
+    ``cur`` ``presence/added``, and a type change ``type`` — all three
+    drift by definition.
+
+    Both inputs are plain profile dicts (driver-sized), so the compare
+    itself costs nothing — the expensive part was the two one-pass
+    ``profile_table`` scans that produced them."""
+    rows: list[tuple] = []
+    eps = 1e-12
+
+    def rel(a: float, b: float) -> float:
+        d = max(abs(a), abs(b))
+        return 0.0 if d <= eps else abs(b - a) / d
+
+    def emit(col, stat, r, c, delta, drifted, detail=""):
+        rows.append((
+            col, stat,
+            float(r) if r is not None else None,
+            float(c) if c is not None else None,
+            float(delta) if delta is not None else None,
+            bool(drifted), detail,
+        ))
+
+    n_ref = max(int(ref.get("rows", 0)), 0)
+    n_cur = max(int(cur.get("rows", 0)), 0)
+    emit(None, "rows", n_ref, n_cur, rel(n_ref, n_cur), False,
+         "context only — batch sizes vary by cadence, not drift")
+
+    rcols, ccols = ref.get("columns", {}), cur.get("columns", {})
+    for col in sorted(set(rcols) | set(ccols)):
+        r, c = rcols.get(col), ccols.get(col)
+        if r is None or c is None:
+            emit(col, "presence", None, None, None, True,
+                 "added" if r is None else "removed")
+            continue
+        if r.get("type") != c.get("type"):
+            emit(col, "type", None, None, None, True,
+                 f"{r.get('type')} -> {c.get('type')}")
+            continue
+
+        def frac(stats, key, n):
+            v = stats.get(key)
+            return None if v is None or n == 0 else v / n
+
+        pairs: list[tuple[str, float | None, float | None, bool]] = []
+        rf, cf = frac(r, "nulls", n_ref), frac(c, "nulls", n_cur)
+        if rf is not None and cf is not None:
+            pairs.append(("null_frac", rf, cf, True))
+        # distinct is regime-dependent — neither interpretation is
+        # scale-free for every column: a bounded CATEGORICAL vocabulary
+        # keeps its absolute distinct count under volume change (the
+        # ratio moves), a KEY-like column keeps its distinct/rows ratio
+        # (the absolute count moves). A one-pass profile cannot always
+        # tell the regimes apart (a foreign key with ~4 rows per parent
+        # reads as ratio 0.25), so the drift test takes the MINIMUM of
+        # the two relative deltas: under pure volume change one of the
+        # two stays put for ANY column, while genuine cardinality drift
+        # (new vocabulary values, key-space collapse) moves both. The
+        # reported ref/cur are the absolute counts; the delta is the
+        # regime-free minimum. (Sketched distinct counts carry the
+        # profiler's rsd (~5%), and HLL error at SMALL cardinalities can
+        # exceed it — build the reference profile with exact=True; it is
+        # built once.)
+        rd, cd = r.get("distinct"), c.get("distinct")
+        if rd is not None and cd is not None and n_ref and n_cur:
+            d = min(rel(float(rd), float(cd)),
+                    rel(rd / n_ref, cd / n_cur))
+            hit = d > rel_tol
+            emit(col, "distinct", float(rd), float(cd), d, hit,
+                 ("min(vocab Δ, ratio Δ) "
+                  + (f"{d:.4f} > {rel_tol}" if hit else "(regime-free)")))
+        for key in ("min", "max", "mean", "min_len", "max_len", "avg_len"):
+            if r.get(key) is not None and c.get(key) is not None:
+                pairs.append((key, float(r[key]), float(c[key]), False))
+        rq, cq = r.get("quantiles") or {}, c.get("quantiles") or {}
+        for q in sorted(set(rq) & set(cq)):
+            if rq[q] is not None and cq[q] is not None:
+                pairs.append((f"q{q}", float(rq[q]), float(cq[q]), False))
+
+        for stat, rv, cv, absolute in pairs:
+            if absolute:
+                delta = abs(cv - rv)
+                hit = delta > null_frac_tol
+                why = (f"|Δ| {delta:.4f} > {null_frac_tol}" if hit else "")
+            else:
+                delta = rel(rv, cv)
+                hit = delta > rel_tol
+                why = (f"rel |Δ| {delta:.4f} > {rel_tol}" if hit else "")
+            emit(col, stat, rv, cv, delta, hit, why)
+
+    return spark.createDataFrame(
+        rows,
+        "column string, stat string, ref double, cur double, "
+        "delta double, drifted boolean, detail string",
+    )

@@ -215,6 +215,20 @@ class CurationConfig:
     #: admission lineage to that stage; leave off on the hot path and
     #: turn on to debug an admission-rate regression.
     ingest_stage_counts: bool = False
+    #: incremental ingest: input DRIFT monitoring (round 12, opt-in) — a
+    #: reference profile (``functions.profiling.profile_table`` dict,
+    #: driver-sized: the corpus the gates/classifier/index were tuned
+    #: on). With it set, each micro-batch profiles its parsed input docs
+    #: (ONE extra single-pass agg job per batch — the same opt-in cost
+    #: posture as ``ingest_stage_counts``) and the batch report records
+    #: ``rep["profile_drift"]``: the drifted (column, stat, ref, cur,
+    #: delta, detail) rows from ``compare_profiles``. MONITORING, never
+    #: a gate — drift does not drop documents; the operator decides
+    #: whether a moved distribution means retune, retrain, or nothing
+    #: (the same honest division of labor as the index staleness row).
+    drift_ref_profile: dict | None = None
+    drift_rel_tol: float = 0.10
+    drift_null_frac_tol: float = 0.05
     dsir_k: int | None = None  # DSIR target-matched selection (needs target=)
     dsir_dim: int = 8192
     keep_tiers: tuple[int, ...] | None = None  # CCNet tier gate (needs scores=)
@@ -998,6 +1012,16 @@ def _ingest_batch(
             "cfg.overlap_drop_audit needs cfg.overlap_ledger — the audit "
             "records the cross-run overlap leg's drops"
         )
+    if cfg.drift_ref_profile is not None and not (
+        isinstance(cfg.drift_ref_profile, dict)
+        and "columns" in cfg.drift_ref_profile
+    ):
+        raise ValueError(
+            "cfg.drift_ref_profile must be a profile_table result dict "
+            "({'rows': n, 'columns': {...}}) — pass "
+            "functions.profiling.profile_table(reference_df), not a "
+            "DataFrame or a path"
+        )
     if cfg.semantic_ledger and sem_centroids is None:
         sem_centroids = _load_semantic_centroids(spark, cfg)
     full = T.StructType(
@@ -1130,6 +1154,37 @@ def _ingest_batch_body(
                 docs = docs.join(F.broadcast(guard), icol, "left_anti")
     n_in = docs.count()
     retraction_excluded = (pre_guard - n_in) if pre_guard is not None else 0
+
+    # opt-in input drift monitoring (round 12): profile the PARSED batch
+    # (pre-clean, pre-gate — the question is "did my INPUT move", and the
+    # gates downstream are exactly what a moved input mis-tunes) against
+    # the reference profile, one single-pass agg job. Monitoring only —
+    # nothing is dropped; the drifted rows ride the batch report.
+    profile_drift = None
+    if cfg.drift_ref_profile is not None and n_in > 0:
+        from ..functions.profiling import compare_profiles, profile_table
+
+        # the id column is excluded on BOTH sides: it is a key, its
+        # values advance by construction every batch (min/max/mean of a
+        # sequence-assigned id always "drift"), and flagging it would
+        # bury the payload columns the monitor exists for
+        ref_prof = {
+            "rows": cfg.drift_ref_profile.get("rows", 0),
+            "columns": {
+                k: v
+                for k, v in cfg.drift_ref_profile["columns"].items()
+                if k != icol
+            },
+        }
+        profile_drift = [
+            {"column": r.column, "stat": r.stat, "ref": r.ref,
+             "cur": r.cur, "delta": r.delta, "detail": r.detail}
+            for r in compare_profiles(
+                spark, ref_prof, profile_table(docs.drop(icol)),
+                rel_tol=cfg.drift_rel_tol,
+                null_frac_tol=cfg.drift_null_frac_tol,
+            ).filter(F.col("drifted")).collect()
+        ]
 
     stage_rows: dict[str, int] = {}
 
@@ -1421,6 +1476,8 @@ def _ingest_batch_body(
         rep["retraction_excluded"] = retraction_excluded
     if stage_rows:
         rep["stage_rows"] = stage_rows
+    if profile_drift is not None:
+        rep["profile_drift"] = profile_drift
     if n_overlap_drop_pairs is not None:
         rep["overlap_dropped_pairs"] = n_overlap_drop_pairs
     if idx_rep is not None:
