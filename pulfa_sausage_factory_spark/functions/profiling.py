@@ -131,7 +131,27 @@ def compare_profiles(
 
     Both inputs are plain profile dicts (driver-sized), so the compare
     itself costs nothing — the expensive part was the two one-pass
-    ``profile_table`` scans that produced them."""
+    ``profile_table`` scans that produced them. Hot paths that only want
+    the drifted rows (the ingest hook) call ``compare_profile_rows``
+    directly — same tuples, no Spark job for a driver-sized list."""
+    return spark.createDataFrame(
+        compare_profile_rows(ref, cur, rel_tol, null_frac_tol),
+        "column string, stat string, ref double, cur double, "
+        "delta double, drifted boolean, detail string",
+    )
+
+
+def compare_profile_rows(
+    ref: dict,
+    cur: dict,
+    rel_tol: float = 0.10,
+    null_frac_tol: float = 0.05,
+) -> list[tuple]:
+    """Driver-side core of :func:`compare_profiles`: the same
+    ``(column, stat, ref, cur, delta, drifted, detail)`` tuples as a
+    plain list — everything here is dict arithmetic over two
+    driver-sized profiles, so callers that immediately filter/collect
+    (the per-batch ingest monitor) skip the DataFrame round-trip."""
     rows: list[tuple] = []
     eps = 1e-12
 
@@ -199,7 +219,14 @@ def compare_profiles(
         for key in ("min", "max", "mean", "min_len", "max_len", "avg_len"):
             if r.get(key) is not None and c.get(key) is not None:
                 pairs.append((key, float(r[key]), float(c[key]), False))
-        rq, cq = r.get("quantiles") or {}, c.get("quantiles") or {}
+        # canonicalize quantile keys to float: a reference profile that
+        # was json.dump/json.load round-tripped (the obvious way to
+        # persist it across driver restarts) comes back with STRING keys
+        # ('0.25'), and a raw set intersection against the fresh
+        # profile's float keys would silently emit zero q* rows — the
+        # shape proxy disabled with no error anywhere
+        rq = {float(k): v for k, v in (r.get("quantiles") or {}).items()}
+        cq = {float(k): v for k, v in (c.get("quantiles") or {}).items()}
         for q in sorted(set(rq) & set(cq)):
             if rq[q] is not None and cq[q] is not None:
                 pairs.append((f"q{q}", float(rq[q]), float(cq[q]), False))
@@ -215,8 +242,4 @@ def compare_profiles(
                 why = (f"rel |Δ| {delta:.4f} > {rel_tol}" if hit else "")
             emit(col, stat, rv, cv, delta, hit, why)
 
-    return spark.createDataFrame(
-        rows,
-        "column string, stat string, ref double, cur double, "
-        "delta double, drifted boolean, detail string",
-    )
+    return rows

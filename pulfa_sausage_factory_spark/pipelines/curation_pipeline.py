@@ -1162,7 +1162,7 @@ def _ingest_batch_body(
     # nothing is dropped; the drifted rows ride the batch report.
     profile_drift = None
     if cfg.drift_ref_profile is not None and n_in > 0:
-        from ..functions.profiling import compare_profiles, profile_table
+        from ..functions.profiling import compare_profile_rows, profile_table
 
         # the id column is excluded on BOTH sides: it is a key, its
         # values advance by construction every batch (min/max/mean of a
@@ -1176,14 +1176,21 @@ def _ingest_batch_body(
                 if k != icol
             },
         }
+        # compare_profile_rows, not compare_profiles: the comparator is
+        # pure driver-side dict arithmetic, and routing its ~dozens of
+        # tuples through createDataFrame → filter → collect would add a
+        # scheduler round-trip per micro-batch beyond the documented
+        # one-extra-agg cost posture
         profile_drift = [
-            {"column": r.column, "stat": r.stat, "ref": r.ref,
-             "cur": r.cur, "delta": r.delta, "detail": r.detail}
-            for r in compare_profiles(
-                spark, ref_prof, profile_table(docs.drop(icol)),
+            {"column": col, "stat": stat, "ref": rv, "cur": cv,
+             "delta": delta, "detail": detail}
+            for col, stat, rv, cv, delta, drifted, detail
+            in compare_profile_rows(
+                ref_prof, profile_table(docs.drop(icol)),
                 rel_tol=cfg.drift_rel_tol,
                 null_frac_tol=cfg.drift_null_frac_tol,
-            ).filter(F.col("drifted")).collect()
+            )
+            if drifted
         ]
 
     stage_rows: dict[str, int] = {}
@@ -2780,7 +2787,11 @@ def check_ingest_state(
       idxmap-reserved batch absent from every committed codes source
       (snapshot ∪ committed appends, TOMBSTONES IGNORED — a live manual
       tombstone is intentional absence, so those ids are excluded
-      before flagging).
+      before flagging). FAIL while the index has never been compacted
+      (the exclusion makes the check precise); WARN once a compaction
+      horizon exists — a manually tombstoned doc's rows and its
+      tombstone fold away together, metadata-indistinguishable from a
+      lost append.
       ``retracted_doc_still_served`` — a ``retracted/`` doc id the
       assembled index view still serves: the takedown's index leg never
       landed (the exact failure mode the verb's last-step ordering +
@@ -2811,7 +2822,11 @@ def check_ingest_state(
     it HOLDS the writer lease: the entry heal completes prior killed
     swaps (already-decided work, same as ``retract_documents``'
     dry-run), and a concurrent writer would make every finding a
-    false positive — quiescence is what makes fsck answers meaningful."""
+    false positive — quiescence is what makes fsck answers meaningful.
+    The index-check block additionally takes the INDEX dir's lease
+    (leases are per-directory — the state-dir lease provides no
+    exclusion against a concurrent ``compact_pq_index`` deleting the
+    WAL dirs between the horizon probe and the reads)."""
     with _writer_lease(spark, state_dir.rstrip("/"), "check_ingest_state",
                        lease=lease):
         return _check_ingest_state_body(spark, state_dir, cfg, batches)
@@ -2915,7 +2930,19 @@ def _check_ingest_state_body(
         emit("derived_row_without_corpus_row", sub, "fail" if n else "ok",
              n, sample(ghost, "doc_id"))
 
-    # serving-index cross-checks (pipeline-managed index only)
+    # one read of the retraction history serves BOTH the still-served
+    # index check and the whole-history residual probe below
+    retr = read_parquet_state(
+        spark, os.path.join(base, "retracted"), mergeSchema="true"
+    )
+
+    # serving-index cross-checks (pipeline-managed index only). These
+    # read the INDEX dir's WAL and codes sources, and the state-dir
+    # lease this verb holds provides no exclusion there — a concurrent
+    # compact_pq_index under the index dir's own lease could commit a
+    # new snapshot and delete the dirs between the horizon probe and
+    # the reads (a crashed fsck, or worse, false findings). Leases are
+    # per-directory, so take the index dir's too for this block.
     if cfg.serve_index_append and cfg.semdedup_index_path:
         from ..operators.ann_index import (
             _append_batches,
@@ -2926,112 +2953,123 @@ def _check_ingest_state_body(
         )
 
         ibase = cfg.semdedup_index_path.rstrip("/")
-        mapping = read_parquet_state(
-            spark, os.path.join(base, "idxmap"), mergeSchema="true"
-        )
-        if mapping is None:
-            emit("idxmap_reservation_without_append", "idxmap", "skipped",
-                 0, "no idxmap")
-            emit("admitted_doc_not_in_index", "corpus", "skipped", 0,
-                 "no idxmap")
-        else:
-            ing = (
-                F.coalesce(F.col("ingest_batch_id"), F.col("batch_id"))
-                if "ingest_batch_id" in mapping.columns
-                else F.col("batch_id")
-            ).alias("ingest")
-            mrows = mapping.select(ing, "index_batch_id").collect()
-            if bsel is not None:
-                mrows = [r for r in mrows if int(r.ingest) in bsel]
-            horizon = _codes_horizon(spark, ibase)
-            committed = set(_append_batches(spark, ibase, horizon))
-            att_app, _ = _attempted_log_ids(spark, ibase, horizon)
-            lost = sorted(
-                int(r.index_batch_id) for r in mrows
-                if int(r.index_batch_id) > horizon
-                and int(r.index_batch_id) not in att_app
+        with statedir.lease_scope(spark, ibase, "check_ingest_state"):
+            mapping = read_parquet_state(
+                spark, os.path.join(base, "idxmap"), mergeSchema="true"
             )
-            pending = sorted(
-                int(r.index_batch_id) for r in mrows
-                if int(r.index_batch_id) > horizon
-                and int(r.index_batch_id) in att_app - committed
-            )
-            if lost:
-                emit("idxmap_reservation_without_append", "idxmap", "fail",
-                     len(lost),
-                     f"index log ids with no trace: {lost[:5]}")
-            elif pending:
-                emit("idxmap_reservation_without_append", "idxmap", "warn",
-                     len(pending),
-                     f"attempted-uncommitted (replay repairs): "
-                     f"{pending[:5]}")
-            else:
-                emit("idxmap_reservation_without_append", "idxmap", "ok",
-                     0, "")
-
-            if ckeys is None:
+            if mapping is None:
+                emit("idxmap_reservation_without_append", "idxmap", "skipped",
+                     0, "no idxmap")
                 emit("admitted_doc_not_in_index", "corpus", "skipped", 0,
-                     "no corpus")
+                     "no idxmap")
             else:
-                mapped_ing = sorted({int(r.ingest) for r in mrows})
-                srcs = [
-                    f"{ibase}/codes_head/upto={horizon}" if horizon >= 0
-                    else f"{ibase}/codes"
-                ] + [
-                    f"{ibase}/codes_append/batch={b}"
-                    for b in sorted(committed)
-                ]
-                served_any = spark.read.parquet(*srcs).select("id")
-                id_type = served_any.schema["id"].dataType
-                mcorp = corpus.filter(F.col("batch_id").isin(mapped_ing))
+                ing = (
+                    F.coalesce(F.col("ingest_batch_id"), F.col("batch_id"))
+                    if "ingest_batch_id" in mapping.columns
+                    else F.col("batch_id")
+                ).alias("ingest")
+                mrows = mapping.select(ing, "index_batch_id").collect()
                 if bsel is not None:
-                    mcorp = mcorp.filter(F.col("batch_id").isin(bsel))
-                missing = mcorp.select(
-                    F.col(icol).cast(id_type).alias("id")
-                ).distinct().join(served_any, "id", "left_anti")
-                # a live manual tombstone is INTENTIONAL absence
-                tomb_ids = _tombstone_batches(spark, ibase, horizon)
-                if tomb_ids:
-                    tombs = spark.read.parquet(*[
-                        f"{ibase}/tombstones/batch={t}" for t in tomb_ids
-                    ]).select(F.col("id").cast(id_type).alias("id"))
-                    missing = missing.join(tombs, "id", "left_anti")
-                n = missing.count()
-                emit("admitted_doc_not_in_index", "corpus",
-                     "fail" if n else "ok", n,
-                     (sample(missing, "id") +
-                      ("; absent from snapshot + committed appends (or "
-                       "tombstoned then compacted)" if n else "")))
+                    mrows = [r for r in mrows if int(r.ingest) in bsel]
+                horizon = _codes_horizon(spark, ibase)
+                committed = set(_append_batches(spark, ibase, horizon))
+                att_app, _ = _attempted_log_ids(spark, ibase, horizon)
+                lost = sorted(
+                    int(r.index_batch_id) for r in mrows
+                    if int(r.index_batch_id) > horizon
+                    and int(r.index_batch_id) not in att_app
+                )
+                pending = sorted(
+                    int(r.index_batch_id) for r in mrows
+                    if int(r.index_batch_id) > horizon
+                    and int(r.index_batch_id) in att_app - committed
+                )
+                if lost:
+                    emit("idxmap_reservation_without_append", "idxmap", "fail",
+                         len(lost),
+                         f"index log ids with no trace: {lost[:5]}")
+                elif pending:
+                    emit("idxmap_reservation_without_append", "idxmap", "warn",
+                         len(pending),
+                         f"attempted-uncommitted (replay repairs): "
+                         f"{pending[:5]}")
+                else:
+                    emit("idxmap_reservation_without_append", "idxmap", "ok",
+                         0, "")
 
-        retr = read_parquet_state(
-            spark, os.path.join(base, "retracted"), mergeSchema="true"
-        )
-        if retr is None:
-            emit("retracted_doc_still_served", "index", "skipped", 0,
-                 "no retractions recorded")
-        else:
-            idx = load_pq_index(spark, cfg.semdedup_index_path)
-            id_type = idx.codes.schema["id"].dataType
-            rsel = retr if bsel is None else retr.filter(
-                F.col("admitted_batch_id").isin(bsel)
-            )
-            still = idx.codes.join(
-                F.broadcast(
-                    rsel.select(
-                        F.col("doc_id").cast(id_type).alias("id")
-                    ).distinct()
-                ),
-                "id", "left_semi",
-            ).select("id").distinct()
-            n = still.count()
-            emit("retracted_doc_still_served", "index",
-                 "fail" if n else "ok", n, sample(still, "id"))
+                if ckeys is None:
+                    emit("admitted_doc_not_in_index", "corpus", "skipped", 0,
+                         "no corpus")
+                else:
+                    mapped_ing = sorted({int(r.ingest) for r in mrows})
+                    srcs = [
+                        f"{ibase}/codes_head/upto={horizon}" if horizon >= 0
+                        else f"{ibase}/codes"
+                    ] + [
+                        f"{ibase}/codes_append/batch={b}"
+                        for b in sorted(committed)
+                    ]
+                    served_any = spark.read.parquet(*srcs).select("id")
+                    id_type = served_any.schema["id"].dataType
+                    mcorp = corpus.filter(F.col("batch_id").isin(mapped_ing))
+                    if bsel is not None:
+                        mcorp = mcorp.filter(F.col("batch_id").isin(bsel))
+                    missing = mcorp.select(
+                        F.col(icol).cast(id_type).alias("id")
+                    ).distinct().join(served_any, "id", "left_anti")
+                    # a live manual tombstone is INTENTIONAL absence
+                    tomb_ids = _tombstone_batches(spark, ibase, horizon)
+                    if tomb_ids:
+                        tombs = spark.read.parquet(*[
+                            f"{ibase}/tombstones/batch={t}" for t in tomb_ids
+                        ]).select(F.col("id").cast(id_type).alias("id"))
+                        missing = missing.join(tombs, "id", "left_anti")
+                    n = missing.count()
+                    # pre-compaction the check is PRECISE (every manual
+                    # tombstone is still live and excluded above) →
+                    # fail. Once a compaction has run (horizon >= 0) a
+                    # manually tombstoned doc's rows AND its tombstone
+                    # are purged together, indistinguishable from a
+                    # lost append by metadata — WARN, not a permanent
+                    # false fail on a healthy state (review-found).
+                    if not n:
+                        st, why = "ok", ""
+                    elif horizon < 0:
+                        st = "fail"
+                        why = "; absent from every committed codes source"
+                    else:
+                        st = "warn"
+                        why = ("; absent from snapshot + committed appends"
+                               " — lost append OR a manual tombstone the"
+                               " compaction folded (metadata cannot tell"
+                               " them apart post-fold)")
+                    emit("admitted_doc_not_in_index", "corpus", st, n,
+                         sample(missing, "id") + why)
+
+            if retr is None:
+                emit("retracted_doc_still_served", "index", "skipped", 0,
+                     "no retractions recorded")
+            else:
+                idx = load_pq_index(spark, cfg.semdedup_index_path)
+                id_type = idx.codes.schema["id"].dataType
+                rsel = retr if bsel is None else retr.filter(
+                    F.col("admitted_batch_id").isin(bsel)
+                )
+                still = idx.codes.join(
+                    F.broadcast(
+                        rsel.select(
+                            F.col("doc_id").cast(id_type).alias("id")
+                        ).distinct()
+                    ),
+                    "id", "left_semi",
+                ).select("id").distinct()
+                n = still.count()
+                emit("retracted_doc_still_served", "index",
+                     "fail" if n else "ok", n, sample(still, "id"))
 
     # retraction residual across the whole history (the verb's own
-    # self-check shape; conservative post-fold — see docstring)
-    retr = read_parquet_state(
-        spark, os.path.join(base, "retracted"), mergeSchema="true"
-    )
+    # self-check shape; conservative post-fold — see docstring); reads
+    # the retracted/ frame hoisted above (one listing, two consumers)
     if retr is None:
         emit("retraction_residual", "all", "skipped", 0,
              "no retractions recorded")

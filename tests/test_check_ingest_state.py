@@ -202,3 +202,13 @@ def test_check_ingest_state_index_invariants(spark, tmp_path):
     rep = _by_check(check_ingest_state(spark, state, cfg))
     resv = rep[("idxmap_reservation_without_append", "idxmap")]
     assert resv.status == "fail" and str(bid) in resv.detail
+
+    # post-compaction the missing-from-index finding degrades to WARN:
+    # a manually tombstoned doc's rows and its tombstone fold away
+    # together, metadata-indistinguishable from a lost append (901 the
+    # folded manual tombstone, 902 the genuinely lost append)
+    ann_index.compact_pq_index(spark, idx_path)
+    rep = _by_check(check_ingest_state(spark, state, cfg))
+    row = rep[("admitted_doc_not_in_index", "corpus")]
+    assert row.status == "warn" and row.n == 2
+    assert "metadata cannot tell" in row.detail
