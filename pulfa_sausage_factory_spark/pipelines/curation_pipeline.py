@@ -642,6 +642,57 @@ def curation_report_df(spark: SparkSession, report: dict) -> DataFrame:
     )
 
 
+def ingest_run_report_df(spark: SparkSession, run_report: dict) -> DataFrame:
+    """C3 "diagnostics as columns" for the incremental ingest — the one
+    report dict that still lacked a DataFrame mirror
+    (``curation_report_df`` covers the batch DAG, ``ingest_state_report``
+    the state artifacts, ``pq_index_report`` the index,
+    ``journal_report`` the journal; this covers the RUN):
+    ``run_incremental_curation``'s return value as one row per
+    micro-batch. Scalar counts become columns (nulls where a batch
+    didn't carry the field — e.g. ``retraction_excluded`` only rides
+    replayed batches, ``index_appended`` only with
+    ``serve_index_append``); the variable-shape extras become compact
+    summary strings: ``drift`` (the drifted column/stat pairs from the
+    opt-in input monitor, empty = monitor ran clean, null = monitor
+    off) and ``maintenance`` (which in-pipeline folds/coarsens/compacts
+    fired). Driver-side reshape of an already-materialized dict —
+    costs nothing."""
+    rows = []
+    for b in run_report.get("batches", []):
+        drift = b.get("profile_drift")
+        drift_s = (
+            None if drift is None
+            else "; ".join(f"{d['column']}.{d['stat']}" for d in drift)
+        )
+        maint = []
+        if b.get("state_compacted"):
+            maint.append(f"state_compacted={sorted(b['state_compacted'])}")
+        if b.get("overlap_coarsened"):
+            maint.append(f"overlap_coarsened={b['overlap_coarsened']}")
+        if b.get("index_compacted"):
+            maint.append("index_compacted")
+        rows.append((
+            int(b["batch_id"]),
+            int(b.get("corrupt_lines", 0)),
+            int(b["input_rows"]),
+            int(b["admitted"]),
+            int(b["dropped"]),
+            (int(b["retraction_excluded"])
+             if "retraction_excluded" in b else None),
+            (int(b["index_appended"])
+             if "index_appended" in b else None),
+            drift_s,
+            "; ".join(maint),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, corrupt_lines long, input_rows long, "
+        "admitted long, dropped long, retraction_excluded long, "
+        "index_appended long, drift string, maintenance string",
+    )
+
+
 def run_incremental_curation(
     spark: SparkSession,
     in_dir: str,

@@ -212,3 +212,46 @@ def test_check_ingest_state_index_invariants(spark, tmp_path):
     row = rep[("admitted_doc_not_in_index", "corpus")]
     assert row.status == "warn" and row.n == 2
     assert "metadata cannot tell" in row.detail
+
+
+def test_ingest_run_report_df_mirrors_batch_reports(spark, tmp_path):
+    # round-12: the run report joins the C3 DataFrame-mirror convention
+    # — one row per micro-batch, scalar counts as columns, the opt-in
+    # extras (drift monitor, maintenance cadences) as summary strings.
+    from pulfa_sausage_factory_spark.functions.profiling import (
+        profile_table,
+    )
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        ingest_run_report_df,
+    )
+
+    state = str(tmp_path / "state")
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    base_txt = "plain archival letter text about boxes and folders "
+    ref = profile_table(
+        spark.createDataFrame(
+            [(i, base_txt + f"m{i}") for i in range(20)],
+            "doc_id long, text string",
+        ),
+        exact=True,
+    )
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none",
+                         drift_ref_profile=ref)
+
+    r0 = _ingest_batch(spark, _lines(spark, [
+        {"doc_id": 1, "text": base_txt + "m90"},
+        {"doc_id": 2, "text": base_txt + "m91"},
+    ]), 0, cfg, state, sch)
+    r1 = _ingest_batch(spark, _lines(spark, [
+        {"doc_id": 3, "text": (base_txt * 30) + "m92"},
+    ]), 1, cfg, state, sch)
+
+    rep = ingest_run_report_df(spark, {"batches": [r0, r1]})
+    rows = {r.batch_id: r for r in rep.collect()}
+    assert rows[0].admitted == 2 and rows[0].dropped == 0
+    assert rows[0].drift == ""  # monitor ran, clean
+    assert "avg_len" in rows[1].drift  # the 30x doc moved length stats
+    assert rows[0].retraction_excluded is None  # no replay guard fired
+    assert rows[0].index_appended is None  # no serve-index append
+    assert rows[0].maintenance == ""
