@@ -113,10 +113,12 @@ def compare_profiles(
     Statistics compared SCALE-FREE wherever the raw profile values are
     volume-dependent, so a 10× bigger batch does not read as drift:
     ``null_frac`` (nulls/rows — absolute delta vs ``null_frac_tol``) and
-    ``distinct`` (regime-free: the minimum of the absolute-count and
-    the distinct/rows-ratio relative deltas — under pure volume change
-    one of the two is invariant for any column, categorical or
-    key-like, while genuine cardinality drift moves both; see the
+    ``distinct`` (volume-gated: at comparable row counts, the minimum
+    of the absolute-count and distinct/rows-ratio relative deltas; when
+    the row counts differ by more than ~2×, distinct grows sublinearly
+    in sample size for heavy-tailed columns and the only volume-free
+    test left is vocabulary-expansion monotonicity — the smaller sample
+    holding more distinct values than the larger one saw; see the
     inline comment). Value-space statistics (``mean``, ``min``, ``max``,
     each quantile, string length stats) compare on relative delta
     ``|cur − ref| / max(|ref|, |cur|)`` vs ``rel_tol`` — quantile
@@ -197,25 +199,49 @@ def compare_profile_rows(
         # scale-free for every column: a bounded CATEGORICAL vocabulary
         # keeps its absolute distinct count under volume change (the
         # ratio moves), a KEY-like column keeps its distinct/rows ratio
-        # (the absolute count moves). A one-pass profile cannot always
-        # tell the regimes apart (a foreign key with ~4 rows per parent
-        # reads as ratio 0.25), so the drift test takes the MINIMUM of
-        # the two relative deltas: under pure volume change one of the
-        # two stays put for ANY column, while genuine cardinality drift
-        # (new vocabulary values, key-space collapse) moves both. The
-        # reported ref/cur are the absolute counts; the delta is the
-        # regime-free minimum. (Sketched distinct counts carry the
-        # profiler's rsd (~5%), and HLL error at SMALL cardinalities can
-        # exceed it — build the reference profile with exact=True; it is
-        # built once.)
+        # (the absolute count moves) — and a heavy-tailed MID-cardinality
+        # column (a Zipf "domain" column) keeps NEITHER: distinct grows
+        # sublinearly in sample size (species accumulation), so a 100×
+        # smaller batch from the same distribution moves both the count
+        # and the ratio, and min(vocab Δ, ratio Δ) would flag pure
+        # volume change forever (review-found). So the test is
+        # volume-gated:
+        # - rows within ~2× of each other → min(vocab Δ, ratio Δ): at
+        #   comparable volumes each regime's invariant approximately
+        #   holds, so the minimum is a usable drift signal for any
+        #   column;
+        # - rows differ by more → the ONLY volume-free statement left is
+        #   accumulation monotonicity: the smaller sample cannot hold
+        #   MORE vocabulary than the larger one saw. Drift iff
+        #   distinct(smaller) > distinct(larger)·(1+tol) — unambiguous
+        #   new values; contraction/ratio movement is uninformative in
+        #   this regime and is reported un-flagged with the reason.
+        # (Sketched distinct counts carry the profiler's rsd (~5%), and
+        # HLL error at SMALL cardinalities can exceed it — build the
+        # reference profile with exact=True; it is built once.)
         rd, cd = r.get("distinct"), c.get("distinct")
         if rd is not None and cd is not None and n_ref and n_cur:
-            d = min(rel(float(rd), float(cd)),
-                    rel(rd / n_ref, cd / n_cur))
-            hit = d > rel_tol
-            emit(col, "distinct", float(rd), float(cd), d, hit,
-                 ("min(vocab Δ, ratio Δ) "
-                  + (f"{d:.4f} > {rel_tol}" if hit else "(regime-free)")))
+            if rel(float(n_ref), float(n_cur)) <= 0.5:
+                d = min(rel(float(rd), float(cd)),
+                        rel(rd / n_ref, cd / n_cur))
+                hit = d > rel_tol
+                emit(col, "distinct", float(rd), float(cd), d, hit,
+                     ("min(vocab Δ, ratio Δ) "
+                      + (f"{d:.4f} > {rel_tol}" if hit else
+                         "(comparable volumes)")))
+            else:
+                small_d, large_d = (
+                    (float(cd), float(rd)) if n_cur <= n_ref
+                    else (float(rd), float(cd))
+                )
+                d = max(0.0, small_d / max(large_d, 1.0) - 1.0)
+                hit = d > rel_tol
+                emit(col, "distinct", float(rd), float(cd), d, hit,
+                     (f"vocabulary expansion {d:.4f} > {rel_tol} "
+                      "(smaller sample exceeds larger's vocabulary)"
+                      if hit else
+                      "volume-mismatched rows: sublinear species "
+                      "accumulation — expansion-only check"))
         for key in ("min", "max", "mean", "min_len", "max_len", "avg_len"):
             if r.get(key) is not None and c.get(key) is not None:
                 pairs.append((key, float(r[key]), float(c[key]), False))

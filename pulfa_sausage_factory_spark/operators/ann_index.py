@@ -1004,21 +1004,24 @@ def pq_index_report(spark: SparkSession, path: str) -> DataFrame:
     app_rows = (
         spark.read.parquet(*app_paths).count() if app_paths else 0
     )
-    # live tombstones may cover appended rows (round-11 ADVICE): the gross
-    # append count then OVERSTATES the live appended fraction. Tombstoned
-    # ids are not attributable to base vs appended rows from metadata
-    # alone (they name ids, not batches), so the figure is reported as an
-    # upper bound with the live tombstone row count alongside — never
-    # silently subtracted (that would swing the error the other way when
-    # tombstones cover base rows).
-    tomb_paths = [
-        f"{base}/tombstones/batch={bid}"
-        for bid in _tombstone_batches(spark, base, horizon)
-    ]
-    tomb_rows = (
-        spark.read.parquet(*tomb_paths).count() if tomb_paths else 0
-    )
     if train is not None:
+        # live tombstones may cover appended rows (round-11 ADVICE): the
+        # gross append count then OVERSTATES the live appended fraction.
+        # Tombstoned ids are not attributable to base vs appended rows
+        # from metadata alone (they name ids, not batches), so the
+        # figure is reported as an upper bound with the live tombstone
+        # row count alongside — never silently subtracted (that would
+        # swing the error the other way when tombstones cover base
+        # rows). Computed only on this branch: without train_rows the
+        # staleness row that consumes it can't exist, and the footer
+        # job would be one pointless Spark job per report call.
+        tomb_paths = [
+            f"{base}/tombstones/batch={bid}"
+            for bid in _tombstone_batches(spark, base, horizon)
+        ]
+        tomb_rows = (
+            spark.read.parquet(*tomb_paths).count() if tomb_paths else 0
+        )
         folded = 0
         if horizon >= 0:
             folded = max(

@@ -1918,16 +1918,67 @@ def _state_surfaces(icol: str) -> tuple:
     )
 
 
+def _retraction_probe(keys: DataFrame, keys_col: str, key_col: str):
+    """``(probe_df, match_condition)`` for the takedown's key matching —
+    the ONE place the "which surface rows belong to a retraction key"
+    rule lives, shared by the membership probe (``_live_matches``) and
+    the scrub rewrite's anti-join (they MUST agree, or the residual
+    self-check probes a different set than the scrub removed).
+
+    The match is the PAIR (key value, admitting batch), not the key
+    value alone: surface rows carry their admitting batch either as the
+    live partition value (``batch_id=N``) or, after a
+    ``compact_ingest_state`` fold moved them under ``batch_id=-1``, as
+    the ``src_batch_id`` provenance column — and the retraction keys
+    carry ``admitted_batch_id``. Matching the bare key over-reaches in
+    exactly one place (review-found): the digest-keyed ``ledger/``
+    after a fold, where a DIFFERENT live doc that legitimately
+    re-admitted identical content (same digest, other id, later batch)
+    sits in the same archive partition — a bare-digest scrub deletes
+    its exact-dedup evidence, and the residual probe (same bare key)
+    then blesses the damage. Pair matching scopes both the scrub and
+    the probe to the admissions actually being retracted. Archive rows
+    with NO provenance column / a null ``src_batch_id`` (pre-round-9
+    folds) fall back to key-only matching — the conservative direction
+    for a takedown (over-scrub legacy debris rather than leave the
+    retracted doc live)."""
+    probe = keys.select(
+        F.col(keys_col).alias("__rk"),
+        F.col("admitted_batch_id").cast("long").alias("__rb"),
+    ).distinct()
+    cond = (F.col(key_col) == F.col("__rk")) & (
+        F.col("__src").isNull() | (F.col("__src") == F.col("__rb"))
+    )
+    return probe, cond
+
+
+def _with_admitting_batch(df: DataFrame) -> DataFrame:
+    """Stamp ``__src`` = the row's admitting batch: the live partition
+    value, or ``src_batch_id`` for rows a fold moved into the
+    ``batch_id=-1`` archive (null when the provenance column predates
+    round 9 — key-only fallback in ``_retraction_probe``)."""
+    if "src_batch_id" in df.columns:
+        src = F.when(
+            F.col("batch_id") == -1, F.col("src_batch_id").cast("long")
+        ).otherwise(F.col("batch_id").cast("long"))
+    else:
+        src = F.when(
+            F.col("batch_id") == -1, F.lit(None).cast("long")
+        ).otherwise(F.col("batch_id").cast("long"))
+    return df.withColumn("__src", src)
+
+
 def _live_matches(spark, base: str, sub: str, key_col: str,
                   keys: DataFrame, keys_col: str, batches):
-    """Rows of ``<base>/<sub>`` whose ``key_col`` matches
-    ``keys[keys_col]``, partition-pruned to ``batches`` plus the
-    ``batch_id=-1`` fold archive — the ONE membership-probe
-    implementation behind the takedown scrub's hit counts, its
-    post-scrub ``residual`` self-check, and the audit prune's
-    completed-scrub detection (three hand-rolled copies of the pruning
-    logic would drift). ``None`` when the surface, its key column, or
-    every candidate partition is absent."""
+    """Rows of ``<base>/<sub>`` matching the retraction keys
+    (``_retraction_probe`` pairs — key value + admitting batch),
+    partition-pruned to ``batches`` plus the ``batch_id=-1`` fold
+    archive — the ONE membership-probe implementation behind the
+    takedown scrub's hit counts, its post-scrub ``residual``
+    self-check, and the audit prune's completed-scrub detection (three
+    hand-rolled copies of the pruning logic would drift). ``None`` when
+    the surface, its key column, or every candidate partition is
+    absent."""
     from .. import fsutil
     from ..io import read_parquet_state
 
@@ -1942,10 +1993,10 @@ def _live_matches(spark, base: str, sub: str, key_col: str,
         parts.append(-1)  # folded archive may hold any batch's rows
     if not parts:
         return None
-    probe = keys.select(F.col(keys_col).alias(key_col)).distinct()
-    return df.filter(F.col("batch_id").isin(parts)).join(
-        F.broadcast(probe), key_col, "left_semi"
-    )
+    probe, cond = _retraction_probe(keys, keys_col, key_col)
+    return _with_admitting_batch(
+        df.filter(F.col("batch_id").isin(parts))
+    ).join(F.broadcast(probe), cond, "left_semi").drop("__src")
 
 
 def retract_documents(
@@ -2006,7 +2057,13 @@ def _retract_documents_body(
     partition is the granularity floor (the documented compaction trade
     — the never-folded corpus keeps per-batch granularity forever).
     Per-row ``src_batch_id`` provenance survives the rewrite, so replay
-    exclusion keeps working.
+    exclusion keeps working — and the scrub/probe match is the PAIR
+    (key value, admitting batch) via ``_retraction_probe``, never the
+    bare key: inside the fold archive a bare digest match would also
+    delete a DIFFERENT doc's legitimately re-admitted identical
+    content's ledger row (and the bare-key residual probe would bless
+    it). Provenance-less legacy archive rows key-match as the
+    conservative fallback.
 
     At-least-once interaction — the one subtle hazard: a batch killed
     BEFORE its stream checkpoint committed will REPLAY after this verb
@@ -2178,7 +2235,6 @@ def _retract_documents_body(
                                 cand_batches)
         if matches is None:
             return
-        drop = keys.select(F.col(keys_col).alias(key_col)).distinct()
         hits = matches.groupBy("batch_id").count().collect()
         if not hits:
             return
@@ -2186,12 +2242,21 @@ def _retract_documents_body(
             out["scrubbed"][sub] = int(sum(r["count"] for r in hits))
             return
         affected = sorted(int(r.batch_id) for r in hits)
+        # the rewrite's anti-join uses the SAME pair condition as the
+        # probe above (_retraction_probe): a bare-key anti-join over the
+        # fold archive would also delete a different doc's legitimately
+        # re-admitted identical content (review-found — see
+        # _retraction_probe)
+        probe, cond = _retraction_probe(keys, keys_col, key_col)
+        drop = F.broadcast(probe)
 
         def _rewrite(tmp: str) -> None:
             src = spark.read.option("mergeSchema", "true").parquet(path)
-            src.filter(F.col("batch_id").isin(affected)).join(
-                F.broadcast(drop), key_col, "left_anti"
-            ).write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+            _with_admitting_batch(
+                src.filter(F.col("batch_id").isin(affected))
+            ).join(drop, cond, "left_anti").drop("__src").write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(tmp)
 
         swapped = statedir.swap_partitions(spark, path, _rewrite,
                                            lease=lease)
@@ -2218,26 +2283,36 @@ def _retract_documents_body(
     if cfg.serve_index_append and cfg.semdedup_index_path:
         from ..operators.ann_index import load_pq_index, remove_from_pq_index
 
-        idx = load_pq_index(spark, cfg.semdedup_index_path)
-        id_type = idx.codes.schema["id"].dataType
-        present = [
-            r.id
-            for r in idx.codes.join(
-                F.broadcast(
-                    keys.select(
-                        F.col("doc_id").cast(id_type).alias("id")
-                    ).distinct()
-                ),
-                "id",
-                "left_semi",
-            ).select("id").distinct().collect()
-        ]
-        if present and dry_run:
-            out["index_tombstone"] = {"would_remove": len(present)}
-        elif present:
-            out["index_tombstone"] = remove_from_pq_index(
-                spark, cfg.semdedup_index_path, present
-            )
+        # leases are per-directory: the state-dir lease this verb holds
+        # provides NO exclusion on the index dir, and a concurrent
+        # compact_pq_index (cron-driven, under the index dir's own
+        # lease) could delete the WAL dirs between this probe's listing
+        # and its reads (review-found — same guard check_ingest_state's
+        # index block takes). The held index lease threads into
+        # remove_from_pq_index so its scope renews instead of
+        # self-acquiring against us.
+        ibase = cfg.semdedup_index_path.rstrip("/")
+        with statedir.lease_scope(spark, ibase, "retract_documents") as il:
+            idx = load_pq_index(spark, cfg.semdedup_index_path)
+            id_type = idx.codes.schema["id"].dataType
+            present = [
+                r.id
+                for r in idx.codes.join(
+                    F.broadcast(
+                        keys.select(
+                            F.col("doc_id").cast(id_type).alias("id")
+                        ).distinct()
+                    ),
+                    "id",
+                    "left_semi",
+                ).select("id").distinct().collect()
+            ]
+            if present and dry_run:
+                out["index_tombstone"] = {"would_remove": len(present)}
+            elif present:
+                out["index_tombstone"] = remove_from_pq_index(
+                    spark, cfg.semdedup_index_path, present, lease=il
+                )
 
     # 4. postcondition SELF-CHECK (round-11 VERDICT item 1): re-probe
     #    membership for the retraction keys on every surface just
@@ -2258,19 +2333,25 @@ def _retract_documents_body(
             if n:
                 residual[sub] = int(n)
         if cfg.serve_index_append and cfg.semdedup_index_path:
-            idx2 = load_pq_index(spark, cfg.semdedup_index_path)
-            id_type2 = idx2.codes.schema["id"].dataType
-            n = (
-                idx2.codes.join(
-                    F.broadcast(
-                        keys.select(
-                            F.col("doc_id").cast(id_type2).alias("id")
-                        ).distinct()
-                    ),
-                    "id",
-                    "left_semi",
-                ).count()
-            )
+            # same per-directory lease rationale as the tombstone leg
+            # above; the count() materializes inside the scope
+            with statedir.lease_scope(
+                spark, cfg.semdedup_index_path.rstrip("/"),
+                "retract_documents",
+            ):
+                idx2 = load_pq_index(spark, cfg.semdedup_index_path)
+                id_type2 = idx2.codes.schema["id"].dataType
+                n = (
+                    idx2.codes.join(
+                        F.broadcast(
+                            keys.select(
+                                F.col("doc_id").cast(id_type2).alias("id")
+                            ).distinct()
+                        ),
+                        "id",
+                        "left_semi",
+                    ).count()
+                )
             if n:
                 residual["index"] = int(n)
         out["residual"] = int(sum(residual.values()))
@@ -2353,15 +2434,15 @@ def prune_ingest_audit(
       ``retract_documents`` to finish the scrub first. Pruning them
       would strand unscrubable ledger digests (the record is the only
       carrier of the digest once the corpus text is gone). The probe
-      errs toward RETENTION: the membership scan includes the
-      ``batch_id=-1`` fold archive, which holds rows from EVERY batch —
-      so after a ``compact_ingest_state`` fold, a record whose doc was
-      later legitimately RE-ADMITTED (same digest, newer batch, rows
-      now in the archive) probes as "still live" and is conservatively
-      kept, even though its own admission's scrub completed. Harmless
-      (a kept audit row, never a kept document) and bounded by the
-      re-admission rate; the trade buys never dropping a record whose
-      scrub might still need its digest.
+      matches the PAIR (key value, admitting batch) via
+      ``_retraction_probe`` — the same rule the scrub itself applies —
+      so a doc (or identical content under another id) legitimately
+      RE-ADMITTED in a later batch no longer reads as the old
+      admission being live, and its completed record prunes precisely.
+      The conservative direction survives exactly where provenance is
+      missing: pre-round-9 fold-archive rows with no ``src_batch_id``
+      key-match any admission and keep the record — a kept audit row,
+      never a kept document.
 
     Both rewrites ride ``statedir.replace_dir`` (kept rows land in the
     ``batch_id=-1`` archive partition, bounded to the shared
@@ -2455,6 +2536,7 @@ def _prune_ingest_audit_body(
             F.col("admitted_batch_id") <= up_to_batch
         ).select("doc_id", "digest", "admitted_batch_id").distinct()
         cand = cand.localCheckpoint()
+        idx_ck = None  # the index probe's intermediate checkpoint
         try:
             incomplete = None  # cand RECORDS whose key is still live
             if cand.count() > 0:
@@ -2496,28 +2578,40 @@ def _prune_ingest_audit_body(
                     # probe the verb's own `residual` self-check runs.
                     from ..operators.ann_index import load_pq_index
 
-                    codes = load_pq_index(
-                        spark, cfg.semdedup_index_path
-                    ).codes
-                    id_type = codes.schema["id"].dataType
-                    doc_type = cand.schema["doc_id"].dataType
-                    hit_vals = (
-                        codes.join(
-                            F.broadcast(
-                                cand.select(
-                                    F.col("doc_id").cast(id_type)
-                                    .alias("id")
-                                ).distinct()
-                            ),
-                            "id", "left_semi",
+                    # per-directory leases (review-found): reading the
+                    # index WAL under only the STATE dir's lease races a
+                    # concurrent compact_pq_index sweeping the dirs
+                    # between listing and read — take the index dir's
+                    # lease for the probe, and materialize the hits
+                    # INSIDE the scope (a lazy frame would run the codes
+                    # read after the lease released)
+                    with statedir.lease_scope(
+                        spark, cfg.semdedup_index_path.rstrip("/"),
+                        "prune_ingest_audit",
+                    ):
+                        codes = load_pq_index(
+                            spark, cfg.semdedup_index_path
+                        ).codes
+                        id_type = codes.schema["id"].dataType
+                        doc_type = cand.schema["doc_id"].dataType
+                        hit_vals = (
+                            codes.join(
+                                F.broadcast(
+                                    cand.select(
+                                        F.col("doc_id").cast(id_type)
+                                        .alias("id")
+                                    ).distinct()
+                                ),
+                                "id", "left_semi",
+                            )
+                            .select(
+                                F.col("id").cast(doc_type).alias("doc_id")
+                            ).distinct()
                         )
-                        .select(
-                            F.col("id").cast(doc_type).alias("doc_id")
-                        ).distinct()
-                    )
-                    hit_recs = cand.join(
-                        F.broadcast(hit_vals), "doc_id", "left_semi"
-                    )
+                        hit_recs = cand.join(
+                            F.broadcast(hit_vals), "doc_id", "left_semi"
+                        ).localCheckpoint()
+                        idx_ck = hit_recs
                     incomplete = (
                         hit_recs if incomplete is None
                         else incomplete.unionByName(hit_recs)
@@ -2561,6 +2655,8 @@ def _prune_ingest_audit_body(
             release_local_checkpoint(cand)
             if incomplete is not None:
                 release_local_checkpoint(incomplete)
+            if idx_ck is not None and idx_ck is not incomplete:
+                release_local_checkpoint(idx_ck)
     return out
 
 
@@ -2844,16 +2940,26 @@ def check_ingest_state(
       tombstone fold away together, metadata-indistinguishable from a
       lost append.
       ``retracted_doc_still_served`` — a ``retracted/`` doc id the
-      assembled index view still serves: the takedown's index leg never
-      landed (the exact failure mode the verb's last-step ordering +
-      ``prune_ingest_audit``'s keep-while-served rule exist to contain).
+      assembled index view still serves WITHOUT a live corpus row
+      explaining it: the takedown's index leg never landed (the exact
+      failure mode the verb's last-step ordering +
+      ``prune_ingest_audit``'s keep-while-served rule exist to
+      contain). A retracted id later legitimately RE-SUBMITTED and
+      re-appended serves by design — ids with a live corpus admission
+      in a batch NO retraction record covers are excluded (counted in
+      the detail; a live row in a recorded batch is an incomplete
+      scrub and still fails); in batch-scoped mode a re-admission
+      outside the scoped batches can't be ruled out, so findings
+      downgrade to warn there.
       ``retraction_residual`` — ``retracted/`` keys still matching any
       state surface (the takedown verb's own residual probe, run over
       the WHOLE retraction history instead of one call's keys). WARN,
-      not FAIL: after a ``compact_ingest_state`` fold the probe includes
-      the ``batch_id=-1`` archive and a legitimately RE-ADMITTED doc
-      probes as live (the same conservative direction
-      ``prune_ingest_audit`` documents); pre-fold it is precise.
+      not FAIL: the probe pairs each key with its admitting batch
+      (``_retraction_probe``), so re-admissions no longer read as
+      residue — but pre-round-9 fold-archive rows without
+      ``src_batch_id`` provenance key-match any admission
+      (conservative fallback), and only the operator can adjudicate
+      those.
 
     ``status`` per row: ``ok`` (invariant holds), ``fail`` (violated),
     ``warn`` (violated-or-conservative, see the check), ``skipped``
@@ -2934,9 +3040,13 @@ def _check_ingest_state_body(
         cs = corpus if bsel is None else corpus.filter(
             F.col("batch_id").isin(bsel)
         )
-        # the one corpus-sized scan, shared by every check below
+        # the one corpus-sized scan, shared by every check below —
+        # batch_id rides along so the index block's per-batch scope
+        # derives from this checkpoint instead of re-scanning the corpus
         ckeys = cs.select(
-            F.col(icol).alias("doc_id"), F.md5(F.col(tcol)).alias("digest")
+            F.col(icol).alias("doc_id"),
+            F.md5(F.col(tcol)).alias("digest"),
+            F.col("batch_id").cast("long").alias("batch_id"),
         ).localCheckpoint()
 
     # ledger ↔ corpus digest bijection (both directions)
@@ -3062,11 +3172,13 @@ def _check_ingest_state_body(
                     ]
                     served_any = spark.read.parquet(*srcs).select("id")
                     id_type = served_any.schema["id"].dataType
-                    mcorp = corpus.filter(F.col("batch_id").isin(mapped_ing))
-                    if bsel is not None:
-                        mcorp = mcorp.filter(F.col("batch_id").isin(bsel))
+                    # derived from the shared ckeys checkpoint — the
+                    # docstring's one-corpus-scan promise (a raw corpus
+                    # re-read here was a second full scan; bsel is
+                    # already applied inside ckeys)
+                    mcorp = ckeys.filter(F.col("batch_id").isin(mapped_ing))
                     missing = mcorp.select(
-                        F.col(icol).cast(id_type).alias("id")
+                        F.col("doc_id").cast(id_type).alias("id")
                     ).distinct().join(served_any, "id", "left_anti")
                     # a live manual tombstone is INTENTIONAL absence
                     tomb_ids = _tombstone_batches(spark, ibase, horizon)
@@ -3114,9 +3226,54 @@ def _check_ingest_state_body(
                     ),
                     "id", "left_semi",
                 ).select("id").distinct()
+                # a retracted id the CORPUS currently holds under an
+                # admission NO retraction record covers was legitimately
+                # RE-SUBMITTED after its takedown (the documented
+                # semantics: retraction is not a content blocklist) and
+                # re-appended — serving it is correct, and
+                # prune_ingest_audit deliberately keeps the old record
+                # while the id is served, so without this exclusion a
+                # healthy state would FAIL here forever (review-found).
+                # The exclusion is PAIR-aware, like the scrubs: a live
+                # corpus row in the SAME batch a record names is an
+                # incomplete scrub (the takedown never finished), not a
+                # re-admission — only a live (id, batch) pair outside
+                # every record's (id, admitted_batch_id) clears the id.
+                # Live pairs come from the shared ckeys scan; in
+                # batch-scoped mode ckeys only covers bsel, so an
+                # out-of-scope re-admission can't be ruled out —
+                # findings there downgrade to warn.
+                n_re = 0
+                if ckeys is not None:
+                    rec_pairs = retr.select(
+                        F.col("doc_id").cast(id_type).alias("__rid"),
+                        F.col("admitted_batch_id").cast("long")
+                        .alias("__rbatch"),
+                    ).distinct()
+                    fresh = ckeys.select(
+                        F.col("doc_id").cast(id_type).alias("id"),
+                        F.col("batch_id").alias("__lb"),
+                    ).distinct().join(
+                        F.broadcast(rec_pairs),
+                        (F.col("id") == F.col("__rid"))
+                        & (F.col("__lb") == F.col("__rbatch")),
+                        "left_anti",
+                    ).select("id").distinct()
+                    n_re = still.join(fresh, "id", "left_semi").count()
+                    still = still.join(fresh, "id", "left_anti")
                 n = still.count()
-                emit("retracted_doc_still_served", "index",
-                     "fail" if n else "ok", n, sample(still, "id"))
+                st = "fail" if n else "ok"
+                why = sample(still, "id")
+                if n and bsel is not None:
+                    st = "warn"
+                    why += ("; batch-scoped — a re-admission outside the "
+                            "scoped batches would also serve legitimately")
+                if n_re:
+                    why = (why + "; " if why else "") + (
+                        f"{n_re} retracted id(s) re-admitted later and "
+                        "served — excluded (expected)"
+                    )
+                emit("retracted_doc_still_served", "index", st, n, why)
 
     # retraction residual across the whole history (the verb's own
     # self-check shape; conservative post-fold — see docstring); reads
@@ -3149,8 +3306,9 @@ def _check_ingest_state_body(
         emit("retraction_residual", "all", "warn" if total else "ok",
              total,
              ("; ".join(per_surface) +
-              "; incomplete scrub OR a re-admitted doc probed via the "
-              "fold archive (conservative)") if total else "")
+              "; incomplete scrub OR a provenance-less legacy archive "
+              "row key-matching a re-admission (conservative fallback)")
+             if total else "")
         release_local_checkpoint(cand)
 
     if ckeys is not None:

@@ -106,10 +106,27 @@ class WriterLease:
                 "took over (stale-lease takeover); abort all writes"
             )
         rec = fsutil.read_text(self.spark, self.path)
-        if rec is None or self.nonce not in rec:
+        if rec is None:
+            # read_text folds EVERY java-side failure to None so probers
+            # racing a delete see absence — but here a transient IO error
+            # on a still-present record must not read as a takeover
+            # (same discrimination acquire_lease applies to a failed
+            # mtime stat): only genuine absence is fencing evidence
+            if fsutil.exists(self.spark, self.path):
+                raise LeaseError(
+                    f"writer lease on {self.base}: epoch {self.token} "
+                    "record exists but could not be read (transient IO/"
+                    "permission failure?) — NOT fenced; retry the check"
+                )
             raise LeaseFenced(
                 f"writer lease on {self.base} fenced: epoch {self.token} "
-                "record is missing or belongs to another holder"
+                "record is missing — another writer took over or the "
+                "lease was released"
+            )
+        if self.nonce not in rec:
+            raise LeaseFenced(
+                f"writer lease on {self.base} fenced: epoch {self.token} "
+                "record belongs to another holder (nonce mismatch)"
             )
 
     def renew(self) -> None:
@@ -125,10 +142,13 @@ class WriterLease:
     def release(self) -> None:
         """Release the lease (delete our epoch record). A fenced lease
         releases as a no-op — the successor's record must not be
-        touched."""
+        touched. Any other check failure (transient read error) also
+        skips the delete: ownership could not be verified, and deleting
+        blind could remove a successor's record — the unreleased lease
+        simply expires via the ttl, the safe direction."""
         try:
             self.check()
-        except LeaseFenced:
+        except LeaseError:
             return
         fsutil.delete(self.spark, self.path)
 

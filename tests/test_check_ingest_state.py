@@ -214,6 +214,85 @@ def test_check_ingest_state_index_invariants(spark, tmp_path):
     assert "metadata cannot tell" in row.detail
 
 
+def test_check_ingest_state_readmitted_id_serves_legitimately(
+    spark, tmp_path
+):
+    # round-12 review: retracted_doc_still_served keyed on the bare doc
+    # id, so the documented retract-then-resubmit flow — the old record
+    # deliberately retained by prune's keep-while-served rule, the id
+    # re-appended and serving again — FAILED forever on a healthy
+    # state. The exclusion is pair-aware: a live corpus admission in a
+    # batch NO retraction record covers clears the id; a live row in a
+    # recorded batch stays an incomplete-scrub FAIL (pinned in the
+    # index-invariants test above).
+    from pulfa_sausage_factory_spark.functions.vectors import (
+        hashed_text_embedding,
+    )
+    from pulfa_sausage_factory_spark.operators import ann_index
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        check_ingest_state,
+        retract_documents,
+    )
+
+    text = (
+        "expedition journal paragraph about water depth measurements "
+        "and canyon sketches drawn each evening by lamplight " * 2
+    )
+    base_vecs = spark.createDataFrame(
+        [(1000 + i, text + f" tail {i}") for i in range(8)],
+        "vec_id long, text string",
+    ).select(
+        "vec_id",
+        hashed_text_embedding(F.col("text"), dim=64).alias("embedding"),
+    ).localCheckpoint()
+    idx_path = str(tmp_path / "readmit_idx")
+    ann_index.save_pq_index(
+        ann_index.build_pq_index(
+            base_vecs, m=8, n_codes=8, n_cells=2, iters=2,
+            sample_fraction=1.0,
+        ),
+        idx_path,
+    )
+
+    state = str(tmp_path / "readmit_state")
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    cfg = CurationConfig(
+        min_quality=0.0, neardup_method="none",
+        semantic_ledger=True, semdedup_threshold=0.99,
+        semdedup_index_path=idx_path, serve_index_append=True,
+    )
+
+    doc = {"doc_id": 700, "text": text + " unique sigma"}
+    assert _ingest_batch(
+        spark, _lines(spark, [doc]), 0, cfg, state, sch
+    )["admitted"] == 1
+    assert retract_documents(spark, state, [700], cfg)["residual"] == 0
+    # re-submission under the same id in a later batch: admitted and
+    # re-appended to the serving index (documented semantics)
+    assert _ingest_batch(
+        spark, _lines(spark, [doc]), 1, cfg, state, sch
+    )["admitted"] == 1
+    assert ann_index.load_pq_index(spark, idx_path).codes.filter(
+        F.col("id") == 700
+    ).count() == 1
+
+    rep = _by_check(check_ingest_state(spark, state, cfg))
+    served = rep[("retracted_doc_still_served", "index")]
+    assert served.status == "ok" and served.n == 0
+    assert "re-admitted" in served.detail
+    assert rep[("retraction_residual", "all")].status == "ok"
+    assert not any(r.status in ("fail", "warn") for r in rep.values())
+
+    # batch-scoped to the retraction's admission batch only: the
+    # re-admission in batch 1 is outside the scope and can't be ruled
+    # out from partition-pruned reads → warn, never a hard fail
+    rep0 = _by_check(check_ingest_state(spark, state, cfg, batches=[0]))
+    served0 = rep0[("retracted_doc_still_served", "index")]
+    assert served0.status == "warn" and served0.n == 1
+    assert "batch-scoped" in served0.detail
+
+
 def test_ingest_run_report_df_mirrors_batch_reports(spark, tmp_path):
     # round-12: the run report joins the C3 DataFrame-mirror convention
     # — one row per micro-batch, scalar counts as columns, the opt-in

@@ -2529,6 +2529,177 @@ def test_retract_readmitted_same_id_scrubs_live_copy(spark, tmp_path):
     assert rep3["residual"] == 0
 
 
+def test_retract_replay_spares_other_docs_identical_content(
+    spark, tmp_path
+):
+    # round-12 review: the ledger scrub used to anti-join the BARE
+    # digest over cand_batches plus the fold archive. After
+    # compact_ingest_state folds the ledger, a DIFFERENT doc that
+    # legitimately re-admitted identical content (same digest, other
+    # id, later batch) sits in the same batch_id=-1 archive partition —
+    # a takedown REPLAY for the original id then deleted the live doc's
+    # exact-dedup evidence, and the residual probe (same bare key)
+    # blessed the damage: every future byte-identical copy re-admitted
+    # as a duplicate. The scrub and probe now match the PAIR (key,
+    # admitting batch) via _retraction_probe.
+    import json
+
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        compact_ingest_state,
+        retract_documents,
+    )
+
+    shared = (
+        "a sufficiently long shared archival paragraph about river "
+        "journeys and nightly folio pressing under lamplight " * 3
+    )
+    state = str(tmp_path / "spare_state")
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none")
+
+    def lines(rows):
+        return spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "value string"
+        )
+
+    # batch 0: doc 1 holds text T; takedown completes cleanly
+    assert _ingest_batch(
+        spark, lines([{"doc_id": 1, "text": shared}]), 0, cfg, state, sch
+    )["admitted"] == 1
+    rep1 = retract_documents(spark, state, [1], cfg)
+    assert rep1["found"] == 1 and rep1["residual"] == 0
+
+    # batch 1: doc 2 legitimately re-admits the identical content (the
+    # digest was scrubbed — retraction is not a content blocklist)
+    assert _ingest_batch(
+        spark, lines([{"doc_id": 2, "text": shared}]), 1, cfg, state, sch
+    )["admitted"] == 1
+
+    # fold: doc 2's ledger digest row moves under batch_id=-1 with
+    # src_batch_id=1 provenance (digest = md5 of the CLEANED text — read
+    # it from the corpus, the raw-input hash never matches)
+    compact_ingest_state(spark, state, max_files=0)
+    digest = spark.read.parquet(f"{state}/corpus").filter(
+        F.col("doc_id") == 2
+    ).select(F.md5("text")).collect()[0][0]
+    assert spark.read.parquet(f"{state}/ledger").filter(
+        F.col("digest") == digest
+    ).count() == 1
+
+    # the at-least-once takedown replay for id 1: keys = the retracted/
+    # record (digest, admitted_batch_id=0); the archive row's src=1
+    # pair-mismatches, so doc 2's evidence survives and the replay is a
+    # clean no-op
+    rep2 = retract_documents(spark, state, [1], cfg)
+    assert rep2["found"] == 1 and rep2["scrubbed"] == {}
+    assert rep2["residual"] == 0
+    assert spark.read.parquet(f"{state}/ledger").filter(
+        F.col("digest") == digest
+    ).count() == 1, (
+        "takedown replay deleted a re-admitted doc's exact-dedup digest"
+    )
+    assert spark.read.parquet(f"{state}/corpus").filter(
+        F.col("doc_id") == 2
+    ).count() == 1
+
+    # the surviving evidence still refuses a byte-identical future copy
+    assert _ingest_batch(
+        spark, lines([{"doc_id": 3, "text": shared}]), 2, cfg, state, sch
+    )["admitted"] == 0
+
+
+def test_retract_and_prune_take_the_index_lease(spark, tmp_path):
+    # round-12 review: leases are per-directory — the state-dir lease a
+    # verb holds provides no exclusion on the serving-index dir, and a
+    # cron-driven compact_pq_index (under the index dir's own lease)
+    # could sweep the WAL dirs between a verb's listing and its reads.
+    # retract_documents' index legs and prune_ingest_audit's
+    # completed-scrub probe now take the index dir's lease, so a live
+    # concurrent index writer makes them refuse loudly (LeaseHeld)
+    # instead of racing; the crash-ordering contract already makes a
+    # re-run complete the interrupted takedown.
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark import statedir
+    from pulfa_sausage_factory_spark.functions.vectors import (
+        hashed_text_embedding,
+    )
+    from pulfa_sausage_factory_spark.operators import ann_index
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        prune_ingest_audit,
+        retract_documents,
+    )
+
+    text = (
+        "archival river journey paragraph with folio pressing details "
+        "and gravel bar campsites noted in the expedition log " * 2
+    )
+    base_vecs = spark.createDataFrame(
+        [(1000 + i, text + f" tail {i}") for i in range(8)],
+        "vec_id long, text string",
+    ).select(
+        "vec_id",
+        hashed_text_embedding(F.col("text"), dim=64).alias("embedding"),
+    ).localCheckpoint()
+    idx_path = str(tmp_path / "lease_idx")
+    ann_index.save_pq_index(
+        ann_index.build_pq_index(
+            base_vecs, m=8, n_codes=8, n_cells=2, iters=2,
+            sample_fraction=1.0,
+        ),
+        idx_path,
+    )
+
+    state = str(tmp_path / "lease_state")
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    cfg = CurationConfig(
+        min_quality=0.0, neardup_method="none",
+        semantic_ledger=True, semdedup_threshold=0.99,
+        semdedup_index_path=idx_path, serve_index_append=True,
+    )
+
+    def lines(rows):
+        return spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "value string"
+        )
+
+    assert _ingest_batch(
+        spark, lines([{"doc_id": 7, "text": text + " unique omega"}]),
+        0, cfg, state, sch,
+    )["admitted"] == 1
+
+    # a live external writer on the INDEX dir → the takedown's index leg
+    # refuses instead of reading a WAL that writer may be sweeping
+    with statedir.acquire_lease(spark, idx_path, "external-compactor"):
+        with pytest.raises(statedir.LeaseHeld):
+            retract_documents(spark, state, [7], cfg)
+
+    # the state scrubs before the refused index leg are already-decided
+    # work; with the index writer gone the re-run completes end to end
+    rep = retract_documents(spark, state, [7], cfg)
+    assert rep["residual"] == 0
+    assert ann_index.load_pq_index(spark, idx_path).codes.filter(
+        F.col("id") == 7
+    ).count() == 0
+
+    # prune's completed-scrub probe reads the same WAL → same refusal
+    os.makedirs(f"{state}/checkpoint/commits", exist_ok=True)
+    open(f"{state}/checkpoint/commits/0", "w").close()
+    with statedir.acquire_lease(spark, idx_path, "external-compactor"):
+        with pytest.raises(statedir.LeaseHeld):
+            prune_ingest_audit(spark, state, cfg)
+    out = prune_ingest_audit(spark, state, cfg)
+    assert out["retracted"] == [1, 0]
+
+
 def test_retract_vs_index_compaction_interleavings(spark, tmp_path):
     # round-12 (r11 VERDICT item 5): retraction tombstones only ids the
     # assembled view still SERVES, and compact_pq_index folds tombstones
@@ -2863,14 +3034,16 @@ def test_prune_retains_record_with_pending_index_tombstone(
     assert out2["retracted"][1] == 0 and out2["retained_incomplete"] == 0
 
 
-def test_prune_retention_is_conservative_after_fold(spark, tmp_path):
-    # the documented retention trade: the completed-scrub probe includes
-    # the batch_id=-1 fold archive (rows from EVERY batch), so after a
-    # compact_ingest_state fold, a record whose doc was later
-    # legitimately RE-ADMITTED (same digest, newer batch) probes as
-    # "still live" and is conservatively KEPT — while pre-fold, the
-    # per-batch partition pruning correctly proves the old admission's
-    # scrub complete and drops the record.
+def test_prune_precision_and_legacy_fallback_after_fold(spark, tmp_path):
+    # round-12 review: the completed-scrub probe matches the PAIR (key
+    # value, admitting batch) via _retraction_probe, so after a
+    # compact_ingest_state fold a record whose doc was later
+    # legitimately RE-ADMITTED (same digest, newer batch, archive rows
+    # carrying src_batch_id provenance) no longer probes as "still
+    # live" — the record prunes precisely pre-fold AND post-fold. The
+    # conservative direction survives exactly where provenance is
+    # missing: a provenance-less (pre-round-9) archive row key-matches
+    # any admission and retains the record.
     import json
     import os
 
@@ -2913,16 +3086,37 @@ def test_prune_retention_is_conservative_after_fold(spark, tmp_path):
         F.col("doc_id") == 1
     ).count() == 1
 
-    # post-fold: the archive holds the re-admission's digest → the probe
-    # errs toward retention (kept audit row, never a kept document)
+    # post-fold: the archive holds the re-admission's digest but its
+    # src_batch_id=1 provenance mismatches the record's admitted batch
+    # 0 → the scrub is proven complete, the record prunes
     s2 = str(tmp_path / "folded")
     setup(s2)
     compact_ingest_state(spark, s2, max_files=0)
     out2 = prune_ingest_audit(spark, s2, cfg)
-    assert out2["retracted"] == [1, 1] and out2["retained_incomplete"] == 1
+    assert out2["retracted"] == [1, 0] and out2["retained_incomplete"] == 0
     assert spark.read.parquet(f"{s2}/corpus").filter(
         F.col("doc_id") == 1
     ).count() == 1
+    # and the surviving archive digest still refuses a byte-identical
+    # future copy (the prune touched the audit ledger, never evidence)
+    r = _ingest_batch(
+        spark, lines([{"doc_id": 3, "text": doc["text"]}]), 2, cfg, s2, sch
+    )
+    assert r["admitted"] == 0
+
+    # legacy fold archive without provenance: key-only fallback keeps
+    # the record (conservative — over-retain, never over-prune)
+    s3 = str(tmp_path / "legacy")
+    setup(s3)
+    compact_ingest_state(spark, s3, max_files=0)
+    arch = spark.read.parquet(f"{s3}/ledger/batch_id=-1").drop(
+        "src_batch_id"
+    ).collect()
+    spark.createDataFrame(arch).write.mode("overwrite").parquet(
+        f"{s3}/ledger/batch_id=-1"
+    )
+    out3 = prune_ingest_audit(spark, s3, cfg)
+    assert out3["retracted"] == [1, 1] and out3["retained_incomplete"] == 1
 
 
 def test_overlap_drop_audit_records_provenance(spark, tmp_path):

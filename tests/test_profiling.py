@@ -132,6 +132,54 @@ def test_compare_profiles_flags_real_drift_only(spark, sf_dir):
     assert "->" in by[("l_quantity", "type")].detail
 
 
+def test_compare_profiles_distinct_volume_gate():
+    # round-12 review: min(vocab Δ, ratio Δ) claimed "under pure volume
+    # change one of the two stays put for ANY column" — false for
+    # heavy-tailed MID-cardinality columns, where distinct grows
+    # sublinearly in sample size (species accumulation): a 100× smaller
+    # healthy batch moves BOTH deltas and flagged forever. The test is
+    # now volume-gated: comparable volumes keep the min() test; a
+    # volume mismatch keeps only the accumulation-monotonicity check
+    # (the smaller sample cannot hold MORE vocabulary than the larger
+    # one saw). Pure driver-side dict arithmetic — no Spark needed.
+    from pulfa_sausage_factory_spark.functions.profiling import (
+        compare_profile_rows,
+    )
+
+    def prof(rows, distinct):
+        return {"rows": rows, "columns": {
+            "domain": {"type": "string", "nulls": 0, "distinct": distinct},
+        }}
+
+    def distinct_row(ref, cur):
+        rows = compare_profile_rows(ref, cur)
+        (row,) = [r for r in rows if r[0] == "domain" and r[1] == "distinct"]
+        return row  # (col, stat, ref, cur, delta, drifted, detail)
+
+    # heavy-tailed column sampled at 1% volume: ref 100k/1M (ratio 0.1),
+    # batch 6k/10k (ratio 0.6) — both deltas huge, but it is pure volume
+    # change → NOT drift
+    row = distinct_row(prof(1_000_000, 100_000), prof(10_000, 6_000))
+    assert row[5] is False and "expansion-only" in row[6]
+
+    # the smaller sample showing MORE vocabulary than the entire larger
+    # reference ever held is unambiguous new values → drift
+    row = distinct_row(prof(1_000_000, 100_000), prof(10_000, 150_000))
+    assert row[5] is True and "expansion" in row[6]
+
+    # symmetric: a LARGER current sample collapsing below the smaller
+    # reference's vocabulary is key-space collapse → drift
+    row = distinct_row(prof(10_000, 5_000), prof(1_000_000, 100))
+    assert row[5] is True
+
+    # comparable volumes keep the min() test: vocabulary growth at the
+    # same volume drifts, same distribution at the same volume does not
+    row = distinct_row(prof(100_000, 3), prof(95_000, 30))
+    assert row[5] is True and "min(vocab" in row[6]
+    row = distinct_row(prof(100_000, 3), prof(95_000, 3))
+    assert row[5] is False
+
+
 def test_ingest_reports_profile_drift(spark, tmp_path):
     # round-12: cfg.drift_ref_profile wires the comparator into the
     # incremental ingest — each batch profiles its parsed input against

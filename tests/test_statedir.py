@@ -215,6 +215,38 @@ def test_writer_lease_lifecycle(spark, tmp_path):
     statedir.acquire_lease(spark, base, owner="w5", ttl_sec=60).release()
 
 
+def test_lease_check_read_failure_is_not_fenced(spark, tmp_path, monkeypatch):
+    # round-12 review: fsutil.read_text folds EVERY java-side failure to
+    # None (so probers racing a delete see absence) — but check() turned
+    # that None straight into LeaseFenced, so a transient IO hiccup on a
+    # still-present record aborted a healthy long run with a false
+    # "another writer took over" diagnosis. A failed read on an EXISTING
+    # record now raises plain LeaseError (retryable, not a takeover
+    # verdict), and release() skips the delete rather than risk removing
+    # a successor's record it could not verify.
+    base = str(tmp_path / "ioleased")
+    lease = statedir.acquire_lease(spark, base, owner="w1", ttl_sec=60)
+    lease.check()
+
+    real_read = statedir.fsutil.read_text
+    monkeypatch.setattr(
+        statedir.fsutil, "read_text", lambda *a, **k: None
+    )
+    with pytest.raises(statedir.LeaseError) as exc:
+        lease.check()
+    assert not isinstance(exc.value, statedir.LeaseFenced)
+    assert "transient" in str(exc.value)
+    # release under the same failure: no delete, record survives
+    lease.release()
+    monkeypatch.setattr(statedir.fsutil, "read_text", real_read)
+    lease.check()  # still the valid holder
+
+    # genuine absence (record deleted, epoch dir gone) IS fenced
+    fsutil.delete(spark, lease.path)
+    with pytest.raises(statedir.LeaseFenced):
+        lease.check()
+
+
 def test_lease_acquisition_race_converges_to_one_holder(spark, tmp_path):
     # round-12: REAL concurrent acquirers, not sequential simulation.
     # LocalFileSystem's create(overwrite=false) is exists-then-create
