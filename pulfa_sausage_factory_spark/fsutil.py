@@ -256,3 +256,54 @@ def parquet_usage(spark: SparkSession, path: str) -> tuple[int, int]:
             n += 1
             b += int(st.getLen())
     return n, b
+
+
+def write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
+    """Write ``data`` to ``path`` (overwrite) through the Hadoop
+    FileSystem — small sidecar payloads (bloom bitmaps, meta JSON), not
+    datasets. Callers needing crash-atomicity write a tmp path and
+    ``rename``, or land inside a marker-validated epoch dir."""
+    fs, p = _fs_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
+def read_bytes(spark: SparkSession, path: str) -> bytes | None:
+    """Contents of ``path`` as bytes, or ``None`` when it does not exist
+    (same absence semantics as :func:`read_text`)."""
+    from py4j.protocol import Py4JJavaError
+
+    fs, p = _fs_path(spark, path)
+    try:
+        stream = fs.open(p)
+    except Py4JJavaError:
+        return None
+    try:
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data)
+    finally:
+        stream.close()
+
+
+def write_text(spark: SparkSession, path: str, content: str) -> None:
+    """UTF-8 text write (overwrite) — see :func:`write_bytes`."""
+    write_bytes(spark, path, content.encode("utf-8"))
+
+
+def dir_usage(spark: SparkSession, path: str) -> tuple[int, int]:
+    """``(n_files, n_bytes)`` of ALL files under ``path``, recursively —
+    the :func:`parquet_usage` twin for non-parquet sidecars (bloom
+    bitmaps, meta JSON, markers)."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return 0, 0
+    n = b = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        n += 1
+        b += int(st.getLen())
+    return n, b

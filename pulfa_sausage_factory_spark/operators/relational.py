@@ -166,3 +166,49 @@ def integrity_check(
     for i in range(len(preds)):
         ok = ok & F.col(f"_ok{i}")
     return out.withColumn("intact", ok).drop(*[f"_ok{i}" for i in range(len(preds))])
+
+
+def anti_join_scan_state(
+    batch: DataFrame, state: DataFrame, batch_key: str,
+    state_key: str | None = None,
+) -> DataFrame:
+    """Batch rows whose key is NOT in a state table that dwarfs the
+    batch — the anti-join shape for "decide a micro-batch against
+    accumulated state" (the incremental ingest's cross-run exact-dedup
+    ledger, and any ledger-vs-batch membership test at 100 TB).
+
+    The naive ``batch.join(state, key, "left_anti")`` plans a
+    SortMergeJoin that SHUFFLES every state row on the key, every
+    micro-batch — at a 10^9-row ledger that is the dominant recurring
+    cost of the whole pipeline, and Spark cannot fix it alone because
+    the LEFT side of an anti-join is not broadcastable. Flip the work
+    into two broadcasts of batch-sized frames:
+
+      hits  = state ⋉ broadcast(batch keys)   -- state is SCANNED once,
+                                                 never shuffled; output
+                                                 is at most batch-sized
+      out   = batch ⟕anti broadcast(hits)
+
+    Semantically identical to the naive anti-join (a state key matches
+    iff it collides with a batch key), with the state side reduced to a
+    shuffle-free column scan. Callers gate on batch size and fall back
+    to the naive join for bulk-backfill batches too large to broadcast
+    (the ingest uses its already-counted ``n_in``)."""
+    skey = state_key or batch_key
+    hits = state.select(F.col(skey).alias(batch_key)).join(
+        F.broadcast(batch.select(batch_key)), batch_key, "left_semi"
+    )
+    return batch.join(F.broadcast(hits), batch_key, "left_anti")
+
+
+def inner_join_scan_state(
+    state: DataFrame, small: DataFrame, key: str
+) -> DataFrame:
+    """State ⨝ broadcast(small) with the huge state side streamed, never
+    shuffled — the inner-join companion of :func:`anti_join_scan_state`
+    for candidate-generation legs (the MinHash ledger's band-bucket
+    probe, the signature fetch for confirmed candidates): put the
+    state table on the streamed side of a BroadcastHashJoin and the
+    batch-derived side in the broadcast. Output is bounded by the
+    collision count, not the state size."""
+    return state.join(F.broadcast(small), key)

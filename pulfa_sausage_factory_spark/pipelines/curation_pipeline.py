@@ -28,9 +28,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import lm, sampling, text
-from ..operators import dedup
+from ..operators import dedup, relational
 from ..session import release_local_checkpoint
 from ..sinks import layout
+
+#: batch-size cap for the scan-state join flips in _ingest_batch_body
+#: (relational.anti_join_scan_state / inner_join_scan_state): the flip
+#: broadcasts batch-derived frames — md5 digests (~32 B/doc) and
+#: (id, band-bucket) pairs (8 × ~24 B/doc) — so 1M docs is ~32 MB and
+#: ~192 MB respectively, comfortably inside executor memory, while the
+#: avoided cost is shuffling the ENTIRE ledger/bands/sigs state per
+#: micro-batch. A bulk backfill above the cap falls back to the plain
+#: shuffled joins (correct, just the old cost).
+_SCAN_STATE_BCAST_MAX_ROWS = 1_000_000
 
 
 @dataclass
@@ -229,6 +239,24 @@ class CurationConfig:
     drift_ref_profile: dict | None = None
     drift_rel_tol: float = 0.10
     drift_null_frac_tol: float = 0.05
+    #: incremental ingest: Bloom sidecar over the digest ledger (round
+    #: 12, opt-in) — answer the cross-run exact-dedup question for the
+    #: common all-new batch WITHOUT reading the ledger at all. A bitmap
+    #: of ~10 bits per admitted doc (``ledger_bloom/`` sibling dir)
+    #: probes each batch's digests Arrow-side; docs it rejects are
+    #: PROVABLY never-admitted (no false negatives — the dedup
+    #: guarantee is untouched), and only the fpp-sized remainder pays
+    #: the ledger confirm-join. Superset crash ordering (bits merge
+    #: BEFORE the ledger append), marker-based catch-up incl. the
+    #: fold-archive provenance sweep, saturation-implied fpp in
+    #: ``ingest_state_report`` — see ``pipelines/ledger_bloom.py``.
+    #: Size via ``ledger_bloom_expected_items`` (the corpus you expect
+    #: to ADMIT over the sidecar's lifetime — resizing later =
+    #: ``rebuild_ledger_bloom``); takedowns leave stale set bits (safe
+    #: direction), rebuild to shed them.
+    ledger_bloom: bool = False
+    ledger_bloom_expected_items: int = 10_000_000
+    ledger_bloom_fpp: float = 0.01
     dsir_k: int | None = None  # DSIR target-matched selection (needs target=)
     dsir_dim: int = 8192
     keep_tiers: tuple[int, ...] | None = None  # CCNet tier gate (needs scores=)
@@ -1265,13 +1293,66 @@ def _ingest_batch_body(
     batch_d = dedup.exact_dedup(gated, tcol, icol).withColumn(
         "_digest", F.md5(F.col(tcol))
     )
+    bloom_st = None
+    bloom_maybe = None
+    if cfg.ledger_bloom:
+        from . import ledger_bloom as _lbm
+
+        bloom_st = _lbm.load_state(
+            spark, ledger_dir, cfg, current_batch=batch_id
+        )
     seen = _read_state(spark, ledger_dir, batch_id)
     if seen is not None:
-        batch_d = batch_d.join(
-            seen.select("digest").withColumnRenamed("digest", "_digest"),
-            "_digest",
-            "left_anti",
-        )
+        if bloom_st is not None and n_in <= _SCAN_STATE_BCAST_MAX_ROWS:
+            # Bloom fast path (round 12): probe the batch digests
+            # against the sidecar bitmap first — docs it rejects are
+            # PROVABLY never-admitted (superset invariant: every
+            # ledger digest's bits were set before its append), so
+            # the ledger confirm-join runs only for the maybe set,
+            # and the common all-new batch never touches the ledger
+            # at all. False positives only cost a redundant confirm.
+            from ..functions import bloom as _bloom
+
+            probe = _bloom.might_contain_udf(
+                spark, bloom_st.bits, bloom_st.m, bloom_st.k
+            )
+            batch_d = batch_d.withColumn("_maybe", probe(F.col("_digest")))
+            bloom_maybe = batch_d.filter(F.col("_maybe")).count()
+            if bloom_maybe:
+                hits = seen.select(
+                    F.col("digest").alias("_digest")
+                ).join(
+                    F.broadcast(
+                        batch_d.filter(F.col("_maybe")).select("_digest")
+                    ),
+                    "_digest", "left_semi",
+                )
+                batch_d = batch_d.join(
+                    F.broadcast(hits), "_digest", "left_anti"
+                )
+            batch_d = batch_d.drop("_maybe")
+        elif n_in <= _SCAN_STATE_BCAST_MAX_ROWS:
+            # 100 TB shape (round 12): the naive batch ⟕anti ledger
+            # plans a SortMergeJoin that SHUFFLES every ledger digest
+            # per micro-batch — the dominant recurring cost once the
+            # ledger dwarfs the batch, and unfixable by Spark alone
+            # (the LEFT side of an anti-join is not broadcastable).
+            # anti_join_scan_state flips it: the ledger is SCANNED
+            # against the broadcast batch digests, and only the
+            # at-most-batch-sized collisions broadcast back.
+            batch_d = relational.anti_join_scan_state(
+                batch_d, seen, "_digest", "digest"
+            )
+        else:
+            # bulk-backfill batch above the broadcast cap: the plain
+            # anti-join is correct, just the old shuffle cost
+            batch_d = batch_d.join(
+                seen.select("digest").withColumnRenamed(
+                    "digest", "_digest"
+                ),
+                "_digest",
+                "left_anti",
+            )
     batch_d = _st("exact_dedup", batch_d)
     if cfg.neardup_ledger:
         # within-batch near-dups first — the SAME connected-components
@@ -1300,14 +1381,41 @@ def _ingest_batch_body(
         old_bands = _read_state(spark, bands_dir, batch_id)
         old_sigs = _read_state(spark, sigs_dir, batch_id)
         if old_bands is not None and old_sigs is not None:
-            cand = (
-                batch_d.filter(F.col("_sig").isNotNull())
-                .select(icol, "_sig", F.explode(_band_keys("_sig")).alias("bucket"))
-                .join(old_bands, "bucket")
-                .select(icol, "_sig", F.col("old_id"))
-                .distinct()
-                .join(old_sigs.withColumnRenamed("id", "old_id"), "old_id")
-            )
+            if n_in <= _SCAN_STATE_BCAST_MAX_ROWS:
+                # same 100 TB flip as the exact leg: bands/ and sigs/
+                # grow with the corpus, and the plain equi-joins would
+                # shuffle BOTH full tables per micro-batch. Scan bands
+                # against the broadcast (id, bucket) pairs, shrink to
+                # the collision set, attach the batch signature
+                # batch-side, then scan sigs against the broadcast
+                # candidates — both state tables stream, output is
+                # bounded by the collision count, never state size.
+                bk = batch_d.filter(F.col("_sig").isNotNull()).select(
+                    icol, F.explode(_band_keys("_sig")).alias("bucket")
+                )
+                cand_ids = relational.inner_join_scan_state(
+                    old_bands, bk, "bucket"
+                ).select(icol, "old_id").distinct()
+                cand = (
+                    batch_d.filter(F.col("_sig").isNotNull())
+                    .select(icol, "_sig")
+                    .join(cand_ids, icol)
+                )
+                cand = relational.inner_join_scan_state(
+                    old_sigs.withColumnRenamed("id", "old_id"), cand,
+                    "old_id",
+                )
+            else:
+                cand = (
+                    batch_d.filter(F.col("_sig").isNotNull())
+                    .select(icol, "_sig",
+                            F.explode(_band_keys("_sig")).alias("bucket"))
+                    .join(old_bands, "bucket")
+                    .select(icol, "_sig", F.col("old_id"))
+                    .distinct()
+                    .join(old_sigs.withColumnRenamed("id", "old_id"),
+                          "old_id")
+                )
             est = F.size(
                 F.filter(
                     F.zip_with(
@@ -1500,7 +1608,23 @@ def _ingest_batch_body(
         sem_emb_ckpt = None
     admitted = batch_d.localCheckpoint()  # read once, write 2-5x below
     idx_rep = None
+    bloom_rep = None
     try:
+        if bloom_st is not None:
+            # SUPERSET crash ordering: the bitmap merge lands BEFORE
+            # the ledger append — a crash between them leaves extra
+            # bits (false-positive direction, harmless) and the
+            # replayed batch re-merges the same positions
+            # idempotently; the reverse order would leave ledger
+            # digests the bitmap doesn't know = false negatives =
+            # silently re-admitted duplicates.
+            from . import ledger_bloom as _lbm
+
+            bloom_rep = _lbm.merge_batch(
+                spark, bloom_st, batch_id,
+                admitted.select(F.col("_digest").alias("digest")),
+                admitted.count(),
+            )
         n_admit = _write_admitted(admitted, cfg, icol, _part,
                                   ledger_dir, corpus_dir, sigs_dir,
                                   bands_dir, _band_keys, semvecs_dir,
@@ -1538,6 +1662,14 @@ def _ingest_batch_body(
         rep["profile_drift"] = profile_drift
     if n_overlap_drop_pairs is not None:
         rep["overlap_dropped_pairs"] = n_overlap_drop_pairs
+    if bloom_rep is not None:
+        # maybe == how many batch digests needed the ledger confirm-join
+        # (0 = the ledger was never read this batch); epoch = the
+        # sidecar epoch this batch's merge committed
+        rep["ledger_bloom"] = {
+            "epoch": bloom_rep["epoch"],
+            "maybe": int(bloom_maybe) if bloom_maybe is not None else 0,
+        }
     if idx_rep is not None:
         rep["index_batch_id"] = idx_rep["batch_id"]
         rep["index_appended"] = idx_rep["rows"]
@@ -1840,6 +1972,15 @@ def ingest_state_report(spark: SparkSession, state_dir: str) -> DataFrame:
                 f"retraction partition swap in .__partswap__ ({state})"
             )
         rows.append((sub, n, b, batches, archived, detail))
+    # the ledger's Bloom sidecar (round 12): epoch, merged batches, and
+    # the saturation-implied fpp — the resize/rebuild signal, surfaced
+    # here the way appended_staleness is on the index report
+    from . import ledger_bloom as _lbm
+
+    bloom_detail = _lbm.report_detail(spark, base)
+    if bloom_detail is not None:
+        n, b = fsutil.dir_usage(spark, f"{base}/ledger_bloom")
+        rows.append(("ledger_bloom", n, b, 0, False, bloom_detail))
     # the writer lease (round 12) is state too: show the current epoch,
     # holder record, and whether it is live or expired — "who is writing
     # this dir / is a crashed holder blocking maintenance" should be

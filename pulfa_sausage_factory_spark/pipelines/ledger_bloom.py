@@ -1,0 +1,364 @@
+"""Bloom-sidecar lifecycle for the ingest digest ledger
+(``CurationConfig.ledger_bloom``) — the "answer the common case without
+reading the state" layer over the cross-run exact-dedup leg.
+
+Cost model at 100 TB: every micro-batch asks "which of my digests has
+ANY prior batch admitted". The scan-state join flip already reduced
+that from shuffle-the-ledger to scan-the-ledger; this sidecar removes
+the scan too for the overwhelmingly common all-new batch: a bitmap of
+~10 bits per admitted doc (12.5 MB at 10^7 docs, capped at 1 GiB by
+``bloom.MAX_BITS``) probes the batch Arrow-side, docs it rejects are
+PROVABLY never-admitted (no false negatives — the dedup guarantee is
+untouched), and only the fpp-sized remainder pays the ledger
+confirm-join. False positives only ever cost a redundant confirm.
+
+Layout (sibling of ``ledger/`` — a fold of the ledger must not sweep
+it, the ``fps_meta`` convention)::
+
+    <state_dir>/ledger_bloom/
+      meta.json            m, k, expected_items, fpp, archive_sig
+      bits/epoch=N/        bits.bin + _SUCCESS  (marker-last validity)
+      merged/batch_id=B    empty marker: batch B's digests are in bits
+
+Crash ordering — the SUPERSET invariant: bits may only ever contain
+digests the ledger holds or once held or is about to hold, plus
+arbitrary extra bits; extra bits are the false-positive direction and
+cost a confirm-join, MISSING bits are false negatives and silently
+re-admit duplicates. Therefore:
+
+- the per-batch merge runs BEFORE the ledger append (a crash between
+  them leaves a superset bitmap; the replayed batch re-merges the same
+  positions — bit-OR is idempotent);
+- epoch dirs commit marker-last (``_SUCCESS`` touched after
+  ``bits.bin`` lands) and old epochs are deleted only after the new one
+  is valid — a partial epoch copy can never be adopted;
+- catch-up at load time covers every ATTEMPTED ledger batch dir with no
+  ``merged/`` marker (bloom toggled on over an existing state dir;
+  attempted, not job-committed — a retraction's partition-swap rewrite
+  leaves no per-child marker, and skipping those rows would be a false
+  negative), AND — the subtle hole — rows
+  whose per-batch dir ``compact_ingest_state`` already folded away:
+  those are found by re-scanning the archive's ``src_batch_id``
+  provenance whenever the archive's file signature changed since the
+  meta last recorded it (one provenance-column scan per fold,
+  amortized; legacy rows with null provenance merge once under the
+  ``batch_id=-2`` marker).
+
+Retraction/prune REMOVE ledger rows and deliberately do not touch the
+bitmap — a stale set bit is the safe direction (the confirm-join gives
+the correct answer) and clearing bits is impossible in a plain Bloom
+filter. ``rebuild_ledger_bloom`` resets the sidecar from the live
+ledger (post-takedown hygiene, resizing after corpus growth); the
+``ingest_state_report`` row carries the saturation-implied fpp so the
+operator can see when a rebuild pays.
+
+Single-writer: every entry point here runs under the state dir's writer
+lease held by the calling verb (``_ingest_batch`` /
+``rebuild_ledger_bloom``)."""
+
+from __future__ import annotations
+
+import json
+import os
+from types import SimpleNamespace
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from .. import fsutil, statedir
+from ..functions import bloom
+
+#: above this many admitted rows the per-batch merge computes partition
+#: bitmaps executor-side and tree-reduces them instead of collecting
+#: k×n positions to the driver
+_COLLECT_POSITIONS_MAX_ROWS = 2_000_000
+
+#: merged/ marker id for legacy archive rows with null src_batch_id
+_LEGACY_ID = -2
+
+
+def _paths(ledger_dir: str) -> SimpleNamespace:
+    state_dir = os.path.dirname(ledger_dir.rstrip("/"))
+    base = os.path.join(state_dir, "ledger_bloom")
+    return SimpleNamespace(
+        base=base,
+        bits=f"{base}/bits",
+        merged=f"{base}/merged",
+        meta=f"{base}/meta.json",
+    )
+
+
+def _live_epoch(spark, bits_dir: str) -> int:
+    best = -1
+    for name in fsutil.child_names(spark, bits_dir):
+        if not name.startswith("epoch="):
+            continue
+        try:
+            e = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if e > best and fsutil.exists(
+            spark, f"{bits_dir}/{name}/{statedir.MARKER}"
+        ):
+            best = e
+    return best
+
+
+def _merged_ids(spark, merged_dir: str) -> set[int]:
+    out = set()
+    for name in fsutil.child_names(spark, merged_dir):
+        if name.startswith("batch_id="):
+            try:
+                out.add(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return out
+
+
+def _ledger_batches(spark, ledger_dir: str) -> list[int]:
+    """ALL attempted per-batch ledger dirs (existence, not job-commit
+    markers): a retraction's ``swap_partitions`` rewrite replaces a
+    batch dir WITHOUT a per-child ``_SUCCESS`` (the job marker lands in
+    the swap sidecar root), and ``_read_state`` reads such dirs — so a
+    marker rule here would skip exactly those rows and hand out FALSE
+    NEGATIVES. Merging a killed-partial dir is the safe direction
+    (superset; its replay re-merges the full row set via the per-batch
+    ``merge_batch`` before overwriting the ledger)."""
+    out = []
+    for name in fsutil.child_names(spark, ledger_dir):
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if b >= 0:
+            out.append(b)
+    return sorted(out)
+
+
+def _archive_sig(spark, ledger_dir: str) -> str | None:
+    """Cheap change-detector for the fold archive: sorted child names +
+    total file count/bytes. A fold rewrites the archive's files, so any
+    fold flips this; content-identical rewrites merely re-trigger one
+    idempotent provenance scan."""
+    arch = f"{ledger_dir.rstrip('/')}/batch_id=-1"
+    if not fsutil.is_dir(spark, arch):
+        return None
+    names = ",".join(sorted(fsutil.child_names(spark, arch)))
+    files, size = fsutil.parquet_usage(spark, arch)
+    return f"{files}:{size}:{names}"
+
+
+def _write_meta(spark, paths, meta: dict) -> None:
+    tmp = paths.meta + ".tmp"
+    fsutil.write_text(spark, tmp, json.dumps(meta))
+    fsutil.delete(spark, paths.meta)
+    fsutil.rename(spark, tmp, paths.meta)
+
+
+def _positions_for(df, digest_col: str, m: int, k: int,
+                   n_rows: int) -> np.ndarray | list[int]:
+    """Either a position list (small frames — one collect of k×n
+    distinct longs) or a full bitmap (large frames — per-partition
+    bitmaps OR-reduced executor-side, m/8 bytes per partition, never
+    k×n rows to the driver)."""
+    if n_rows <= _COLLECT_POSITIONS_MAX_ROWS:
+        rows = df.select(
+            F.explode(
+                bloom.digest_positions(F.col(digest_col), m, k)
+            ).alias("p")
+        ).distinct().collect()
+        return [r.p for r in rows]
+
+    def _part_bits(it):
+        bits = bloom.new_bits(m)
+        chunk = [row[0] for row in it]
+        if chunk:
+            bloom.set_positions(
+                bits, bloom._probe_matrix(chunk, m, k).ravel()
+            )
+        yield bits
+
+    return (
+        df.select(digest_col).rdd.mapPartitions(_part_bits)
+        .treeReduce(np.bitwise_or)
+    )
+
+
+def _merge_into(st, contribution) -> None:
+    if isinstance(contribution, np.ndarray):
+        np.bitwise_or(st.bits, contribution, out=st.bits)
+    else:
+        bloom.set_positions(st.bits, contribution)
+
+
+def _commit_epoch(spark, st, new_marker_ids) -> None:
+    """Land the updated bitmap: new epoch dir (bits.bin then marker),
+    then the merged/ markers, then sweep superseded + killed epochs."""
+    new_epoch = st.epoch + 1
+    edir = f"{st.paths.bits}/epoch={new_epoch}"
+    fsutil.mkdirs(spark, edir)
+    fsutil.write_bytes(spark, f"{edir}/bits.bin", st.bits.tobytes())
+    fsutil.touch(spark, f"{edir}/{statedir.MARKER}")
+    for b in new_marker_ids:
+        fsutil.touch(spark, f"{st.paths.merged}/batch_id={int(b)}")
+    for name in fsutil.child_names(spark, st.paths.bits):
+        if not name.startswith("epoch="):
+            continue
+        try:
+            e = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if e < new_epoch:
+            fsutil.delete(spark, f"{st.paths.bits}/{name}")
+    st.epoch = new_epoch
+
+
+def load_state(spark, ledger_dir: str, cfg, current_batch=None):
+    """Load (or create) the sidecar and catch it up with every committed
+    ledger batch except ``current_batch`` (a replayed batch must decide
+    against the pre-batch state; its own crashed attempt's bits are
+    harmless superset). Returns a mutable state handle
+    ``(bits, m, k, epoch, paths)`` for the probe + merge steps."""
+    paths = _paths(ledger_dir)
+    want_items = int(cfg.ledger_bloom_expected_items)
+    want_fpp = float(cfg.ledger_bloom_fpp)
+    m, k = bloom.bloom_params(want_items, want_fpp)
+
+    raw = fsutil.read_text(spark, paths.meta)
+    if raw is None:
+        meta = {"m": m, "k": k, "expected_items": want_items,
+                "fpp": want_fpp, "archive_sig": None}
+        fsutil.mkdirs(spark, paths.base)
+        _write_meta(spark, paths, meta)
+    else:
+        meta = json.loads(raw)
+        if int(meta["m"]) != m or int(meta["k"]) != k:
+            raise ValueError(
+                f"ledger_bloom at {paths.base} was sized for "
+                f"expected_items={meta['expected_items']} "
+                f"fpp={meta['fpp']} (m={meta['m']}, k={meta['k']}) but "
+                f"the config asks for expected_items={want_items} "
+                f"fpp={want_fpp} (m={m}, k={k}) — positions are not "
+                "comparable across sizes, which would silently break "
+                "the no-false-negative guarantee; run "
+                "rebuild_ledger_bloom to resize, or match the config"
+            )
+        m, k = int(meta["m"]), int(meta["k"])
+
+    epoch = _live_epoch(spark, paths.bits)
+    if epoch >= 0:
+        data = fsutil.read_bytes(spark, f"{paths.bits}/epoch={epoch}/bits.bin")
+        bits = np.frombuffer(data, dtype=np.uint8).copy()
+        if bits.size != m // 8:
+            raise ValueError(
+                f"ledger_bloom bitmap at epoch {epoch} is {bits.size} "
+                f"bytes, meta says {m // 8} — corrupt sidecar; run "
+                "rebuild_ledger_bloom"
+            )
+    else:
+        bits = bloom.new_bits(m)
+    st = SimpleNamespace(bits=bits, m=m, k=k, epoch=epoch, paths=paths)
+
+    # catch-up 1: attempted per-batch ledger dirs with no merged marker
+    merged = _merged_ids(spark, paths.merged)
+    missing = [
+        b for b in _ledger_batches(spark, ledger_dir)
+        if b not in merged and b != current_batch
+    ]
+    new_markers: list[int] = []
+    if missing:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[f"{ledger_dir.rstrip('/')}/batch_id={b}" for b in missing]
+        ).select("digest")
+        _merge_into(st, _positions_for(df, "digest", m, k, df.count()))
+        new_markers.extend(missing)
+
+    # catch-up 2: batches whose dirs a fold already swept — visible only
+    # through the archive's src_batch_id provenance; scanned only when
+    # the archive changed since the meta last looked
+    sig = _archive_sig(spark, ledger_dir)
+    if sig is not None and sig != meta.get("archive_sig"):
+        arch = spark.read.option("mergeSchema", "true").parquet(
+            f"{ledger_dir.rstrip('/')}/batch_id=-1"
+        )
+        prov = (
+            F.coalesce(F.col("src_batch_id").cast("long"),
+                       F.lit(_LEGACY_ID))
+            if "src_batch_id" in arch.columns else F.lit(_LEGACY_ID)
+        )
+        arch = arch.select(F.col("digest"), prov.alias("src"))
+        src_ids = {int(r.src) for r in arch.select("src").distinct().collect()}
+        hole = sorted(
+            s for s in src_ids if s not in merged and s != current_batch
+            and s not in set(new_markers)
+        )
+        if hole:
+            df = arch.filter(F.col("src").isin(hole)).select("digest")
+            _merge_into(st, _positions_for(df, "digest", m, k, df.count()))
+            new_markers.extend(hole)
+        meta["archive_sig"] = sig
+        _write_meta(spark, paths, meta)
+
+    if new_markers:
+        _commit_epoch(spark, st, new_markers)
+    return st
+
+
+def merge_batch(spark, st, batch_id: int, digests_df, n_rows: int) -> dict:
+    """Fold this batch's admitted digests into the bitmap and commit a
+    new epoch + the batch's merged marker. MUST run before the batch's
+    ledger append (the superset crash ordering in the module
+    docstring)."""
+    _merge_into(
+        st, _positions_for(digests_df, "digest", st.m, st.k, n_rows)
+    )
+    _commit_epoch(spark, st, [batch_id])
+    return {"epoch": st.epoch, "rows": int(n_rows)}
+
+
+def rebuild_ledger_bloom(spark, state_dir: str, cfg, lease=None) -> dict:
+    """Reset the sidecar and rebuild it from the LIVE ledger — resizing
+    (config change), post-retraction hygiene (shed stale bits), or
+    recovery from a corrupt sidecar. Runs under the state dir's writer
+    lease like every maintenance verb."""
+    base = state_dir.rstrip("/")
+    ledger_dir = os.path.join(base, "ledger")
+    with statedir.lease_scope(spark, base, "rebuild_ledger_bloom",
+                              lease=lease):
+        paths = _paths(ledger_dir)
+        fsutil.delete(spark, paths.base)
+        st = load_state(spark, ledger_dir, cfg)
+        return {
+            "m": st.m, "k": st.k, "epoch": st.epoch,
+            "merged_batches": len(_merged_ids(spark, paths.merged)),
+            "saturation": bloom.saturation(st.bits),
+            "implied_fpp": bloom.saturation(st.bits) ** st.k,
+        }
+
+
+def report_detail(spark, state_dir: str) -> str | None:
+    """One-line health summary for ``ingest_state_report``: epoch, size,
+    merged batches, and the saturation-implied fpp (the resize/rebuild
+    signal — mirrors the index's ``appended_staleness`` convention)."""
+    paths = _paths(os.path.join(state_dir.rstrip("/"), "ledger"))
+    raw = fsutil.read_text(spark, paths.meta)
+    if raw is None:
+        return None
+    meta = json.loads(raw)
+    epoch = _live_epoch(spark, paths.bits)
+    sat = 0.0
+    if epoch >= 0:
+        data = fsutil.read_bytes(
+            spark, f"{paths.bits}/epoch={epoch}/bits.bin"
+        )
+        if data is not None:
+            sat = bloom.saturation(np.frombuffer(data, dtype=np.uint8))
+    k = int(meta["k"])
+    return (
+        f"epoch={epoch} m={meta['m']} k={k} "
+        f"merged_batches={len(_merged_ids(spark, paths.merged))} "
+        f"saturation={sat:.4f} implied_fpp={sat ** k:.6f} "
+        f"(nominal {meta['fpp']}; rebuild_ledger_bloom to resize)"
+    )

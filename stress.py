@@ -480,6 +480,69 @@ def main() -> None:
             f"(dup re-land admitted {irep2['total_admitted']} in {dt2}s)",
             file=sys.stderr,
         )
+
+        # round-12: the Bloom-guarded exact-dedup decision against the
+        # now-populated full-volume ledger. Fresh (all-new) batches are
+        # the common case at 100 TB — with the sidecar the ledger is
+        # not even scanned for them. Same state dir, three sequential
+        # fresh batches (unique texts): bloom OFF baseline, bloom ON
+        # paying the one-time catch-up merge of the whole ledger, then
+        # bloom ON steady-state. The steady-state batch's `maybe` count
+        # is the measured fp rate at this saturation.
+        def _fresh(tag, shift):
+            sub = docs.filter(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + shift).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(f" fresh-{tag}-"),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+            )
+            sub.write.mode("append").option(
+                "maxRecordsPerFile", 100_000
+            ).json(landing)
+
+        plain_cfg = CurationConfig(min_quality=0.0, neardup_method="none")
+        bloom_cfg = CurationConfig(
+            min_quality=0.0, neardup_method="none", ledger_bloom=True,
+            ledger_bloom_expected_items=4_000_000,
+        )
+        _fresh("a", 2_000_000_000)
+        t0 = time.perf_counter()
+        ra = run_incremental_curation(
+            spark, landing, f"{work}/state", plain_cfg
+        )
+        dt_off = round(time.perf_counter() - t0, 2)
+        _fresh("b", 3_000_000_000)
+        t0 = time.perf_counter()
+        rb = run_incremental_curation(
+            spark, landing, f"{work}/state", bloom_cfg
+        )
+        dt_catchup = round(time.perf_counter() - t0, 2)
+        _fresh("c", 4_000_000_000)
+        t0 = time.perf_counter()
+        rc = run_incremental_curation(
+            spark, landing, f"{work}/state", bloom_cfg
+        )
+        dt_on = round(time.perf_counter() - t0, 2)
+        maybe = sum(
+            b.get("ledger_bloom", {}).get("maybe", 0)
+            for b in rc["batches"]
+        )
+        out["ops"]["ledger_bloom_ingest"] = {
+            "fresh_rows": ra["total_admitted"],
+            "fresh_plain_sec": dt_off,
+            "bloom_catchup_sec": dt_catchup,
+            "fresh_bloom_sec": dt_on,
+            "steady_admitted": rc["total_admitted"],
+            "steady_maybe": maybe,
+        }
+        print(
+            f"# ledger_bloom_ingest: fresh {ra['total_admitted']} rows "
+            f"plain {dt_off}s | bloom catchup {dt_catchup}s | bloom "
+            f"steady {dt_on}s (maybe={maybe} of "
+            f"{rc['total_admitted']} admitted)",
+            file=sys.stderr,
+        )
     except Exception as exc:  # noqa: BLE001 — record, keep the evidence
         out["ops"]["incremental_ingest"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
         print(f"# incremental_ingest FAILED — {exc}", file=sys.stderr)

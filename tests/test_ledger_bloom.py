@@ -1,0 +1,184 @@
+"""Ledger Bloom sidecar (pipelines/ledger_bloom.py +
+CurationConfig.ledger_bloom): twin equality with the bloom-off path,
+replay idempotence, catch-up over pre-existing state INCLUDING batches a
+fold already archived, retract-then-resubmit admissibility, the rebuild
+verb, config-mismatch refusal, and the report row."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+    CurationConfig,
+    _ingest_batch,
+)
+
+# built directly — StructType.fromDDL needs an active session, which
+# does not exist at collection time
+SCH = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def _lines(spark, rows):
+    return spark.createDataFrame(
+        [(json.dumps(r),) for r in rows], "value string"
+    )
+
+
+def _doc(i, tag=""):
+    return {"doc_id": i,
+            "text": f"archival document {tag} number {i} about county "
+                    f"bridge engineering load tables and river surveys "
+                    f"kept in the district office for inspection"}
+
+
+def _cfg(**kw):
+    return CurationConfig(min_quality=0.0, neardup_method="none", **kw)
+
+
+def _ids(spark, state):
+    return sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{state}/corpus").select(
+            "doc_id"
+        ).collect()
+    )
+
+
+def test_bloom_twin_matches_plain_path_and_skips_ledger(spark, tmp_path):
+    # the dedup DECISIONS must be byte-identical with the sidecar on —
+    # bloom only short-circuits reads, never changes answers (the
+    # established expr/arrow twin-equality convention)
+    on = _cfg(ledger_bloom=True, ledger_bloom_expected_items=10_000)
+    off = _cfg()
+    s_on, s_off = str(tmp_path / "on"), str(tmp_path / "off")
+
+    b0 = [_doc(i) for i in range(6)]
+    # batch 1: 3 new docs + 2 cross-batch dups (same text, NEW ids)
+    b1 = [_doc(i) for i in range(10, 13)] + [
+        {"doc_id": 90, "text": _doc(1)["text"]},
+        {"doc_id": 91, "text": _doc(4)["text"]},
+    ]
+    b2 = [{"doc_id": 95, "text": _doc(11)["text"]}]  # all dup
+
+    reps_on, reps_off = [], []
+    for bid, batch in ((0, b0), (1, b1), (2, b2)):
+        reps_on.append(_ingest_batch(spark, _lines(spark, batch), bid,
+                                     on, s_on, SCH))
+        reps_off.append(_ingest_batch(spark, _lines(spark, batch), bid,
+                                      off, s_off, SCH))
+    for a, b in zip(reps_on, reps_off):
+        assert a["admitted"] == b["admitted"]
+    assert _ids(spark, s_on) == _ids(spark, s_off)
+
+    # report plumbing: batch 0 had no ledger to consult (maybe=0), the
+    # dup batches needed confirms for exactly the colliding digests
+    # (maybe >= dup count; fpp can add a few)
+    assert reps_on[0]["ledger_bloom"]["maybe"] == 0
+    assert reps_on[1]["ledger_bloom"]["maybe"] >= 2
+    assert reps_on[2]["ledger_bloom"]["maybe"] >= 1
+    assert "ledger_bloom" not in reps_off[0]
+    # epochs advance per merge
+    assert (reps_on[2]["ledger_bloom"]["epoch"]
+            > reps_on[0]["ledger_bloom"]["epoch"])
+
+    # replay of batch 1 (at-least-once) decides identically — its own
+    # crashed-attempt bits are superset-only (confirm-join excludes the
+    # own-batch ledger rows)
+    rep = _ingest_batch(spark, _lines(spark, b1), 1, on, s_on, SCH)
+    assert rep["admitted"] == reps_on[1]["admitted"]
+    assert _ids(spark, s_on) == _ids(spark, s_off)
+
+
+def test_bloom_catch_up_covers_preexisting_and_folded_batches(
+    spark, tmp_path
+):
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        compact_ingest_state,
+    )
+
+    # batches 0-1 land WITHOUT the sidecar; batch 1 then folds into the
+    # batch_id=-1 archive — when bloom turns on later it must cover
+    # both the surviving per-batch dir and the archived rows (the
+    # src_batch_id provenance sweep), or the dup below would silently
+    # re-admit (a false negative, the one failure bloom must never have)
+    state = str(tmp_path / "state")
+    off, on = _cfg(), _cfg(ledger_bloom=True,
+                           ledger_bloom_expected_items=10_000)
+    _ingest_batch(spark, _lines(spark, [_doc(1), _doc(2)]), 0, off,
+                  state, SCH)
+    _ingest_batch(spark, _lines(spark, [_doc(3, "folded")]), 1, off,
+                  state, SCH)
+    compact_ingest_state(spark, state, max_files=0)
+
+    dup_live = {"doc_id": 80, "text": _doc(1)["text"]}
+    dup_arch = {"doc_id": 81, "text": _doc(3, "folded")["text"]}
+    fresh = _doc(50, "fresh")
+    rep = _ingest_batch(
+        spark, _lines(spark, [dup_live, dup_arch, fresh]), 2, on,
+        state, SCH,
+    )
+    assert rep["admitted"] == 1
+    assert rep["ledger_bloom"]["maybe"] >= 2
+    assert 80 not in _ids(spark, state) and 81 not in _ids(spark, state)
+    assert 50 in _ids(spark, state)
+
+
+def test_bloom_retract_resubmit_rebuild_and_report(spark, tmp_path):
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        ingest_state_report,
+        retract_documents,
+    )
+    from pulfa_sausage_factory_spark.pipelines.ledger_bloom import (
+        rebuild_ledger_bloom,
+    )
+
+    state = str(tmp_path / "state")
+    cfg = _cfg(ledger_bloom=True, ledger_bloom_expected_items=10_000)
+    _ingest_batch(spark, _lines(spark, [_doc(1), _doc(2)]), 0, cfg,
+                  state, SCH)
+
+    # takedown leaves a stale set bit (the safe direction) — the
+    # re-submission probes MAYBE, the confirm-join finds the digest
+    # scrubbed, and the doc is admitted per the documented semantics
+    assert retract_documents(spark, state, [1], cfg)["residual"] == 0
+    rep = _ingest_batch(spark, _lines(spark, [_doc(1)]), 1, cfg,
+                        state, SCH)
+    assert rep["admitted"] == 1
+    assert rep["ledger_bloom"]["maybe"] >= 1
+
+    # the rebuild verb resets from the live ledger; the report row
+    # carries the saturation-implied fpp
+    out = rebuild_ledger_bloom(spark, state, cfg)
+    assert out["merged_batches"] >= 1 and out["implied_fpp"] < 0.01
+    rows = {r.artifact: r for r in ingest_state_report(
+        spark, state
+    ).collect()}
+    assert "ledger_bloom" in rows
+    assert "implied_fpp" in rows["ledger_bloom"].detail
+    assert rows["ledger_bloom"].bytes > 0
+
+    # ...and the rebuilt sidecar still refuses a byte-identical copy
+    rep = _ingest_batch(
+        spark, _lines(spark, [{"doc_id": 70, "text": _doc(2)["text"]}]),
+        2, cfg, state, SCH,
+    )
+    assert rep["admitted"] == 0
+
+    # resizing without a rebuild refuses loudly — positions are not
+    # comparable across (m, k)
+    bigger = _cfg(ledger_bloom=True, ledger_bloom_expected_items=500_000)
+    with pytest.raises(ValueError, match="rebuild_ledger_bloom"):
+        _ingest_batch(spark, _lines(spark, [_doc(99)]), 3, bigger,
+                      state, SCH)
+    # rebuild under the new size, then the bigger config ingests fine
+    rebuild_ledger_bloom(spark, state, bigger)
+    rep = _ingest_batch(spark, _lines(spark, [_doc(99)]), 3, bigger,
+                        state, SCH)
+    assert rep["admitted"] == 1

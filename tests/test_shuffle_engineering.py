@@ -166,3 +166,57 @@ def test_bucketed_facts_ignore_temp_view_shadows(spark, sf_dir):
     finally:
         spark.catalog.dropTempView(bq.ORDERS_TABLE)
         bq.drop_bucketed_facts(spark)
+
+
+def test_scan_state_joins_never_shuffle_the_state(spark, tmp_path):
+    # round 12: the ingest's cross-run dedup legs decide a micro-batch
+    # against ledger-sized state — relational.anti_join_scan_state /
+    # inner_join_scan_state flip those joins so the state table is
+    # SCANNED under BroadcastHashJoins (batch-derived side broadcasts),
+    # never shuffled. Pin BOTH properties: semantics identical to the
+    # naive joins, and zero shuffle Exchange in the flipped plans.
+    from pulfa_sausage_factory_spark.operators import relational
+    from pulfa_sausage_factory_spark.plans import audit
+
+    state_path = str(tmp_path / "state")
+    spark.range(50_000).select(
+        F.md5(F.col("id").cast("string")).alias("digest")
+    ).write.mode("overwrite").parquet(state_path)
+    state = spark.read.parquet(state_path)
+    # batch: half collides with state, half is new
+    batch = spark.range(400).select(
+        F.when(F.col("id") % 2 == 0,
+               F.md5(F.col("id").cast("string")))
+        .otherwise(F.md5(F.concat(F.lit("new-"),
+                                  F.col("id").cast("string"))))
+        .alias("_digest")
+    )
+
+    flipped = relational.anti_join_scan_state(
+        batch, state, "_digest", "digest"
+    )
+    naive = batch.join(
+        state.withColumnRenamed("digest", "_digest"), "_digest",
+        "left_anti",
+    )
+    assert sorted(r[0] for r in flipped.collect()) == sorted(
+        r[0] for r in naive.collect()
+    )
+    assert len(flipped.collect()) == 200
+    assert audit.count_exchanges(flipped) == 0, (
+        "the flipped anti-join must not shuffle anything — the state "
+        "side streams under a BroadcastHashJoin"
+    )
+    plan = audit.explain_formatted(flipped)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+    probe = spark.range(300).select(
+        F.md5((F.col("id") * 3).cast("string")).alias("digest"),
+        F.col("id").alias("batch_key"),
+    )
+    inner = relational.inner_join_scan_state(state, probe, "digest")
+    want = state.join(probe, "digest")
+    assert inner.count() == want.count()
+    assert audit.count_exchanges(inner) == 0, (
+        "inner_join_scan_state must stream the state side"
+    )
