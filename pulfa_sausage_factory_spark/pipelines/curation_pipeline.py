@@ -253,7 +253,13 @@ class CurationConfig:
     #: Size via ``ledger_bloom_expected_items`` (the corpus you expect
     #: to ADMIT over the sidecar's lifetime — resizing later =
     #: ``rebuild_ledger_bloom``); takedowns leave stale set bits (safe
-    #: direction), rebuild to shed them.
+    #: direction), rebuild to shed them. Enable for LARGE ledgers only
+    #: (~10^8+ digests): the avoided cost is the per-batch ledger scan
+    #: (grows with the corpus) while the sidecar pays probe + one gate
+    #: count + ~m/8 bytes of epoch IO per batch (fixed) — measured at a
+    #: 1.2M-digest ledger the plain scan-state join is still FASTER
+    #: (stress_r12 ``ledger_bloom_ingest``: 19.1 s vs 23.3 s steady);
+    #: the arithmetic crosses where the scan dominates.
     ledger_bloom: bool = False
     ledger_bloom_expected_items: int = 10_000_000
     ledger_bloom_fpp: float = 0.01

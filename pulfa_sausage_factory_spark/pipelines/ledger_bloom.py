@@ -12,6 +12,14 @@ PROVABLY never-admitted (no false negatives — the dedup guarantee is
 untouched), and only the fpp-sized remainder pays the ledger
 confirm-join. False positives only ever cost a redundant confirm.
 
+Break-even honesty: the sidecar's per-batch cost is ~fixed (Arrow probe
++ one gate count + ``m/8`` bytes of epoch IO) while the cost it avoids
+(the ledger scan) grows with the corpus — measured at a 1.2M-digest
+ledger the plain scan-state join still wins (stress_r12
+``ledger_bloom_ingest``: fresh batch 19.1 s plain vs 23.3 s bloom
+steady, maybe=0), so this is the ≥10^8-digest regime's tool. At 10^9
+admitted docs the scan is ~16 GB/batch vs ~1.25 GB of bitmap IO.
+
 Layout (sibling of ``ledger/`` — a fold of the ledger must not sweep
 it, the ``fps_meta`` convention)::
 
