@@ -306,11 +306,21 @@ def load_state(spark, ledger_dir: str, cfg, current_batch=None):
             df = arch.filter(F.col("src").isin(hole)).select("digest")
             _merge_into(st, _positions_for(df, "digest", m, k, df.count()))
             new_markers.extend(hole)
-        meta["archive_sig"] = sig
-        _write_meta(spark, paths, meta)
+        new_sig = sig
+    else:
+        new_sig = None
 
     if new_markers:
         _commit_epoch(spark, st, new_markers)
+    if new_sig is not None:
+        # STRICTLY AFTER the epoch/markers commit: recording the sig
+        # first would let a crash in between leave "archive covered" in
+        # the meta while the bits lack the hole digests — an
+        # unreachable-by-rescan false negative. This order's crash
+        # window (markers committed, sig stale) merely re-scans the
+        # archive provenance once more, which no-ops idempotently.
+        meta["archive_sig"] = new_sig
+        _write_meta(spark, paths, meta)
     return st
 
 

@@ -182,3 +182,47 @@ def test_bloom_retract_resubmit_rebuild_and_report(spark, tmp_path):
     rep = _ingest_batch(spark, _lines(spark, [_doc(99)]), 3, bigger,
                         state, SCH)
     assert rep["admitted"] == 1
+
+
+def test_bloom_archive_sweep_commits_before_recording_the_sig(
+    spark, tmp_path
+):
+    # crash-ordering pin for the archive provenance sweep: the epoch +
+    # merged markers must land BEFORE meta.archive_sig — the reverse
+    # order's crash window leaves "archive covered" recorded over bits
+    # that miss the hole digests, a false negative no rescan can ever
+    # repair. The fixed order's crash window (markers committed, sig
+    # stale) must instead re-scan idempotently and still refuse dups.
+    import json as _json
+
+    from pulfa_sausage_factory_spark import fsutil
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        compact_ingest_state,
+    )
+    from pulfa_sausage_factory_spark.pipelines import ledger_bloom as lbm
+
+    state = str(tmp_path / "state")
+    off = _cfg()
+    on = _cfg(ledger_bloom=True, ledger_bloom_expected_items=10_000)
+    _ingest_batch(spark, _lines(spark, [_doc(1)]), 0, off, state, SCH)
+    compact_ingest_state(spark, state, max_files=0)
+
+    # first bloom batch runs the sweep; then simulate the fixed order's
+    # crash window by clearing the recorded sig (markers stay)
+    _ingest_batch(spark, _lines(spark, [_doc(2)]), 1, on, state, SCH)
+    meta_path = f"{state}/ledger_bloom/meta.json"
+    meta = _json.loads(fsutil.read_text(spark, meta_path))
+    assert meta["archive_sig"] is not None
+    meta["archive_sig"] = None
+    fsutil.write_text(spark, meta_path, _json.dumps(meta))
+
+    # the stale-sig reload re-scans the archive, no-ops (markers cover
+    # it), re-records the sig, and the archived digest still refuses a
+    # byte-identical copy
+    rep = _ingest_batch(
+        spark, _lines(spark, [{"doc_id": 60, "text": _doc(1)["text"]}]),
+        2, on, state, SCH,
+    )
+    assert rep["admitted"] == 0
+    meta = _json.loads(fsutil.read_text(spark, meta_path))
+    assert meta["archive_sig"] is not None
