@@ -135,13 +135,21 @@ def _probe_matrix(digests, m: int, k: int) -> np.ndarray:
 def bits_contain(bits: np.ndarray, digests, m: int, k: int) -> np.ndarray:
     """Boolean membership vector for a sequence of digests against a
     bitmap — True = MAYBE present (confirm against the ledger), False =
-    provably never admitted."""
+    provably never admitted. A null/None digest probes MAYBE (the safe
+    confirm-join direction): this is a public primitive, and an opaque
+    whole-stage ``int(None[0:15])`` TypeError deep inside the pandas UDF
+    is strictly worse than one redundant confirm row."""
     n = len(digests)
     if n == 0:
         return np.zeros(0, dtype=bool)
-    pos = _probe_matrix(digests, m, k)
+    out = np.ones(n, dtype=bool)
+    valid = [i for i, s in enumerate(digests) if isinstance(s, str)]
+    if not valid:
+        return out
+    pos = _probe_matrix([digests[i] for i in valid], m, k)
     got = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
-    return got.all(axis=1)
+    out[np.asarray(valid, dtype=np.int64)] = got.all(axis=1)
+    return out
 
 
 def might_contain_udf(spark, bits: np.ndarray, m: int, k: int):

@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import lm, sampling, text
 from ..operators import dedup, relational
@@ -1478,24 +1479,57 @@ def _ingest_batch_body(
         batch_d = batch_d.join(losers, icol, "left_anti")
         old_fps = _read_state(spark, fps_dir, batch_id)
         if old_fps is not None:
-            old_ok = old_fps.join(
-                old_fps.groupBy("fp")
-                .agg(F.countDistinct("old_id").alias("_df"))
-                .filter(F.col("_df") <= cfg.overlap_fp_df_cap).select("fp"),
-                "fp", "left_semi",
-            )
+            # batch side of the cross-run comparison: this batch's
+            # surviving docs' df-CAPPED fps — capping the batch side too
+            # is symmetric with the within-batch leg (round-10 VERDICT
+            # item 3): a fingerprint viral WITHIN the landing batch (new
+            # boilerplate — a header pasted into thousands of docs in one
+            # drop) is not copying evidence either, and uncapped it would
+            # fan out up to batch_occurrences × overlap_fp_df_cap rows in
+            # the join before the fp ever reaches state.
+            bshared = ok.join(batch_d.select(icol), icol, "left_semi")
+            if n_in <= _SCAN_STATE_BCAST_MAX_ROWS:
+                # 100 TB shape (round 13): fps/ grows with the corpus, and
+                # the old code shuffled the ENTIRE state per micro-batch
+                # TWICE — once for the df-cap groupBy, once for the
+                # cross-run equi-join. Flip: scan the state ONCE under a
+                # BroadcastHashJoin against the batch's distinct sampled
+                # fps (bounded by batch size × fps/doc). The semi-restrict
+                # keeps EVERY state row of each colliding fp, so the
+                # per-fp distinct-doc count over the remnant equals the
+                # full-state df for exactly the fps that can reach
+                # `shared` — the cap decision is unchanged. The count runs
+                # as a window over the deduped collision rows: one small
+                # shuffle of collisions, never of state.
+                hit = (
+                    relational.inner_join_scan_state(
+                        old_fps, bshared.select("fp").distinct(), "fp"
+                    )
+                    .select("fp", "old_id")
+                    .distinct()
+                )
+                old_ok = (
+                    hit.withColumn(
+                        "_df",
+                        F.count("old_id").over(Window.partitionBy("fp")),
+                    )
+                    .filter(F.col("_df") <= cfg.overlap_fp_df_cap)
+                    .drop("_df")
+                )
+            else:
+                # bulk backfill above the broadcast cap: the plain
+                # full-state cap + join is correct, just the old cost
+                old_ok = old_fps.join(
+                    old_fps.groupBy("fp")
+                    .agg(F.countDistinct("old_id").alias("_df"))
+                    .filter(F.col("_df") <= cfg.overlap_fp_df_cap)
+                    .select("fp"),
+                    "fp", "left_semi",
+                )
             # >= min_shared sampled fps with ANY SINGLE admitted doc — a
             # doc sharing one fp each with many docs is not a copy.
-            # The batch side joins the df-CAPPED `ok`, symmetric with the
-            # within-batch leg (round-10 VERDICT item 3): a fingerprint
-            # viral WITHIN the landing batch (new boilerplate — a header
-            # pasted into thousands of docs in one drop) is not copying
-            # evidence either, and uncapped it would fan out up to
-            # batch_occurrences × overlap_fp_df_cap rows in this join
-            # before the fp ever reaches state (where the read-time cap
-            # would start excluding it).
             shared = (
-                ok.join(batch_d.select(icol), icol, "left_semi")
+                bshared
                 .join(old_ok, "fp")
                 .groupBy(icol, "old_id")
                 .agg(F.countDistinct("fp").alias("_sh"))
@@ -1590,8 +1624,22 @@ def _ingest_batch_body(
         )
         old_vecs = _read_state(spark, semvecs_dir, batch_id)
         if old_vecs is not None:
+            if n_in <= _SCAN_STATE_BCAST_MAX_ROWS:
+                # 100 TB shape (round 13): semvecs/ grows with the
+                # corpus and the plain equi-join shuffled every admitted
+                # vector per micro-batch. Flip: the batch's (vec_id,
+                # cell_id, v) frame is batch-bounded, so broadcast IT and
+                # stream the state under a BroadcastHashJoin — output is
+                # bounded by the population of the batch's cells (√n-cell
+                # sizing), never the state size.
+                cand_sem = relational.inner_join_scan_state(
+                    old_vecs, cur, "cell_id"
+                )
+            else:
+                # bulk backfill above the broadcast cap: plain join
+                cand_sem = cur.join(old_vecs, "cell_id")
             near_sem = (
-                cur.join(old_vecs, "cell_id")
+                cand_sem
                 .filter(
                     cosine(F.col("v"), F.col("old_vec"))
                     >= F.lit(cfg.semdedup_threshold)
@@ -3098,6 +3146,18 @@ def check_ingest_state(
       scrub and still fails); in batch-scoped mode a re-admission
       outside the scoped batches can't be ruled out, so findings
       downgrade to warn there.
+      ``bloom_digest_not_in_bits`` (round 13) — a sampled no-false-
+      negative probe of the digest-ledger Bloom sidecar: every live
+      ``ledger/`` digest must probe MAYBE against the live epoch's
+      bitmap (merge-before-append guarantees it; retraction only
+      removes rows). Any miss = FAIL naming ``rebuild_ledger_bloom`` —
+      a bit-rotted or hand-edited bitmap silently turns exact dedup OFF
+      for affected digests, the one failure mode with no error
+      anywhere. Coverage metadata with no committed epoch is the same
+      FAIL.
+      ``bloom_sidecar_hygiene`` — epoch-dir debris (marker-less crashed
+      commits, unswept superseded epochs) and config↔sidecar sizing
+      drift (the next bloom-enabled ingest would refuse). WARN.
       ``retraction_residual`` — ``retracted/`` keys still matching any
       state surface (the takedown verb's own residual probe, run over
       the WHOLE retraction history instead of one call's keys). WARN,
@@ -3134,6 +3194,130 @@ def check_ingest_state(
     with _writer_lease(spark, state_dir.rstrip("/"), "check_ingest_state",
                        lease=lease):
         return _check_ingest_state_body(spark, state_dir, cfg, batches)
+
+
+#: fsck probes at most this many ledger digests against the bloom
+#: bitmap — a bounded driver-side sample (the invariant is per-digest,
+#: so any corruption broad enough to matter shows up in a sample this
+#: size; a full-ledger probe is what rebuild_ledger_bloom is for)
+_BLOOM_FSCK_SAMPLE = 10_000
+
+
+def _bloom_fsck(spark, base: str, cfg, led, scoped, emit) -> None:
+    """The ``check_ingest_state`` legs for the digest-ledger Bloom
+    sidecar (``bloom_digest_not_in_bits`` + ``bloom_sidecar_hygiene``)
+    — see the caller's comment for the invariant being checked."""
+    import json as _json
+    import os
+
+    import numpy as _np
+
+    from .. import fsutil, statedir
+    from ..functions import bloom as _bloomfn
+    from . import ledger_bloom as _lbm
+
+    bp = _lbm._paths(os.path.join(base, "ledger"))
+    braw = fsutil.read_text(spark, bp.meta)
+    if braw is None:
+        if cfg.ledger_bloom:
+            emit("bloom_digest_not_in_bits", "ledger_bloom", "skipped", 0,
+                 "sidecar absent (the first bloom-enabled batch creates it)")
+        return
+    bmeta = _json.loads(braw)
+    bm, bk = int(bmeta["m"]), int(bmeta["k"])
+    info = _lbm._merged_info(spark, bp, bmeta)
+    has_coverage = info.upto >= 0 or bool(info.tail) or info.legacy
+    epoch = _lbm._live_epoch(spark, bp.bits)
+
+    # hygiene: crash debris (marker-less epoch dirs), superseded
+    # committed epochs the next commit should have swept, and a
+    # config/meta sizing drift that will make every bloom-enabled
+    # ingest refuse until a rebuild
+    stray, superseded = [], []
+    for name in fsutil.child_names(spark, bp.bits):
+        if not name.startswith("epoch="):
+            continue
+        try:
+            e = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if not fsutil.exists(spark, f"{bp.bits}/{name}/{statedir.MARKER}"):
+            stray.append(e)
+        elif e < epoch:
+            superseded.append(e)
+    hygiene = []
+    if stray:
+        hygiene.append(f"uncommitted epoch dirs {sorted(stray)[:5]} "
+                       "(crashed commit debris; next commit sweeps)")
+    if superseded:
+        hygiene.append(f"superseded committed epochs "
+                       f"{sorted(superseded)[:5]} (sweep missed)")
+    if cfg.ledger_bloom:
+        want_m, want_k = _bloomfn.bloom_params(
+            int(cfg.ledger_bloom_expected_items),
+            float(cfg.ledger_bloom_fpp),
+        )
+        if (want_m, want_k) != (bm, bk):
+            hygiene.append(
+                f"config sizing (m={want_m}, k={want_k}) != sidecar "
+                f"(m={bm}, k={bk}) — ingest will refuse; run "
+                "rebuild_ledger_bloom to resize"
+            )
+    emit("bloom_sidecar_hygiene", "ledger_bloom",
+         "warn" if hygiene else "ok",
+         len(stray) + len(superseded), "; ".join(hygiene))
+
+    # the false-negative probe itself
+    if epoch < 0:
+        if has_coverage:
+            emit("bloom_digest_not_in_bits", "ledger_bloom", "fail", 1,
+                 "merged coverage recorded (merged_upto="
+                 f"{info.upto}, tail={len(info.tail)}) but NO committed "
+                 "bitmap epoch — every covered digest is a false "
+                 "negative; run rebuild_ledger_bloom")
+        else:
+            emit("bloom_digest_not_in_bits", "ledger_bloom", "ok", 0,
+                 "fresh sidecar, no coverage yet")
+        return
+    try:
+        data = fsutil.read_bytes(spark, f"{bp.bits}/epoch={epoch}/bits.bin")
+    except Exception as exc:  # noqa: BLE001 — an unreadable bitmap (IO
+        # error, FS checksum mismatch = literal bit rot) is exactly the
+        # finding, not a crash
+        emit("bloom_digest_not_in_bits", "ledger_bloom", "fail", 1,
+             f"bitmap at epoch {epoch} unreadable "
+             f"({type(exc).__name__}) — corrupt sidecar; run "
+             "rebuild_ledger_bloom")
+        return
+    bits = _np.frombuffer(data, dtype=_np.uint8) if data else None
+    if bits is None or bits.size != bm // 8:
+        emit("bloom_digest_not_in_bits", "ledger_bloom", "fail", 1,
+             f"bitmap at epoch {epoch} is "
+             f"{0 if bits is None else bits.size} bytes, meta says "
+             f"{bm // 8} — corrupt sidecar; run rebuild_ledger_bloom")
+        return
+    if led is None:
+        emit("bloom_digest_not_in_bits", "ledger_bloom", "skipped", 0,
+             "no ledger")
+        return
+    samp = [
+        r.digest
+        for r in scoped(led)
+        .select("digest")
+        .filter(F.col("digest").isNotNull())
+        .limit(_BLOOM_FSCK_SAMPLE)
+        .collect()
+    ]
+    got = _bloomfn.bits_contain(bits, samp, bm, bk)
+    miss = [d for d, hit in zip(samp, got) if not hit]
+    emit(
+        "bloom_digest_not_in_bits", "ledger_bloom",
+        "fail" if miss else "ok", len(miss),
+        (f"sampled {len(samp)}; false-negative digests {miss[:5]} — "
+         "exact dedup is silently OFF for these (dupes would re-admit "
+         "with no error); run rebuild_ledger_bloom")
+        if miss else f"sampled {len(samp)}",
+    )
 
 
 def _check_ingest_state_body(
@@ -3237,6 +3421,17 @@ def _check_ingest_state_body(
         n = ghost.count()
         emit("derived_row_without_corpus_row", sub, "fail" if n else "ok",
              n, sample(ghost, "doc_id"))
+
+    # bloom sidecar (round 13, VERDICT r12 item 3): the no-false-negative
+    # invariant is the one failure mode with NO error anywhere — a
+    # hand-edited, truncated, or bit-rotted bitmap silently turns exact
+    # dedup OFF for the affected digests (dupes admitted, nothing
+    # raises). Probe a bounded ledger-digest sample against the live
+    # epoch's bitmap (every live ledger row's digest MUST probe maybe:
+    # merge-before-append means a ledger row implies its batch's bits
+    # committed; retraction only removes rows; folds preserve them),
+    # and report epoch/marker hygiene + sizing drift.
+    _bloom_fsck(spark, base, cfg, led, scoped, emit)
 
     # one read of the retraction history serves BOTH the still-served
     # index check and the whole-history residual probe below

@@ -377,7 +377,7 @@ def run_pipeline(spark: SparkSession, eads_root: str, cfg: EadPipelineConfig) ->
         "s7_eads": s7.count(),
     }
     if cfg.journal_dir:
-        from .. import fsutil
+        from .. import fsutil, statedir
         from ..streaming.incremental import journal_publish
 
         outs = None
@@ -390,24 +390,37 @@ def run_pipeline(spark: SparkSession, eads_root: str, cfg: EadPipelineConfig) ->
             )
             outs = part if outs is None else outs.unionByName(part)
         if outs is not None:
-            report.update(
-                journal_publish(spark, outs, cfg.journal_dir, cfg.run_id)
-            )
-            if cfg.journal_compact_after_runs is not None:
-                from ..streaming.incremental import (
-                    _attempted_runs,
-                    _journal_horizon,
-                    compact_journal,
+            # run-scoped journal lease (round 13, VERDICT r12 item 6 —
+            # closes the lease grid): the pipeline holds the journal
+            # dir's writer lease across its WHOLE publish sequence and
+            # passes it THROUGH to the verbs (which renew it — the
+            # fencing-token check — and never release it), exactly the
+            # curation-run ↔ maintenance-verb composition. A second
+            # publisher therefore raises LeaseHeld at acquisition rather
+            # than interleaving between the publish and its compaction.
+            with statedir.lease_scope(
+                spark, cfg.journal_dir, "run_pipeline"
+            ) as jlease:
+                report.update(
+                    journal_publish(spark, outs, cfg.journal_dir,
+                                    cfg.run_id, lease=jlease)
                 )
-
-                horizon = _journal_horizon(spark, cfg.journal_dir)
-                live = _attempted_runs(spark, cfg.journal_dir, horizon)
-                if len(live) > cfg.journal_compact_after_runs:
-                    # fold everything STRICTLY BEFORE the run just
-                    # published — the newest run stays replayable for the
-                    # at-least-once incremental driver
-                    report["journal_compaction"] = compact_journal(
-                        spark, cfg.journal_dir,
-                        up_to_run=report["run_id"] - 1,
+                if cfg.journal_compact_after_runs is not None:
+                    from ..streaming.incremental import (
+                        _attempted_runs,
+                        _journal_horizon,
+                        compact_journal,
                     )
+
+                    horizon = _journal_horizon(spark, cfg.journal_dir)
+                    live = _attempted_runs(spark, cfg.journal_dir, horizon)
+                    if len(live) > cfg.journal_compact_after_runs:
+                        # fold everything STRICTLY BEFORE the run just
+                        # published — the newest run stays replayable for
+                        # the at-least-once incremental driver
+                        report["journal_compaction"] = compact_journal(
+                            spark, cfg.journal_dir,
+                            up_to_run=report["run_id"] - 1,
+                            lease=jlease,
+                        )
     return report

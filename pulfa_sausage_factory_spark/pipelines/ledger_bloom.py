@@ -24,9 +24,15 @@ Layout (sibling of ``ledger/`` — a fold of the ledger must not sweep
 it, the ``fps_meta`` convention)::
 
     <state_dir>/ledger_bloom/
-      meta.json            m, k, expected_items, fpp, archive_sig
+      meta.json            m, k, expected_items, fpp, archive_sig,
+                           merged_upto, legacy_merged
       bits/epoch=N/        bits.bin + _SUCCESS  (marker-last validity)
       merged/batch_id=B    empty marker: batch B's digests are in bits
+                           — only the TAIL above meta.merged_upto; at
+                           each epoch commit the contiguous marker
+                           prefix folds into the meta horizon and the
+                           folded marker files are deleted (merged/
+                           stays O(gap), never O(total batches))
 
 Crash ordering — the SUPERSET invariant: bits may only ever contain
 digests the ledger holds or once held or is about to hold, plus
@@ -76,10 +82,11 @@ from pyspark.sql import functions as F
 from .. import fsutil, statedir
 from ..functions import bloom
 
-#: above this many admitted rows the per-batch merge computes partition
-#: bitmaps executor-side and tree-reduces them instead of collecting
-#: k×n positions to the driver
-_COLLECT_POSITIONS_MAX_ROWS = 2_000_000
+#: above this many collected POSITION rows (k × n_rows — the driver
+#: pays k py4j rows per digest, not one) the per-batch merge computes
+#: partition bitmaps executor-side and tree-reduces them instead of
+#: collecting positions to the driver
+_COLLECT_MAX_POSITIONS = 2_000_000
 
 #: merged/ marker id for legacy archive rows with null src_batch_id
 _LEGACY_ID = -2
@@ -112,15 +119,43 @@ def _live_epoch(spark, bits_dir: str) -> int:
     return best
 
 
-def _merged_ids(spark, merged_dir: str) -> set[int]:
-    out = set()
-    for name in fsutil.child_names(spark, merged_dir):
-        if name.startswith("batch_id="):
-            try:
-                out.add(int(name.split("=", 1)[1]))
-            except ValueError:
-                continue
-    return out
+def _merged_info(spark, paths, meta: dict) -> SimpleNamespace:
+    """Merged-batch coverage = a folded horizon in the meta
+    (``merged_upto`` — every id ≤ N is in the bits) plus the unfolded
+    tail of per-batch marker files (marker-LAST validity preserved for
+    exactly the ids a crash could still be mid-merging) plus the
+    ``legacy_merged`` flag for the null-provenance archive rows."""
+    tail: set[int] = set()
+    legacy = bool(meta.get("legacy_merged", False))
+    for name in fsutil.child_names(spark, paths.merged):
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if b == _LEGACY_ID:
+            legacy = True
+        else:
+            tail.add(b)
+    return SimpleNamespace(
+        upto=int(meta.get("merged_upto", -1)), tail=tail, legacy=legacy
+    )
+
+
+def _covered(info: SimpleNamespace, b: int) -> bool:
+    if b == _LEGACY_ID:
+        return info.legacy
+    return b <= info.upto or b in info.tail
+
+
+def _merged_count(info: SimpleNamespace) -> int:
+    """Merged-batch figure for reports: horizon span + unfolded tail
+    (an upper bound when folded ids were sparse — the fold keeps no
+    per-id record below the horizon, by design)."""
+    return (info.upto + 1 if info.upto >= 0 else 0) + len(
+        [t for t in info.tail if t > info.upto]
+    )
 
 
 def _ledger_batches(spark, ledger_dir: str) -> list[int]:
@@ -170,8 +205,10 @@ def _positions_for(df, digest_col: str, m: int, k: int,
     """Either a position list (small frames — one collect of k×n
     distinct longs) or a full bitmap (large frames — per-partition
     bitmaps OR-reduced executor-side, m/8 bytes per partition, never
-    k×n rows to the driver)."""
-    if n_rows <= _COLLECT_POSITIONS_MAX_ROWS:
+    k×n rows to the driver). The gate counts POSITIONS (k × n_rows),
+    not input rows — at k=6 a row-count gate would let ~12M exploded
+    py4j Rows reach the driver (ADVICE r12)."""
+    if n_rows * k <= _COLLECT_MAX_POSITIONS:
         rows = df.select(
             F.explode(
                 bloom.digest_positions(F.col(digest_col), m, k)
@@ -203,7 +240,8 @@ def _merge_into(st, contribution) -> None:
 
 def _commit_epoch(spark, st, new_marker_ids) -> None:
     """Land the updated bitmap: new epoch dir (bits.bin then marker),
-    then the merged/ markers, then sweep superseded + killed epochs."""
+    then the merged/ markers, then sweep superseded + killed epochs,
+    then fold the marker tail into the meta horizon."""
     new_epoch = st.epoch + 1
     edir = f"{st.paths.bits}/epoch={new_epoch}"
     fsutil.mkdirs(spark, edir)
@@ -221,6 +259,52 @@ def _commit_epoch(spark, st, new_marker_ids) -> None:
         if e < new_epoch:
             fsutil.delete(spark, f"{st.paths.bits}/{name}")
     st.epoch = new_epoch
+    _fold_markers(spark, st)
+
+
+def _fold_markers(spark, st) -> None:
+    """ADVICE r12: ``merged/`` would otherwise grow one empty marker per
+    micro-batch forever — an O(total-batches) listing on every load and
+    an unbounded tiny-object count on object stores. At each epoch
+    commit, fold the contiguous marker prefix into ``meta.merged_upto``
+    (= every id ≤ N is in the bits) and delete the folded marker files
+    — meta FIRST, then markers: that crash window leaves redundant
+    coverage, while the reverse would uncover merged batches (their
+    attempted dirs would re-scan idempotently — superset-safe, but the
+    fold must never depend on it). The horizon only advances over ids
+    that are marked or have NO attempted ledger dir (an id never
+    assigned cannot land later — batch ids are monotone under the run
+    discipline — and a replayed id re-merges through ``merge_batch``
+    regardless of coverage), so a bloom-off window's unmarked dirs pin
+    the horizon below themselves until catch-up merges them.
+    Marker-LAST validity is preserved for the unfolded tail; the
+    legacy archive marker folds into ``meta.legacy_merged``."""
+    info = _merged_info(spark, st.paths, st.meta)
+    attempted = sorted(set(_ledger_batches(spark, st.ledger_dir)))
+    upto = info.upto
+    for b in sorted(info.tail):
+        if b <= upto:
+            continue
+        if any(upto < a < b and a not in info.tail for a in attempted):
+            break
+        upto = b
+    fold_legacy = info.legacy and not st.meta.get("legacy_merged", False)
+    if upto == info.upto and not fold_legacy:
+        # nothing newly foldable; still sweep tail markers a prior
+        # fold's crash window left behind (≤ the recorded horizon)
+        for b in info.tail:
+            if b <= info.upto:
+                fsutil.delete(spark, f"{st.paths.merged}/batch_id={b}")
+        return
+    st.meta["merged_upto"] = upto
+    if info.legacy:
+        st.meta["legacy_merged"] = True
+    _write_meta(spark, st.paths, st.meta)
+    for b in info.tail:
+        if b <= upto:
+            fsutil.delete(spark, f"{st.paths.merged}/batch_id={b}")
+    if info.legacy:
+        fsutil.delete(spark, f"{st.paths.merged}/batch_id={_LEGACY_ID}")
 
 
 def load_state(spark, ledger_dir: str, cfg, current_batch=None):
@@ -267,13 +351,22 @@ def load_state(spark, ledger_dir: str, cfg, current_batch=None):
             )
     else:
         bits = bloom.new_bits(m)
-    st = SimpleNamespace(bits=bits, m=m, k=k, epoch=epoch, paths=paths)
+    st = SimpleNamespace(bits=bits, m=m, k=k, epoch=epoch, paths=paths,
+                         meta=meta, ledger_dir=ledger_dir)
 
-    # catch-up 1: attempted per-batch ledger dirs with no merged marker
-    merged = _merged_ids(spark, paths.merged)
+    # catch-up 1: attempted per-batch ledger dirs with no merged
+    # coverage. A killed batch dir holding ZERO data files (only
+    # _temporary debris) is skipped, not read — it holds no digests so
+    # skipping preserves the superset invariant, while reading it would
+    # raise 'unable to infer schema' and wedge every bloom-enabled
+    # ingest except that batch's own replay (ADVICE r12).
+    merged = _merged_info(spark, paths, meta)
     missing = [
         b for b in _ledger_batches(spark, ledger_dir)
-        if b not in merged and b != current_batch
+        if not _covered(merged, b) and b != current_batch
+        and fsutil.parquet_file_count(
+            spark, f"{ledger_dir.rstrip('/')}/batch_id={b}"
+        ) > 0
     ]
     new_markers: list[int] = []
     if missing:
@@ -287,7 +380,13 @@ def load_state(spark, ledger_dir: str, cfg, current_batch=None):
     # through the archive's src_batch_id provenance; scanned only when
     # the archive changed since the meta last looked
     sig = _archive_sig(spark, ledger_dir)
-    if sig is not None and sig != meta.get("archive_sig"):
+    if (
+        sig is not None
+        and sig != meta.get("archive_sig")
+        and fsutil.parquet_file_count(
+            spark, f"{ledger_dir.rstrip('/')}/batch_id=-1"
+        ) > 0
+    ):
         arch = spark.read.option("mergeSchema", "true").parquet(
             f"{ledger_dir.rstrip('/')}/batch_id=-1"
         )
@@ -299,7 +398,8 @@ def load_state(spark, ledger_dir: str, cfg, current_batch=None):
         arch = arch.select(F.col("digest"), prov.alias("src"))
         src_ids = {int(r.src) for r in arch.select("src").distinct().collect()}
         hole = sorted(
-            s for s in src_ids if s not in merged and s != current_batch
+            s for s in src_ids
+            if not _covered(merged, s) and s != current_batch
             and s not in set(new_markers)
         )
         if hole:
@@ -350,7 +450,9 @@ def rebuild_ledger_bloom(spark, state_dir: str, cfg, lease=None) -> dict:
         st = load_state(spark, ledger_dir, cfg)
         return {
             "m": st.m, "k": st.k, "epoch": st.epoch,
-            "merged_batches": len(_merged_ids(spark, paths.merged)),
+            "merged_batches": _merged_count(
+                _merged_info(spark, paths, st.meta)
+            ),
             "saturation": bloom.saturation(st.bits),
             "implied_fpp": bloom.saturation(st.bits) ** st.k,
         }
@@ -374,9 +476,11 @@ def report_detail(spark, state_dir: str) -> str | None:
         if data is not None:
             sat = bloom.saturation(np.frombuffer(data, dtype=np.uint8))
     k = int(meta["k"])
+    info = _merged_info(spark, paths, meta)
     return (
         f"epoch={epoch} m={meta['m']} k={k} "
-        f"merged_batches={len(_merged_ids(spark, paths.merged))} "
+        f"merged_batches={_merged_count(info)} "
+        f"merged_upto={info.upto} marker_tail={len(info.tail)} "
         f"saturation={sat:.4f} implied_fpp={sat ** k:.6f} "
         f"(nominal {meta['fpp']}; rebuild_ledger_bloom to resize)"
     )

@@ -117,3 +117,84 @@ def assert_max_exchanges(df: DataFrame, n: int) -> None:
     iterative loop once planned 600+)."""
     got = count_exchanges(df)
     assert got <= n, f"plan has {got} Exchanges, budget {n}"
+
+
+def _parse_plan_tree(plan: str) -> dict[int, tuple[str, int | None]]:
+    """Parse the numbered tree at the top of a formatted plan into
+    ``{node_id: (label, parent_id)}``. Depth is the length of the
+    drawing prefix (``: ``/``+-``/``:-``/``*``/spaces); a node's parent
+    is the nearest preceding node at a smaller depth. Parsing stops at
+    the per-node detail section (headers like ``(1) Scan parquet`` at
+    column 0)."""
+    import re
+
+    pat = re.compile(r"^([:\s+\-*]*)(\S.*?)\s*\((\d+)\)\s*$")
+    nodes: dict[int, tuple[str, int | None]] = {}
+    stack: list[tuple[int, int]] = []  # (depth, node_id)
+    for ln in plan.splitlines():
+        if ln.startswith("(") and nodes:
+            break  # detail section reached
+        m = pat.match(ln)
+        if not m or ln.startswith("=="):
+            continue
+        depth, label, nid = len(m.group(1)), m.group(2), int(m.group(3))
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        nodes[nid] = (label, stack[-1][1] if stack else None)
+        stack.append((depth, nid))
+    return nodes
+
+
+def assert_scan_streams_into_broadcast_join(
+    df: DataFrame, path_needle: str
+) -> None:
+    """The machine check for scan-state joins: the parquet scan whose
+    ``Location`` contains ``path_needle`` must reach its nearest Join
+    ancestor with NO Exchange in between, and that join must be a
+    BroadcastHashJoin — i.e. the (ledger-sized) state table is read in
+    place on the STREAMED side while the batch-derived side broadcasts.
+    A plan that shuffles the state before joining (SortMergeJoin, or an
+    Exchange under the join) fails loudly with the plan attached."""
+    import re
+
+    plan = explain_formatted(df)
+    nodes = _parse_plan_tree(plan)
+    # find the detail-section scan node whose Location mentions the path
+    scan_id = None
+    cur_id, cur_label = None, ""
+    for ln in plan.splitlines():
+        m = re.match(r"^\((\d+)\)\s+(\S.*)$", ln)
+        if m:
+            cur_id, cur_label = int(m.group(1)), m.group(2)
+        elif (
+            cur_id is not None
+            and "Location" in ln
+            and path_needle in ln
+            and "Scan" in cur_label
+        ):
+            scan_id = cur_id
+            break
+    assert scan_id is not None, (
+        f"no parquet scan of {path_needle!r} in plan:\n{plan}"
+    )
+    nid = nodes.get(scan_id, (None, None))[1]
+    between: list[str] = []
+    while nid is not None:
+        label, parent = nodes[nid]
+        if "Join" in label:
+            assert "BroadcastHashJoin" in label, (
+                f"state scan of {path_needle!r} reaches {label!r}, not a "
+                f"BroadcastHashJoin — the state side is being shuffled:\n{plan}"
+            )
+            return
+        assert "Exchange" not in label, (
+            f"Exchange {label!r} between the state scan of {path_needle!r} "
+            f"and its join — the state is shuffled before joining "
+            f"(path so far: {between}):\n{plan}"
+        )
+        between.append(label)
+        nid = parent
+    raise AssertionError(
+        f"state scan of {path_needle!r} has no Join ancestor "
+        f"(walked {between}):\n{plan}"
+    )

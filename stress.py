@@ -765,5 +765,140 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def bloom_trend(spark, sizes, batch_rows: int = 50_000) -> dict:
+    """Round 13 (VERDICT r12 item 2): measure the ledger-Bloom
+    break-even TREND, not just the arithmetic — grow the digest ledger
+    across decades and record the plain-scan vs bloom-steady per-batch
+    ingest cost at each point. The claim under test: the plain path's
+    dominant term (one full ledger scan per fresh micro-batch) grows
+    with the corpus while the bloom path's per-batch cost is ~fixed
+    (Arrow probe + gate count + m/8 bytes of epoch IO), so the gap must
+    CLOSE with ledger size and eventually cross.
+
+    The ledger is SYNTHESIZED at the real schema (digest +
+    src_batch_id data column, hive ``batch_id=0`` dir — what
+    ``_write_admitted`` lands): building 10^8 rows through a real
+    ingest is hours of gate/JSON work that adds nothing to the compared
+    quantity, the per-batch exact-dedup decision against N admitted
+    digests. Batches are fresh (all-new digests) — the 100 TB common
+    case the sidecar exists for. Two timed reps per mode (min + spread
+    recorded); the one-time catch-up merge of the whole ledger is
+    reported separately (it amortizes over every later batch)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        CurationConfig,
+        _ingest_batch,
+    )
+
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    plain_cfg = CurationConfig(min_quality=0.0, neardup_method="none")
+
+    def fresh_lines(bid):
+        # unique texts per batch id — a repeat batch must stay ALL-NEW
+        # (dup batches change the cost shape: fewer writes, confirm-join)
+        return spark.range(batch_rows).select(
+            F.to_json(F.struct(
+                (F.col("id") + bid * 10_000_000).alias("doc_id"),
+                F.concat(
+                    F.lit(f"fresh b{bid} district survey record "),
+                    F.col("id").cast("string"),
+                    F.lit(" with bridge load tables and river depth "),
+                    F.col("id").cast("string"),
+                ).alias("text"),
+            )).alias("value")
+        )
+
+    table = []
+    for n_ledger in sizes:
+        bloom_cfg = CurationConfig(
+            min_quality=0.0, neardup_method="none", ledger_bloom=True,
+            ledger_bloom_expected_items=max(2 * int(n_ledger), 1_000_000),
+        )
+        work = tempfile.mkdtemp(prefix=f"bloom_trend_{n_ledger}_")
+        try:
+            state = f"{work}/state"
+            t0 = time.perf_counter()
+            spark.range(int(n_ledger)).select(
+                F.md5(F.concat(F.lit("led-"), F.col("id").cast("string")))
+                .alias("digest"),
+                F.lit(0).cast("long").alias("src_batch_id"),
+            ).write.mode("overwrite").parquet(f"{state}/ledger/batch_id=0")
+            t_synth = round(time.perf_counter() - t0, 2)
+
+            bid = 1
+            _ingest_batch(spark, fresh_lines(bid), bid, plain_cfg,
+                          state, sch)  # untimed warmup (JIT + footers)
+            bid += 1
+            plain_secs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _ingest_batch(spark, fresh_lines(bid), bid, plain_cfg,
+                              state, sch)
+                plain_secs.append(round(time.perf_counter() - t0, 2))
+                bid += 1
+            t0 = time.perf_counter()
+            _ingest_batch(spark, fresh_lines(bid), bid, bloom_cfg,
+                          state, sch)  # one-time whole-ledger catch-up
+            catchup_sec = round(time.perf_counter() - t0, 2)
+            bid += 1
+            steady_secs, maybe = [], 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rep = _ingest_batch(spark, fresh_lines(bid), bid,
+                                    bloom_cfg, state, sch)
+                steady_secs.append(round(time.perf_counter() - t0, 2))
+                maybe += rep.get("ledger_bloom", {}).get("maybe", 0)
+                bid += 1
+            row = {
+                "n_ledger": int(n_ledger),
+                "synth_sec": t_synth,
+                "plain_sec": min(plain_secs),
+                "plain_reps": plain_secs,
+                "bloom_catchup_sec": catchup_sec,
+                "bloom_steady_sec": min(steady_secs),
+                "steady_reps": steady_secs,
+                "steady_maybe_total": int(maybe),
+                "bloom_minus_plain_sec": round(
+                    min(steady_secs) - min(plain_secs), 2
+                ),
+            }
+            table.append(row)
+            print(
+                f"# bloom_trend n={n_ledger}: plain {row['plain_sec']}s "
+                f"{plain_secs} | catchup {catchup_sec}s | steady "
+                f"{row['bloom_steady_sec']}s {steady_secs} "
+                f"(maybe={maybe}) | gap {row['bloom_minus_plain_sec']}s",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001 — record, keep going
+            table.append({"n_ledger": int(n_ledger),
+                          "error": f"{type(exc).__name__}: {exc}"[:300]})
+            print(f"# bloom_trend n={n_ledger} FAILED — {exc}",
+                  file=sys.stderr)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    return {"metric": "bloom_break_even_trend",
+            "batch_rows": batch_rows, "table": table}
+
+
+def bloom_main() -> None:
+    """`python stress.py bloom [N ...]` — the break-even trend across
+    ledger decades (default 1.2M / 12M / 120M rows; 120M × ~32 B of
+    digest is ~4 GB of parquet, sandbox-feasible)."""
+    sizes = [int(a) for a in sys.argv[2:]] or [
+        1_200_000, 12_000_000, 120_000_000
+    ]
+    spark = get_spark("stress-bloom-trend")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(bloom_trend(spark, sizes)))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "bloom":
+        bloom_main()
+    else:
+        main()

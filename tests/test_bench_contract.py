@@ -39,6 +39,9 @@ def _worst_case_full() -> dict:
     return {
         "metric": "headline_query_set_wall_time",
         "value": wide * len(queries),
+        # round-13 calibration-adjusted twin (VERDICT r12 item 5)
+        "value_calib_adj": wide * len(queries),
+        "calib_ref_ms": 99.99,
         "unit": "sec",
         "estimator": "min_of_99_reps",
         "queries": queries,
@@ -95,9 +98,12 @@ def test_stdout_payload_drops_unbounded_fields():
 def test_stdout_payload_keeps_headline_fields():
     full = _worst_case_full()
     out = bench.build_stdout_payload(full)
-    for key in ("metric", "value", "unit", "estimator", "queries",
-                "extra_queries", "env", "sf"):
+    for key in ("metric", "value", "value_calib_adj", "unit", "estimator",
+                "queries", "extra_queries", "env", "sf"):
         assert out[key] == full[key]
+    # calib_ref_ms is stats-file-only (a fixed constant in bench.py —
+    # it earns no stdout-line bytes)
+    assert "calib_ref_ms" not in out
     # no-failures runs omit `failed` entirely (keys stay stable otherwise)
     clean = dict(full)
     clean.pop("errors")

@@ -334,3 +334,111 @@ def test_ingest_run_report_df_mirrors_batch_reports(spark, tmp_path):
     assert rows[0].retraction_excluded is None  # no replay guard fired
     assert rows[0].index_appended is None  # no serve-index append
     assert rows[0].maintenance == ""
+
+
+def test_check_ingest_state_bloom_legs(spark, tmp_path):
+    # round 13 (VERDICT r12 item 3): the bloom sidecar's no-false-
+    # negative invariant gets an fsck leg — a sampled probe of ledger
+    # digests against the live bitmap (any miss = FAIL naming the
+    # rebuild verb) plus epoch/marker hygiene and sizing-drift reporting
+    import numpy as np
+
+    from pulfa_sausage_factory_spark import fsutil
+    from pulfa_sausage_factory_spark.functions import bloom as bfn
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        check_ingest_state,
+    )
+    from pulfa_sausage_factory_spark.pipelines.ledger_bloom import (
+        rebuild_ledger_bloom,
+    )
+
+    state = str(tmp_path / "state")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none",
+                         ledger_bloom=True,
+                         ledger_bloom_expected_items=10_000)
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    docs = [{"doc_id": i,
+             "text": f"district survey record number {i} with bridge "
+                     f"load tables and river depth measurements"}
+            for i in range(8)]
+    _ingest_batch(spark, _lines(spark, docs[:5]), 0, cfg, state, sch)
+    _ingest_batch(spark, _lines(spark, docs[5:]), 1, cfg, state, sch)
+
+    # clean state: probe ok with the sample size in the detail, hygiene ok
+    rep = _by_check(check_ingest_state(spark, state, cfg))
+    probe = rep[("bloom_digest_not_in_bits", "ledger_bloom")]
+    assert probe.status == "ok" and "sampled 8" in probe.detail
+    assert rep[("bloom_sidecar_hygiene", "ledger_bloom")].status == "ok"
+
+    # bloom not configured + no sidecar → no bloom rows at all
+    state2 = str(tmp_path / "plain")
+    off = CurationConfig(min_quality=0.0, neardup_method="none")
+    _ingest_batch(spark, _lines(spark, docs[:2]), 0, off, state2, sch)
+    rep2 = _by_check(check_ingest_state(spark, state2, off))
+    assert not any(c == "bloom_digest_not_in_bits" for c, _ in rep2)
+
+    # planted corruption: clear a couple of a real digest's bits in the
+    # live bitmap (hand-edited sidecar) — the probe must FAIL and name
+    # the rebuild verb (this is the silent dedup-off failure mode,
+    # invisible anywhere else). Rewrite through fsutil so the Hadoop
+    # CRC sidecar matches — a CRC mismatch is the unreadable-bitmap
+    # case, planted separately below.
+    import glob as _glob
+
+    def _live_bits():
+        return sorted(
+            _glob.glob(f"{state}/ledger_bloom/bits/epoch=*/bits.bin")
+        )[-1]
+
+    bits_bin = _live_bits()
+    raw = bytearray(fsutil.read_bytes(spark, bits_bin))
+    meta_m = len(raw) * 8
+    digest = spark.read.parquet(f"{state}/ledger").select(
+        "digest").limit(1).collect()[0].digest
+    for p in bfn.positions_of(digest, meta_m, 6)[:2]:
+        raw[p >> 3] &= ~(1 << (p & 7)) & 0xFF
+    fsutil.write_bytes(spark, bits_bin, bytes(raw))
+    rep = _by_check(check_ingest_state(spark, state, cfg))
+    probe = rep[("bloom_digest_not_in_bits", "ledger_bloom")]
+    assert probe.status == "fail" and "rebuild_ledger_bloom" in probe.detail
+
+    # the named remedy heals it
+    rebuild_ledger_bloom(spark, state, cfg)
+    rep = _by_check(check_ingest_state(spark, state, cfg))
+    assert rep[("bloom_digest_not_in_bits", "ledger_bloom")].status == "ok"
+
+    # truncated bitmap = corrupt sidecar → fail naming the rebuild verb
+    bits_bin = _live_bits()
+    fsutil.write_bytes(
+        spark, bits_bin, bytes(fsutil.read_bytes(spark, bits_bin))[:-8]
+    )
+    rep = _by_check(check_ingest_state(spark, state, cfg))
+    probe = rep[("bloom_digest_not_in_bits", "ledger_bloom")]
+    assert probe.status == "fail" and "corrupt sidecar" in probe.detail
+
+    # literal bit rot (payload edited behind the FS's back → CRC
+    # mismatch on read) is also a finding, never a crash
+    raw = bytearray(open(bits_bin, "rb").read())
+    raw[0] ^= 0xFF
+    open(bits_bin, "wb").write(bytes(raw))
+    rep = _by_check(check_ingest_state(spark, state, cfg))
+    probe = rep[("bloom_digest_not_in_bits", "ledger_bloom")]
+    assert probe.status == "fail" and "unreadable" in probe.detail
+    rebuild_ledger_bloom(spark, state, cfg)
+
+    # hygiene: an uncommitted epoch dir (crash debris) and a sizing
+    # drift both surface as WARN with actionable detail
+    import os as _os
+
+    stray = f"{state}/ledger_bloom/bits/epoch=999"
+    _os.makedirs(stray, exist_ok=True)
+    open(f"{stray}/bits.bin", "wb").write(b"\x00" * 8)
+    bigger = CurationConfig(min_quality=0.0, neardup_method="none",
+                            ledger_bloom=True,
+                            ledger_bloom_expected_items=500_000)
+    rep = _by_check(check_ingest_state(spark, state, bigger))
+    hyg = rep[("bloom_sidecar_hygiene", "ledger_bloom")]
+    assert hyg.status == "warn"
+    assert "uncommitted epoch dirs" in hyg.detail
+    assert "config sizing" in hyg.detail and "rebuild_ledger_bloom" in hyg.detail

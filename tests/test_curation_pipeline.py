@@ -3449,3 +3449,141 @@ def test_retract_documents_string_ids_and_sidecar_flags(spark, tmp_path):
     assert spark.read.parquet(f"{state}/ledger").filter(
         F.col("digest") == "deadbeef"
     ).count() == 0
+
+
+def test_scan_state_flip_fallback_equality(spark, tmp_path, monkeypatch):
+    # round 13: all four cross-run dedup legs (exact digest, MinHash
+    # bands/sigs, overlap fps, semantic vectors) have a scan-state fast
+    # path under _SCAN_STATE_BCAST_MAX_ROWS and the plain shuffled join
+    # as the bulk-backfill fallback. Pin their EQUALITY: the same
+    # two-batch ingest decides identically with the flip forced off
+    # (cap monkeypatched to 0), for both ledger families.
+    import json
+
+    from pyspark.sql import types as T
+
+    from pulfa_sausage_factory_spark.functions.vectors import (
+        hashed_text_embedding,
+    )
+    from pulfa_sausage_factory_spark.operators import ann_index
+    from pulfa_sausage_factory_spark.pipelines import (
+        curation_pipeline as cp,
+    )
+
+    sch = T.StructType.fromDDL("doc_id long, text string")
+
+    def lines(rows):
+        return spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "value string"
+        )
+
+    def corpus_ids(state):
+        return {
+            r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()
+        }
+
+    # ---- scenario A: overlap + MinHash ledgers over long documents
+    para = (
+        "the archival record of the expedition describes a long river "
+        "journey through dense forest where the party catalogued birds "
+        "and pressed plant specimens into heavy folios each evening by "
+        "lamplight while the boats were drawn up on gravel bars and the "
+        "notebooks slowly filled with measurements of water depth and "
+        "temperature and careful sketches of the canyon walls above "
+    )
+    fresh = (
+        "novel content with its own vocabulary about telescope "
+        "maintenance and mirror coating procedures in observatories "
+        "during winter months when the dome machinery needs care " * 3
+    )
+    bridge = (
+        "entirely new subject matter concerning bridge engineering "
+        "and load calculations for riveted iron spans " * 4
+    )
+    filler = ("unrelated text about cataloguing letters in archive boxes "
+              "and shelving practices for manuscript collections ")
+    b0 = [{"doc_id": 1, "text": para + filler},
+          {"doc_id": 2, "text": fresh}]
+    b1 = [
+        {"doc_id": 10, "text": para + filler},           # exact dup of 1
+        {"doc_id": 11, "text": fresh + " extra tail words here"},  # minhash
+        {"doc_id": 12, "text": "new framing sentence " + para +
+                               "with a new conclusion"},  # overlap lift
+        {"doc_id": 13, "text": bridge},                   # genuinely new
+    ]
+    cfg_a = CurationConfig(
+        min_quality=0.0, neardup_method="none",
+        neardup_ledger=True, neardup_threshold=0.6,
+        overlap_ledger=True, overlap_sample_mod=4,
+    )
+
+    def run_scenario_a(state):
+        cp._ingest_batch(spark, lines(b0), 0, cfg_a, state, sch)
+        rep = cp._ingest_batch(spark, lines(b1), 1, cfg_a, state, sch)
+        return rep["admitted"], corpus_ids(state)
+
+    fast_n, fast_ids = run_scenario_a(str(tmp_path / "a_fast"))
+
+    # ---- scenario B: semantic ledger over a family-clustered corpus
+    fams = (
+        ("river forest fox dog bank quiet green lazy jumps runs far "
+         "away tonight brown quick over then into the and by").split(),
+        ("archive letter aid princeton collection finding material box "
+         "folder series inventory manuscript curator shelf record").split(),
+        ("train engine track station signal platform carriage conductor "
+         "whistle timetable junction freight diesel steam rail").split(),
+        ("ocean coral reef tide wave current sail harbor anchor vessel "
+         "depth marine salt spray horizon").split(),
+    )
+    fam0, fam1, fam3 = fams[0], fams[1], fams[3]
+
+    def doc(words, i):
+        rot = words[i % len(words):] + words[:i % len(words)]
+        return " ".join(rot[:14])
+
+    seed = [(f * 100 + i, doc(w, i))
+            for f, w in enumerate(fams) for i in range(10)]
+    cdf = spark.createDataFrame(
+        seed, "vec_id long, text string"
+    ).select(
+        "vec_id",
+        hashed_text_embedding(F.col("text"), dim=64).alias("embedding"),
+    ).localCheckpoint()
+    idx_path = str(tmp_path / "flip_idx")
+    ann_index.save_pq_index(
+        ann_index.build_pq_index(
+            cdf, m=8, n_codes=8, n_cells=4, iters=2, sample_fraction=1.0
+        ),
+        idx_path,
+    )
+    cfg_b = CurationConfig(
+        min_quality=0.0, neardup_method="none",
+        semantic_ledger=True, semdedup_threshold=0.8,
+        semdedup_index_path=idx_path,
+    )
+    near = doc(fam0, 3).replace(doc(fam0, 3).split()[0], "altered", 1)
+    s0 = [{"doc_id": 1, "text": doc(fam0, 3)},
+          {"doc_id": 2, "text": doc(fam1, 0)}]
+    s1 = [{"doc_id": 20, "text": near},          # semantic near-copy of 1
+          {"doc_id": 21, "text": doc(fam3, 5)}]  # family the ledger
+          # has never admitted — admitted
+
+    def run_scenario_b(state):
+        cp._ingest_batch(spark, lines(s0), 0, cfg_b, state, sch)
+        rep = cp._ingest_batch(spark, lines(s1), 1, cfg_b, state, sch)
+        return rep["admitted"], corpus_ids(state)
+
+    fast_bn, fast_bids = run_scenario_b(str(tmp_path / "b_fast"))
+
+    # ---- force the plain-join fallback everywhere and repeat both
+    monkeypatch.setattr(cp, "_SCAN_STATE_BCAST_MAX_ROWS", 0)
+    slow_n, slow_ids = run_scenario_a(str(tmp_path / "a_slow"))
+    slow_bn, slow_bids = run_scenario_b(str(tmp_path / "b_slow"))
+
+    assert (fast_n, fast_ids) == (slow_n, slow_ids)
+    assert (fast_bn, fast_bids) == (slow_bn, slow_bids)
+    # and the scenarios actually exercised every leg: batch 1 dropped the
+    # exact dup, the minhash near-dup and the overlap lift, admitted the
+    # fresh doc; the semantic batch dropped the near-copy only
+    assert fast_ids == {1, 2, 13}
+    assert fast_bids == {1, 2, 21}

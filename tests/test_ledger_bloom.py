@@ -226,3 +226,132 @@ def test_bloom_archive_sweep_commits_before_recording_the_sig(
     assert rep["admitted"] == 0
     meta = _json.loads(fsutil.read_text(spark, meta_path))
     assert meta["archive_sig"] is not None
+
+
+def test_bloom_null_digest_probes_maybe(spark):
+    # ADVICE r12: bloom.py is a public primitive — a null digest must
+    # probe MAYBE (the safe confirm-join direction), never raise an
+    # opaque whole-stage TypeError inside the pandas UDF
+    import numpy as np
+
+    from pulfa_sausage_factory_spark.functions import bloom
+
+    m, k = 1024, 4
+    bits = bloom.new_bits(m)
+    bloom.set_positions(bits, bloom.positions_of("ab" * 16, m, k))
+    got = bloom.bits_contain(bits, ["ab" * 16, None, "cd" * 16], m, k)
+    assert got.tolist() == [True, True, False]
+    assert bloom.bits_contain(bits, [None], m, k).tolist() == [True]
+    assert bloom.bits_contain(bits, [], m, k).size == 0
+
+    probe = bloom.might_contain_udf(spark, bits, m, k)
+    df = spark.createDataFrame(
+        [("ab" * 16,), (None,), ("cd" * 16,)], "digest string"
+    ).select(probe(F.col("digest")).alias("maybe"))
+    assert [r.maybe for r in df.collect()] == [True, True, False]
+    # numpy result is genuinely boolean (pandas object-dtype trap)
+    assert got.dtype == np.bool_
+
+
+def test_bloom_positions_gate_counts_positions_not_rows(spark):
+    # ADVICE r12: the driver-collect path must gate on k×n POSITIONS —
+    # at k=6, 400k rows is 2.4M exploded Rows, above the 2M cap, so the
+    # executor-side bitmap path must take over
+    import numpy as np
+
+    from pulfa_sausage_factory_spark.pipelines import ledger_bloom as lbm
+
+    m, k = 4096, 6
+    df = spark.range(400_000).select(
+        F.md5(F.col("id").cast("string")).alias("digest")
+    )
+    out = lbm._positions_for(df, "digest", m, k, 400_000)
+    assert isinstance(out, np.ndarray), (
+        "k×n above the cap must use the tree-reduced bitmap path"
+    )
+    small = lbm._positions_for(df.limit(10), "digest", m, k, 10)
+    assert isinstance(small, list) and len(small) <= 60
+
+
+def test_bloom_merged_markers_fold_into_meta_horizon(spark, tmp_path):
+    # ADVICE r12: merged/ must not grow one marker per micro-batch
+    # forever — the contiguous prefix folds into meta.merged_upto at
+    # epoch commit and the folded marker files are deleted, while
+    # coverage (no re-merge, no false negatives) is unchanged
+    import json as _json
+
+    from pulfa_sausage_factory_spark import fsutil
+    from pulfa_sausage_factory_spark.pipelines import ledger_bloom as lbm
+
+    state = str(tmp_path / "state")
+    cfg = _cfg(ledger_bloom=True, ledger_bloom_expected_items=10_000)
+    for bid in range(4):
+        _ingest_batch(spark, _lines(spark, [_doc(100 + bid)]), bid, cfg,
+                      state, SCH)
+    meta = _json.loads(
+        fsutil.read_text(spark, f"{state}/ledger_bloom/meta.json")
+    )
+    assert meta["merged_upto"] == 3
+    markers = [
+        n for n in fsutil.child_names(spark, f"{state}/ledger_bloom/merged")
+        if n.startswith("batch_id=")
+    ]
+    assert markers == [], f"folded markers must be deleted: {markers}"
+
+    # coverage is intact: a cross-batch dup of every folded batch is
+    # still refused, and nothing re-merges on load (epoch stable across
+    # a pure-dup batch that admits nothing... epoch does advance per
+    # merge_batch, so just assert the dedup decisions)
+    dups = [{"doc_id": 900 + i, "text": _doc(100 + i)["text"]}
+            for i in range(4)]
+    rep = _ingest_batch(spark, _lines(spark, dups), 4, cfg, state, SCH)
+    assert rep["admitted"] == 0
+    assert rep["ledger_bloom"]["maybe"] >= 4
+
+    # a crash window that left a stale tail marker below the horizon is
+    # swept on the next commit, not re-adopted
+    fsutil.touch(spark, f"{state}/ledger_bloom/merged/batch_id=1")
+    _ingest_batch(spark, _lines(spark, [_doc(300)]), 5, cfg, state, SCH)
+    markers = [
+        n for n in fsutil.child_names(spark, f"{state}/ledger_bloom/merged")
+        if n.startswith("batch_id=")
+    ]
+    assert markers == []
+
+    # the report row exposes the horizon
+    detail = lbm.report_detail(spark, state)
+    assert "merged_upto=5" in detail and "marker_tail=0" in detail
+
+
+def test_bloom_skips_killed_empty_ledger_dir(spark, tmp_path):
+    # ADVICE r12: a killed batch's ledger dir holding zero data files
+    # must not wedge catch-up with 'unable to infer schema' — it holds
+    # no digests, so skipping preserves the superset invariant; the
+    # horizon must also NOT fold past it (its replay may still land)
+    import json as _json
+    import os
+
+    from pulfa_sausage_factory_spark import fsutil
+    from pulfa_sausage_factory_spark.pipelines import ledger_bloom as lbm
+
+    state = str(tmp_path / "state")
+    cfg = _cfg(ledger_bloom=True, ledger_bloom_expected_items=10_000)
+    _ingest_batch(spark, _lines(spark, [_doc(1)]), 0, cfg, state, SCH)
+    # simulate a killed batch 1: attempted dir, no data files
+    os.makedirs(f"{state}/ledger/batch_id=1/_temporary", exist_ok=True)
+    rep = _ingest_batch(spark, _lines(spark, [_doc(2)]), 2, cfg, state,
+                        SCH)
+    assert rep["admitted"] == 1
+    meta = _json.loads(
+        fsutil.read_text(spark, f"{state}/ledger_bloom/meta.json")
+    )
+    # batch 1's dir is attempted-but-unmarked: the fold stops below it
+    assert meta["merged_upto"] == 0
+    # ...and batch 1's eventual replay lands normally and unblocks it
+    _ingest_batch(spark, _lines(spark, [_doc(3, "late")]), 1, cfg,
+                  state, SCH)
+    _ingest_batch(spark, _lines(spark, [_doc(4)]), 3, cfg, state, SCH)
+    meta = _json.loads(
+        fsutil.read_text(spark, f"{state}/ledger_bloom/meta.json")
+    )
+    assert meta["merged_upto"] == 3

