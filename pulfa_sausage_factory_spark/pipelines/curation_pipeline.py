@@ -43,6 +43,19 @@ from ..sinks import layout
 #: shuffled joins (correct, just the old cost).
 _SCAN_STATE_BCAST_MAX_ROWS = 1_000_000
 
+#: payload cap for the flips whose broadcast scales beyond one small row
+#: per doc — the same rows-vs-payload distinction ledger_bloom's
+#: _positions_for gate draws (ADVICE r12). One unit ≈ 8 bytes of raw
+#: broadcast payload; 8M units ≈ 64 MB raw (a few hundred MB as a
+#: HashedRelation — safe at the 4g-driver stress posture). Per leg:
+#: MinHash band pairs = n_in × n_bands units; semantic vectors =
+#: n_in × (dim + 2); overlap = the batch's sampled-fingerprint count
+#: (measured off the already-checkpointed fps frame — no static bound
+#: exists, fps/doc varies with text length ÷ mod). A doc-count-only
+#: gate would force-broadcast up to 1M dim-sized float arrays (~GBs
+#: hashed) on the semantic leg.
+_SCAN_STATE_BCAST_MAX_UNITS = 8_000_000
+
 
 @dataclass
 class CurationConfig:
@@ -1179,7 +1192,7 @@ def _ingest_batch(
                 ledger_dir, corpus_dir, sigs_dir, bands_dir,
                 sig_udf, _band_keys, _part, num_hashes,
                 semvecs_dir, sem_centroids, idxmap_dir, fps_dir,
-                retracted_dir, overlap_drops_dir,
+                retracted_dir, overlap_drops_dir, n_bands=n_bands,
             )
         finally:
             parsed.unpersist()
@@ -1190,7 +1203,7 @@ def _ingest_batch_body(
     ledger_dir, corpus_dir, sigs_dir, bands_dir,
     sig_udf, _band_keys, _part, num_hashes,
     semvecs_dir=None, sem_centroids=None, idxmap_dir=None, fps_dir=None,
-    retracted_dir=None, overlap_drops_dir=None,
+    retracted_dir=None, overlap_drops_dir=None, n_bands=8,
 ) -> dict:
     import os
 
@@ -1388,29 +1401,36 @@ def _ingest_batch_body(
         old_bands = _read_state(spark, bands_dir, batch_id)
         old_sigs = _read_state(spark, sigs_dir, batch_id)
         if old_bands is not None and old_sigs is not None:
-            if n_in <= _SCAN_STATE_BCAST_MAX_ROWS:
+            if (n_in <= _SCAN_STATE_BCAST_MAX_ROWS
+                    and n_in * n_bands <= _SCAN_STATE_BCAST_MAX_UNITS):
                 # same 100 TB flip as the exact leg: bands/ and sigs/
                 # grow with the corpus, and the plain equi-joins would
                 # shuffle BOTH full tables per micro-batch. Scan bands
-                # against the broadcast (id, bucket) pairs, shrink to
-                # the collision set, attach the batch signature
-                # batch-side, then scan sigs against the broadcast
-                # candidates — both state tables stream, output is
-                # bounded by the collision count, never state size.
+                # against the broadcast (id, bucket) pairs (payload =
+                # n_in × n_bands units — the gate above counts it),
+                # shrink to the collision set, then scan sigs against
+                # the broadcast DISTINCT colliding old ids — never the
+                # batch signatures themselves (num_hashes-int arrays ×
+                # collision count would be the one unbounded broadcast
+                # in the leg); the batch _sig attaches AFTERWARDS via a
+                # plain join of two collision-bounded frames AQE sizes
+                # itself. Both state tables stream; output is bounded
+                # by the collision count, never state size.
                 bk = batch_d.filter(F.col("_sig").isNotNull()).select(
                     icol, F.explode(_band_keys("_sig")).alias("bucket")
                 )
                 cand_ids = relational.inner_join_scan_state(
                     old_bands, bk, "bucket"
                 ).select(icol, "old_id").distinct()
+                old_hit = relational.inner_join_scan_state(
+                    old_sigs.withColumnRenamed("id", "old_id"),
+                    cand_ids.select("old_id").distinct(), "old_id",
+                )
                 cand = (
                     batch_d.filter(F.col("_sig").isNotNull())
                     .select(icol, "_sig")
                     .join(cand_ids, icol)
-                )
-                cand = relational.inner_join_scan_state(
-                    old_sigs.withColumnRenamed("id", "old_id"), cand,
-                    "old_id",
+                    .join(old_hit, "old_id")
                 )
             else:
                 cand = (
@@ -1488,7 +1508,13 @@ def _ingest_batch_body(
             # fan out up to batch_occurrences × overlap_fp_df_cap rows in
             # the join before the fp ever reaches state.
             bshared = ok.join(batch_d.select(icol), icol, "left_semi")
-            if n_in <= _SCAN_STATE_BCAST_MAX_ROWS:
+            # the flip broadcasts the batch's distinct sampled fps —
+            # fps/doc has no static bound (text length ÷ mod), so the
+            # gate measures the checkpointed fps frame (a near-free
+            # count off cached blocks) instead of trusting n_in alone
+            n_bfps = bfps.count()
+            if (n_in <= _SCAN_STATE_BCAST_MAX_ROWS
+                    and n_bfps <= _SCAN_STATE_BCAST_MAX_UNITS):
                 # 100 TB shape (round 13): fps/ grows with the corpus, and
                 # the old code shuffled the ENTIRE state per micro-batch
                 # TWICE — once for the df-cap groupBy, once for the
@@ -1624,14 +1650,18 @@ def _ingest_batch_body(
         )
         old_vecs = _read_state(spark, semvecs_dir, batch_id)
         if old_vecs is not None:
-            if n_in <= _SCAN_STATE_BCAST_MAX_ROWS:
+            if (n_in <= _SCAN_STATE_BCAST_MAX_ROWS
+                    and n_in * (dim + 2) <= _SCAN_STATE_BCAST_MAX_UNITS):
                 # 100 TB shape (round 13): semvecs/ grows with the
                 # corpus and the plain equi-join shuffled every admitted
                 # vector per micro-batch. Flip: the batch's (vec_id,
                 # cell_id, v) frame is batch-bounded, so broadcast IT and
                 # stream the state under a BroadcastHashJoin — output is
                 # bounded by the population of the batch's cells (√n-cell
-                # sizing), never the state size.
+                # sizing), never the state size. The payload is n_in
+                # dim-sized vectors, not n_in rows — the units gate
+                # counts n_in × (dim + 2), or a doc-count-only gate
+                # would force-broadcast gigabytes at the 1M-doc cap.
                 cand_sem = relational.inner_join_scan_state(
                     old_vecs, cur, "cell_id"
                 )
@@ -3300,23 +3330,50 @@ def _bloom_fsck(spark, base: str, cfg, led, scoped, emit) -> None:
         emit("bloom_digest_not_in_bits", "ledger_bloom", "skipped", 0,
              "no ledger")
         return
+    # sample only digests whose provenance batch the sidecar COVERS
+    # (merged horizon / tail markers / legacy flag): batches landed
+    # while ledger_bloom was off are legitimately absent from the bits
+    # until the next bloom-enabled ingest's load_state catch-up merges
+    # them — dedup was never off for those (no probe runs before the
+    # catch-up), so flagging them would direct a needless rebuild on a
+    # healthy state. The no-false-negative invariant being checked only
+    # holds for covered provenance.
+    if "src_batch_id" in led.columns:
+        prov = F.coalesce(F.col("src_batch_id").cast("long"),
+                          F.col("batch_id").cast("long"))
+    else:
+        prov = F.col("batch_id").cast("long")
+    cov = (prov >= 0) & (
+        (prov <= F.lit(int(info.upto)))
+        | prov.isin([int(t) for t in sorted(info.tail)])
+    )
+    if info.legacy:
+        # null-provenance archive rows (batch_id=-1 partition, no
+        # src_batch_id) merge once under the legacy marker
+        cov = cov | (prov == -1)
+    pending = [b for b in _lbm._ledger_batches(spark, os.path.join(
+        base, "ledger")) if not _lbm._covered(info, b)]
     samp = [
         r.digest
         for r in scoped(led)
+        .filter(F.col("digest").isNotNull() & cov)
         .select("digest")
-        .filter(F.col("digest").isNotNull())
         .limit(_BLOOM_FSCK_SAMPLE)
         .collect()
     ]
     got = _bloomfn.bits_contain(bits, samp, bm, bk)
     miss = [d for d, hit in zip(samp, got) if not hit]
+    note = (f"; {len(pending)} batch dirs pending catch-up "
+            f"{sorted(pending)[:5]} (bloom-off window — merged on the "
+            "next bloom-enabled ingest, not corruption)") if pending else ""
     emit(
         "bloom_digest_not_in_bits", "ledger_bloom",
         "fail" if miss else "ok", len(miss),
-        (f"sampled {len(samp)}; false-negative digests {miss[:5]} — "
-         "exact dedup is silently OFF for these (dupes would re-admit "
-         "with no error); run rebuild_ledger_bloom")
-        if miss else f"sampled {len(samp)}",
+        (f"sampled {len(samp)} covered; false-negative digests "
+         f"{miss[:5]} — exact dedup is silently OFF for these (dupes "
+         "would re-admit with no error); run rebuild_ledger_bloom"
+         f"{note}")
+        if miss else f"sampled {len(samp)} covered{note}",
     )
 
 

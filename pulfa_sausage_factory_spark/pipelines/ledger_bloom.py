@@ -88,6 +88,21 @@ from ..functions import bloom
 #: collecting positions to the driver
 _COLLECT_MAX_POSITIONS = 2_000_000
 
+#: total bytes of in-flight per-partition bitmaps the executor-side
+#: reduce may materialize at once: the bitmap path yields one m/8-byte
+#: array PER PARTITION, and with a big sidecar (m/8 ≈ 287 MB at 240M
+#: expected items) 32 concurrent tasks is ~9 GB through one JVM — a
+#: measured heap OOM in the 120M-row trend run, not a hypothetical. The
+#: digest frame is coalesced to ≤ budget/(m/8) partitions first; each
+#: worker streams its digests in bounded chunks (below) so partition
+#: size never enters the memory equation.
+_BITMAP_REDUCE_BUDGET = 2 << 30
+
+#: digests hashed per numpy batch inside a bitmap-path worker — bounds
+#: the Python-side chunk list and the k×chunk probe matrix regardless
+#: of how many rows the coalesced partition holds
+_BITMAP_CHUNK_ROWS = 500_000
+
 #: merged/ marker id for legacy archive rows with null src_batch_id
 _LEGACY_ID = -2
 
@@ -207,7 +222,17 @@ def _positions_for(df, digest_col: str, m: int, k: int,
     bitmaps OR-reduced executor-side, m/8 bytes per partition, never
     k×n rows to the driver). The gate counts POSITIONS (k × n_rows),
     not input rows — at k=6 a row-count gate would let ~12M exploded
-    py4j Rows reach the driver (ADVICE r12)."""
+    py4j Rows reach the driver (ADVICE r12).
+
+    The bitmap path is memory-bounded in BOTH directions (round 13 —
+    the 120M-row trend run OOMed the sandbox JVM without this): the
+    frame is coalesced so at most ``_BITMAP_REDUCE_BUDGET`` bytes of
+    per-partition bitmaps are in flight at once, and each worker hashes
+    its digests in ``_BITMAP_CHUNK_ROWS`` slices so neither the Python
+    chunk list nor the k×chunk probe matrix scales with partition
+    size. Fewer, bigger partitions cost wall-clock parallelism only on
+    the rare huge-catch-up/rebuild path — per-batch merges stay under
+    the position-collect gate."""
     if n_rows * k <= _COLLECT_MAX_POSITIONS:
         rows = df.select(
             F.explode(
@@ -218,17 +243,25 @@ def _positions_for(df, digest_col: str, m: int, k: int,
 
     def _part_bits(it):
         bits = bloom.new_bits(m)
-        chunk = [row[0] for row in it]
+        chunk: list = []
+        for row in it:
+            chunk.append(row[0])
+            if len(chunk) >= _BITMAP_CHUNK_ROWS:
+                bloom.set_positions(
+                    bits, bloom._probe_matrix(chunk, m, k).ravel()
+                )
+                chunk = []
         if chunk:
             bloom.set_positions(
                 bits, bloom._probe_matrix(chunk, m, k).ravel()
             )
         yield bits
 
-    return (
-        df.select(digest_col).rdd.mapPartitions(_part_bits)
-        .treeReduce(np.bitwise_or)
-    )
+    rdd = df.select(digest_col).rdd
+    max_parts = max(1, int(_BITMAP_REDUCE_BUDGET // max(m // 8, 1)))
+    if rdd.getNumPartitions() > max_parts:
+        rdd = rdd.coalesce(max_parts)
+    return rdd.mapPartitions(_part_bits).treeReduce(np.bitwise_or)
 
 
 def _merge_into(st, contribution) -> None:

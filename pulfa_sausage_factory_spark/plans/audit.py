@@ -154,13 +154,18 @@ def assert_scan_streams_into_broadcast_join(
     BroadcastHashJoin — i.e. the (ledger-sized) state table is read in
     place on the STREAMED side while the batch-derived side broadcasts.
     A plan that shuffles the state before joining (SortMergeJoin, or an
-    Exchange under the join) fails loudly with the plan attached."""
+    Exchange under the join) fails loudly with the plan attached.
+
+    EVERY scan of the path is checked, not just the first: a regression
+    that reintroduces a SECOND read of the state table (e.g. the old
+    two-read cap-groupBy alongside the flip) must not hide behind one
+    compliant scan."""
     import re
 
     plan = explain_formatted(df)
     nodes = _parse_plan_tree(plan)
-    # find the detail-section scan node whose Location mentions the path
-    scan_id = None
+    # find every detail-section scan node whose Location mentions the path
+    scan_ids: list[int] = []
     cur_id, cur_label = None, ""
     for ln in plan.splitlines():
         m = re.match(r"^\((\d+)\)\s+(\S.*)$", ln)
@@ -171,30 +176,31 @@ def assert_scan_streams_into_broadcast_join(
             and "Location" in ln
             and path_needle in ln
             and "Scan" in cur_label
+            and cur_id not in scan_ids
         ):
-            scan_id = cur_id
-            break
-    assert scan_id is not None, (
-        f"no parquet scan of {path_needle!r} in plan:\n{plan}"
-    )
-    nid = nodes.get(scan_id, (None, None))[1]
-    between: list[str] = []
-    while nid is not None:
-        label, parent = nodes[nid]
-        if "Join" in label:
-            assert "BroadcastHashJoin" in label, (
-                f"state scan of {path_needle!r} reaches {label!r}, not a "
-                f"BroadcastHashJoin — the state side is being shuffled:\n{plan}"
+            scan_ids.append(cur_id)
+    assert scan_ids, f"no parquet scan of {path_needle!r} in plan:\n{plan}"
+    for scan_id in scan_ids:
+        nid = nodes.get(scan_id, (None, None))[1]
+        between: list[str] = []
+        while nid is not None:
+            label, parent = nodes[nid]
+            if "Join" in label:
+                assert "BroadcastHashJoin" in label, (
+                    f"state scan {scan_id} of {path_needle!r} reaches "
+                    f"{label!r}, not a BroadcastHashJoin — the state side "
+                    f"is being shuffled:\n{plan}"
+                )
+                break
+            assert "Exchange" not in label, (
+                f"Exchange {label!r} between state scan {scan_id} of "
+                f"{path_needle!r} and its join — the state is shuffled "
+                f"before joining (path so far: {between}):\n{plan}"
             )
-            return
-        assert "Exchange" not in label, (
-            f"Exchange {label!r} between the state scan of {path_needle!r} "
-            f"and its join — the state is shuffled before joining "
-            f"(path so far: {between}):\n{plan}"
-        )
-        between.append(label)
-        nid = parent
-    raise AssertionError(
-        f"state scan of {path_needle!r} has no Join ancestor "
-        f"(walked {between}):\n{plan}"
-    )
+            between.append(label)
+            nid = parent
+        else:
+            raise AssertionError(
+                f"state scan {scan_id} of {path_needle!r} has no Join "
+                f"ancestor (walked {between}):\n{plan}"
+            )

@@ -442,3 +442,51 @@ def test_check_ingest_state_bloom_legs(spark, tmp_path):
     assert hyg.status == "warn"
     assert "uncommitted epoch dirs" in hyg.detail
     assert "config sizing" in hyg.detail and "rebuild_ledger_bloom" in hyg.detail
+
+
+def test_bloom_fsck_tolerates_bloom_off_window(spark, tmp_path):
+    # round-13 self-review: batches landed while ledger_bloom was OFF are
+    # legitimately absent from the bitmap until the next bloom-enabled
+    # ingest's load_state catch-up merges them (catch-up 1 exists for
+    # exactly this toggle) — the fsck probe must sample only COVERED
+    # provenance, or a healthy state reads as corruption and the detail
+    # directs a needless rebuild. Dedup was never off: no probe runs
+    # before the catch-up.
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        check_ingest_state,
+    )
+
+    state = str(tmp_path / "state")
+    on = CurationConfig(min_quality=0.0, neardup_method="none",
+                        ledger_bloom=True,
+                        ledger_bloom_expected_items=10_000)
+    off = CurationConfig(min_quality=0.0, neardup_method="none")
+    sch = T.StructType.fromDDL("doc_id long, text string")
+
+    def docs(lo, hi):
+        return [{"doc_id": i,
+                 "text": f"canal lock maintenance log entry {i} with "
+                         f"gate timings and water level readings"}
+                for i in range(lo, hi)]
+
+    _ingest_batch(spark, _lines(spark, docs(0, 4)), 0, on, state, sch)
+    _ingest_batch(spark, _lines(spark, docs(4, 8)), 1, off, state, sch)
+    _ingest_batch(spark, _lines(spark, docs(8, 12)), 2, off, state, sch)
+
+    rep = _by_check(check_ingest_state(spark, state, on))
+    probe = rep[("bloom_digest_not_in_bits", "ledger_bloom")]
+    assert probe.status == "ok", probe.detail
+    # the uncovered window is surfaced as pending catch-up, named as
+    # such — visible, but never a FAIL and never "run rebuild"
+    assert "pending catch-up" in probe.detail
+    assert "rebuild_ledger_bloom" not in probe.detail
+
+    # the next bloom-enabled ingest heals the window; the probe then
+    # samples everything with no pending note
+    _ingest_batch(spark, _lines(spark, docs(12, 16)), 3, on, state, sch)
+    rep = _by_check(check_ingest_state(spark, state, on))
+    probe = rep[("bloom_digest_not_in_bits", "ledger_bloom")]
+    assert probe.status == "ok", probe.detail
+    assert "pending catch-up" not in probe.detail
+    assert "sampled 16" in probe.detail

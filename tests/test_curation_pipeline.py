@@ -3576,12 +3576,24 @@ def test_scan_state_flip_fallback_equality(spark, tmp_path, monkeypatch):
     fast_bn, fast_bids = run_scenario_b(str(tmp_path / "b_fast"))
 
     # ---- force the plain-join fallback everywhere and repeat both
+    rows_cap = cp._SCAN_STATE_BCAST_MAX_ROWS
     monkeypatch.setattr(cp, "_SCAN_STATE_BCAST_MAX_ROWS", 0)
     slow_n, slow_ids = run_scenario_a(str(tmp_path / "a_slow"))
     slow_bn, slow_bids = run_scenario_b(str(tmp_path / "b_slow"))
 
     assert (fast_n, fast_ids) == (slow_n, slow_ids)
     assert (fast_bn, fast_bids) == (slow_bn, slow_bids)
+
+    # ---- the PAYLOAD gate (units, not rows) routes to the same
+    # fallback: zero the units cap with the rows cap restored — the
+    # minhash/overlap/semantic legs (whose broadcasts scale beyond one
+    # small row per doc) must decide identically through it
+    monkeypatch.setattr(cp, "_SCAN_STATE_BCAST_MAX_ROWS", rows_cap)
+    monkeypatch.setattr(cp, "_SCAN_STATE_BCAST_MAX_UNITS", 0)
+    unit_n, unit_ids = run_scenario_a(str(tmp_path / "a_units"))
+    unit_bn, unit_bids = run_scenario_b(str(tmp_path / "b_units"))
+    assert (unit_n, unit_ids) == (fast_n, fast_ids)
+    assert (unit_bn, unit_bids) == (fast_bn, fast_bids)
     # and the scenarios actually exercised every leg: batch 1 dropped the
     # exact dup, the minhash near-dup and the overlap lift, admitted the
     # fresh doc; the semantic batch dropped the near-copy only

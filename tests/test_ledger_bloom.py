@@ -355,3 +355,38 @@ def test_bloom_skips_killed_empty_ledger_dir(spark, tmp_path):
         fsutil.read_text(spark, f"{state}/ledger_bloom/meta.json")
     )
     assert meta["merged_upto"] == 3
+
+
+def test_bloom_bitmap_path_is_memory_bounded(spark, monkeypatch):
+    # round 13: the bitmap path yields one m/8-byte array per partition
+    # — at a 240M-item sidecar (m/8 ≈ 287 MB) 32 concurrent tasks was a
+    # MEASURED 9 GB JVM heap OOM in the 120M-row trend run. Pin both
+    # bounds: the frame coalesces to ≤ budget/(m/8) partitions, and a
+    # worker hashes in _BITMAP_CHUNK_ROWS slices — with bit-identical
+    # results to the unbounded shape.
+    import numpy as np
+
+    from pulfa_sausage_factory_spark.functions import bloom as bfn
+    from pulfa_sausage_factory_spark.pipelines import ledger_bloom as lbm
+
+    m, k = 8192, 4
+    df = spark.range(5_000).select(
+        F.md5(F.col("id").cast("string")).alias("digest")
+    ).repartition(16)
+
+    # force the bitmap path at this test size
+    monkeypatch.setattr(lbm, "_COLLECT_MAX_POSITIONS", 0)
+    ref = lbm._positions_for(df, "digest", m, k, 5_000)
+    assert isinstance(ref, np.ndarray)
+
+    # budget of exactly one bitmap → coalesce(1); tiny chunk rows →
+    # many numpy slices per worker; the OR of slices must lose nothing
+    monkeypatch.setattr(lbm, "_BITMAP_REDUCE_BUDGET", m // 8)
+    monkeypatch.setattr(lbm, "_BITMAP_CHUNK_ROWS", 137)
+    bounded = lbm._positions_for(df, "digest", m, k, 5_000)
+    assert isinstance(bounded, np.ndarray)
+    assert np.array_equal(ref, bounded)
+
+    # and the bits really contain every digest (no-false-negative)
+    samp = [r.digest for r in df.limit(50).collect()]
+    assert all(bfn.bits_contain(bounded, samp, m, k))

@@ -317,3 +317,41 @@ def test_overlap_and_semantic_legs_never_shuffle_the_state(spark, tmp_path):
     assert flipped_sem.count() == naive_sem.count()
     assert audit.count_exchanges(flipped_sem) == 0
     audit.assert_scan_streams_into_broadcast_join(flipped_sem, "semvecs_state")
+
+
+def test_scan_state_audit_checks_every_scan_of_the_path(spark, tmp_path):
+    # round-13 self-review: assert_scan_streams_into_broadcast_join must
+    # verify EVERY scan of the state path — a regression reintroducing a
+    # second, shuffled read (the old two-read cap-groupBy shape) must not
+    # hide behind one compliant scan that happens to come first.
+    import pytest
+
+    from pulfa_sausage_factory_spark.operators import relational
+    from pulfa_sausage_factory_spark.plans import audit
+
+    state_path = str(tmp_path / "dual_state")
+    spark.range(30_000).select(
+        (F.col("id") % 700).alias("k"),
+        F.col("id").alias("payload"),
+    ).write.mode("overwrite").parquet(state_path)
+    state = spark.read.parquet(state_path)
+    small = spark.range(40).select((F.col("id") * 3).alias("k"))
+    big = spark.range(200_000).select(
+        (F.col("id") % 900).alias("k"), F.col("id").alias("other")
+    )
+
+    good = relational.inner_join_scan_state(
+        state.select("k", "payload"), small, "k"
+    )
+    # compliant alone: passes
+    audit.assert_scan_streams_into_broadcast_join(good, "dual_state")
+
+    # a second read of the SAME path feeding a shuffled SortMergeJoin
+    # (broadcast disabled via a no-autobroadcast-sized big side + merge
+    # hint) — the union plan holds one compliant scan and one violator
+    shuffled = state.select("k", "payload").join(
+        big.hint("merge"), "k"
+    ).select("k", "payload")
+    both = good.select("k", "payload").unionByName(shuffled)
+    with pytest.raises(AssertionError):
+        audit.assert_scan_streams_into_broadcast_join(both, "dual_state")
