@@ -3282,6 +3282,12 @@ def _bloom_fsck(spark, base: str, cfg, led, scoped, emit) -> None:
     if superseded:
         hygiene.append(f"superseded committed epochs "
                        f"{sorted(superseded)[:5]} (sweep missed)")
+    torn = [n for n in fsutil.child_names(spark, bp.delta)
+            if n.endswith(".tmp")]
+    if torn:
+        hygiene.append(f"torn delta tmp files {sorted(torn)[:3]} "
+                       "(killed delta write; never read — the batch's "
+                       "replay or catch-up re-lands it)")
     if cfg.ledger_bloom:
         want_m, want_k = _bloomfn.bloom_params(
             int(cfg.ledger_bloom_expected_items),
@@ -3295,36 +3301,34 @@ def _bloom_fsck(spark, base: str, cfg, led, scoped, emit) -> None:
             )
     emit("bloom_sidecar_hygiene", "ledger_bloom",
          "warn" if hygiene else "ok",
-         len(stray) + len(superseded), "; ".join(hygiene))
+         len(stray) + len(superseded) + len(torn), "; ".join(hygiene))
 
-    # the false-negative probe itself
-    if epoch < 0:
+    # the false-negative probe itself — read through the SHARED loader
+    # (epoch snapshot OR'd with committed position deltas, round 13): a
+    # snapshot-only read would probe a delta-era sidecar against a
+    # bitmap missing exactly the unfolded batches' bits and report
+    # their digests as false negatives on a healthy state
+    n_delta = len(_lbm._delta_files(spark, bp))
+    if epoch < 0 and n_delta == 0:
         if has_coverage:
             emit("bloom_digest_not_in_bits", "ledger_bloom", "fail", 1,
                  "merged coverage recorded (merged_upto="
                  f"{info.upto}, tail={len(info.tail)}) but NO committed "
-                 "bitmap epoch — every covered digest is a false "
-                 "negative; run rebuild_ledger_bloom")
+                 "bitmap epoch or delta — every covered digest is a "
+                 "false negative; run rebuild_ledger_bloom")
         else:
             emit("bloom_digest_not_in_bits", "ledger_bloom", "ok", 0,
                  "fresh sidecar, no coverage yet")
         return
     try:
-        data = fsutil.read_bytes(spark, f"{bp.bits}/epoch={epoch}/bits.bin")
-    except Exception as exc:  # noqa: BLE001 — an unreadable bitmap (IO
-        # error, FS checksum mismatch = literal bit rot) is exactly the
-        # finding, not a crash
+        bits, _e = _lbm._read_bits(spark, bp, bm)
+    except Exception as exc:  # noqa: BLE001 — an unreadable or
+        # mis-sized bitmap/delta (IO error, FS checksum mismatch =
+        # literal bit rot, truncation) is exactly the finding, not a
+        # crash
         emit("bloom_digest_not_in_bits", "ledger_bloom", "fail", 1,
-             f"bitmap at epoch {epoch} unreadable "
-             f"({type(exc).__name__}) — corrupt sidecar; run "
-             "rebuild_ledger_bloom")
-        return
-    bits = _np.frombuffer(data, dtype=_np.uint8) if data else None
-    if bits is None or bits.size != bm // 8:
-        emit("bloom_digest_not_in_bits", "ledger_bloom", "fail", 1,
-             f"bitmap at epoch {epoch} is "
-             f"{0 if bits is None else bits.size} bytes, meta says "
-             f"{bm // 8} — corrupt sidecar; run rebuild_ledger_bloom")
+             f"bitmap/delta unreadable ({type(exc).__name__}: "
+             f"{str(exc)[:160]}) — run rebuild_ledger_bloom")
         return
     if led is None:
         emit("bloom_digest_not_in_bits", "ledger_bloom", "skipped", 0,

@@ -103,6 +103,35 @@ _BITMAP_REDUCE_BUDGET = 2 << 30
 #: of how many rows the coalesced partition holds
 _BITMAP_CHUNK_ROWS = 500_000
 
+#: bitmaps bigger than this collect as SLICES merged executor-side
+#: (reduceByKey on the slice index) and streamed to the driver one at a
+#: time — a whole-bitmap treeReduce collects every final partial in one
+#: job, and at m/8 ≈ 287 MB two partials already breach Spark's 1 GiB
+#: driver.maxResultSize default (the 120M-row trend run's second
+#: failure mode, after the heap OOM). One slice is the largest single
+#: task result the path ever returns.
+_BITMAP_SLICE_BYTES = 64 << 20
+
+#: above this bitmap size (m/8 bytes), per-batch merges commit a DELTA
+#: file (the batch's k×n positions, ~2.4 MB at 50k docs) instead of
+#: rewriting the full bitmap as a new epoch — measured round 13: the
+#: break-even trend showed bloom-steady cost GROWING with ledger size
+#: (10.2 s at 1.2M rows → 14.7 s at 12M vs plain 9.7 → 5.8) because
+#: every m-proportional per-batch cost (bitmap read, broadcast, and the
+#: full m/8 epoch write) scales with the corpus while the scan-state
+#: plain path's ledger read stays nearly flat. The write is the
+#: removable third: a batch's information content is its positions, so
+#: log those and fold into a full epoch periodically. Below the
+#: threshold the bitmap write is trivially small and the single-file
+#: epoch is simpler — small sidecars keep the round-12 behavior.
+_DELTA_ABOVE_BYTES = 8 << 20
+
+#: committed delta files before the next delta commit folds them into a
+#: full epoch (the fold reuses _commit_epoch, whose sweep then deletes
+#: every delta — the in-memory bits are a superset of all landed deltas
+#: under the single-writer lease, so the sweep can never lose coverage)
+_DELTA_FOLD_COUNT = 64
+
 #: merged/ marker id for legacy archive rows with null src_batch_id
 _LEGACY_ID = -2
 
@@ -113,9 +142,62 @@ def _paths(ledger_dir: str) -> SimpleNamespace:
     return SimpleNamespace(
         base=base,
         bits=f"{base}/bits",
+        delta=f"{base}/delta",
         merged=f"{base}/merged",
         meta=f"{base}/meta.json",
     )
+
+
+def _delta_files(spark, paths) -> dict[int, str]:
+    """Committed per-batch position deltas (``delta/batch=<id>.bin``) —
+    validity = existence at the FINAL name (each is written to a dot-tmp
+    and renamed, so a torn write never carries the name)."""
+    out: dict[int, str] = {}
+    for name in fsutil.child_names(spark, paths.delta):
+        if not (name.startswith("batch=") and name.endswith(".bin")):
+            continue
+        try:
+            out[int(name[len("batch="):-len(".bin")])] = name
+        except ValueError:
+            continue
+    return out
+
+
+def _read_bits(spark, paths, m: int) -> tuple[np.ndarray, int]:
+    """The LIVE bitmap = the committed epoch snapshot OR'd with every
+    committed delta file, plus the epoch id (-1 when none). This is the
+    one loader — load_state, the fsck probe, and report_detail all read
+    through it, or a delta-era sidecar would hand a snapshot-only view
+    to whoever forgot the deltas (false negatives in the fsck, stale
+    saturation in the report). Raises ValueError on a size-mismatched
+    bitmap or out-of-range delta positions (corrupt/mis-sized sidecar —
+    rebuild_ledger_bloom is the remedy, and silently masking either
+    direction would break the no-false-negative contract)."""
+    epoch = _live_epoch(spark, paths.bits)
+    if epoch >= 0:
+        data = fsutil.read_bytes(spark, f"{paths.bits}/epoch={epoch}/bits.bin")
+        bits = np.frombuffer(data, dtype=np.uint8).copy()
+        if bits.size != m // 8:
+            raise ValueError(
+                f"ledger_bloom bitmap at epoch {epoch} is {bits.size} "
+                f"bytes, meta says {m // 8} — corrupt sidecar; run "
+                "rebuild_ledger_bloom"
+            )
+    else:
+        bits = bloom.new_bits(m)
+    for _bid, name in sorted(_delta_files(spark, paths).items()):
+        raw = fsutil.read_bytes(spark, f"{paths.delta}/{name}")
+        if not raw:
+            continue
+        pos = np.frombuffer(raw, dtype=np.int64)
+        if pos.size and (int(pos.max()) >= m or int(pos.min()) < 0):
+            raise ValueError(
+                f"ledger_bloom delta {name} holds positions outside "
+                f"m={m} — sidecar written at a different sizing; run "
+                "rebuild_ledger_bloom"
+            )
+        bloom.set_positions(bits, pos)
+    return bits, epoch
 
 
 def _live_epoch(spark, bits_dir: str) -> int:
@@ -241,7 +323,7 @@ def _positions_for(df, digest_col: str, m: int, k: int,
         ).distinct().collect()
         return [r.p for r in rows]
 
-    def _part_bits(it):
+    def _part_bits_arr(it):
         bits = bloom.new_bits(m)
         chunk: list = []
         for row in it:
@@ -255,13 +337,45 @@ def _positions_for(df, digest_col: str, m: int, k: int,
             bloom.set_positions(
                 bits, bloom._probe_matrix(chunk, m, k).ravel()
             )
-        yield bits
+        return bits
 
     rdd = df.select(digest_col).rdd
     max_parts = max(1, int(_BITMAP_REDUCE_BUDGET // max(m // 8, 1)))
     if rdd.getNumPartitions() > max_parts:
         rdd = rdd.coalesce(max_parts)
-    return rdd.mapPartitions(_part_bits).treeReduce(np.bitwise_or)
+    sl = _BITMAP_SLICE_BYTES
+    n_slices = max(1, -(-(m // 8) // sl))
+    if n_slices == 1:
+        return (
+            rdd.mapPartitions(lambda it: [_part_bits_arr(it)])
+            .treeReduce(np.bitwise_or)
+        )
+
+    # sliced merge (big bitmaps): each partition emits (slice_idx,
+    # bytes) pairs, slices OR-combine executor-side under reduceByKey,
+    # and the driver assembles them one slice per fetch — no collect
+    # ever carries more than one slice, regardless of m
+    def _part_slices(it):
+        bits = _part_bits_arr(it)
+        for s in range(n_slices):
+            part = bits[s * sl:(s + 1) * sl]
+            if part.any():
+                yield (s, part.tobytes())
+
+    def _or_bytes(a, b):
+        return (
+            np.frombuffer(a, dtype=np.uint8)
+            | np.frombuffer(b, dtype=np.uint8)
+        ).tobytes()
+
+    merged = rdd.mapPartitions(_part_slices).reduceByKey(
+        _or_bytes, numPartitions=min(n_slices, 32)
+    )
+    bits = bloom.new_bits(m)
+    for s, blob in merged.toLocalIterator():
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        bits[s * sl:s * sl + arr.size] |= arr
+    return bits
 
 
 def _merge_into(st, contribution) -> None:
@@ -273,8 +387,10 @@ def _merge_into(st, contribution) -> None:
 
 def _commit_epoch(spark, st, new_marker_ids) -> None:
     """Land the updated bitmap: new epoch dir (bits.bin then marker),
-    then the merged/ markers, then sweep superseded + killed epochs,
-    then fold the marker tail into the meta horizon."""
+    then the merged/ markers, then sweep superseded + killed epochs AND
+    every committed delta file (``st.bits`` is a superset of all landed
+    deltas under the single-writer lease — the epoch now carries their
+    coverage), then fold the marker tail into the meta horizon."""
     new_epoch = st.epoch + 1
     edir = f"{st.paths.bits}/epoch={new_epoch}"
     fsutil.mkdirs(spark, edir)
@@ -291,8 +407,33 @@ def _commit_epoch(spark, st, new_marker_ids) -> None:
             continue
         if e < new_epoch:
             fsutil.delete(spark, f"{st.paths.bits}/{name}")
+    for name in _delta_files(spark, st.paths).values():
+        fsutil.delete(spark, f"{st.paths.delta}/{name}")
     st.epoch = new_epoch
     _fold_markers(spark, st)
+
+
+def _commit_delta(spark, st, batch_id: int, positions) -> None:
+    """Land one batch's merge as a position DELTA instead of a full
+    bitmap rewrite (the big-sidecar path — see ``_DELTA_ABOVE_BYTES``):
+    write the k×n distinct positions to a dot-tmp, rename to
+    ``delta/batch=<id>.bin`` (validity = the final name; a torn write
+    never carries it), then the batch's merged/ marker — the same
+    bits-before-marker, marker-before-ledger-append ordering the epoch
+    path keeps, so the superset invariant is unchanged. A replayed
+    batch overwrites its own delta with identical positions. Every
+    ``_DELTA_FOLD_COUNT`` deltas, fold into a full epoch (whose sweep
+    deletes them) so load-time reassembly stays O(fold window)."""
+    fsutil.mkdirs(spark, st.paths.delta)
+    arr = np.unique(np.asarray(list(positions), dtype=np.int64))
+    tmp = f"{st.paths.delta}/.batch={int(batch_id)}.bin.tmp"
+    final = f"{st.paths.delta}/batch={int(batch_id)}.bin"
+    fsutil.write_bytes(spark, tmp, arr.tobytes())
+    fsutil.delete(spark, final)  # replay overwrite
+    fsutil.rename(spark, tmp, final)
+    fsutil.touch(spark, f"{st.paths.merged}/batch_id={int(batch_id)}")
+    if len(_delta_files(spark, st.paths)) >= _DELTA_FOLD_COUNT:
+        _commit_epoch(spark, st, [])
 
 
 def _fold_markers(spark, st) -> None:
@@ -372,18 +513,7 @@ def load_state(spark, ledger_dir: str, cfg, current_batch=None):
             )
         m, k = int(meta["m"]), int(meta["k"])
 
-    epoch = _live_epoch(spark, paths.bits)
-    if epoch >= 0:
-        data = fsutil.read_bytes(spark, f"{paths.bits}/epoch={epoch}/bits.bin")
-        bits = np.frombuffer(data, dtype=np.uint8).copy()
-        if bits.size != m // 8:
-            raise ValueError(
-                f"ledger_bloom bitmap at epoch {epoch} is {bits.size} "
-                f"bytes, meta says {m // 8} — corrupt sidecar; run "
-                "rebuild_ledger_bloom"
-            )
-    else:
-        bits = bloom.new_bits(m)
+    bits, epoch = _read_bits(spark, paths, m)
     st = SimpleNamespace(bits=bits, m=m, k=k, epoch=epoch, paths=paths,
                          meta=meta, ledger_dir=ledger_dir)
 
@@ -458,14 +588,20 @@ def load_state(spark, ledger_dir: str, cfg, current_batch=None):
 
 
 def merge_batch(spark, st, batch_id: int, digests_df, n_rows: int) -> dict:
-    """Fold this batch's admitted digests into the bitmap and commit a
-    new epoch + the batch's merged marker. MUST run before the batch's
-    ledger append (the superset crash ordering in the module
-    docstring)."""
-    _merge_into(
-        st, _positions_for(digests_df, "digest", st.m, st.k, n_rows)
-    )
-    _commit_epoch(spark, st, [batch_id])
+    """Fold this batch's admitted digests into the bitmap and commit —
+    a new epoch (small sidecars, or a bitmap-sized contribution), or a
+    position delta (big sidecars under ``_DELTA_ABOVE_BYTES``: a 50k-doc
+    batch's positions are ~2.4 MB where the full bitmap rewrite is
+    m/8 — the round-13 trend's growing per-batch cost). Either way the
+    commit MUST run before the batch's ledger append (the superset
+    crash ordering in the module docstring)."""
+    contribution = _positions_for(digests_df, "digest", st.m, st.k, n_rows)
+    _merge_into(st, contribution)
+    if (st.m // 8 > _DELTA_ABOVE_BYTES
+            and not isinstance(contribution, np.ndarray)):
+        _commit_delta(spark, st, batch_id, contribution)
+    else:
+        _commit_epoch(spark, st, [batch_id])
     return {"epoch": st.epoch, "rows": int(n_rows)}
 
 
@@ -500,20 +636,23 @@ def report_detail(spark, state_dir: str) -> str | None:
     if raw is None:
         return None
     meta = json.loads(raw)
-    epoch = _live_epoch(spark, paths.bits)
-    sat = 0.0
-    if epoch >= 0:
-        data = fsutil.read_bytes(
-            spark, f"{paths.bits}/epoch={epoch}/bits.bin"
-        )
-        if data is not None:
-            sat = bloom.saturation(np.frombuffer(data, dtype=np.uint8))
+    n_delta = len(_delta_files(spark, paths))
+    try:
+        # the shared loader: saturation must include the delta files or
+        # a delta-era report understates fill until the next fold
+        bits, epoch = _read_bits(spark, paths, int(meta["m"]))
+        sat = bloom.saturation(bits)
+        health = ""
+    except Exception as exc:  # noqa: BLE001 — report, never crash a report
+        epoch = _live_epoch(spark, paths.bits)
+        sat = 0.0
+        health = f" UNREADABLE ({type(exc).__name__}) "
     k = int(meta["k"])
     info = _merged_info(spark, paths, meta)
     return (
-        f"epoch={epoch} m={meta['m']} k={k} "
+        f"epoch={epoch} m={meta['m']} k={k} deltas={n_delta} "
         f"merged_batches={_merged_count(info)} "
         f"merged_upto={info.upto} marker_tail={len(info.tail)} "
-        f"saturation={sat:.4f} implied_fpp={sat ** k:.6f} "
+        f"saturation={sat:.4f} implied_fpp={sat ** k:.6f}{health} "
         f"(nominal {meta['fpp']}; rebuild_ledger_bloom to resize)"
     )

@@ -769,11 +769,19 @@ def bloom_trend(spark, sizes, batch_rows: int = 50_000) -> dict:
     """Round 13 (VERDICT r12 item 2): measure the ledger-Bloom
     break-even TREND, not just the arithmetic — grow the digest ledger
     across decades and record the plain-scan vs bloom-steady per-batch
-    ingest cost at each point. The claim under test: the plain path's
-    dominant term (one full ledger scan per fresh micro-batch) grows
-    with the corpus while the bloom path's per-batch cost is ~fixed
-    (Arrow probe + gate count + m/8 bytes of epoch IO), so the gap must
-    CLOSE with ledger size and eventually cross.
+    ingest cost at each point. What the first (pre-delta) run actually
+    showed: the gap WIDENED with ledger size (plain 9.7 s → 5.8 s,
+    bloom-steady 10.2 s → 14.7 s across 1.2M → 12M), because every
+    m-proportional per-batch cost — bitmap read, probe broadcast, and
+    above all the full m/8-byte epoch REWRITE per merge — scales with
+    the corpus while the scan-state plain path's ledger read is cheap
+    on page-cached local parquet. Round 13's fix: above
+    ledger_bloom._DELTA_ABOVE_BYTES, merges land ~k×n-position DELTA
+    files with periodic epoch folds (each row's ``delta_mode`` records
+    which regime it measured). The read+broadcast terms remain per
+    state-handle LOAD — amortized across a run's batches in production,
+    paid per batch by this harness's fresh-handle-per-ingest shape, so
+    these figures are the trickle-ingest worst case.
 
     The ledger is SYNTHESIZED at the real schema (digest +
     src_batch_id data column, hive ``batch_id=0`` dir — what
@@ -812,12 +820,22 @@ def bloom_trend(spark, sizes, batch_rows: int = 50_000) -> dict:
             )).alias("value")
         )
 
+    from pulfa_sausage_factory_spark.functions.bloom import bloom_params
+    from pulfa_sausage_factory_spark.pipelines import ledger_bloom as _lbm
+
     table = []
     for n_ledger in sizes:
         bloom_cfg = CurationConfig(
             min_quality=0.0, neardup_method="none", ledger_bloom=True,
             ledger_bloom_expected_items=max(2 * int(n_ledger), 1_000_000),
         )
+        m, _k = bloom_params(
+            bloom_cfg.ledger_bloom_expected_items, bloom_cfg.ledger_bloom_fpp
+        )
+        # whether per-batch merges land position deltas (round 13)
+        # instead of full m/8 epoch rewrites — the before/after lever
+        # this harness measures
+        delta_mode = m // 8 > _lbm._DELTA_ABOVE_BYTES
         work = tempfile.mkdtemp(prefix=f"bloom_trend_{n_ledger}_")
         try:
             state = f"{work}/state"
@@ -855,6 +873,7 @@ def bloom_trend(spark, sizes, batch_rows: int = 50_000) -> dict:
                 bid += 1
             row = {
                 "n_ledger": int(n_ledger),
+                "delta_mode": bool(delta_mode),
                 "synth_sec": t_synth,
                 "plain_sec": min(plain_secs),
                 "plain_reps": plain_secs,

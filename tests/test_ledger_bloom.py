@@ -387,6 +387,104 @@ def test_bloom_bitmap_path_is_memory_bounded(spark, monkeypatch):
     assert isinstance(bounded, np.ndarray)
     assert np.array_equal(ref, bounded)
 
+    # the SLICED collect path (big bitmaps: reduceByKey per slice +
+    # one-slice-at-a-time driver assembly — the maxResultSize fix) must
+    # be bit-identical too, including with multiple partitions in play
+    monkeypatch.setattr(lbm, "_BITMAP_REDUCE_BUDGET", 4 * (m // 8))
+    monkeypatch.setattr(lbm, "_BITMAP_SLICE_BYTES", 128)
+    sliced = lbm._positions_for(df, "digest", m, k, 5_000)
+    assert isinstance(sliced, np.ndarray)
+    assert np.array_equal(ref, sliced)
+
     # and the bits really contain every digest (no-false-negative)
     samp = [r.digest for r in df.limit(50).collect()]
-    assert all(bfn.bits_contain(bounded, samp, m, k))
+    assert all(bfn.bits_contain(sliced, samp, m, k))
+
+
+def test_bloom_delta_commits_replace_epoch_rewrites(
+    spark, tmp_path, monkeypatch
+):
+    # round 13: above _DELTA_ABOVE_BYTES a per-batch merge lands a
+    # position DELTA (~k×n ints) instead of rewriting the full m/8-byte
+    # bitmap — the trend measurement showed the epoch rewrite making
+    # bloom-steady cost GROW with ledger size. Pin the semantics at a
+    # forced-tiny threshold: dedup decisions unchanged, no epoch dir
+    # until the fold, coverage markers as usual, fsck green through the
+    # shared loader, and the fold sweeping the deltas into one epoch.
+    import glob as _glob
+    import os as _os
+
+    from pulfa_sausage_factory_spark.pipelines import ledger_bloom as lbm
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        check_ingest_state,
+    )
+
+    monkeypatch.setattr(lbm, "_DELTA_ABOVE_BYTES", 0)
+    state = str(tmp_path / "state")
+    cfg = _cfg(ledger_bloom=True, ledger_bloom_expected_items=10_000)
+    r0 = _ingest_batch(
+        spark, _lines(spark, [_doc(i) for i in range(4)]), 0, cfg,
+        state, SCH,
+    )
+    r1 = _ingest_batch(
+        spark, _lines(spark, [_doc(0), _doc(10), _doc(11)]), 1, cfg,
+        state, SCH,
+    )
+    # cross-batch exact dup still caught through the delta-backed bits
+    assert r0["admitted"] == 4
+    assert r1["admitted"] == 2 and r1["ledger_bloom"]["maybe"] >= 1
+    assert _ids(spark, state) == [0, 1, 2, 3, 10, 11]
+
+    # both merges landed as deltas; no epoch dir was ever written
+    deltas = sorted(_glob.glob(f"{state}/ledger_bloom/delta/batch=*.bin"))
+    assert [_os.path.basename(p) for p in deltas] == [
+        "batch=0.bin", "batch=1.bin"
+    ]
+    assert _glob.glob(f"{state}/ledger_bloom/bits/epoch=*") == []
+
+    # fsck probes through the shared loader: every covered digest hits
+    rep = {
+        (r.check, r.surface): r
+        for r in check_ingest_state(spark, state, cfg).collect()
+    }
+    probe = rep[("bloom_digest_not_in_bits", "ledger_bloom")]
+    assert probe.status == "ok", probe.detail
+    assert "sampled 6 covered" in probe.detail
+    assert lbm.report_detail(spark, state).startswith("epoch=-1")
+    assert "deltas=2" in lbm.report_detail(spark, state)
+
+    # a torn delta write (dot-tmp, killed before the rename) is ignored
+    # by loads and surfaced by the hygiene leg
+    with open(f"{state}/ledger_bloom/delta/.batch=9.bin.tmp", "wb") as fh:
+        fh.write(b"\x01\x02")
+    r2 = _ingest_batch(
+        spark, _lines(spark, [_doc(12)]), 2, cfg, state, SCH,
+    )
+    assert r2["admitted"] == 1
+    rep = {
+        (r.check, r.surface): r
+        for r in check_ingest_state(spark, state, cfg).collect()
+    }
+    hyg = rep[("bloom_sidecar_hygiene", "ledger_bloom")]
+    assert hyg.status == "warn" and "torn delta tmp" in hyg.detail
+
+    # the fold: at the count threshold the next delta commit folds
+    # everything into ONE epoch and sweeps the delta files; dedup still
+    # catches a dup of a folded batch's doc afterwards
+    monkeypatch.setattr(lbm, "_DELTA_FOLD_COUNT", 2)
+    r3 = _ingest_batch(
+        spark, _lines(spark, [_doc(13)]), 3, cfg, state, SCH,
+    )
+    assert r3["admitted"] == 1
+    assert _glob.glob(f"{state}/ledger_bloom/delta/batch=*.bin") == []
+    epochs = _glob.glob(f"{state}/ledger_bloom/bits/epoch=*")
+    assert len(epochs) == 1
+    meta = json.loads(
+        open(f"{state}/ledger_bloom/meta.json").read()
+    )
+    assert meta["merged_upto"] == 3
+    r4 = _ingest_batch(
+        spark, _lines(spark, [_doc(0), _doc(14)]), 4, cfg, state, SCH,
+    )
+    assert r4["admitted"] == 1
+    assert _ids(spark, state) == [0, 1, 2, 3, 10, 11, 12, 13, 14]
