@@ -258,32 +258,73 @@ def parquet_usage(spark: SparkSession, path: str) -> tuple[int, int]:
     return n, b
 
 
+#: bytes per py4j OutputStream.write call — a single call carrying a
+#: huge payload (a 512 MiB bloom bitmap at the 240M-item sizing)
+#: SILENTLY wrote zero bytes in the round-13 trend run (the epoch then
+#: committed its marker over an empty bits.bin: a corrupt-but-valid
+#: sidecar the next load refused); py4j moves byte[] arguments through
+#: its command channel, and chunking keeps each call far below
+#: whatever it mishandles
+_WRITE_CHUNK_BYTES = 16 << 20
+
+
 def write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
     """Write ``data`` to ``path`` (overwrite) through the Hadoop
     FileSystem — small sidecar payloads (bloom bitmaps, meta JSON), not
     datasets. Callers needing crash-atomicity write a tmp path and
-    ``rename``, or land inside a marker-validated epoch dir."""
+    ``rename``, or land inside a marker-validated epoch dir.
+
+    Chunked + length-verified (round 13): the payload streams in
+    ``_WRITE_CHUNK_BYTES`` slices and the landed file's length is
+    checked against ``len(data)`` before returning — a silent partial
+    write must fail THIS call (before any validity marker lands), never
+    surface later as a marker-committed corrupt artifact."""
     fs, p = _fs_path(spark, path)
     out = fs.create(p, True)
     try:
-        out.write(bytearray(data))
+        view = memoryview(data)
+        for off in range(0, len(view), _WRITE_CHUNK_BYTES):
+            out.write(bytearray(view[off:off + _WRITE_CHUNK_BYTES]))
     finally:
         out.close()
+    got = int(fs.getFileStatus(p).getLen())
+    if got != len(data):
+        raise OSError(
+            f"write_bytes: {path} landed {got} bytes, expected "
+            f"{len(data)} — partial write (refusing before any validity "
+            "marker can commit over it)"
+        )
 
 
 def read_bytes(spark: SparkSession, path: str) -> bytes | None:
     """Contents of ``path`` as bytes, or ``None`` when it does not exist
-    (same absence semantics as :func:`read_text`)."""
+    (same absence semantics as :func:`read_text`).
+
+    Chunked above ``_WRITE_CHUNK_BYTES`` (round 13): a single
+    ``IOUtils.toByteArray`` return of a 512 MiB bloom bitmap HANGS the
+    py4j channel for minutes (the symmetric failure to the unchunked
+    write) — big payloads stream back in bounded slices instead."""
     from py4j.protocol import Py4JJavaError
 
     fs, p = _fs_path(spark, path)
     try:
-        stream = fs.open(p)
+        size = int(fs.getFileStatus(p).getLen())
     except Py4JJavaError:
+        if fs.exists(p):
+            raise  # real probe failure — absence is the only None
         return None
+    iou = spark._jvm.org.apache.commons.io.IOUtils
+    stream = fs.open(p)
     try:
-        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        return bytes(data)
+        if size <= _WRITE_CHUNK_BYTES:
+            return bytes(iou.toByteArray(stream))
+        chunks = []
+        remaining = size
+        while remaining > 0:
+            n = min(remaining, _WRITE_CHUNK_BYTES)
+            chunks.append(bytes(iou.toByteArray(stream, n)))
+            remaining -= n
+        return b"".join(chunks)
     finally:
         stream.close()
 

@@ -152,10 +152,18 @@ def bits_contain(bits: np.ndarray, digests, m: int, k: int) -> np.ndarray:
     return out
 
 
-def might_contain_udf(spark, bits: np.ndarray, m: int, k: int):
+def might_contain_udf(spark, bits: np.ndarray, m: int, k: int,
+                      return_broadcast: bool = False):
     """Arrow-batched probe: returns a pandas UDF ``digest -> boolean``
     with the bitmap shipped once per executor via ``sc.broadcast`` —
-    never per task, never through a py4j handle."""
+    never per task, never through a py4j handle.
+
+    ``return_broadcast=True`` hands back ``(udf, broadcast)`` so the
+    caller can ``destroy()`` the bitmap once its last consuming action
+    ran: broadcasts release at PYTHON GC otherwise (py4j-deferred), and
+    a long ingest run creating one per micro-batch accumulates live
+    m/8-byte blocks in the JVM block manager until it heap-OOMs — the
+    round-13 120M trend run died exactly this way at 512 MiB bitmaps."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -166,7 +174,10 @@ def might_contain_udf(spark, bits: np.ndarray, m: int, k: int):
         return pd.Series(bits_contain(arr, s.tolist(), m, k), index=s.index)
 
     _probe.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    return pandas_udf("boolean")(_probe)
+    fn = pandas_udf("boolean")(_probe)
+    if return_broadcast:
+        return fn, bc
+    return fn
 
 
 def saturation(bits: np.ndarray) -> float:

@@ -1315,6 +1315,7 @@ def _ingest_batch_body(
     )
     bloom_st = None
     bloom_maybe = None
+    bloom_probe_bcast = None
     if cfg.ledger_bloom:
         from . import ledger_bloom as _lbm
 
@@ -1333,8 +1334,14 @@ def _ingest_batch_body(
             # at all. False positives only cost a redundant confirm.
             from ..functions import bloom as _bloom
 
-            probe = _bloom.might_contain_udf(
-                spark, bloom_st.bits, bloom_st.m, bloom_st.k
+            # keep the broadcast handle: it must be destroyed once the
+            # batch's last pre-checkpoint action ran, or a long run
+            # accumulates one live m/8-byte block per micro-batch in
+            # the JVM block manager (python GC releases broadcasts too
+            # late — a measured heap OOM at 512 MiB bitmaps, round 13)
+            probe, bloom_probe_bcast = _bloom.might_contain_udf(
+                spark, bloom_st.bits, bloom_st.m, bloom_st.k,
+                return_broadcast=True,
             )
             batch_d = batch_d.withColumn("_maybe", probe(F.col("_digest")))
             bloom_maybe = batch_d.filter(F.col("_maybe")).count()
@@ -1728,6 +1735,11 @@ def _ingest_batch_body(
             release_local_checkpoint(sem_emb_ckpt)
         if fps_ckpt is not None:
             release_local_checkpoint(fps_ckpt)
+        if bloom_probe_bcast is not None:
+            # admitted is checkpointed (and the writes above consumed
+            # it), so no surviving lineage re-executes the probe —
+            # release the bitmap broadcast NOW, not at python GC
+            bloom_probe_bcast.destroy()
     rep = {
         "batch_id": batch_id,
         "corrupt_lines": n_corrupt,

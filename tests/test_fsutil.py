@@ -108,3 +108,27 @@ def test_lease_primitives(spark, tmp_path):
     assert abs(m0 - time.time() * 1000) < 60_000
     fsutil.set_mtime_ms(spark, p, m0 - 120_000)
     assert fsutil.mtime_ms(spark, p) == m0 - 120_000
+
+
+def test_write_read_bytes_chunked_and_length_verified(spark, tmp_path, monkeypatch):
+    # round 13: a SINGLE py4j call carrying a 512 MiB bloom bitmap
+    # silently wrote zero bytes (and the symmetric unchunked read hung
+    # the channel) — write_bytes streams in chunks and verifies the
+    # landed length; read_bytes streams big files back in chunks. Pin
+    # both with a forced-tiny chunk so many slices are exercised.
+    import numpy as np
+
+    from pulfa_sausage_factory_spark import fsutil
+
+    monkeypatch.setattr(fsutil, "_WRITE_CHUNK_BYTES", 1 << 10)
+    payload = np.random.default_rng(3).integers(
+        0, 256, 10_000, dtype=np.uint8
+    ).tobytes()
+    p = str(tmp_path / "blob.bin")
+    fsutil.write_bytes(spark, p, payload)
+    assert fsutil.read_bytes(spark, p) == payload
+    # small payloads (single-call path) unchanged
+    fsutil.write_bytes(spark, p, b"tiny")
+    assert fsutil.read_bytes(spark, p) == b"tiny"
+    # absence stays None
+    assert fsutil.read_bytes(spark, str(tmp_path / "nope")) is None
