@@ -423,14 +423,22 @@ def _commit_delta(spark, st, batch_id: int, positions) -> None:
     path keeps, so the superset invariant is unchanged. A replayed
     batch overwrites its own delta with identical positions. Every
     ``_DELTA_FOLD_COUNT`` deltas, fold into a full epoch (whose sweep
-    deletes them) so load-time reassembly stays O(fold window)."""
+    deletes them) so load-time reassembly stays O(fold window).
+
+    A replay whose delta ALREADY landed skips the rewrite instead of
+    delete-then-rename: the content is deterministic per batch id (the
+    same admitted digests hash to the same sorted distinct positions),
+    and the delete would open the one false-negative window in the
+    path — a crash between it and the rename leaves the batch's marker
+    claiming coverage over a delta that no longer exists, which no
+    catch-up would ever re-scan."""
     fsutil.mkdirs(spark, st.paths.delta)
-    arr = np.unique(np.asarray(list(positions), dtype=np.int64))
-    tmp = f"{st.paths.delta}/.batch={int(batch_id)}.bin.tmp"
     final = f"{st.paths.delta}/batch={int(batch_id)}.bin"
-    fsutil.write_bytes(spark, tmp, arr.tobytes())
-    fsutil.delete(spark, final)  # replay overwrite
-    fsutil.rename(spark, tmp, final)
+    if not fsutil.exists(spark, final):
+        arr = np.unique(np.asarray(list(positions), dtype=np.int64))
+        tmp = f"{st.paths.delta}/.batch={int(batch_id)}.bin.tmp"
+        fsutil.write_bytes(spark, tmp, arr.tobytes())
+        fsutil.rename(spark, tmp, final)
     fsutil.touch(spark, f"{st.paths.merged}/batch_id={int(batch_id)}")
     if len(_delta_files(spark, st.paths)) >= _DELTA_FOLD_COUNT:
         _commit_epoch(spark, st, [])

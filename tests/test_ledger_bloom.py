@@ -488,3 +488,21 @@ def test_bloom_delta_commits_replace_epoch_rewrites(
     )
     assert r4["admitted"] == 1
     assert _ids(spark, state) == [0, 1, 2, 3, 10, 11, 12, 13, 14]
+
+    # replay idempotence WITHOUT a delete window: a redelivered batch
+    # whose delta already landed must leave the file byte-identical in
+    # place (content is deterministic per batch id) — delete-then-
+    # rename would open a crash window where the merged marker claims
+    # coverage over a vanished delta (an unscannable false negative)
+    monkeypatch.setattr(lbm, "_DELTA_FOLD_COUNT", 64)  # no fold below
+    r5 = _ingest_batch(
+        spark, _lines(spark, [_doc(15)]), 5, cfg, state, SCH,
+    )
+    assert r5["admitted"] == 1
+    dpath = f"{state}/ledger_bloom/delta/batch=5.bin"
+    before = open(dpath, "rb").read()
+    r5b = _ingest_batch(
+        spark, _lines(spark, [_doc(15)]), 5, cfg, state, SCH,
+    )
+    assert r5b["admitted"] == 1  # replay decides identically
+    assert open(dpath, "rb").read() == before
