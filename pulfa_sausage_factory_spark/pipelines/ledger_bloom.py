@@ -420,25 +420,34 @@ def _commit_delta(spark, st, batch_id: int, positions) -> None:
     ``delta/batch=<id>.bin`` (validity = the final name; a torn write
     never carries it), then the batch's merged/ marker — the same
     bits-before-marker, marker-before-ledger-append ordering the epoch
-    path keeps, so the superset invariant is unchanged. A replayed
-    batch overwrites its own delta with identical positions. Every
+    path keeps, so the superset invariant is unchanged. Every
     ``_DELTA_FOLD_COUNT`` deltas, fold into a full epoch (whose sweep
     deletes them) so load-time reassembly stays O(fold window).
 
-    A replay whose delta ALREADY landed skips the rewrite instead of
-    delete-then-rename: the content is deterministic per batch id (the
-    same admitted digests hash to the same sorted distinct positions),
-    and the delete would open the one false-negative window in the
-    path — a crash between it and the rename leaves the batch's marker
-    claiming coverage over a delta that no longer exists, which no
-    catch-up would ever re-scan."""
+    A replay whose delta ALREADY landed falls back to a full epoch
+    commit (round-14 ADVICE): the positions are NOT deterministic per
+    batch id — between a crashed attempt (delta + marker landed,
+    ledger append not) and its replay, a maintenance verb can change
+    state (e.g. retract_documents removes the ledger doc that
+    near-dup-dropped a batch doc, so the replay admits a digest the
+    stale delta never saw; the marker already claims coverage, so no
+    catch-up rescans — a persistent false negative). Skipping the
+    rewrite keeps the stale positions; delete-then-rename opens a
+    crash window where the marker covers a missing delta. The epoch
+    path has neither hole: ``st.bits`` is old-delta ∪ replay-positions
+    (load read the delta, ``_merge_batch`` OR'd the contribution), the
+    epoch lands before its sweep deletes the stale file, and a crash
+    anywhere leaves redundant coverage only. Replays are rare, so the
+    m/8 rewrite is an acceptable cost."""
     fsutil.mkdirs(spark, st.paths.delta)
     final = f"{st.paths.delta}/batch={int(batch_id)}.bin"
-    if not fsutil.exists(spark, final):
-        arr = np.unique(np.asarray(list(positions), dtype=np.int64))
-        tmp = f"{st.paths.delta}/.batch={int(batch_id)}.bin.tmp"
-        fsutil.write_bytes(spark, tmp, arr.tobytes())
-        fsutil.rename(spark, tmp, final)
+    if fsutil.exists(spark, final):
+        _commit_epoch(spark, st, [int(batch_id)])
+        return
+    arr = np.unique(np.asarray(list(positions), dtype=np.int64))
+    tmp = f"{st.paths.delta}/.batch={int(batch_id)}.bin.tmp"
+    fsutil.write_bytes(spark, tmp, arr.tobytes())
+    fsutil.rename(spark, tmp, final)
     fsutil.touch(spark, f"{st.paths.merged}/batch_id={int(batch_id)}")
     if len(_delta_files(spark, st.paths)) >= _DELTA_FOLD_COUNT:
         _commit_epoch(spark, st, [])

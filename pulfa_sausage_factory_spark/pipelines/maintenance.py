@@ -144,6 +144,22 @@ def _ingest_dir_signals(spark, base, cfg, max_files, emit) -> None:
                  + " — healed automatically at the next verb")
         n, _b = fsutil.parquet_usage(spark, path)
         if n > threshold:
+            if sub == "corpus":
+                # round 14 (found by the stress end-to-end loop): the
+                # corpus is DELIBERATELY never folded —
+                # compact_ingest_state skips it by design, because
+                # per-batch partitions are retract_documents' write-cost
+                # granularity (a takedown rewrites only affected
+                # partitions; a folded archive would be the rewrite
+                # unit). Recommending the verb here was inexecutable:
+                # running it could never clear the signal. The honest
+                # row names the real remedy for downstream readers.
+                emit(sub, "export a compacted training copy", "info",
+                     f"{n} parquet files in the corpus — kept per-batch "
+                     "by design (takedown granularity); downstream "
+                     "training reads paying O(files) overhead should "
+                     "export a compacted copy, not fold in place")
+                continue
             emit(sub, "compact_ingest_state",
                  "info" if cadence else (
                      "urgent" if n > 4 * threshold else "recommend"),
@@ -176,21 +192,41 @@ def _bloom_signals(spark, base, cfg, fpp_factor, emit) -> None:
              f"{len(pending)} ledger batch dirs pending catch-up "
              f"{sorted(pending)[:5]} (bloom-off window) — the next "
              "bloom-enabled ingest merges them")
-    if epoch < 0:
+    # saturation must see the LIVE bitmap (epoch ∪ deltas) — round-14
+    # ADVICE: a snapshot-only read understates fill in delta mode until
+    # the next fold, and a fresh big-bitmap deployment commits only
+    # deltas for its first _DELTA_FOLD_COUNT batches (epoch stays -1).
+    if epoch < 0 and not lbm._delta_files(spark, paths):
         return
-    data = fsutil.read_bytes(spark, f"{paths.bits}/epoch={epoch}/bits.bin")
-    if data is None:
+    try:
+        bits, _ = lbm._read_bits(spark, paths, int(meta["m"]))
+    except ValueError as exc:
+        emit("ledger_bloom", "rebuild_ledger_bloom", "urgent",
+             f"BLOCKED: unreadable bloom sidecar ({exc})")
         return
-    sat = bloomfn.saturation(np.frombuffer(data, dtype=np.uint8))
+    sat = bloomfn.saturation(bits)
     k = int(meta["k"])
     implied = sat ** k
     nominal = float(meta.get("fpp", cfg.ledger_bloom_fpp))
     if implied > fpp_factor * nominal:
-        emit("ledger_bloom", "rebuild_ledger_bloom", "recommend",
+        # round 14 (VERDICT item 2): ledger_bloom is demoted to
+        # experimental — it measurably loses to the plain scan-state
+        # join at every reachable scale, warm AND cold
+        # (stress_bloom_r13/r14.json) — so the planner only RECOMMENDS
+        # investing in a rebuild when the deployment actively runs the
+        # feature (cfg.ledger_bloom on); a vestigial sidecar gets an
+        # info row suggesting the cheaper exit
+        active = bool(getattr(cfg, "ledger_bloom", False))
+        emit("ledger_bloom", "rebuild_ledger_bloom",
+             "recommend" if active else "info",
              f"saturation-implied fpp {implied:.4f} > {fpp_factor:.0f}x "
              f"nominal {nominal} — the sidecar still never "
              "false-negatives but most probes come back maybe; resize "
-             "via cfg.ledger_bloom_expected_items and rebuild")
+             "via cfg.ledger_bloom_expected_items and rebuild"
+             + ("" if active else
+                " (cfg.ledger_bloom is OFF — the sidecar is vestigial; "
+                "deleting ledger_bloom/ is the cheaper fix for this "
+                "experimental feature)"))
 
 
 def _overlap_signals(spark, base, cfg, emit) -> None:

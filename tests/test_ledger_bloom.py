@@ -489,20 +489,87 @@ def test_bloom_delta_commits_replace_epoch_rewrites(
     assert r4["admitted"] == 1
     assert _ids(spark, state) == [0, 1, 2, 3, 10, 11, 12, 13, 14]
 
-    # replay idempotence WITHOUT a delete window: a redelivered batch
-    # whose delta already landed must leave the file byte-identical in
-    # place (content is deterministic per batch id) — delete-then-
-    # rename would open a crash window where the merged marker claims
-    # coverage over a vanished delta (an unscannable false negative)
+    # replay over an EXISTING delta falls back to a full epoch commit
+    # (round-14 ADVICE): the replay's positions are not deterministic —
+    # a maintenance verb between attempt and replay can change the
+    # admitted set — so neither skip (stale positions kept) nor
+    # delete-then-rename (marker covers a vanished delta) is safe. The
+    # epoch carries old-delta ∪ replay-positions and its sweep removes
+    # every delta file with redundant-coverage-only crash windows.
     monkeypatch.setattr(lbm, "_DELTA_FOLD_COUNT", 64)  # no fold below
     r5 = _ingest_batch(
         spark, _lines(spark, [_doc(15)]), 5, cfg, state, SCH,
     )
     assert r5["admitted"] == 1
     dpath = f"{state}/ledger_bloom/delta/batch=5.bin"
-    before = open(dpath, "rb").read()
+    assert _os.path.exists(dpath)
+    epochs_before = _glob.glob(f"{state}/ledger_bloom/bits/epoch=*")
     r5b = _ingest_batch(
         spark, _lines(spark, [_doc(15)]), 5, cfg, state, SCH,
     )
     assert r5b["admitted"] == 1  # replay decides identically
-    assert open(dpath, "rb").read() == before
+    # the replay folded: new epoch landed, ALL delta files swept
+    assert _glob.glob(f"{state}/ledger_bloom/delta/batch=*.bin") == []
+    epochs_after = _glob.glob(f"{state}/ledger_bloom/bits/epoch=*")
+    assert len(epochs_after) == 1 and epochs_after != epochs_before
+    # coverage intact: a dup of every admitted doc is still caught
+    r6 = _ingest_batch(
+        spark,
+        _lines(spark, [{"doc_id": 96, "text": _doc(15)["text"]},
+                       {"doc_id": 97, "text": _doc(14)["text"]}]),
+        6, cfg, state, SCH,
+    )
+    assert r6["admitted"] == 0
+    assert r6["ledger_bloom"]["maybe"] >= 2
+
+
+def test_divergent_delta_replay_keeps_no_false_negatives(
+    spark, tmp_path, monkeypatch
+):
+    # round-14 ADVICE regression: a replayed batch's positions are NOT
+    # deterministic per batch id — between a crashed attempt (delta +
+    # marker landed, ledger append not) and the replay, a maintenance
+    # verb (e.g. retract_documents) can change state so the replay
+    # admits a digest the stale delta never saw. The old skip-if-exists
+    # kept the stale delta while the marker claimed coverage, so no
+    # catch-up ever rescanned the batch: a persistent false negative
+    # that silently re-admits future duplicates. Pin the fix at the
+    # merge_batch level: a second merge under the same batch id with a
+    # DIFFERENT digest set must leave every new digest probing positive
+    # through a FRESH load (the epoch-fallback superset commit).
+    from pulfa_sausage_factory_spark.functions import bloom as bloomfn
+    from pulfa_sausage_factory_spark.pipelines import ledger_bloom as lbm
+
+    monkeypatch.setattr(lbm, "_DELTA_ABOVE_BYTES", 0)
+    state = str(tmp_path / "state")
+    cfg = _cfg(ledger_bloom=True, ledger_bloom_expected_items=10_000)
+    # batch 0 seeds the ledger so load_state has a real dir layout
+    _ingest_batch(spark, _lines(spark, [_doc(0)]), 0, cfg, state, SCH)
+    ledger_dir = f"{state}/ledger"
+
+    def _digests(texts):
+        return spark.createDataFrame(
+            [(t,) for t in texts], "text string"
+        ).select(F.md5("text").alias("digest"))
+
+    attempt = [_doc(1)["text"]]
+    replay = [_doc(1)["text"], _doc(2)["text"]]  # retraction re-admitted 2
+
+    st = lbm.load_state(spark, ledger_dir, cfg)
+    lbm.merge_batch(spark, st, 1, _digests(attempt), len(attempt))
+    # crash here: delta + marker landed, ledger append did not. The
+    # replay (fresh load) admits a superset.
+    st2 = lbm.load_state(spark, ledger_dir, cfg)
+    lbm.merge_batch(spark, st2, 1, _digests(replay), len(replay))
+
+    # a THIRD fresh load (what the next micro-batch's probe sees) must
+    # cover every replay digest — the no-false-negative invariant
+    st3 = lbm.load_state(spark, ledger_dir, cfg)
+    import hashlib
+
+    for t in replay:
+        d = hashlib.md5(t.encode()).hexdigest()
+        pos = bloomfn.positions_of(d, st3.m, st3.k)
+        assert all(st3.bits[p // 8] & (1 << (p % 8)) for p in pos), (
+            f"digest {d} not covered after divergent replay"
+        )

@@ -61,8 +61,17 @@ def test_file_growth_recommends_fold_and_cadence_downgrades(
            if s == "ledger" and v == "compact_ingest_state"]
     assert led and led[0][2] in ("recommend", "urgent")
     assert "fold threshold 1" in plan[led[0]]
-    assert any(s == "corpus" and v == "compact_ingest_state"
-               for (s, v, _u) in plan)
+    # round 14: the corpus is deliberately never folded (takedown
+    # granularity) — its file-growth row must NOT name the verb that
+    # skips it by design (inexecutable recommendation, caught by the
+    # stress end-to-end planner loop); it informs with the real remedy
+    corpus_rows = [(s, v, u) for (s, v, u) in plan if s == "corpus"]
+    assert corpus_rows, plan
+    assert all(
+        v != "compact_ingest_state" and u == "info"
+        for (_s, v, u) in corpus_rows
+    ), corpus_rows
+    assert "per-batch by design" in plan[corpus_rows[0]]
 
     # with the in-pipeline cadence configured, the pipeline owns the
     # fold — the planner reports info, never a recommendation
@@ -150,6 +159,47 @@ def test_bloom_saturation_and_catchup_signals(spark, tmp_path):
     plan = _plan(suggest_maintenance(spark, state, on))
     assert ("ledger_bloom", "rebuild_ledger_bloom",
             "recommend") not in plan
+
+    # round 14 (VERDICT item 2 demotion): with cfg.ledger_bloom OFF the
+    # sidecar is a vestigial artifact of an EXPERIMENTAL feature — the
+    # planner must not recommend investing in a rebuild, only inform
+    # (and name the cheaper exit)
+    plan = _plan(suggest_maintenance(spark, state, off,
+                                     bloom_fpp_factor=1e-30))
+    assert ("ledger_bloom", "rebuild_ledger_bloom",
+            "recommend") not in plan
+    info = plan.get(("ledger_bloom", "rebuild_ledger_bloom", "info"))
+    assert info is not None and "vestigial" in info
+
+
+def test_bloom_saturation_reads_delta_mode_bits(
+    spark, tmp_path, monkeypatch
+):
+    # round-14 ADVICE: the planner's saturation signal must see the
+    # LIVE bitmap (epoch ∪ deltas) via _read_bits. A fresh big-bitmap
+    # deployment commits only deltas for its first _DELTA_FOLD_COUNT
+    # batches (epoch stays -1) — the old epoch-snapshot read skipped
+    # the check entirely there and understated fill until the fold.
+    from pulfa_sausage_factory_spark.pipelines import ledger_bloom as lbm
+
+    monkeypatch.setattr(lbm, "_DELTA_ABOVE_BYTES", 0)  # force delta mode
+    state = str(tmp_path / "state")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none",
+                         ledger_bloom=True,
+                         ledger_bloom_expected_items=10_000)
+    sch = T.StructType.fromDDL(SCHEMA_DDL)
+    _ingest_batch(spark, _lines(spark, _docs(0, 4)), 0, cfg, state, sch)
+    # delta-only sidecar: no epoch dir exists
+    assert not os.path.exists(f"{state}/ledger_bloom/bits") or not [
+        n for n in os.listdir(f"{state}/ledger_bloom/bits")
+        if n.startswith("epoch=")
+    ]
+    # the tripwire factor fires ONLY if saturation saw the delta bits
+    # (an empty bitmap's implied fpp is 0.0 — below any factor)
+    plan = _plan(suggest_maintenance(spark, state, cfg,
+                                     bloom_fpp_factor=1e-30))
+    reb = plan.get(("ledger_bloom", "rebuild_ledger_bloom", "recommend"))
+    assert reb is not None and "implied fpp" in reb
 
 
 def test_index_wal_pending_fold_and_staleness_signals(spark, tmp_path):
