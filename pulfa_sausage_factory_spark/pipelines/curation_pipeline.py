@@ -239,6 +239,14 @@ class CurationConfig:
     #: admission lineage to that stage; leave off on the hot path and
     #: turn on to debug an admission-rate regression.
     ingest_stage_counts: bool = False
+    #: incremental ingest: run ``pipelines.maintenance.suggest_maintenance``
+    #: once at END of run and attach its plan rows to the run report
+    #: (``rep["maintenance_plan"]``; ``ingest_run_report_df`` mirrors them
+    #: as a summary row) — operators see "what's due" in the same surface
+    #: they already read (round-14 VERDICT item 6). Opt-in: the planner is
+    #: advisory + lease-free by design (listings + a few footer counts),
+    #: but it is still a handful of filesystem round-trips per run.
+    maintenance_plan_at_end: bool = False
     #: incremental ingest: input DRIFT monitoring (round 12, opt-in) — a
     #: reference profile (``functions.profiling.profile_table`` dict,
     #: driver-sized: the corpus the gates/classifier/index were tuned
@@ -267,13 +275,19 @@ class CurationConfig:
     #: Size via ``ledger_bloom_expected_items`` (the corpus you expect
     #: to ADMIT over the sidecar's lifetime — resizing later =
     #: ``rebuild_ledger_bloom``); takedowns leave stale set bits (safe
-    #: direction), rebuild to shed them. Enable for LARGE ledgers only
-    #: (~10^8+ digests): the avoided cost is the per-batch ledger scan
-    #: (grows with the corpus) while the sidecar pays probe + one gate
-    #: count + ~m/8 bytes of epoch IO per batch (fixed) — measured at a
-    #: 1.2M-digest ledger the plain scan-state join is still FASTER
-    #: (stress_r12 ``ledger_bloom_ingest``: 19.1 s vs 23.3 s steady);
-    #: the arithmetic crosses where the scan dominates.
+    #: direction), rebuild to shed them. **EXPERIMENTAL / measured to
+    #: LOSE at every reachable scale** (round 13-14): the break-even
+    #: trend shows the gap vs the plain scan-state join WIDENING with
+    #: ledger size — warm: +0.5 s at 1.2M digests → +8.9 s at 12M →
+    #: +383 s at 120M (stress_bloom_r13.json); with the page cache
+    #: dropped before every timed read (the round-14 storage seam,
+    #: stress_bloom_r14.json): +4.0 s → +10.8 s. The m-proportional
+    #: per-batch costs (bitmap read + broadcast, single-threaded py4j)
+    #: grow FASTER than the 32-thread ledger scan on every storage
+    #: class this sandbox can measure. The hypothesized payoff regime —
+    #: high per-request-latency billed object stores — remains
+    #: UNDEMONSTRATED; keep this off unless you have measured your own
+    #: storage and the scan genuinely dominates.
     ledger_bloom: bool = False
     ledger_bloom_expected_items: int = 10_000_000
     ledger_bloom_fpp: float = 0.01
@@ -704,8 +718,11 @@ def ingest_run_report_df(spark: SparkSession, run_report: dict) -> DataFrame:
     summary strings: ``drift`` (the drifted column/stat pairs from the
     opt-in input monitor, empty = monitor ran clean, null = monitor
     off) and ``maintenance`` (which in-pipeline folds/coarsens/compacts
-    fired). Driver-side reshape of an already-materialized dict —
-    costs nothing."""
+    fired). With ``cfg.maintenance_plan_at_end`` the run report carries
+    an end-of-run ``suggest_maintenance`` plan — mirrored here as one
+    SUMMARY row (null ``batch_id``) whose ``maintenance`` column lists
+    what's due (``plan: clean`` when nothing is). Driver-side reshape
+    of an already-materialized dict — costs nothing."""
     rows = []
     for b in run_report.get("batches", []):
         drift = b.get("profile_drift")
@@ -732,6 +749,15 @@ def ingest_run_report_df(spark: SparkSession, run_report: dict) -> DataFrame:
              if "index_appended" in b else None),
             drift_s,
             "; ".join(maint),
+        ))
+    plan = run_report.get("maintenance_plan")
+    if plan is not None:
+        due = "; ".join(
+            f"{p['urgency']}: {p['surface']}.{p['verb']}" for p in plan
+        )
+        rows.append((
+            None, None, None, None, None, None, None, None,
+            f"plan: {due}" if due else "plan: clean",
         ))
     return spark.createDataFrame(
         rows,
@@ -883,12 +909,22 @@ def run_incremental_curation(
         )
     finally:
         run_lease.release()
-    return {
+    out = {
         "batches": batches,
         "total_admitted": sum(b["admitted"] for b in batches),
         "corpus_dir": os.path.join(state_dir, "corpus"),
         "ledger_dir": os.path.join(state_dir, "ledger"),
     }
+    if cfg.maintenance_plan_at_end:
+        # after the lease released — the planner is advisory and
+        # lease-free by design (listings + footer counts only)
+        from .maintenance import suggest_maintenance
+
+        out["maintenance_plan"] = [
+            row.asDict()
+            for row in suggest_maintenance(spark, state_dir, cfg).collect()
+        ]
+    return out
 
 
 def _load_semantic_centroids(spark: SparkSession, cfg: CurationConfig):
@@ -1316,463 +1352,481 @@ def _ingest_batch_body(
     bloom_st = None
     bloom_maybe = None
     bloom_probe_bcast = None
-    if cfg.ledger_bloom:
-        from . import ledger_bloom as _lbm
+    try:
+        if cfg.ledger_bloom:
+            from . import ledger_bloom as _lbm
 
-        bloom_st = _lbm.load_state(
-            spark, ledger_dir, cfg, current_batch=batch_id
-        )
-    seen = _read_state(spark, ledger_dir, batch_id)
-    if seen is not None:
-        if bloom_st is not None and n_in <= _SCAN_STATE_BCAST_MAX_ROWS:
-            # Bloom fast path (round 12): probe the batch digests
-            # against the sidecar bitmap first — docs it rejects are
-            # PROVABLY never-admitted (superset invariant: every
-            # ledger digest's bits were set before its append), so
-            # the ledger confirm-join runs only for the maybe set,
-            # and the common all-new batch never touches the ledger
-            # at all. False positives only cost a redundant confirm.
-            from ..functions import bloom as _bloom
+            bloom_st = _lbm.load_state(
+                spark, ledger_dir, cfg, current_batch=batch_id
+            )
+        seen = _read_state(spark, ledger_dir, batch_id)
+        if seen is not None:
+            if bloom_st is not None and n_in <= _SCAN_STATE_BCAST_MAX_ROWS:
+                # Bloom fast path (round 12): probe the batch digests
+                # against the sidecar bitmap first — docs it rejects are
+                # PROVABLY never-admitted (superset invariant: every
+                # ledger digest's bits were set before its append), so
+                # the ledger confirm-join runs only for the maybe set,
+                # and the common all-new batch never touches the ledger
+                # at all. False positives only cost a redundant confirm.
+                from ..functions import bloom as _bloom
 
-            # keep the broadcast handle: it must be destroyed once the
-            # batch's last pre-checkpoint action ran, or a long run
-            # accumulates one live m/8-byte block per micro-batch in
-            # the JVM block manager (python GC releases broadcasts too
-            # late — a measured heap OOM at 512 MiB bitmaps, round 13)
-            probe, bloom_probe_bcast = _bloom.might_contain_udf(
-                spark, bloom_st.bits, bloom_st.m, bloom_st.k,
-                return_broadcast=True,
-            )
-            batch_d = batch_d.withColumn("_maybe", probe(F.col("_digest")))
-            bloom_maybe = batch_d.filter(F.col("_maybe")).count()
-            if bloom_maybe:
-                hits = seen.select(
-                    F.col("digest").alias("_digest")
-                ).join(
-                    F.broadcast(
-                        batch_d.filter(F.col("_maybe")).select("_digest")
-                    ),
-                    "_digest", "left_semi",
+                # keep the broadcast handle: it must be destroyed once the
+                # batch's last pre-checkpoint action ran, or a long run
+                # accumulates one live m/8-byte block per micro-batch in
+                # the JVM block manager (python GC releases broadcasts too
+                # late — a measured heap OOM at 512 MiB bitmaps, round 13)
+                probe, bloom_probe_bcast = _bloom.might_contain_udf(
+                    spark, bloom_st.bits, bloom_st.m, bloom_st.k,
+                    return_broadcast=True,
                 )
-                batch_d = batch_d.join(
-                    F.broadcast(hits), "_digest", "left_anti"
-                )
-            batch_d = batch_d.drop("_maybe")
-        elif n_in <= _SCAN_STATE_BCAST_MAX_ROWS:
-            # 100 TB shape (round 12): the naive batch ⟕anti ledger
-            # plans a SortMergeJoin that SHUFFLES every ledger digest
-            # per micro-batch — the dominant recurring cost once the
-            # ledger dwarfs the batch, and unfixable by Spark alone
-            # (the LEFT side of an anti-join is not broadcastable).
-            # anti_join_scan_state flips it: the ledger is SCANNED
-            # against the broadcast batch digests, and only the
-            # at-most-batch-sized collisions broadcast back.
-            batch_d = relational.anti_join_scan_state(
-                batch_d, seen, "_digest", "digest"
-            )
-        else:
-            # bulk-backfill batch above the broadcast cap: the plain
-            # anti-join is correct, just the old shuffle cost
-            batch_d = batch_d.join(
-                seen.select("digest").withColumnRenamed(
-                    "digest", "_digest"
-                ),
-                "_digest",
-                "left_anti",
-            )
-    batch_d = _st("exact_dedup", batch_d)
-    if cfg.neardup_ledger:
-        # within-batch near-dups first — the SAME connected-components
-        # canonical rule as the batch DAG (per-pair greatest-id removal
-        # would admit a different survivor set from identical input:
-        # pairs (1,3),(2,3) keep {1,2} pairwise but only {1} as one
-        # component)
-        pairs = dedup.minhash_lsh_pairs(
-            batch_d, text_col=tcol, id_col=icol,
-            threshold=cfg.neardup_threshold,
-            # micro-batches are small and latency-sensitive: one Arrow
-            # batch beats the under-partitioned-input re-spread's shuffle
-            # + 32-task fan-out (the guard would fire on every trigger)
-            spread=False,
-        ).select("id_a", "id_b")
-        losers = (
-            dedup.dedup_clusters(pairs)
-            .filter(F.col("doc_id") != F.col("canonical_id"))
-            .select(F.col("doc_id").alias(icol))
-        )
-        batch_d = batch_d.join(losers, icol, "left_anti").withColumn(
-            "_sig", sig_udf(F.col(tcol))
-        )
-        # ... then cross-batch/run: band-bucket candidates vs the
-        # ledger, confirmed by signature-agreement est-Jaccard
-        old_bands = _read_state(spark, bands_dir, batch_id)
-        old_sigs = _read_state(spark, sigs_dir, batch_id)
-        if old_bands is not None and old_sigs is not None:
-            if (n_in <= _SCAN_STATE_BCAST_MAX_ROWS
-                    and n_in * n_bands <= _SCAN_STATE_BCAST_MAX_UNITS):
-                # same 100 TB flip as the exact leg: bands/ and sigs/
-                # grow with the corpus, and the plain equi-joins would
-                # shuffle BOTH full tables per micro-batch. Scan bands
-                # against the broadcast (id, bucket) pairs (payload =
-                # n_in × n_bands units — the gate above counts it),
-                # shrink to the collision set, then scan sigs against
-                # the broadcast DISTINCT colliding old ids — never the
-                # batch signatures themselves (num_hashes-int arrays ×
-                # collision count would be the one unbounded broadcast
-                # in the leg); the batch _sig attaches AFTERWARDS via a
-                # plain join of two collision-bounded frames AQE sizes
-                # itself. Both state tables stream; output is bounded
-                # by the collision count, never state size.
-                bk = batch_d.filter(F.col("_sig").isNotNull()).select(
-                    icol, F.explode(_band_keys("_sig")).alias("bucket")
-                )
-                cand_ids = relational.inner_join_scan_state(
-                    old_bands, bk, "bucket"
-                ).select(icol, "old_id").distinct()
-                old_hit = relational.inner_join_scan_state(
-                    old_sigs.withColumnRenamed("id", "old_id"),
-                    cand_ids.select("old_id").distinct(), "old_id",
-                )
-                cand = (
-                    batch_d.filter(F.col("_sig").isNotNull())
-                    .select(icol, "_sig")
-                    .join(cand_ids, icol)
-                    .join(old_hit, "old_id")
+                batch_d = batch_d.withColumn("_maybe", probe(F.col("_digest")))
+                bloom_maybe = batch_d.filter(F.col("_maybe")).count()
+                if bloom_maybe:
+                    hits = seen.select(
+                        F.col("digest").alias("_digest")
+                    ).join(
+                        F.broadcast(
+                            batch_d.filter(F.col("_maybe")).select("_digest")
+                        ),
+                        "_digest", "left_semi",
+                    )
+                    batch_d = batch_d.join(
+                        F.broadcast(hits), "_digest", "left_anti"
+                    )
+                batch_d = batch_d.drop("_maybe")
+            elif n_in <= _SCAN_STATE_BCAST_MAX_ROWS:
+                # 100 TB shape (round 12): the naive batch ⟕anti ledger
+                # plans a SortMergeJoin that SHUFFLES every ledger digest
+                # per micro-batch — the dominant recurring cost once the
+                # ledger dwarfs the batch, and unfixable by Spark alone
+                # (the LEFT side of an anti-join is not broadcastable).
+                # anti_join_scan_state flips it: the ledger is SCANNED
+                # against the broadcast batch digests, and only the
+                # at-most-batch-sized collisions broadcast back.
+                batch_d = relational.anti_join_scan_state(
+                    batch_d, seen, "_digest", "digest"
                 )
             else:
-                cand = (
-                    batch_d.filter(F.col("_sig").isNotNull())
-                    .select(icol, "_sig",
-                            F.explode(_band_keys("_sig")).alias("bucket"))
-                    .join(old_bands, "bucket")
-                    .select(icol, "_sig", F.col("old_id"))
-                    .distinct()
-                    .join(old_sigs.withColumnRenamed("id", "old_id"),
-                          "old_id")
-                )
-            est = F.size(
-                F.filter(
-                    F.zip_with(
-                        F.col("_sig"), F.col("old_sig"),
-                        lambda x, y: (x == y).cast("int"),
+                # bulk-backfill batch above the broadcast cap: the plain
+                # anti-join is correct, just the old shuffle cost
+                batch_d = batch_d.join(
+                    seen.select("digest").withColumnRenamed(
+                        "digest", "_digest"
                     ),
-                    lambda v: v == 1,
+                    "_digest",
+                    "left_anti",
                 )
-            ).cast("double") / F.lit(float(num_hashes))
-            near = (
-                cand.filter(est >= F.lit(cfg.neardup_threshold))
-                .select(icol)
-                .distinct()
+        batch_d = _st("exact_dedup", batch_d)
+        if cfg.neardup_ledger:
+            # within-batch near-dups first — the SAME connected-components
+            # canonical rule as the batch DAG (per-pair greatest-id removal
+            # would admit a different survivor set from identical input:
+            # pairs (1,3),(2,3) keep {1,2} pairwise but only {1} as one
+            # component)
+            pairs = dedup.minhash_lsh_pairs(
+                batch_d, text_col=tcol, id_col=icol,
+                threshold=cfg.neardup_threshold,
+                # micro-batches are small and latency-sensitive: one Arrow
+                # batch beats the under-partitioned-input re-spread's shuffle
+                # + 32-task fan-out (the guard would fire on every trigger)
+                spread=False,
+            ).select("id_a", "id_b")
+            losers = (
+                dedup.dedup_clusters(pairs)
+                .filter(F.col("doc_id") != F.col("canonical_id"))
+                .select(F.col("doc_id").alias(icol))
             )
-            batch_d = batch_d.join(near, icol, "left_anti")
-        batch_d = _st("neardup_dedup", batch_d)
-    fps_ckpt = None
-    n_overlap_drop_pairs = 0 if cfg.overlap_drop_audit else None
-    if cfg.overlap_ledger:
-        # substring-overlap dedup (winnowed fingerprints — see the config
-        # docstring): within-batch first via the SAME connected-components
-        # canonical rule as the MinHash leg, then cross-batch/run against
-        # the admitted-fingerprint ledger. Boilerplate fps (present in
-        # more than overlap_fp_df_cap docs) are excluded on both sides —
-        # they are not copying evidence and they are exactly the viral
-        # keys that would blow up the equi-join fan-out.
-        overlap_mod = _resolve_overlap_mod(spark, fps_dir, cfg)
-        bfps = text.winnow_fingerprints_df(
-            batch_d, text_col=tcol, id_col=icol,
-            k=cfg.overlap_k, w=cfg.overlap_w,
-        ).filter(
-            F.col("fp") % overlap_mod == 0
-        ).localCheckpoint()  # winnowing is window-heavy; 4 consumers below
-        fps_ckpt = bfps
-        ok = bfps.join(
-            bfps.groupBy("fp").agg(F.countDistinct(icol).alias("_df"))
-            .filter(F.col("_df") <= cfg.overlap_fp_df_cap).select("fp"),
-            "fp", "left_semi",
-        )
-        pairs = (
-            ok.select(F.col(icol).alias("id_a"), "fp")
-            .join(ok.select(F.col(icol).alias("id_b"), "fp"), "fp")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.countDistinct("fp").alias("_sh"))
-            .filter(F.col("_sh") >= cfg.overlap_min_shared)
-            .select("id_a", "id_b")
-        )
-        losers = (
-            dedup.dedup_clusters(pairs)
-            .filter(F.col("doc_id") != F.col("canonical_id"))
-            .select(F.col("doc_id").alias(icol))
-        )
-        batch_d = batch_d.join(losers, icol, "left_anti")
-        old_fps = _read_state(spark, fps_dir, batch_id)
-        if old_fps is not None:
-            # batch side of the cross-run comparison: this batch's
-            # surviving docs' df-CAPPED fps — capping the batch side too
-            # is symmetric with the within-batch leg (round-10 VERDICT
-            # item 3): a fingerprint viral WITHIN the landing batch (new
-            # boilerplate — a header pasted into thousands of docs in one
-            # drop) is not copying evidence either, and uncapped it would
-            # fan out up to batch_occurrences × overlap_fp_df_cap rows in
-            # the join before the fp ever reaches state.
-            bshared = ok.join(batch_d.select(icol), icol, "left_semi")
-            # the flip broadcasts the batch's distinct sampled fps —
-            # fps/doc has no static bound (text length ÷ mod), so the
-            # gate measures the checkpointed fps frame (a near-free
-            # count off cached blocks) instead of trusting n_in alone
-            n_bfps = bfps.count()
-            if (n_in <= _SCAN_STATE_BCAST_MAX_ROWS
-                    and n_bfps <= _SCAN_STATE_BCAST_MAX_UNITS):
-                # 100 TB shape (round 13): fps/ grows with the corpus, and
-                # the old code shuffled the ENTIRE state per micro-batch
-                # TWICE — once for the df-cap groupBy, once for the
-                # cross-run equi-join. Flip: scan the state ONCE under a
-                # BroadcastHashJoin against the batch's distinct sampled
-                # fps (bounded by batch size × fps/doc). The semi-restrict
-                # keeps EVERY state row of each colliding fp, so the
-                # per-fp distinct-doc count over the remnant equals the
-                # full-state df for exactly the fps that can reach
-                # `shared` — the cap decision is unchanged. The count runs
-                # as a window over the deduped collision rows: one small
-                # shuffle of collisions, never of state.
-                hit = (
-                    relational.inner_join_scan_state(
-                        old_fps, bshared.select("fp").distinct(), "fp"
+            batch_d = batch_d.join(losers, icol, "left_anti").withColumn(
+                "_sig", sig_udf(F.col(tcol))
+            )
+            # ... then cross-batch/run: band-bucket candidates vs the
+            # ledger, confirmed by signature-agreement est-Jaccard
+            old_bands = _read_state(spark, bands_dir, batch_id)
+            old_sigs = _read_state(spark, sigs_dir, batch_id)
+            if old_bands is not None and old_sigs is not None:
+                if (n_in <= _SCAN_STATE_BCAST_MAX_ROWS
+                        and n_in * n_bands <= _SCAN_STATE_BCAST_MAX_UNITS):
+                    # same 100 TB flip as the exact leg: bands/ and sigs/
+                    # grow with the corpus, and the plain equi-joins would
+                    # shuffle BOTH full tables per micro-batch. Scan bands
+                    # against the broadcast (id, bucket) pairs (payload =
+                    # n_in × n_bands units — the gate above counts it),
+                    # shrink to the collision set, then scan sigs against
+                    # the broadcast DISTINCT colliding old ids — never the
+                    # batch signatures themselves (num_hashes-int arrays ×
+                    # collision count would be the one unbounded broadcast
+                    # in the leg); the batch _sig attaches AFTERWARDS via a
+                    # plain join of two collision-bounded frames AQE sizes
+                    # itself. Both state tables stream; output is bounded
+                    # by the collision count, never state size.
+                    bk = batch_d.filter(F.col("_sig").isNotNull()).select(
+                        icol, F.explode(_band_keys("_sig")).alias("bucket")
                     )
-                    .select("fp", "old_id")
+                    cand_ids = relational.inner_join_scan_state(
+                        old_bands, bk, "bucket"
+                    ).select(icol, "old_id").distinct()
+                    old_hit = relational.inner_join_scan_state(
+                        old_sigs.withColumnRenamed("id", "old_id"),
+                        cand_ids.select("old_id").distinct(), "old_id",
+                    )
+                    cand = (
+                        batch_d.filter(F.col("_sig").isNotNull())
+                        .select(icol, "_sig")
+                        .join(cand_ids, icol)
+                        .join(old_hit, "old_id")
+                    )
+                else:
+                    cand = (
+                        batch_d.filter(F.col("_sig").isNotNull())
+                        .select(icol, "_sig",
+                                F.explode(_band_keys("_sig")).alias("bucket"))
+                        .join(old_bands, "bucket")
+                        .select(icol, "_sig", F.col("old_id"))
+                        .distinct()
+                        .join(old_sigs.withColumnRenamed("id", "old_id"),
+                              "old_id")
+                    )
+                est = F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("_sig"), F.col("old_sig"),
+                            lambda x, y: (x == y).cast("int"),
+                        ),
+                        lambda v: v == 1,
+                    )
+                ).cast("double") / F.lit(float(num_hashes))
+                near = (
+                    cand.filter(est >= F.lit(cfg.neardup_threshold))
+                    .select(icol)
                     .distinct()
                 )
+                batch_d = batch_d.join(near, icol, "left_anti")
+            batch_d = _st("neardup_dedup", batch_d)
+        fps_ckpt = None
+        n_overlap_drop_pairs = 0 if cfg.overlap_drop_audit else None
+        if cfg.overlap_ledger:
+            # substring-overlap dedup (winnowed fingerprints — see the config
+            # docstring): within-batch first via the SAME connected-components
+            # canonical rule as the MinHash leg, then cross-batch/run against
+            # the admitted-fingerprint ledger. Boilerplate fps (present in
+            # more than overlap_fp_df_cap docs) are excluded on both sides —
+            # they are not copying evidence and they are exactly the viral
+            # keys that would blow up the equi-join fan-out.
+            overlap_mod = _resolve_overlap_mod(spark, fps_dir, cfg)
+            bfps = text.winnow_fingerprints_df(
+                batch_d, text_col=tcol, id_col=icol,
+                k=cfg.overlap_k, w=cfg.overlap_w,
+            ).filter(
+                F.col("fp") % overlap_mod == 0
+            ).localCheckpoint()  # winnowing is window-heavy; 4 consumers below
+            fps_ckpt = bfps
+            ok = bfps.join(
+                bfps.groupBy("fp").agg(F.countDistinct(icol).alias("_df"))
+                .filter(F.col("_df") <= cfg.overlap_fp_df_cap).select("fp"),
+                "fp", "left_semi",
+            )
+            pairs = (
+                ok.select(F.col(icol).alias("id_a"), "fp")
+                .join(ok.select(F.col(icol).alias("id_b"), "fp"), "fp")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .groupBy("id_a", "id_b")
+                .agg(F.countDistinct("fp").alias("_sh"))
+                .filter(F.col("_sh") >= cfg.overlap_min_shared)
+                .select("id_a", "id_b")
+            )
+            losers = (
+                dedup.dedup_clusters(pairs)
+                .filter(F.col("doc_id") != F.col("canonical_id"))
+                .select(F.col("doc_id").alias(icol))
+            )
+            batch_d = batch_d.join(losers, icol, "left_anti")
+            old_fps = _read_state(spark, fps_dir, batch_id)
+            if old_fps is not None:
+                # batch side of the cross-run comparison: this batch's
+                # surviving docs' df-CAPPED fps — capping the batch side too
+                # is symmetric with the within-batch leg (round-10 VERDICT
+                # item 3): a fingerprint viral WITHIN the landing batch (new
+                # boilerplate — a header pasted into thousands of docs in one
+                # drop) is not copying evidence either, and uncapped it would
+                # fan out up to batch_occurrences × overlap_fp_df_cap rows in
+                # the join before the fp ever reaches state.
+                bshared = ok.join(batch_d.select(icol), icol, "left_semi")
+                # the flip broadcasts the batch's distinct sampled fps —
+                # fps/doc has no static bound (text length ÷ mod), so the
+                # gate measures the checkpointed fps frame (a near-free
+                # count off cached blocks) instead of trusting n_in alone
+                n_bfps = bfps.count()
+                # 100 TB shape (rounds 13-14): fps/ grows with the corpus,
+                # and the pre-r13 code shuffled the ENTIRE state per
+                # micro-batch TWICE — once for the df-cap groupBy, once for
+                # the cross-run equi-join. Both paths now share ONE body:
+                # restrict state to batch-colliding fps FIRST, then compute
+                # the df-cap as a window over the deduped collision remnant.
+                # The semi-restrict keeps EVERY state row of each colliding
+                # fp, so the per-fp distinct-doc count over the remnant
+                # equals the full-state df for exactly the fps that can
+                # reach `shared` — the cap decision is unchanged (the
+                # round-13 argument, which never depended on the join
+                # strategy). The paths differ ONLY in how the restrict
+                # joins: under the gate the state SCANS beneath a
+                # BroadcastHashJoin of the batch's distinct sampled fps;
+                # above it (bulk backfill) a plain shuffled join — the one
+                # state shuffle the main comparison needs anyway. Round 14
+                # (VERDICT item 3): this removes the fallback's full-state
+                # df groupBy entirely — a persisted per-fp df sidecar was
+                # considered and rejected: it could only replace the
+                # groupBy, not the main join's state shuffle, so it saves
+                # no I/O the window-over-remnant doesn't, while adding a
+                # whole state surface (write/fold/replay/retract/fsck).
+                bkeys = bshared.select("fp").distinct()
+                if (n_in <= _SCAN_STATE_BCAST_MAX_ROWS
+                        and n_bfps <= _SCAN_STATE_BCAST_MAX_UNITS):
+                    hit = relational.inner_join_scan_state(
+                        old_fps, bkeys, "fp"
+                    )
+                else:
+                    hit = old_fps.join(bkeys, "fp")
+                # ONE shuffle of the remnant, not two: repartition by fp
+                # FIRST — HashPartitioning(fp) satisfies the dedup
+                # aggregate's ClusteredDistribution([fp, old_id]) (fp is
+                # a subset of the keys) AND the window's
+                # ClusteredDistribution([fp]), so a bare .distinct()
+                # (exchange on (fp, old_id)) followed by the window
+                # (exchange on fp) would shuffle the collision remnant
+                # twice in the adversarial every-doc-collides regime
                 old_ok = (
-                    hit.withColumn(
+                    hit.select("fp", "old_id")
+                    .repartition("fp")
+                    .dropDuplicates(["fp", "old_id"])
+                    .withColumn(
                         "_df",
                         F.count("old_id").over(Window.partitionBy("fp")),
                     )
                     .filter(F.col("_df") <= cfg.overlap_fp_df_cap)
                     .drop("_df")
                 )
-            else:
-                # bulk backfill above the broadcast cap: the plain
-                # full-state cap + join is correct, just the old cost
-                old_ok = old_fps.join(
-                    old_fps.groupBy("fp")
-                    .agg(F.countDistinct("old_id").alias("_df"))
-                    .filter(F.col("_df") <= cfg.overlap_fp_df_cap)
-                    .select("fp"),
-                    "fp", "left_semi",
+                # >= min_shared sampled fps with ANY SINGLE admitted doc — a
+                # doc sharing one fp each with many docs is not a copy.
+                shared = (
+                    bshared
+                    .join(old_ok, "fp")
+                    .groupBy(icol, "old_id")
+                    .agg(F.countDistinct("fp").alias("_sh"))
                 )
-            # >= min_shared sampled fps with ANY SINGLE admitted doc — a
-            # doc sharing one fp each with many docs is not a copy.
-            shared = (
-                bshared
-                .join(old_ok, "fp")
-                .groupBy(icol, "old_id")
-                .agg(F.countDistinct("fp").alias("_sh"))
-            )
-            thr = F.lit(cfg.overlap_min_shared)
-            if cfg.overlap_short_doc_frac is not None:
-                # adaptive short-doc floor (see the config docstring):
-                # per-doc threshold = min(absolute, max(2, ceil(f·own)))
-                # where own counts the doc's non-boilerplate sampled fps
-                # — the same capped population _sh is counted over, so
-                # the fraction is a true share of the doc's evidence
-                own = ok.groupBy(icol).agg(
-                    F.countDistinct("fp").alias("_own")
-                )
-                shared = shared.join(own, icol)
-                thr = F.least(
-                    thr,
-                    F.greatest(
-                        F.lit(2),
-                        F.ceil(
-                            F.lit(float(cfg.overlap_short_doc_frac))
-                            * F.col("_own")
-                        ).cast("int"),
-                    ),
-                )
-            dropped = shared.filter(F.col("_sh") >= thr)
-            if cfg.overlap_drop_audit:
-                # land the audit rows FIRST, then derive the drop set
-                # from what landed — the audit provably matches the
-                # decision, and a replayed batch overwrites its own
-                # partition with identical rows (see the config docstring)
-                if overlap_drops_dir is None:
-                    overlap_drops_dir = os.path.join(
-                        os.path.dirname(fps_dir), "overlap_drops"
+                thr = F.lit(cfg.overlap_min_shared)
+                if cfg.overlap_short_doc_frac is not None:
+                    # adaptive short-doc floor (see the config docstring):
+                    # per-doc threshold = min(absolute, max(2, ceil(f·own)))
+                    # where own counts the doc's non-boilerplate sampled fps
+                    # — the same capped population _sh is counted over, so
+                    # the fraction is a true share of the doc's evidence
+                    own = ok.groupBy(icol).agg(
+                        F.countDistinct("fp").alias("_own")
                     )
-                dropped.select(
-                    F.col(icol),
-                    F.col("old_id"),
-                    F.col("_sh").alias("shared_fps"),
-                    thr.cast("int").alias("threshold"),
-                ).withColumn(
-                    "src_batch_id", F.lit(int(batch_id)).cast("long")
-                ).write.mode("overwrite").parquet(_part(overlap_drops_dir))
-                audit = spark.read.parquet(_part(overlap_drops_dir))
-                n_overlap_drop_pairs = audit.count()
-                over = audit.select(icol).distinct()
-            else:
-                over = dropped.select(icol).distinct()
-            batch_d = batch_d.join(over, icol, "left_anti")
-        batch_d = _st("overlap_dedup", batch_d)
-        # survivors' fingerprints ride to _write_admitted as an array
-        # column (short docs produce none → null, explode drops them)
-        batch_d = batch_d.join(
-            bfps.groupBy(icol).agg(F.collect_list("fp").alias("_fps")),
-            icol, "left",
-        )
-    if cfg.semantic_ledger:
-        # SemDeDup's cosine rule across batches AND runs (the semantic
-        # analog of the MinHash leg above, same ordering: within-batch
-        # first — the batch DAG's keep-one-representative rule — then
-        # cross-batch against admitted state). Embeddings are derived
-        # in-engine (hashed_text_embedding at the centroids' dimension),
-        # so the ledger is self-contained; state rows are
-        # (cell_id, old_id, old_vec) and the cross-run comparison is an
-        # equi-join on cell_id — within-cell work only, bounded by the
-        # index's cell sizing (√n cells at the auto config), never a
-        # scan of all admitted vectors.
-        from ..functions.vectors import cosine, hashed_text_embedding
-        from ..operators.similarity import _assign_cells, semdedup
+                    shared = shared.join(own, icol)
+                    thr = F.least(
+                        thr,
+                        F.greatest(
+                            F.lit(2),
+                            F.ceil(
+                                F.lit(float(cfg.overlap_short_doc_frac))
+                                * F.col("_own")
+                            ).cast("int"),
+                        ),
+                    )
+                dropped = shared.filter(F.col("_sh") >= thr)
+                if cfg.overlap_drop_audit:
+                    # land the audit rows FIRST, then derive the drop set
+                    # from what landed — the audit provably matches the
+                    # decision, and a replayed batch overwrites its own
+                    # partition with identical rows (see the config docstring)
+                    if overlap_drops_dir is None:
+                        overlap_drops_dir = os.path.join(
+                            os.path.dirname(fps_dir), "overlap_drops"
+                        )
+                    dropped.select(
+                        F.col(icol),
+                        F.col("old_id"),
+                        F.col("_sh").alias("shared_fps"),
+                        thr.cast("int").alias("threshold"),
+                    ).withColumn(
+                        "src_batch_id", F.lit(int(batch_id)).cast("long")
+                    ).write.mode("overwrite").parquet(_part(overlap_drops_dir))
+                    audit = spark.read.parquet(_part(overlap_drops_dir))
+                    n_overlap_drop_pairs = audit.count()
+                    over = audit.select(icol).distinct()
+                else:
+                    over = dropped.select(icol).distinct()
+                batch_d = batch_d.join(over, icol, "left_anti")
+            batch_d = _st("overlap_dedup", batch_d)
+            # survivors' fingerprints ride to _write_admitted as an array
+            # column (short docs produce none → null, explode drops them)
+            batch_d = batch_d.join(
+                bfps.groupBy(icol).agg(F.collect_list("fp").alias("_fps")),
+                icol, "left",
+            )
+        if cfg.semantic_ledger:
+            # SemDeDup's cosine rule across batches AND runs (the semantic
+            # analog of the MinHash leg above, same ordering: within-batch
+            # first — the batch DAG's keep-one-representative rule — then
+            # cross-batch against admitted state). Embeddings are derived
+            # in-engine (hashed_text_embedding at the centroids' dimension),
+            # so the ledger is self-contained; state rows are
+            # (cell_id, old_id, old_vec) and the cross-run comparison is an
+            # equi-join on cell_id — within-cell work only, bounded by the
+            # index's cell sizing (√n cells at the auto config), never a
+            # scan of all admitted vectors.
+            from ..functions.vectors import cosine, hashed_text_embedding
+            from ..operators.similarity import _assign_cells, semdedup
 
-        dim = len(sem_centroids.limit(1).collect()[0].cent)
-        emb = batch_d.select(
-            F.col(icol).alias("vec_id"),
-            hashed_text_embedding(F.col(tcol), dim=dim).alias("embedding"),
-        ).localCheckpoint()  # feeds the verdict AND the assignment below
-        verd = semdedup(
-            emb, centroids=sem_centroids,
-            threshold=cfg.semdedup_threshold, impl=cfg.semdedup_impl,
-        )
-        batch_d = batch_d.join(
-            verd.filter(F.col("removed")).select(F.col("id").alias(icol)),
-            icol, "left_anti",
-        )
-        # survivors' cells + vectors: reused for the cross-run check and
-        # persisted for future batches by _write_admitted
-        cur = _assign_cells(
-            emb.join(
-                batch_d.select(F.col(icol).alias("vec_id")),
-                "vec_id", "left_semi",
-            ),
-            sem_centroids, "vec_id", 1, "vec_id", "embedding",
-        )
-        old_vecs = _read_state(spark, semvecs_dir, batch_id)
-        if old_vecs is not None:
-            if (n_in <= _SCAN_STATE_BCAST_MAX_ROWS
-                    and n_in * (dim + 2) <= _SCAN_STATE_BCAST_MAX_UNITS):
-                # 100 TB shape (round 13): semvecs/ grows with the
-                # corpus and the plain equi-join shuffled every admitted
-                # vector per micro-batch. Flip: the batch's (vec_id,
-                # cell_id, v) frame is batch-bounded, so broadcast IT and
-                # stream the state under a BroadcastHashJoin — output is
-                # bounded by the population of the batch's cells (√n-cell
-                # sizing), never the state size. The payload is n_in
-                # dim-sized vectors, not n_in rows — the units gate
-                # counts n_in × (dim + 2), or a doc-count-only gate
-                # would force-broadcast gigabytes at the 1M-doc cap.
-                cand_sem = relational.inner_join_scan_state(
-                    old_vecs, cur, "cell_id"
-                )
-            else:
-                # bulk backfill above the broadcast cap: plain join
-                cand_sem = cur.join(old_vecs, "cell_id")
-            near_sem = (
-                cand_sem
-                .filter(
-                    cosine(F.col("v"), F.col("old_vec"))
-                    >= F.lit(cfg.semdedup_threshold)
-                )
-                .select(F.col("vec_id").alias(icol))
-                .distinct()
+            dim = len(sem_centroids.limit(1).collect()[0].cent)
+            emb = batch_d.select(
+                F.col(icol).alias("vec_id"),
+                hashed_text_embedding(F.col(tcol), dim=dim).alias("embedding"),
+            ).localCheckpoint()  # feeds the verdict AND the assignment below
+            verd = semdedup(
+                emb, centroids=sem_centroids,
+                threshold=cfg.semdedup_threshold, impl=cfg.semdedup_impl,
             )
-            batch_d = batch_d.join(near_sem, icol, "left_anti")
-        batch_d = _st("semantic_dedup", batch_d)
-        batch_d = batch_d.join(
-            cur.select(
-                F.col("vec_id").alias(icol),
-                F.col("cell_id").alias("_semcell"),
-                F.col("v").alias("_semvec"),
-            ),
-            icol,
-        )
-        sem_emb_ckpt = emb  # released only after admitted materializes
-    else:
-        sem_emb_ckpt = None
-    admitted = batch_d.localCheckpoint()  # read once, write 2-5x below
-    idx_rep = None
-    bloom_rep = None
-    try:
-        if bloom_st is not None:
-            # SUPERSET crash ordering: the bitmap merge lands BEFORE
-            # the ledger append — a crash between them leaves extra
-            # bits (false-positive direction, harmless) and the
-            # replayed batch re-merges the same positions
-            # idempotently; the reverse order would leave ledger
-            # digests the bitmap doesn't know = false negatives =
-            # silently re-admitted duplicates.
-            from . import ledger_bloom as _lbm
+            batch_d = batch_d.join(
+                verd.filter(F.col("removed")).select(F.col("id").alias(icol)),
+                icol, "left_anti",
+            )
+            # survivors' cells + vectors: reused for the cross-run check and
+            # persisted for future batches by _write_admitted
+            cur = _assign_cells(
+                emb.join(
+                    batch_d.select(F.col(icol).alias("vec_id")),
+                    "vec_id", "left_semi",
+                ),
+                sem_centroids, "vec_id", 1, "vec_id", "embedding",
+            )
+            old_vecs = _read_state(spark, semvecs_dir, batch_id)
+            if old_vecs is not None:
+                if (n_in <= _SCAN_STATE_BCAST_MAX_ROWS
+                        and n_in * (dim + 2) <= _SCAN_STATE_BCAST_MAX_UNITS):
+                    # 100 TB shape (round 13): semvecs/ grows with the
+                    # corpus and the plain equi-join shuffled every admitted
+                    # vector per micro-batch. Flip: the batch's (vec_id,
+                    # cell_id, v) frame is batch-bounded, so broadcast IT and
+                    # stream the state under a BroadcastHashJoin — output is
+                    # bounded by the population of the batch's cells (√n-cell
+                    # sizing), never the state size. The payload is n_in
+                    # dim-sized vectors, not n_in rows — the units gate
+                    # counts n_in × (dim + 2), or a doc-count-only gate
+                    # would force-broadcast gigabytes at the 1M-doc cap.
+                    cand_sem = relational.inner_join_scan_state(
+                        old_vecs, cur, "cell_id"
+                    )
+                else:
+                    # bulk backfill above the broadcast cap: plain join
+                    cand_sem = cur.join(old_vecs, "cell_id")
+                near_sem = (
+                    cand_sem
+                    .filter(
+                        cosine(F.col("v"), F.col("old_vec"))
+                        >= F.lit(cfg.semdedup_threshold)
+                    )
+                    .select(F.col("vec_id").alias(icol))
+                    .distinct()
+                )
+                batch_d = batch_d.join(near_sem, icol, "left_anti")
+            batch_d = _st("semantic_dedup", batch_d)
+            batch_d = batch_d.join(
+                cur.select(
+                    F.col("vec_id").alias(icol),
+                    F.col("cell_id").alias("_semcell"),
+                    F.col("v").alias("_semvec"),
+                ),
+                icol,
+            )
+            sem_emb_ckpt = emb  # released only after admitted materializes
+        else:
+            sem_emb_ckpt = None
+        admitted = batch_d.localCheckpoint()  # read once, write 2-5x below
+        idx_rep = None
+        bloom_rep = None
+        try:
+            if bloom_st is not None:
+                # SUPERSET crash ordering: the bitmap merge lands BEFORE
+                # the ledger append — a crash between them leaves extra
+                # bits (false-positive direction, harmless) and the
+                # replayed batch re-merges the same positions
+                # idempotently; the reverse order would leave ledger
+                # digests the bitmap doesn't know = false negatives =
+                # silently re-admitted duplicates.
+                from . import ledger_bloom as _lbm
 
-            bloom_rep = _lbm.merge_batch(
-                spark, bloom_st, batch_id,
-                admitted.select(F.col("_digest").alias("digest")),
-                admitted.count(),
-            )
-        n_admit = _write_admitted(admitted, cfg, icol, _part,
-                                  ledger_dir, corpus_dir, sigs_dir,
-                                  bands_dir, _band_keys, semvecs_dir,
-                                  batch_id=batch_id, fps_dir=fps_dir)
-        if cfg.serve_index_append:
-            # after the ledgers commit: the admitted set is final for
-            # this batch; a crash before the append replays the whole
-            # batch (identical admitted set → identical append)
-            idx_rep = _append_serve_index(
-                spark, admitted, cfg, icol, batch_id, idxmap_dir
-            )
-    finally:
-        release_local_checkpoint(admitted)
-        if sem_emb_ckpt is not None:
-            # the eager checkpoint above is the last reader of the
-            # embedding blocks — release them now, not at driver GC
-            release_local_checkpoint(sem_emb_ckpt)
-        if fps_ckpt is not None:
-            release_local_checkpoint(fps_ckpt)
-        if bloom_probe_bcast is not None:
-            # admitted is checkpointed (and the writes above consumed
-            # it), so no surviving lineage re-executes the probe —
-            # release the bitmap broadcast NOW, not at python GC
-            bloom_probe_bcast.destroy()
-    rep = {
-        "batch_id": batch_id,
-        "corrupt_lines": n_corrupt,
-        "input_rows": n_in,
-        "admitted": n_admit,
-        "dropped": n_in - n_admit,
-    }
-    if pre_guard is not None:
-        # the replay guard ran: input_rows is already post-guard, and the
-        # guard's exclusions are reported so input vs stage_rows/admitted
-        # arithmetic reconciles (round-11 ADVICE)
-        rep["retraction_excluded"] = retraction_excluded
-    if stage_rows:
-        rep["stage_rows"] = stage_rows
-    if profile_drift is not None:
-        rep["profile_drift"] = profile_drift
-    if n_overlap_drop_pairs is not None:
-        rep["overlap_dropped_pairs"] = n_overlap_drop_pairs
-    if bloom_rep is not None:
-        # maybe == how many batch digests needed the ledger confirm-join
-        # (0 = the ledger was never read this batch); epoch = the
-        # sidecar epoch this batch's merge committed
-        rep["ledger_bloom"] = {
-            "epoch": bloom_rep["epoch"],
-            "maybe": int(bloom_maybe) if bloom_maybe is not None else 0,
+                bloom_rep = _lbm.merge_batch(
+                    spark, bloom_st, batch_id,
+                    admitted.select(F.col("_digest").alias("digest")),
+                    admitted.count(),
+                )
+            n_admit = _write_admitted(admitted, cfg, icol, _part,
+                                      ledger_dir, corpus_dir, sigs_dir,
+                                      bands_dir, _band_keys, semvecs_dir,
+                                      batch_id=batch_id, fps_dir=fps_dir)
+            if cfg.serve_index_append:
+                # after the ledgers commit: the admitted set is final for
+                # this batch; a crash before the append replays the whole
+                # batch (identical admitted set → identical append)
+                idx_rep = _append_serve_index(
+                    spark, admitted, cfg, icol, batch_id, idxmap_dir
+                )
+        finally:
+            release_local_checkpoint(admitted)
+            if sem_emb_ckpt is not None:
+                # the eager checkpoint above is the last reader of the
+                # embedding blocks — release them now, not at driver GC
+                release_local_checkpoint(sem_emb_ckpt)
+            if fps_ckpt is not None:
+                release_local_checkpoint(fps_ckpt)
+        rep = {
+            "batch_id": batch_id,
+            "corrupt_lines": n_corrupt,
+            "input_rows": n_in,
+            "admitted": n_admit,
+            "dropped": n_in - n_admit,
         }
-    if idx_rep is not None:
-        rep["index_batch_id"] = idx_rep["batch_id"]
-        rep["index_appended"] = idx_rep["rows"]
-        comp = _maybe_compact_serve_index(spark, cfg)
-        if comp is not None:
-            rep["index_compacted"] = comp
-    return rep
+        if pre_guard is not None:
+            # the replay guard ran: input_rows is already post-guard, and the
+            # guard's exclusions are reported so input vs stage_rows/admitted
+            # arithmetic reconciles (round-11 ADVICE)
+            rep["retraction_excluded"] = retraction_excluded
+        if stage_rows:
+            rep["stage_rows"] = stage_rows
+        if profile_drift is not None:
+            rep["profile_drift"] = profile_drift
+        if n_overlap_drop_pairs is not None:
+            rep["overlap_dropped_pairs"] = n_overlap_drop_pairs
+        if bloom_rep is not None:
+            # maybe == how many batch digests needed the ledger confirm-join
+            # (0 = the ledger was never read this batch); epoch = the
+            # sidecar epoch this batch's merge committed
+            rep["ledger_bloom"] = {
+                "epoch": bloom_rep["epoch"],
+                "maybe": int(bloom_maybe) if bloom_maybe is not None else 0,
+            }
+        if idx_rep is not None:
+            rep["index_batch_id"] = idx_rep["batch_id"]
+            rep["index_appended"] = idx_rep["rows"]
+            comp = _maybe_compact_serve_index(spark, cfg)
+            if comp is not None:
+                rep["index_compacted"] = comp
+        return rep
+    finally:
+        if bloom_probe_bcast is not None:
+            # round-14 ADVICE: the destroy must own the WHOLE
+            # post-broadcast section — an exception in the
+            # minhash/overlap/semantic legs between broadcast
+            # creation and the admitted checkpoint would
+            # otherwise leak the m/8-byte block until python GC
+            # (the failure-path twin of the round-13 fix). The
+            # success path destroys at the same point as before:
+            # admitted is checkpointed and the writes consumed
+            # it, so no surviving lineage re-executes the probe.
+            bloom_probe_bcast.destroy()
 
 
 def _maybe_coarsen_overlap(spark, state_dir: str, cfg,

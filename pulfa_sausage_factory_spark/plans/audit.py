@@ -204,3 +204,47 @@ def assert_scan_streams_into_broadcast_join(
                 f"state scan {scan_id} of {path_needle!r} has no Join "
                 f"ancestor (walked {between}):\n{plan}"
             )
+
+
+def assert_no_pre_join_aggregate(df: DataFrame, path_needle: str) -> None:
+    """Round 14 (VERDICT item 3): the bulk-backfill fallback must not
+    aggregate the ENTIRE state table before joining it with the batch —
+    every parquet scan whose ``Location`` contains ``path_needle`` must
+    reach its nearest Join ancestor with NO Aggregate node in between
+    (Exchanges are allowed: the fallback's shuffled join is the point).
+    The compliant shape computes per-key stats AFTER the join restricts
+    state to batch-colliding keys (window over the collision remnant),
+    so the full-state groupBy disappears from the plan entirely."""
+    import re
+
+    plan = explain_formatted(df)
+    nodes = _parse_plan_tree(plan)
+    scan_ids: list[int] = []
+    cur_id, cur_label = None, ""
+    for ln in plan.splitlines():
+        m = re.match(r"^\((\d+)\)\s+(\S.*)$", ln)
+        if m:
+            cur_id, cur_label = int(m.group(1)), m.group(2)
+        elif (
+            cur_id is not None
+            and "Location" in ln
+            and path_needle in ln
+            and "Scan" in cur_label
+            and cur_id not in scan_ids
+        ):
+            scan_ids.append(cur_id)
+    assert scan_ids, f"no parquet scan of {path_needle!r} in plan:\n{plan}"
+    for scan_id in scan_ids:
+        nid = nodes.get(scan_id, (None, None))[1]
+        between: list[str] = []
+        while nid is not None:
+            label, parent = nodes[nid]
+            if "Join" in label:
+                break
+            assert "Aggregate" not in label, (
+                f"{label!r} aggregates the full state scan {scan_id} of "
+                f"{path_needle!r} before any join (path so far: "
+                f"{between}):\n{plan}"
+            )
+            between.append(label)
+            nid = parent

@@ -336,6 +336,56 @@ def test_ingest_run_report_df_mirrors_batch_reports(spark, tmp_path):
     assert rows[0].maintenance == ""
 
 
+def test_run_report_carries_end_of_run_maintenance_plan(spark, tmp_path):
+    # round 14 (VERDICT item 6): cfg.maintenance_plan_at_end runs
+    # suggest_maintenance once after the stream terminates and the run
+    # report carries its rows; ingest_run_report_df mirrors them as one
+    # summary row (null batch_id) in the maintenance column.
+    import json as _json
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        ingest_run_report_df,
+        run_incremental_curation,
+    )
+
+    work = tmp_path / "run_plan"
+    landing = str(work / "landing")
+    docs = [{"doc_id": i, "text": f"catalog entry {i} about survey "
+                                  f"plats and township grids"}
+            for i in range(6)]
+    spark.createDataFrame(
+        [( _json.dumps(d),) for d in docs], "value string"
+    ).coalesce(1).write.mode("overwrite").text(landing)
+
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none",
+                         maintenance_plan_at_end=True)
+    rep = run_incremental_curation(spark, landing, str(work / "state"), cfg)
+    assert "maintenance_plan" in rep
+    assert isinstance(rep["maintenance_plan"], list)
+    for row in rep["maintenance_plan"]:
+        assert set(row) == {"surface", "verb", "urgency", "reason"}
+
+    mirror = ingest_run_report_df(spark, rep)
+    summary = [r for r in mirror.collect() if r.batch_id is None]
+    assert len(summary) == 1
+    m = summary[0].maintenance
+    assert m.startswith("plan: ")
+    if rep["maintenance_plan"]:
+        assert all(
+            f"{p['surface']}.{p['verb']}" in m
+            for p in rep["maintenance_plan"]
+        )
+    else:
+        assert m == "plan: clean"
+    # without the knob: no summary row (the r12 shape is unchanged)
+    off = dict(rep)
+    off.pop("maintenance_plan")
+    assert all(
+        r.batch_id is not None
+        for r in ingest_run_report_df(spark, off).collect()
+    )
+
+
 def test_check_ingest_state_bloom_legs(spark, tmp_path):
     # round 13 (VERDICT r12 item 3): the bloom sidecar's no-false-
     # negative invariant gets an fsck leg — a sampled probe of ledger

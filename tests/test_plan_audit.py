@@ -88,3 +88,40 @@ def test_no_query_plans_pathological_exchange_counts(spark, sf_dir):
         if n > 8:
             offenders[name] = n
     assert not offenders, offenders
+
+
+def test_no_pre_join_aggregate_walker_both_directions(spark, tmp_path):
+    # round 14 (VERDICT item 3): the walker that pins "the fallback has
+    # no full-state groupBy" must PASS the restrict-then-window shape
+    # and FAIL the old aggregate-the-whole-state-before-joining shape.
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    path = str(tmp_path / "walker_state")
+    spark.range(2_000).select(
+        (F.col("id") % 50).alias("fp"),
+        F.concat(F.lit("o"), F.col("id").cast("string")).alias("old_id"),
+    ).write.mode("overwrite").parquet(path)
+    state = spark.read.parquet(path)
+    batch = spark.range(40).select((F.col("id") % 20).alias("fp"))
+
+    good = (
+        state.join(batch.distinct(), "fp")
+        .select("fp", "old_id")
+        .repartition("fp")
+        .dropDuplicates(["fp", "old_id"])
+        .withColumn("_df", F.count("old_id").over(Window.partitionBy("fp")))
+        .filter(F.col("_df") <= 10)
+    )
+    plans.assert_no_pre_join_aggregate(good, "walker_state")
+
+    bad = state.join(
+        state.groupBy("fp")
+        .agg(F.countDistinct("old_id").alias("_df"))
+        .filter(F.col("_df") <= 10)
+        .select("fp"),
+        "fp", "left_semi",
+    ).join(batch.distinct(), "fp")
+    with pytest.raises(AssertionError, match="aggregates the full state"):
+        plans.assert_no_pre_join_aggregate(bad, "walker_state")

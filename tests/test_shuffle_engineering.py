@@ -271,7 +271,10 @@ def test_overlap_and_semantic_legs_never_shuffle_the_state(spark, tmp_path):
             old_fps, bshared.select("fp").distinct(), "fp"
         )
         .select("fp", "old_id")
-        .distinct()
+        # the production remnant shape (round 14): repartition by fp
+        # FIRST so the dedup aggregate AND the window share ONE exchange
+        .repartition("fp")
+        .dropDuplicates(["fp", "old_id"])
     )
     flipped_ok = (
         hit.withColumn("_df", F.count("old_id").over(Window.partitionBy("fp")))
@@ -294,6 +297,43 @@ def test_overlap_and_semantic_legs_never_shuffle_the_state(spark, tmp_path):
     # the viral fp must actually have been capped out on both paths
     assert flipped_ok.filter(F.col("fp") == 7).count() == 0
     audit.assert_scan_streams_into_broadcast_join(flipped, "fps_state")
+
+    # ---- round 14 (VERDICT item 3): the bulk-backfill FALLBACK shares
+    # the same restrict-then-window body with a plain shuffled join — it
+    # must (a) decide identically, (b) plan NO full-state aggregate (the
+    # old fallback's df-cap groupBy over the entire fps state is gone;
+    # the only aggregate-feeding read of state is post-join, collision-
+    # bounded). The shuffled join itself is legitimate here.
+    fb_hit = (
+        old_fps.join(bshared.select("fp").distinct(), "fp")
+        .select("fp", "old_id")
+        .repartition("fp")
+        .dropDuplicates(["fp", "old_id"])
+    )
+    fallback_ok = (
+        fb_hit.withColumn(
+            "_df", F.count("old_id").over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("_df") <= cap)
+        .drop("_df")
+    )
+    fallback = capped_shared(fallback_ok)
+    assert sorted(map(tuple, fallback.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    assert fallback_ok.filter(F.col("fp") == 7).count() == 0
+    audit.assert_no_pre_join_aggregate(fallback, "fps_state")
+    # the fp-repartition actually collapses the remnant to ONE exchange:
+    # dedup agg and window both ride HashPartitioning(fp) — a bare
+    # .distinct() shape pays a second (fp, old_id) exchange
+    two_shape = (
+        old_fps.join(bshared.select("fp").distinct(), "fp")
+        .select("fp", "old_id").distinct()
+        .withColumn("_df", F.count("old_id").over(Window.partitionBy("fp")))
+        .filter(F.col("_df") <= cap).drop("_df")
+    )
+    assert (audit.count_exchanges(fallback_ok)
+            == audit.count_exchanges(two_shape) - 1)
 
     # ---- semantic leg: batch cells/vectors vs admitted-vector state
     sem_path = str(tmp_path / "semvecs_state")
