@@ -83,70 +83,15 @@ STDOUT_FIELDS = (
 )
 
 
-def _load1() -> float | None:
-    """1-minute loadavg (None off-Linux)."""
-    try:
-        with open("/proc/loadavg") as fh:
-            return float(fh.read().split()[0])
-    except (OSError, ValueError, IndexError):
-        return None
+# environment probes — ONE implementation shared with stress.py (round-14
+# VERDICT item 1: stress figures must self-adjudicate like bench figures);
+# the aliases keep bench.py's established names and stdout contract
+from pulfa_sausage_factory_spark import envprobe
 
-
-def _proc_stat_cpu() -> tuple[int, int, int] | None:
-    """Cumulative host CPU jiffies from /proc/stat's aggregate line:
-    ``(busy, steal, total)`` — deltas over the bench run give the
-    host-contention and hypervisor-steal fractions that adjudicate
-    cross-round drift (None off-Linux)."""
-    try:
-        with open("/proc/stat") as fh:
-            parts = fh.readline().split()
-        if parts[0] != "cpu":
-            return None
-        vals = [int(v) for v in parts[1:]]
-        # user nice system idle iowait irq softirq steal [guest guest_nice]
-        total = sum(vals[:8])
-        idle = vals[3] + vals[4]
-        steal = vals[7] if len(vals) > 7 else 0
-        return total - idle, steal, total
-    except (OSError, ValueError, IndexError):
-        return None
-
-
-def _calibrate_ms(reps: int = 3) -> float:
-    """Fixed tiny CPU-bound loop, min-of-reps wall time in ms — a
-    direct single-core steal/contention probe: the loop's work is
-    constant, so any wall-time excess over the machine's own baseline is
-    the session's contention, and dividing a cross-round headline delta
-    by the calibration delta separates code regressions from host
-    variance (round-11 VERDICT item 4 — adjudicating r10→r11's
-    7.4→8.8 s drift cost the judge a full manual rerun)."""
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        acc = 0
-        for i in range(500_000):
-            acc += i * i
-        best = min(best, time.perf_counter() - t0)
-    return round(best * 1000.0, 2)
-
-
-def _env_context(start: dict) -> dict:
-    """Close out the environment context begun by the start sample:
-    bounded scalar keys only (rides the stdout line — keys are part of
-    the round-over-round contract, keep them stable)."""
-    env = {
-        "load1_start": start.get("load1"),
-        "load1_end": _load1(),
-        "calib_ms_start": start.get("calib_ms"),
-        "calib_ms_end": _calibrate_ms(),
-        "wall_sec": round(time.perf_counter() - start["t0"], 1),
-    }
-    cpu0, cpu1 = start.get("cpu"), _proc_stat_cpu()
-    if cpu0 and cpu1 and cpu1[2] > cpu0[2]:
-        dt = cpu1[2] - cpu0[2]
-        env["host_busy_pct"] = round(100.0 * (cpu1[0] - cpu0[0]) / dt, 1)
-        env["steal_pct"] = round(100.0 * (cpu1[1] - cpu0[1]) / dt, 2)
-    return env
+_load1 = envprobe.load1
+_proc_stat_cpu = envprobe.proc_stat_cpu
+_calibrate_ms = envprobe.calibrate_ms
+_env_context = envprobe.env_context
 
 #: Hard budget for the serialized stdout line — the driver keeps the last
 #: 2,000 chars of stdout; 1,900 leaves margin for a trailing newline and
@@ -235,8 +180,9 @@ EXTRA_REPS = {
 #: anchor. The adjusted headline divides out session contention
 #: mechanically: value × (CALIB_REF_MS / mean(calib start, end)). A
 #: future host change re-anchors this constant IN THE SAME COMMIT that
-#: documents it — never silently.
-CALIB_REF_MS = 33.0
+#: documents it — never silently. Canonical value lives in envprobe so
+#: stress.py adjusts against the same anchor.
+CALIB_REF_MS = envprobe.CALIB_REF_MS
 
 BENCH_QUERIES = [
     "q1_pricing_summary",

@@ -23,7 +23,7 @@ import time
 
 from pyspark.sql import functions as F
 
-from pulfa_sausage_factory_spark import io
+from pulfa_sausage_factory_spark import envprobe, io
 from pulfa_sausage_factory_spark.functions import sampling
 from pulfa_sausage_factory_spark.operators import dedup, events, similarity
 from pulfa_sausage_factory_spark.session import get_spark
@@ -170,6 +170,7 @@ def _bucketed_fact_stress(spark, sf_dir: str, amp: int, out: dict, run) -> None:
         orders_p = spark.read.parquet(f"{work}/orders")
         li_p = spark.read.parquet(f"{work}/lineitem")
 
+        probe = envprobe.op_probe()
         t0 = time.perf_counter()
         bucketed.write_bucketed(
             orders_p, f"default.{tables[0]}", "o_orderkey", 32, "o_orderkey"
@@ -181,6 +182,7 @@ def _bucketed_fact_stress(spark, sf_dir: str, amp: int, out: dict, run) -> None:
         out["ops"]["bucketize_facts_ingest"] = {
             "rows": orders_p.count() + li_p.count(),
             "sec": bucketize_sec,
+            "env": probe,
         }
         orders_b = spark.table(f"default.{tables[0]}")
         li_b = spark.table(f"default.{tables[1]}")
@@ -203,6 +205,11 @@ def _bucketed_fact_stress(spark, sf_dir: str, amp: int, out: dict, run) -> None:
 def main() -> None:
     amp = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # environment context (round-14 VERDICT item 1: stress figures must
+    # self-adjudicate like bench figures — r13's missing env block
+    # manufactured three phantom cross-round "regressions"): run-header
+    # block + a per-row load1/calib probe on every recorded op
+    env0 = envprobe.env_start()
     spark = get_spark("stress")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -212,10 +219,11 @@ def main() -> None:
     out = {"amplify": amp, "n_docs": n_docs, "n_events": n_ev, "ops": {}}
 
     def run(name, fn):
+        probe = envprobe.op_probe()
         t0 = time.perf_counter()
         n = fn().count()
         dt = round(time.perf_counter() - t0, 2)
-        out["ops"][name] = {"rows": n, "sec": dt}
+        out["ops"][name] = {"rows": n, "sec": dt, "env": probe}
         print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
 
     run("exact_dedup", lambda: dedup.exact_dedup(docs))
@@ -415,6 +423,7 @@ def main() -> None:
         run_curation,
     )
 
+    probe = envprobe.op_probe()
     t0 = time.perf_counter()
     rep = run_curation(
         spark,
@@ -426,6 +435,7 @@ def main() -> None:
     out["ops"]["curation_pipeline"] = {
         "rows": rep["output_rows"],
         "sec": dt,
+        "env": probe,
         "stages": {s["stage"]: s["rows"] for s in rep["stages"]},
     }
     print(f"# curation_pipeline: {rep['output_rows']} rows in {dt}s", file=sys.stderr)
@@ -449,6 +459,7 @@ def main() -> None:
         docs.select(F.col("doc_id"), F.col("text")).write.mode(
             "overwrite"
         ).option("maxRecordsPerFile", 100_000).json(landing)
+        probe = envprobe.op_probe()
         t0 = time.perf_counter()
         irep = run_incremental_curation(
             spark, landing, f"{work}/state",
@@ -472,6 +483,7 @@ def main() -> None:
         out["ops"]["incremental_ingest"] = {
             "rows": irep["total_admitted"],
             "sec": dt,
+            "env": probe,
             "dup_rerun_admitted": irep2["total_admitted"],
             "dup_rerun_sec": dt2,
         }
@@ -506,6 +518,7 @@ def main() -> None:
             min_quality=0.0, neardup_method="none", ledger_bloom=True,
             ledger_bloom_expected_items=4_000_000,
         )
+        probe = envprobe.op_probe()
         _fresh("a", 2_000_000_000)
         t0 = time.perf_counter()
         ra = run_incremental_curation(
@@ -529,6 +542,7 @@ def main() -> None:
             for b in rc["batches"]
         )
         out["ops"]["ledger_bloom_ingest"] = {
+            "env": probe,
             "fresh_rows": ra["total_admitted"],
             "fresh_plain_sec": dt_off,
             "bloom_catchup_sec": dt_catchup,
@@ -576,6 +590,7 @@ def main() -> None:
             min_quality=0.0, neardup_method="none", overlap_ledger=True,
             ingest_compact_max_files=8,
         )
+        probe = envprobe.op_probe()
         t0 = time.perf_counter()
         orep = run_incremental_curation(
             spark, landing, f"{work}/state", ocfg
@@ -591,6 +606,7 @@ def main() -> None:
         ).write.mode("append").option(
             "maxRecordsPerFile", 100_000
         ).json(landing)
+        probe2 = envprobe.op_probe()
         t0 = time.perf_counter()
         orep2 = run_incremental_curation(
             spark, landing, f"{work}/state", ocfg
@@ -599,6 +615,8 @@ def main() -> None:
         out["ops"]["overlap_ingest"] = {
             "rows": orep["total_admitted"],
             "sec": dt,
+            "env": probe,
+            "partial_copy_env": probe2,
             "partial_copies_landed": orep2["batches"][-1]["input_rows"]
             if orep2["batches"] else 0,
             "partial_copy_admitted": orep2["total_admitted"],
@@ -637,6 +655,7 @@ def main() -> None:
             ocfg, overlap_sample_mod="auto",
             overlap_coarsen_above_rows=max(1, fps_rows // 2),
         )
+        probe = envprobe.op_probe()
         t0 = time.perf_counter()
         orep3 = run_incremental_curation(spark, landing, f"{work}/state", ocfg_c)
         dt_c = round(time.perf_counter() - t0, 2)
@@ -647,6 +666,7 @@ def main() -> None:
             "row_budget": max(1, fps_rows // 2),
             "cadence": co,
             "sec": dt_c,
+            "env": probe,
         }
         print(
             f"# overlap_auto_coarsen: {co} in {dt_c}s "
@@ -665,6 +685,7 @@ def main() -> None:
                 for r in spark.read.parquet(f"{work}/state/corpus")
                 .select("doc_id").limit(1000).collect()
             ]
+            probe = envprobe.op_probe()
             t0 = time.perf_counter()
             rrep = retract_documents(spark, f"{work}/state", rids, ocfg)
             dt3 = round(time.perf_counter() - t0, 2)
@@ -677,6 +698,7 @@ def main() -> None:
                 "found": rrep["found"],
                 "scrubbed": rrep["scrubbed"],
                 "sec": dt3,
+                "env": probe,
                 # the verb's own postcondition check (round 12) next to
                 # the external probe it mirrors
                 "residual": rrep.get("residual"),
@@ -703,6 +725,7 @@ def main() -> None:
                 prune_ingest_audit,
             )
 
+            probe = envprobe.op_probe()
             t0 = time.perf_counter()
             prep = prune_ingest_audit(spark, f"{work}/state", ocfg)
             dt4 = round(time.perf_counter() - t0, 2)
@@ -712,6 +735,7 @@ def main() -> None:
                 "overlap_drops": prep["overlap_drops"],
                 "retained_incomplete": prep["retained_incomplete"],
                 "sec": dt4,
+                "env": probe,
             }
             print(
                 f"# prune_ingest_audit: retracted {prep['retracted']} "
@@ -734,6 +758,7 @@ def main() -> None:
                 check_ingest_state,
             )
 
+            probe = envprobe.op_probe()
             t0 = time.perf_counter()
             frep = check_ingest_state(spark, f"{work}/state", ocfg)
             checks = frep.collect()
@@ -746,6 +771,7 @@ def main() -> None:
                 "checks": len(checks),
                 "not_ok": bad,
                 "sec": dt5,
+                "env": probe,
             }
             print(
                 f"# check_ingest_state: {len(checks)} checks, "
@@ -757,15 +783,125 @@ def main() -> None:
                 "error": f"{type(exc).__name__}: {exc}"[:300]
             }
             print(f"# check_ingest_state FAILED — {exc}", file=sys.stderr)
+        # round-14 (VERDICT item 5): the maintenance planner END-TO-END
+        # at 100x-sized state — dirty state → plan names verbs → run the
+        # named verbs → plan empties of recommendations. The planner
+        # promises listings-only cheapness; its own wall time at this
+        # state volume is the evidence. Planning uses a cadence-free cfg
+        # (the run above had ingest_compact_max_files set, which
+        # downgrades file-growth items to cadence-owned info rows) and a
+        # LOW max_files so the amplified state is genuinely over budget.
+        try:
+            from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (  # noqa: E501
+                compact_ingest_state,
+            )
+            from pulfa_sausage_factory_spark.pipelines.maintenance import (
+                suggest_maintenance,
+            )
+
+            # "auto" adopts whatever mod the auto-coarsen block above
+            # re-pinned in fps_meta — ocfg's explicit mod would hit the
+            # documented contradiction refusal
+            mcfg = dc_replace(ocfg, ingest_compact_max_files=None,
+                              overlap_sample_mod="auto")
+            # the run above folds in-pipeline (its cadence), so dirty the
+            # state deterministically: five cadence-FREE mini-batches land
+            # five per-batch dirs on every state surface — genuinely over
+            # a max_files=4 budget regardless of amplification
+            for i in range(5):
+                subset.limit(20).select(
+                    (F.col("doc_id") + 4_000_000_000 + i * 100_000)
+                    .alias("doc_id"),
+                    F.concat(F.col("text"),
+                             F.lit(f" maintenance drop {i} "),
+                             F.col("doc_id").cast("string")).alias("text"),
+                ).write.mode("append").option(
+                    "maxRecordsPerFile", 100_000
+                ).json(landing)
+                run_incremental_curation(
+                    spark, landing, f"{work}/state", mcfg
+                )
+            probe = envprobe.op_probe()
+            t0 = time.perf_counter()
+            plan1 = suggest_maintenance(
+                spark, f"{work}/state", mcfg, max_files=4
+            ).collect()
+            plan1_sec = round(time.perf_counter() - t0, 2)
+            verbs = sorted({
+                r.verb for r in plan1
+                if r.urgency in ("recommend", "urgent")
+            })
+            t0 = time.perf_counter()
+            executed = []
+            for verb in verbs:
+                # run exactly the verbs the plan named (the planner only
+                # recommends state-dir verbs on this state shape)
+                if verb == "compact_ingest_state":
+                    compact_ingest_state(
+                        spark, f"{work}/state", max_files=4
+                    )
+                    executed.append(verb)
+            verbs_sec = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            plan2 = suggest_maintenance(
+                spark, f"{work}/state", mcfg, max_files=4
+            ).collect()
+            plan2_sec = round(time.perf_counter() - t0, 2)
+            left = [
+                f"{r.surface}.{r.verb}" for r in plan2
+                if r.urgency in ("recommend", "urgent")
+                and r.verb in executed
+            ]
+            out["ops"]["suggest_maintenance"] = {
+                "plan_rows_before": len(plan1),
+                "recommended_verbs": verbs,
+                "executed": executed,
+                "plan_rows_after": len(plan2),
+                "executed_verbs_still_due": left,
+                "plan_sec": plan1_sec,
+                "replan_sec": plan2_sec,
+                "verbs_sec": verbs_sec,
+                "env": probe,
+            }
+            print(
+                f"# suggest_maintenance: {len(plan1)} rows "
+                f"({plan1_sec}s) -> ran {executed} ({verbs_sec}s) -> "
+                f"{len(plan2)} rows ({plan2_sec}s), still due: {left}",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            out["ops"]["suggest_maintenance"] = {
+                "error": f"{type(exc).__name__}: {exc}"[:300]
+            }
+            print(f"# suggest_maintenance FAILED — {exc}", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001 — record, keep the evidence
         out["ops"]["overlap_ingest"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
         print(f"# overlap_ingest FAILED — {exc}", file=sys.stderr)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+    # run-header environment context (round-14 VERDICT item 1) — the same
+    # block bench.py carries, closing over the whole run
+    out["env"] = envprobe.env_context(env0)
+    out["calib_ref_ms"] = envprobe.CALIB_REF_MS
     print(json.dumps(out))
 
 
-def bloom_trend(spark, sizes, batch_rows: int = 50_000) -> dict:
+def _drop_page_cache() -> bool:
+    """Best-effort page-cache drop (sync + ``drop_caches=3``) — the
+    round-14 storage-latency seam for :func:`bloom_trend`'s cold mode.
+    Returns False when the container denies the knob (cold mode then
+    refuses loudly instead of silently measuring warm reads)."""
+    try:
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as fh:
+            fh.write("3")
+        return True
+    except OSError:
+        return False
+
+
+def bloom_trend(spark, sizes, batch_rows: int = 50_000,
+                cold_reads: bool = False) -> dict:
     """Round 13 (VERDICT r12 item 2): measure the ledger-Bloom
     break-even TREND, not just the arithmetic — grow the digest ledger
     across decades and record the plain-scan vs bloom-steady per-batch
@@ -791,7 +927,20 @@ def bloom_trend(spark, sizes, batch_rows: int = 50_000) -> dict:
     digests. Batches are fresh (all-new digests) — the 100 TB common
     case the sidecar exists for. Two timed reps per mode (min + spread
     recorded); the one-time catch-up merge of the whole ledger is
-    reported separately (it amortizes over every later batch)."""
+    reported separately (it amortizes over every later batch).
+
+    ``cold_reads=True`` (round-14 VERDICT item 2 — the storage-latency
+    seam, CLEARLY A SIMULATION): drop the OS page cache before every
+    timed ingest, so each batch's state reads hit storage instead of
+    RAM — the claimed payoff regime (object stores / billed IO) minus
+    its per-request latency, i.e. a LOWER BOUND on the remote-storage
+    benefit. On page-cached local parquet (the default mode) the plain
+    ledger scan is nearly free and r13's trend showed bloom losing
+    everywhere; cold mode measures whether removing that page-cache
+    subsidy flips the sign: the plain path must re-read the full
+    ledger (~33 B/row parquet) per batch, while the bloom-steady path
+    reads the m/8-byte bitmap + deltas and — at maybe=0 — never
+    touches the ledger at all."""
     import shutil
     import tempfile
 
@@ -823,6 +972,18 @@ def bloom_trend(spark, sizes, batch_rows: int = 50_000) -> dict:
     from pulfa_sausage_factory_spark.functions.bloom import bloom_params
     from pulfa_sausage_factory_spark.pipelines import ledger_bloom as _lbm
 
+    if cold_reads and not _drop_page_cache():
+        raise RuntimeError(
+            "cold_reads requested but /proc/sys/vm/drop_caches is not "
+            "writable in this container — refusing to mislabel warm "
+            "measurements as cold"
+        )
+
+    def _pre_timed():
+        # the seam: every timed ingest starts with NOTHING page-cached
+        if cold_reads:
+            _drop_page_cache()
+
     table = []
     for n_ledger in sizes:
         bloom_cfg = CurationConfig(
@@ -851,13 +1012,16 @@ def bloom_trend(spark, sizes, batch_rows: int = 50_000) -> dict:
             _ingest_batch(spark, fresh_lines(bid), bid, plain_cfg,
                           state, sch)  # untimed warmup (JIT + footers)
             bid += 1
+            probe = envprobe.op_probe()
             plain_secs = []
             for _ in range(2):
+                _pre_timed()
                 t0 = time.perf_counter()
                 _ingest_batch(spark, fresh_lines(bid), bid, plain_cfg,
                               state, sch)
                 plain_secs.append(round(time.perf_counter() - t0, 2))
                 bid += 1
+            _pre_timed()
             t0 = time.perf_counter()
             _ingest_batch(spark, fresh_lines(bid), bid, bloom_cfg,
                           state, sch)  # one-time whole-ledger catch-up
@@ -865,6 +1029,7 @@ def bloom_trend(spark, sizes, batch_rows: int = 50_000) -> dict:
             bid += 1
             steady_secs, maybe = [], 0
             for _ in range(2):
+                _pre_timed()
                 t0 = time.perf_counter()
                 rep = _ingest_batch(spark, fresh_lines(bid), bid,
                                     bloom_cfg, state, sch)
@@ -874,6 +1039,8 @@ def bloom_trend(spark, sizes, batch_rows: int = 50_000) -> dict:
             row = {
                 "n_ledger": int(n_ledger),
                 "delta_mode": bool(delta_mode),
+                "cold_reads": bool(cold_reads),
+                "env": probe,
                 "synth_sec": t_synth,
                 "plain_sec": min(plain_secs),
                 "plain_reps": plain_secs,
@@ -901,19 +1068,31 @@ def bloom_trend(spark, sizes, batch_rows: int = 50_000) -> dict:
         finally:
             shutil.rmtree(work, ignore_errors=True)
     return {"metric": "bloom_break_even_trend",
-            "batch_rows": batch_rows, "table": table}
+            "batch_rows": batch_rows, "cold_reads": bool(cold_reads),
+            "table": table}
 
 
 def bloom_main() -> None:
-    """`python stress.py bloom [N ...]` — the break-even trend across
-    ledger decades (default 1.2M / 12M / 120M rows; 120M × ~32 B of
-    digest is ~4 GB of parquet, sandbox-feasible)."""
-    sizes = [int(a) for a in sys.argv[2:]] or [
+    """`python stress.py bloom [cold] [N ...]` — the break-even trend
+    across ledger decades (default 1.2M / 12M / 120M rows; 120M ×
+    ~32 B of digest is ~4 GB of parquet, sandbox-feasible). ``cold``
+    drops the page cache before every timed ingest — the round-14
+    storage-latency seam (a labeled simulation of non-page-cached
+    storage; see bloom_trend's docstring)."""
+    args = sys.argv[2:]
+    cold = bool(args) and args[0] == "cold"
+    if cold:
+        args = args[1:]
+    sizes = [int(a) for a in args] or [
         1_200_000, 12_000_000, 120_000_000
     ]
+    env0 = envprobe.env_start()
     spark = get_spark("stress-bloom-trend")
     spark.sparkContext.setLogLevel("ERROR")
-    print(json.dumps(bloom_trend(spark, sizes)))
+    out = bloom_trend(spark, sizes, cold_reads=cold)
+    out["env"] = envprobe.env_context(env0)
+    out["calib_ref_ms"] = envprobe.CALIB_REF_MS
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -119,3 +119,33 @@ def test_headline_vocabulary_is_pinned():
     # 14th extra added round 10 (overlap_fps_ingest — VERDICT r9 item 2)
     assert len(bench.EXTRA_KEYS) == 14
     assert len(set(bench.BENCH_QUERIES) & set(bench.EXTRA_KEYS)) == 0
+
+
+def test_env_probes_are_shared_with_stress():
+    # round 14 (VERDICT item 1): ONE env-probe implementation for both
+    # harnesses — bench.py's established names must BE envprobe's
+    # functions (aliases, not copies), the calib anchor must be the one
+    # constant, and the probe outputs must stay bounded scalars (they
+    # ride serialized stdout lines whose keys are contract).
+    from pulfa_sausage_factory_spark import envprobe
+
+    assert bench._load1 is envprobe.load1
+    assert bench._proc_stat_cpu is envprobe.proc_stat_cpu
+    assert bench._calibrate_ms is envprobe.calibrate_ms
+    assert bench._env_context is envprobe.env_context
+    assert bench.CALIB_REF_MS == envprobe.CALIB_REF_MS
+
+    start = envprobe.env_start()
+    assert {"t0", "load1", "calib_ms", "cpu"} <= set(start)
+    ctx = envprobe.env_context(start)
+    for key in ("load1_start", "load1_end", "calib_ms_start",
+                "calib_ms_end", "wall_sec"):
+        assert key in ctx
+    assert all(
+        v is None or isinstance(v, (int, float)) for v in ctx.values()
+    )
+    probe = envprobe.op_probe()
+    assert set(probe) == {"load1", "calib_ms"}
+    assert all(
+        v is None or isinstance(v, (int, float)) for v in probe.values()
+    )
