@@ -42,6 +42,7 @@ from pulfa_sausage_factory_spark.operators.similarity import (
     _centroid_signature,
     _codebook_config,
     _codebook_signature,
+    cache_artifact_rows,
     codes_stamp,
     knn_pq_rerank,
     pq_encode,
@@ -323,10 +324,17 @@ def load_pq_index(
     )
     codes = spark.read.parquet(codes_src)
 
-    # grid + carried-config validation from ONE collect — the codebook
-    # table is m × n_codes rows (KBs) and serve-session load latency is
-    # what this module exists to minimize
-    cb_rows = codebooks.select("sub", "code", "residual", "cent_sig").collect()
+    # grid + carried-config validation from ONE full collect — the
+    # codebook table is m × n_codes rows (KBs) and serve-session load
+    # latency is what this module exists to minimize; the signature
+    # check below reuses these rows instead of re-collecting, and the
+    # memo is SEEDED onto the handle so the serve path's own
+    # config/signature/grid validations are job-free (round-14 VERDICT
+    # item 4: each re-collect of a KB-sized parquet table is a full
+    # Spark job, ~100-200 ms of pure scheduling — the measured x3s
+    # drift was these jobs accumulating)
+    cb_rows = codebooks.collect()
+    cache_artifact_rows(codebooks, cb_rows)
     grid_m = 1 + max((r.sub for r in cb_rows), default=-1)
     grid_nc = 1 + max((r.code for r in cb_rows), default=-1)
     if not (grid_m == meta["m"] and grid_nc == meta["n_codes"]
@@ -352,6 +360,8 @@ def load_pq_index(
     # the codebooks actually on disk.
     want_cb = meta.get("cb_sig")
     if want_cb is not None:
+        # content-derived, so the local rehydration fingerprints
+        # identically to the disk table it was collected from
         disk_cb = _codebook_signature(codebooks)
         if disk_cb != want_cb:
             raise ValueError(
@@ -423,6 +433,9 @@ def load_pq_index(
     centroids = None
     if meta["residual"]:
         centroids = spark.read.parquet(f"{base}/centroids")
+        # _centroid_signature reads through the _small_rows memo, which
+        # it seeds on this handle — the serve path's signature re-checks
+        # and the arrow encode's centroid fetch are job-free after
         got = _centroid_signature(centroids)
         if got != meta["cent_sig"]:
             raise ValueError(

@@ -621,18 +621,54 @@ def suggest_ann_config(n_rows: int) -> dict:
     return {"n_cells": n_cells, "n_probe": max(1, n_cells // 4)}
 
 
+#: attribute name for the per-DataFrame artifact-row memo (see
+#: ``_small_rows``); ``ann_index.load_pq_index`` seeds it so a loaded
+#: handle's serve calls never re-collect what the load already read
+_SMALL_ROWS_ATTR = "_pulfa_artifact_rows"
+
+
+def _small_rows(df: DataFrame) -> list:
+    """Full collect of a SMALL artifact table (codebooks: m × n_codes
+    rows; centroids: n_cells rows — KBs by construction), memoized on
+    the DataFrame handle. Round-14 VERDICT item 4: the serve path's
+    config/signature/grid validations each re-collected these tables,
+    and against a parquet scan every collect is a full Spark job
+    (~100-200 ms of scheduling for KBs of data) — the measured
+    x3s_pq_serve_from_disk drift was exactly these jobs accumulating
+    as validations grew. One collect per handle, validations free
+    after. Artifact tables are immutable by the module's contract
+    (indexes grow through WAL appends, never in-place rewrites), so
+    the memo cannot go stale on a live handle."""
+    rows = getattr(df, _SMALL_ROWS_ATTR, None)
+    if rows is None:
+        rows = df.collect()
+        try:
+            setattr(df, _SMALL_ROWS_ATTR, rows)
+        except Exception:  # exotic DataFrame proxy — just skip the memo
+            pass
+    return rows
+
+
+def cache_artifact_rows(df: DataFrame, rows: list) -> None:
+    """Seed ``_small_rows``'s memo with rows a caller already collected
+    (``ann_index.load_pq_index`` validates from one collect and hands
+    the same rows to the serve path through this)."""
+    setattr(df, _SMALL_ROWS_ATTR, rows)
+
+
 def _centroid_signature(centroids: DataFrame) -> str:
     """Deterministic fingerprint of a coarse-centroid table — stamped onto
     residual codebooks at train time and re-checked by every consumer, so
     a codebook trained on residuals vs one centroid set can never silently
     encode/score against another (the config-carrying artifact pattern —
     same contract as ``lm.NBModel``'s hasher/dim carry). Cheap: centroid
-    tables are n_cells rows by construction."""
+    tables are n_cells rows by construction (memoized — see
+    ``_small_rows``)."""
     import hashlib
 
     rows = sorted(
         (int(r.cell_id), tuple(float(x) for x in r.cent))
-        for r in centroids.select("cell_id", "cent").collect()
+        for r in _small_rows(centroids)
     )
     return hashlib.md5(repr(rows).encode()).hexdigest()[:16]
 
@@ -645,13 +681,13 @@ def _codebook_signature(codebooks: DataFrame) -> str:
     in the carry-your-config contract with no carried fingerprint, so a
     stale or foreign codes table silently served wrong neighbors on the
     direct (non-persisted-index) API. Cheap: codebooks are m × n_codes
-    rows by construction."""
+    rows by construction (memoized — see ``_small_rows``)."""
     import hashlib
 
     is_res, sig = _codebook_config(codebooks)
     rows = sorted(
         (int(r.sub), int(r.code), tuple(float(x) for x in r.cent))
-        for r in codebooks.select("sub", "code", "cent").collect()
+        for r in _small_rows(codebooks)
     )
     return hashlib.md5(repr((is_res, sig, rows)).encode()).hexdigest()[:16]
 
@@ -695,13 +731,15 @@ def codes_stamp(codes_df: DataFrame) -> str | None:
 
 def _codebook_config(codebooks: DataFrame) -> tuple[bool, str | None]:
     """(is_residual, cent_sig) carried by a codebook table; codebooks
-    produced before round 6 (no ``residual`` column) read as raw."""
+    produced before round 6 (no ``residual`` column) read as raw.
+    Reads through the ``_small_rows`` memo — every consumer in a serve
+    call shares one collect of the m × n_codes table."""
     if "residual" not in codebooks.columns:
         return False, None
-    row = codebooks.select("residual", "cent_sig").limit(1).collect()
-    if not row:
+    rows = _small_rows(codebooks)
+    if not rows:
         return False, None
-    return bool(row[0].residual), row[0].cent_sig
+    return bool(rows[0].residual), rows[0].cent_sig
 
 
 def train_pq_codebooks(
@@ -893,7 +931,8 @@ def pq_encode(
             "for residual (IVFADC) coding"
         )
     if is_res:
-        centroids = centroids.select("cell_id", "cent")
+        # signature before the select — the memo lives on the caller's
+        # handle (round 14; signature reads cell_id/cent either way)
         got_sig = _centroid_signature(centroids)
         if got_sig != sig:
             raise ValueError(
@@ -901,7 +940,8 @@ def pq_encode(
                 f"this residual codebook was trained on (sig {sig}) — "
                 "residual codes are meaningless against other centroids"
             )
-    rows = codebooks.orderBy("sub", "code").collect()
+        centroids = centroids.select("cell_id", "cent")
+    rows = sorted(_small_rows(codebooks), key=lambda r: (r.sub, r.code))
     m = 1 + max(r.sub for r in rows)
     n_codes = 1 + max(r.code for r in rows)
     sublen = len(rows[0].cent)
@@ -942,7 +982,8 @@ def pq_encode(
             f"assign_impl must be 'expr' or 'arrow', got {assign_impl!r}"
         )
     if is_res and assign_impl == "arrow":
-        crows = centroids.orderBy("cell_id").collect()  # n_cells rows
+        crows = sorted(_small_rows(centroids),
+                       key=lambda r: r.cell_id)  # n_cells rows
         cell_ids = np.array([r.cell_id for r in crows], dtype=np.int64)
         C = np.stack([np.asarray(r.cent, dtype=np.float64) for r in crows])
         cnorm = np.linalg.norm(C, axis=1)
@@ -1025,30 +1066,31 @@ def knn_pq_adc(
             "index's centroids instead"
         )
     _check_codes_stamp(codes_df, codebooks, "knn_pq_adc")
-    chk = (
-        codebooks.groupBy("sub")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("code").alias("nc"),
-            F.max("code").alias("mx"),
-        )
-        .collect()
-    )
-    if not chk:
+    # grid validation from the memoized rows (one collect per handle —
+    # round 14): same facts the old groupBy computed, driver-side
+    cb_rows = _small_rows(codebooks)
+    if not cb_rows:
         raise ValueError("knn_pq_adc: codebook is empty")
+    by_sub: dict[int, list[int]] = {}
+    for r in cb_rows:
+        by_sub.setdefault(int(r.sub), []).append(int(r.code))
+    chk = [
+        (s, len(cs), len(set(cs)), max(cs))
+        for s, cs in sorted(by_sub.items())
+    ]
     m = len(chk)
-    n_codes = chk[0].mx + 1
-    bad = sorted(r.sub for r in chk) != list(range(m)) or any(
-        not (r.n == r.nc == r.mx + 1 == n_codes) for r in chk
+    n_codes = chk[0][3] + 1
+    bad = [s for s, _n, _nc, _mx in chk] != list(range(m)) or any(
+        not (n == nc == mx + 1 == n_codes) for _s, n, nc, mx in chk
     )
     if bad:
         raise ValueError(
             "knn_pq_adc: codebook is not a dense contiguous sub×code grid "
-            f"({[(r.sub, r.n, r.mx) for r in chk]}) — retrain with "
+            f"({[(s, n, mx) for s, n, _nc, mx in chk]}) — retrain with "
             "train_pq_codebooks or renumber codes to 0..n_codes-1 per "
             "subspace"
         )
-    sublen = len(codebooks.limit(1).collect()[0].cent)
+    sublen = len(cb_rows[0].cent)
     lut = _query_luts(
         queries.select(
             F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
@@ -1113,20 +1155,23 @@ def knn_ivf_pq(
     Recall < exact by both quantizations — ``knn_bruteforce`` is the
     baseline, ``knn_ivf`` isolates the coarse-cell loss.
     """
+    is_res, sig = _codebook_config(codebooks)
     if centroids is None:
         centroids = _first_n_centroids(corpus, n_cells, id_col, vec_col)
-    else:
-        centroids = centroids.select("cell_id", "cent")
-    is_res, sig = _codebook_config(codebooks)
+    # signature BEFORE the column-pruning select: the memo lives on the
+    # handle the caller passed (a loaded index's centroids), and the
+    # signature only reads (cell_id, cent) either way
     if is_res and _centroid_signature(centroids) != sig:
         raise ValueError(
             "knn_ivf_pq: centroid table is not the one this residual "
             "codebook was trained on (fingerprint mismatch) — pass the "
             "training centroids"
         )
+    centroids = centroids.select("cell_id", "cent")
 
-    m = codebooks.agg(F.max("sub")).collect()[0][0] + 1
-    sublen = len(codebooks.limit(1).collect()[0].cent)
+    cb_rows = _small_rows(codebooks)
+    m = 1 + max(r.sub for r in cb_rows)
+    sublen = len(cb_rows[0].cent)
     if is_res:
         if codes_df is None:
             codes_df = pq_encode(
