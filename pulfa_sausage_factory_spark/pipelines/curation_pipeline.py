@@ -3181,6 +3181,75 @@ def _compact_ingest_state_body(
     return done
 
 
+def export_training_corpus(
+    spark: SparkSession,
+    state_dir: str,
+    out_dir: str,
+    max_files: int = 64,
+    columns: list[str] | None = None,
+) -> dict:
+    """Materialize a COMPACTED read-optimized copy of the live corpus
+    for training consumers — the executable remedy the maintenance
+    planner names for corpus file growth (round 14). The corpus state
+    dir itself is deliberately never folded: its per-batch partitions
+    are ``retract_documents``' write-cost granularity (a takedown
+    rewrites only affected partitions), so after thousands of
+    micro-batches a training job reading it pays O(batches) listings
+    and footers. This verb derives a bounded-file-count plain-parquet
+    copy instead of folding in place — the state keeps its granularity,
+    the readers get big files.
+
+    The export is a DERIVED artifact, not state: it holds no ledgers,
+    carries no replay obligations, and is safely regenerated at any
+    time — so it lands via the dot-tmp + rename discipline (a killed
+    export leaves either the previous complete copy or nothing, never a
+    partial dir a reader would trust; Spark's own ``_SUCCESS`` is
+    stripped from the tmp and re-touched after the rename, the
+    ``statedir.write_snapshot`` copy-ordering rule). ``dropDuplicates``
+    collapses replay debris (a batch replayed after landing rewrites
+    its partition with rows an earlier attempt may have duplicated
+    into a fold archive — same multiplicity argument as
+    ``compact_ingest_state``). Retracted documents are absent by
+    construction: takedowns scrub the corpus state this reads.
+
+    ``columns`` prunes the export (e.g. ``["doc_id", "text"]``);
+    default keeps every corpus column. Returns ``{"rows", "files",
+    "out_dir"}``."""
+    import os
+
+    from .. import fsutil, statedir
+
+    base = state_dir.rstrip("/")
+    corpus = os.path.join(base, "corpus")
+    statedir.recover_replaced_dir(spark, corpus)
+    statedir.recover_partition_swaps(spark, corpus)
+    df = spark.read.option("mergeSchema", "true").parquet(corpus)
+    if "batch_id" in df.columns:
+        df = df.drop("batch_id")
+    if columns is not None:
+        df = df.select(*columns)
+    out = out_dir.rstrip("/")
+    parent = os.path.dirname(out) or "."
+    tmp = os.path.join(parent, f".{os.path.basename(out)}.tmp")
+    fsutil.delete(spark, tmp)
+    df.dropDuplicates().coalesce(max(1, max_files)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    # marker-last validity through the rename (statedir.write_snapshot's
+    # copy-ordering rule): on object stores the rename is copy+delete
+    # and _SUCCESS sorts before part-*, so a partial copy could carry it
+    fsutil.delete(spark, f"{tmp}/_SUCCESS")
+    fsutil.delete(spark, out)
+    fsutil.rename(spark, tmp, out)
+    fsutil.touch(spark, f"{out}/_SUCCESS")
+    exported = spark.read.parquet(out)
+    return {
+        "rows": exported.count(),
+        "files": fsutil.parquet_file_count(spark, out),
+        "out_dir": out,
+    }
+
+
 def check_ingest_state(
     spark: SparkSession,
     state_dir: str,

@@ -154,7 +154,7 @@ def _ingest_dir_signals(spark, base, cfg, max_files, emit) -> None:
                 # unit). Recommending the verb here was inexecutable:
                 # running it could never clear the signal. The honest
                 # row names the real remedy for downstream readers.
-                emit(sub, "export a compacted training copy", "info",
+                emit(sub, "export_training_corpus", "info",
                      f"{n} parquet files in the corpus — kept per-batch "
                      "by design (takedown granularity); downstream "
                      "training reads paying O(files) overhead should "

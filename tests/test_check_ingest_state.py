@@ -540,3 +540,54 @@ def test_bloom_fsck_tolerates_bloom_off_window(spark, tmp_path):
     assert probe.status == "ok", probe.detail
     assert "pending catch-up" not in probe.detail
     assert "sampled 16" in probe.detail
+
+
+def test_export_training_corpus_compacts_without_folding_state(
+    spark, tmp_path
+):
+    # round 14: the corpus state is deliberately never folded (per-batch
+    # partitions are takedown granularity), so the read-side remedy is a
+    # DERIVED compacted copy — the verb the planner's corpus row names.
+    import os
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        _ingest_batch,
+        export_training_corpus,
+        retract_documents,
+    )
+
+    state = str(tmp_path / "state")
+    sch = T.StructType.fromDDL("doc_id long, text string")
+    cfg = CurationConfig(min_quality=0.0, neardup_method="none")
+    docs = [{"doc_id": i,
+             "text": f"ledger book {i} for the canal tolls with entries "
+                     f"on barge weights and lock timings"}
+            for i in range(8)]
+    _ingest_batch(spark, _lines(spark, docs[:4]), 0, cfg, state, sch)
+    _ingest_batch(spark, _lines(spark, docs[4:]), 1, cfg, state, sch)
+    retract_documents(spark, state, [3], cfg)
+
+    out = str(tmp_path / "export")
+    rep = export_training_corpus(spark, state, out, max_files=2,
+                                 columns=["doc_id", "text"])
+    got = spark.read.parquet(out)
+    assert rep["rows"] == 7 and got.count() == 7
+    assert sorted(got.columns) == ["doc_id", "text"]
+    # the retracted doc is absent (export reads the scrubbed state)
+    assert got.filter(F.col("doc_id") == 3).count() == 0
+    # bounded file count + marker-last validity
+    assert rep["files"] <= 2
+    assert os.path.exists(f"{out}/_SUCCESS")
+    # corpus state keeps its per-batch partition dirs (never folded)
+    parts = [d for d in os.listdir(f"{state}/corpus")
+             if d.startswith("batch_id=")]
+    assert len(parts) == 2
+
+    # re-export over the existing copy is a clean replace
+    _ingest_batch(spark, _lines(spark, [
+        {"doc_id": 20, "text": "a fresh ninth canal ledger with towpath "
+                               "maintenance records and winter closures"},
+    ]), 2, cfg, state, sch)
+    rep2 = export_training_corpus(spark, state, out, max_files=2)
+    assert rep2["rows"] == 8
+    assert spark.read.parquet(out).count() == 8
