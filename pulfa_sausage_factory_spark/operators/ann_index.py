@@ -902,6 +902,168 @@ def compact_pq_index(spark: SparkSession, path: str, lease=None) -> dict:
                 "removed_dirs": _sweep(up_to), "pending": pending}
 
 
+def retrain_pq_index(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    m: int | None = None,
+    n_codes: int | None = None,
+    n_cells: int | None | str = "keep",
+    iters: int = 2,
+    ivf_iters: int = 3,
+    sample_fraction: float = 1.0,
+    assign_impl: str = "arrow",
+    lease=None,
+) -> dict:
+    """Retrain a persisted index IN PLACE from the current serving
+    corpus — the executable form of the drift remedy RECALL.md §3 and
+    the staleness report row prescribe (round 14: the maintenance
+    planner previously named a multi-step recipe here; every plan row
+    must name a runnable verb). Appends encode against codebooks and
+    centroids FROZEN at build time, and measured recall holds through
+    large IN-distribution appends but breaks under distribution SHIFT
+    at any appended fraction — the fix is retraining quantizers on what
+    the corpus looks like NOW, which this verb does end-to-end: train
+    new coarse centroids + codebooks from ``corpus``, re-encode it, and
+    swap the whole index directory via the crash-safe double-rename
+    (``statedir.replace_dir``) — a crash anywhere leaves the OLD index
+    loadable (or the completed new one), never an unloadable dir; the
+    mid-swap window heals back to the old copy
+    (``recover_replaced_dir``, exercised by the statedir suite).
+
+    ``corpus`` is the source of truth: the retrained index serves
+    exactly its rows. Pass the FULL current serving corpus — base rows
+    plus every appended batch's vectors, minus retracted documents
+    (for a pipeline-managed index: the admitted documents' embeddings).
+    Rows the corpus argument lacks are gone from the index; takedowns
+    baked in this way need no tombstones afterwards.
+
+    WAL semantics: the new codes land at ``codes_head/upto=<N>`` where
+    ``N`` is the highest id the index WAL ever committed (folded or
+    live) — so a pipeline batch whose reserved id was consumed before
+    the retrain NO-OPS on replay (its rows are in the corpus by the
+    contract above), and the next auto id continues past ``N``. Live
+    append/tombstone entries are folded into the rebuild (their net
+    effect must be reflected in ``corpus``); UNCOMMITTED WAL ids refuse
+    the retrain loudly — a killed append's at-least-once redelivery
+    carries OLD-codebook codes that the new manifest would reject at
+    load (a bricked index), so replay-or-abandon them first, exactly
+    the ``compact_pq_index`` pending discipline.
+
+    Defaults re-use the old manifest's geometry (``m``/``n_codes``/
+    ``dim``/``id_col``/``vec_col``; ``n_cells="keep"`` preserves
+    flat-vs-IVF and the cell count, ``"auto"`` re-sizes from the new
+    corpus — the right choice when the corpus has grown decades).
+    Returns ``{"train_rows", "horizon", "folded_entries", "n_cells"}``.
+    """
+    from pulfa_sausage_factory_spark import fsutil, statedir
+
+    base = path.rstrip("/")
+    with statedir.lease_scope(spark, base, "retrain_pq_index",
+                              lease=lease) as held:
+        old = load_pq_index(spark, base)  # cross-validates what we replace
+        meta = old.meta
+        horizon = _codes_horizon(spark, base)
+        app_c = _append_batches(spark, base, horizon)
+        tomb_c = _tombstone_batches(spark, base, horizon)
+        app_a, tomb_a = _attempted_log_ids(spark, base, horizon)
+        pending = sorted((app_a | tomb_a) - set(app_c) - set(tomb_c))
+        if pending:
+            raise ValueError(
+                f"retrain_pq_index: uncommitted WAL ids {pending[:5]} — "
+                "their at-least-once redeliveries carry codes encoded "
+                "with the OLD codebooks, which the retrained manifest "
+                "would refuse at load. Replay the batches or "
+                "abandon_log_entry them, then retrain."
+            )
+        # the corpus must not lazily read from the dir being swapped
+        # (same hazard save_pq_index refuses): its encode executes
+        # inside the writer below, racing the double-rename
+        bsch, bauth, bpath = fsutil.uri_key(
+            fsutil.qualified_uri(spark, base)
+        )
+        bpath = bpath.rstrip("/") + "/"
+        try:
+            files = corpus.inputFiles()
+        except Exception:
+            files = []
+        for f in files:
+            key = fsutil.uri_key(f)
+            if key is None:
+                key = fsutil.uri_key(fsutil.qualified_uri(spark, f))
+            if (key[0] == bsch and key[1] == bauth
+                    and key[2].startswith(bpath)):
+                raise ValueError(
+                    f"retrain_pq_index: corpus reads from the index dir "
+                    f"{base} — materialize it (localCheckpoint) first"
+                )
+        new_upto = max([horizon] + app_c + tomb_c)
+        if n_cells == "keep":
+            n_cells = meta["n_cells"]
+        idx = build_pq_index(
+            corpus,
+            m=int(m if m is not None else meta["m"]),
+            n_codes=int(n_codes if n_codes is not None
+                        else meta["n_codes"]),
+            n_cells=n_cells,
+            iters=iters, ivf_iters=ivf_iters,
+            sample_fraction=sample_fraction,
+            id_col=meta["id_col"], vec_col=meta["vec_col"],
+            dim=int(meta["dim"]), assign_impl=assign_impl,
+        )
+        # manifest provenance: which artifacts this replaced, and the
+        # WAL position the rebuild folded through
+        idx.meta["retrain_of"] = meta.get("cb_sig")
+        idx.meta["retrain_horizon"] = int(new_upto)
+
+        def _write(tmp: str) -> None:
+            idx.codebooks.write.mode("overwrite").parquet(
+                f"{tmp}/codebooks"
+            )
+            if idx.centroids is not None:
+                idx.centroids.write.mode("overwrite").parquet(
+                    f"{tmp}/centroids"
+                )
+            codes_dst = (
+                f"{tmp}/codes_head/upto={new_upto}" if new_upto >= 0
+                else f"{tmp}/codes"
+            )
+            # Spark's own job-commit _SUCCESS in the snapshot dir is the
+            # horizon marker snapshot_horizon requires — the whole tmp
+            # dir swaps in atomically-with-heal, so the write-then-
+            # rename marker dance write_snapshot does on a LIVE dir is
+            # replace_dir's job here
+            idx.codes.write.mode("overwrite").parquet(codes_dst)
+            spark.createDataFrame(
+                [(json.dumps(idx.meta),)], "meta_json string"
+            ).write.mode("overwrite").parquet(f"{tmp}/meta")
+            # the index-dir LEASE RECORD lives inside the dir being
+            # swapped — carry a copy (same token + nonce, fresh mtime)
+            # into the replacement, or the swap would destroy the live
+            # lease: a passed-through run lease's next check() would
+            # read absence as LeaseFenced, and a transient scope's
+            # release() could not verify ownership. The heal windows
+            # stay correct: a crash before the swap leaves the original
+            # record live; mid-swap heal restores the old dir WITH it.
+            rec = fsutil.read_text(
+                spark, f"{base}/{statedir.LEASE_DIR}/epoch={held.token}"
+            )
+            if rec is not None:
+                fsutil.write_text(
+                    spark,
+                    f"{tmp}/{statedir.LEASE_DIR}/epoch={held.token}",
+                    rec,
+                )
+
+        statedir.replace_dir(spark, base, _write, lease=held)
+        return {
+            "train_rows": int(idx.meta["train_rows"]),
+            "horizon": int(new_upto),
+            "folded_entries": len(app_c) + len(tomb_c),
+            "n_cells": idx.meta["n_cells"],
+        }
+
+
 def pq_index_report(spark: SparkSession, path: str) -> DataFrame:
     """Artifact-level report of a persisted index as a small queryable
     DataFrame — the ``curation_report_df`` convention applied to the ANN

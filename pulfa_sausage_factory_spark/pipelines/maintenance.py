@@ -329,7 +329,7 @@ def _index_signals(spark, cfg, compact_after, retrain_fraction,
         )
     frac = appended / int(train)
     if frac >= retrain_fraction:
-        emit("index", "build_pq_index (retrain) + index_from_artifacts",
+        emit("index", "retrain_pq_index",
              "recommend",
              f"~{appended} rows appended over train_rows={train} "
              f"(fraction {frac:.2f} >= {retrain_fraction}) — appends "

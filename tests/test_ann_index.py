@@ -919,3 +919,115 @@ def test_append_staleness_recall_floor(spark):
         s_slice, s_slice.orderBy("vec_id").limit(50).localCheckpoint()
     )
     assert rec_sh < 0.9 < rec_in and rec_sh < rec_in, (rec_sh, rec_in)
+
+
+def test_retrain_pq_index(spark, vecs, tmp_path):
+    # round 14: the executable drift remedy (RECALL.md §3 / the
+    # staleness row) — retrain quantizers from the CURRENT serving
+    # corpus and swap the index in place. The corpus argument is the
+    # source of truth: appends fold in, takedowns bake in.
+    from pulfa_sausage_factory_spark import fsutil, statedir
+
+    even = vecs.filter(F.col("vec_id") % 2 == 0).localCheckpoint()
+    odd = vecs.filter(F.col("vec_id") % 2 == 1).localCheckpoint()
+    path = str(tmp_path / "retrain_idx")
+    ann_index.save_pq_index(
+        ann_index.build_pq_index(
+            even, m=8, n_codes=8, n_cells=8, iters=1, sample_fraction=1.0
+        ),
+        path,
+    )
+    old_meta = ann_index.load_pq_index(spark, path).meta
+    ann_index.append_to_pq_index(spark, path, odd)  # WAL id 1
+    gone = even.limit(1).collect()[0].vec_id
+    ann_index.remove_from_pq_index(spark, path, [gone])  # WAL id 2
+
+    # an uncommitted WAL id (killed append awaiting redelivery) refuses
+    # the retrain — its replay would carry old-codebook codes the new
+    # manifest rejects at load
+    fsutil.mkdirs(spark, f"{path}/codes_append/batch=9")
+    with pytest.raises(ValueError, match="uncommitted WAL ids"):
+        ann_index.retrain_pq_index(spark, path, vecs)
+    fsutil.delete(spark, f"{path}/codes_append/batch=9")
+
+    # the serving corpus after the takedown; iters matches the fresh
+    # reference build below (determinism makes them bit-comparable)
+    corpus = vecs.filter(F.col("vec_id") != gone).localCheckpoint()
+    rep = ann_index.retrain_pq_index(spark, path, corpus, iters=1)
+    assert rep["train_rows"] == corpus.count()
+    assert rep["horizon"] == 2 and rep["folded_entries"] == 2
+
+    loaded = ann_index.load_pq_index(spark, path)
+    assert loaded.codes.count() == corpus.count()
+    assert loaded.meta["train_rows"] == corpus.count()
+    assert loaded.meta["retrain_of"] == old_meta["cb_sig"]
+    assert loaded.meta["cb_sig"] != old_meta["cb_sig"]  # new quantizers
+    # WAL is folded away; the horizon survives in the codes snapshot
+    assert fsutil.child_names(spark, f"{path}/codes_append") == []
+    assert fsutil.child_names(spark, f"{path}/tombstones") == []
+    assert statedir.snapshot_horizon(spark, f"{path}/codes_head") == 2
+
+    # serving equals a deterministic fresh build on the same corpus
+    queries = corpus.limit(3)
+    served = ann_index.knn_from_index(
+        loaded, corpus, queries, k=5, shortlist=30, n_probe=4
+    )
+    ref_path = str(tmp_path / "ref_idx")
+    ann_index.save_pq_index(
+        ann_index.build_pq_index(
+            corpus, m=8, n_codes=8, n_cells=8, iters=1,
+            sample_fraction=1.0,
+        ),
+        ref_path,
+    )
+    ref = ann_index.knn_from_index(
+        ann_index.load_pq_index(spark, ref_path), corpus, queries,
+        k=5, shortlist=30, n_probe=4,
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+    # the retracted id serves to nobody
+    assert served.filter(F.col("neighbor_id") == gone).count() == 0
+
+    # folded WAL ids refuse replay (the compaction trade); the next
+    # auto id continues past the horizon
+    with pytest.raises(ValueError, match="at or below the compaction"):
+        ann_index.append_to_pq_index(spark, path, odd.limit(3), batch_id=1)
+    rep3 = ann_index.append_to_pq_index(spark, path, odd.limit(3))
+    assert rep3["batch_id"] == 3
+
+    # staleness resets: the appended fraction counts from the NEW
+    # train_rows (3 appended rows over the full corpus, tiny)
+    rows = {r.artifact: r for r in
+            ann_index.pq_index_report(spark, path).collect()}
+    st = rows.get("appended_staleness")
+    assert st is not None and "3 rows" in st.detail
+
+
+def test_retrain_pq_index_preserves_passed_lease(spark, vecs, tmp_path):
+    # the index-dir lease record lives INSIDE the swapped dir — the
+    # retrain must carry it through, or a run-scoped holder gets fenced
+    # by its own maintenance verb
+    from pulfa_sausage_factory_spark import statedir
+
+    even = vecs.filter(F.col("vec_id") % 2 == 0).localCheckpoint()
+    path = str(tmp_path / "lease_idx")
+    ann_index.save_pq_index(
+        ann_index.build_pq_index(
+            even, m=8, n_codes=8, n_cells=8, iters=1, sample_fraction=1.0
+        ),
+        path,
+    )
+    held = statedir.acquire_lease(spark, path, owner="run-scope")
+    try:
+        ann_index.retrain_pq_index(spark, path, even, lease=held)
+        held.check()  # still the live holder after the swap
+        held.renew()
+        # a second writer still refuses while the lease is held
+        with pytest.raises(statedir.LeaseHeld):
+            statedir.acquire_lease(spark, path, owner="intruder")
+    finally:
+        held.release()
+    # clean release: a fresh acquire works
+    statedir.acquire_lease(spark, path, owner="next").release()
