@@ -376,6 +376,37 @@ def main() -> None:
             )
 
         run("pq_index_compact_serve", _compact_serve)
+
+        # round-14: the drift remedy at stress scale — retrain quantizers
+        # from the CURRENT serving corpus (grown, minus the tombstoned
+        # ids the compaction purged) and swap in place; serve after. The
+        # dominant cost is the corpus re-encode (the same fused-BLAS
+        # arrow pass the build pays) — this row is what a drifted
+        # deployment budgets for.
+        def _retrain_serve():
+            live_ids = ann_index.load_pq_index(spark, idx_dir).codes.select(
+                F.col("id").alias("vec_id")
+            )
+            # checkpoint: the live-id semi-join lazily READS the index
+            # dir being swapped — the verb refuses that (correctly)
+            corpus_now = grown.join(
+                live_ids, "vec_id", "left_semi"
+            ).localCheckpoint()
+            rrep = ann_index.retrain_pq_index(
+                spark, idx_dir, corpus_now,
+                sample_fraction=min(1.0, 10_000 / max(1, n_emb)),
+            )
+            out["ops"]["pq_index_retrain_meta"] = {
+                "train_rows": rrep["train_rows"],
+                "horizon": rrep["horizon"],
+                "n_cells": rrep["n_cells"],
+            }
+            return ann_index.knn_from_index(
+                ann_index.load_pq_index(spark, idx_dir), corpus_now,
+                queries50, k=10, shortlist=200, check_corpus=True,
+            )
+
+        run("pq_index_retrain_serve", _retrain_serve)
         shutil.rmtree(idx_dir, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001
         out["ops"]["pq_index_stress"] = {
