@@ -214,6 +214,34 @@ def append_mode(spark, sf_dir) -> None:
                 rec = row_recall(served, truth)
                 results[f"{label} f={f}"] = round(rec, 4)
                 print(f"| {label} | {f} | {want} | {rec:.3f} | {dt:.1f} |")
+            # round 14: the RECOVERY — retrain_pq_index is the remedy the
+            # decay table prescribes, so measure it at the worst stale
+            # point (every fraction appended): retrain quantizers from
+            # the grown corpus in place (same geometry — n_cells='keep',
+            # the build's iters), serve the SAME queries against the
+            # SAME ground truth. Two serving rows: the stale config's
+            # n_probe=8, and probe fraction matched to the hardest
+            # family's geometry (n_probe = n_cells, §1's uniform-corpus
+            # rule) — retraining fixes WHAT the quantizers know, the
+            # probe fraction fixes how much of it a query reads.
+            t0 = time.perf_counter()
+            ann_index.retrain_pq_index(spark, tmp, grown)
+            loaded = ann_index.load_pq_index(spark, tmp)
+            dt_retrain = time.perf_counter() - t0
+            for np_label, np_val in (("n_probe=8", 8),
+                                     ("matched probe fraction", 16)):
+                t0 = time.perf_counter()
+                served = ann_index.knn_from_index(
+                    loaded, grown, queries,
+                    k=K, shortlist=200, n_probe=np_val, check_corpus=True,
+                ).collect()
+                dt = time.perf_counter() - t0
+                rec = row_recall(served, truth)
+                results[f"{label} retrained {np_label}"] = round(rec, 4)
+                print(f"| {label} (retrain_pq_index, {np_label}) "
+                      f"| {fracs[-1]} | - | {rec:.3f} | {dt:.1f} |")
+            print(f"# {label} retrain_pq_index wall: {dt_retrain:.1f}s",
+                  file=sys.stderr)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps({"metric": "ann_recall_under_append_growth", "k": K,

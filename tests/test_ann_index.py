@@ -920,6 +920,57 @@ def test_append_staleness_recall_floor(spark):
     )
     assert rec_sh < 0.9 < rec_in and rec_sh < rec_in, (rec_sh, rec_in)
 
+    # round 14, the RECOVERY pinned (RECALL.md §3): retrain_pq_index on
+    # the grown corpus restores the floor — at kept geometry served
+    # with the probe fraction matched to the hardest family (n_probe =
+    # n_cells, §1's uniform-corpus rule), measured 0.952 at appended
+    # fraction 1.0; at the stale serving config (n_probe=8) it recovers
+    # most of the gap (0.668 → 0.812) but not the floor — geometry
+    # matters as much as freshness, so both rows are documented.
+    full_cut = s_ids[n_train - 1]
+    full_slice = shifted.filter(
+        F.col("vec_id") <= full_cut
+    ).localCheckpoint()
+    tmp = tempfile.mkdtemp(prefix="stale_retrain_")
+    try:
+        ann_index.save_pq_index(
+            ann_index.build_pq_index(
+                base, m=8, n_codes=256, n_cells=16, iters=2,
+                ivf_iters=3, sample_fraction=1.0,
+            ),
+            tmp,
+        )
+        ann_index.append_to_pq_index(
+            spark, tmp, full_slice, assign_impl="arrow"
+        )
+        grown = base.unionByName(full_slice).localCheckpoint()
+        queries = full_slice.orderBy("vec_id").limit(50).localCheckpoint()
+        truth = knn_bruteforce(grown, queries, k=10).collect()
+        stale = recall_of(
+            ann_index.knn_from_index(
+                ann_index.load_pq_index(spark, tmp), grown, queries,
+                k=10, shortlist=200, n_probe=8, check_corpus=True,
+            ).collect(),
+            truth,
+        )
+        ann_index.retrain_pq_index(spark, tmp, grown)
+        loaded = ann_index.load_pq_index(spark, tmp)
+
+        def serve(np):
+            return recall_of(
+                ann_index.knn_from_index(
+                    loaded, grown, queries, k=10, shortlist=200,
+                    n_probe=np, check_corpus=True,
+                ).collect(),
+                truth,
+            )
+
+        r_np8, r_full = serve(8), serve(16)
+        assert r_full >= 0.9, (stale, r_np8, r_full)
+        assert stale < r_np8 < r_full, (stale, r_np8, r_full)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
 
 def test_retrain_pq_index(spark, vecs, tmp_path):
     # round 14: the executable drift remedy (RECALL.md §3 / the
