@@ -484,8 +484,14 @@ def main() -> None:
 
         work = tempfile.mkdtemp(prefix="bench_overlap_fps_")
         try:
+            # impl="arrow" (round 14): the ingest path's default winnowing
+            # twin is now the vectorized numpy pass (CurationConfig.
+            # overlap_impl="arrow", expr≡arrow pinned by test), so this
+            # extra measures what a batch actually pays; the r14 baseline
+            # on the expr plan was 2.392 s (recorded in OPTIMIZATION_r14.md)
             _text.winnow_fingerprints_df(
-                docs, text_col="text", id_col="doc_id", k=16, w=8
+                docs, text_col="text", id_col="doc_id", k=16, w=8,
+                impl="arrow",
             ).filter(F.col("fp") % 16 == 0).write.mode("overwrite").parquet(
                 f"{work}/fps"
             )

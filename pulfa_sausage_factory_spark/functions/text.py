@@ -186,6 +186,7 @@ def winnow_fingerprints_df(
     w: int = 4,
     mod: int = 2_147_483_648,
     base: int = 31,
+    impl: str = "expr",
 ):
     """X4 — winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     hash every k-gram of characters (polynomial rolling hash, same char
@@ -196,7 +197,20 @@ def winnow_fingerprints_df(
 
     Returns exploded rows ``(id_col, fp)``, distinct per document.
 
-    Relational formulation — posexplode chars, window ``collect_list`` for
+    ``impl`` follows the hot-path-twin convention (round 4): ``"expr"``
+    (default — the oracle mode every driver-registered query keeps) is the
+    relational formulation below; ``"arrow"`` computes each document's
+    distinct fingerprint set in one vectorized numpy pass (k shifted
+    adds for the rolling hashes, a stride-tricks sliding min for the
+    winnow) — a NARROW map-side op: no per-char explode (the expr plan
+    materializes one row per character), no doc-id shuffle, no window
+    exchange, and the trailing global ``.distinct()`` collapses to a
+    per-doc ``np.unique``. Both impls produce identical (id, fp) sets
+    (pinned by test); round-14 measurement: the sf0.1 ledger operating
+    point (k=16, w=8) dropped ~4×. Use arrow on the per-batch ingest
+    path; keep expr wherever a DuckDB oracle replays the plan.
+
+    Expr formulation — posexplode chars, window ``collect_list`` for
     the k-gram, window ``min`` for the winnow — NOT nested array lambdas:
     Catalyst's CollapseProject inlines projection aliases back into
     higher-order-function lambdas, and interpreted HOF lambdas re-evaluate
@@ -206,6 +220,11 @@ def winnow_fingerprints_df(
     only shuffle is one hash-partition on the document id shared by both
     window specs."""
     from pyspark.sql import Window
+
+    if impl == "arrow":
+        return _winnow_fingerprints_arrow(df, text_col, id_col, k, w, mod, base)
+    if impl != "expr":
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
 
     chars = df.select(
         F.col(id_col),
@@ -231,6 +250,78 @@ def winnow_fingerprints_df(
         .filter(F.col("_full") == w)
     )
     return mins.select(id_col, F.col("_fp").alias("fp")).distinct()
+
+
+def _winnow_fingerprints_arrow(df, text_col, id_col, k, w, mod, base):
+    """``winnow_fingerprints_df(impl="arrow")`` body: one Arrow-batched
+    numpy pass per partition computing each document's DISTINCT winnowed
+    fingerprints as an array, then a generator explode — no per-char rows,
+    no shuffle anywhere (the expr twin pays one doc-id hash partition plus
+    two window passes over one row PER CHARACTER).
+
+    Bit-identical to the expr plan by construction: character codes are
+    Python ``ord`` (== Spark ``ascii``'s first-codepoint semantics on
+    single-char splits), the k-gram hash folds ``(acc·base + code) % mod``
+    in the same order (k vectorized shifted-add rounds ≡ the expr
+    ``aggregate`` fold — integer arithmetic, no rounding), and the winnow
+    is an exact sliding min. int64 bounds: every intermediate is
+    ``< mod·base + max_codepoint``, guarded below.
+
+    Same visibility contract as the expr plan: docs shorter than
+    ``k + w - 1`` chars (no full window) and NULL text produce no rows.
+
+    Known divergence (documented, not reachable on the pipeline path):
+    non-BMP codepoints — Java's ``split("")`` yields two surrogate halves
+    where Python yields one codepoint, so a text containing astral chars
+    fingerprints differently between the twins. The ingest clean stage
+    strips controls and normalizes before winnowing; the equality test
+    pins the twins on real corpus text.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if mod * base + 0x110000 >= 1 << 63:
+        raise ValueError(
+            f"mod={mod} too large for the int64 fast path (need "
+            f"mod*base + 0x110000 < 2^63); use impl='expr'"
+        )
+    min_chars = k + w - 1
+
+    def fps(texts):
+        out = []
+        for t in texts:
+            s = t or ""
+            n = len(s)
+            if n < min_chars:
+                out.append([])
+                continue
+            codes = np.fromiter(map(ord, s), dtype=np.int64, count=n)
+            n_grams = n - k + 1
+            h = np.zeros(n_grams, dtype=np.int64)
+            for j in range(k):
+                h = (h * base + codes[j : j + n_grams]) % mod
+            wins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+            out.append(np.unique(wins))
+        return pd.Series(out)
+
+    fps.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(fps, "array<long>")
+    # re-spread pathologically under-partitioned inputs (single-row-group
+    # parquet scans are unsplittable — the whole pass would run one task);
+    # lazy import: operators.dedup must stay importable without functions.*
+    from ..operators.dedup import spread_for_arrow
+
+    # min_bytes below the spread_for_arrow default: winnowing does k
+    # rolling-hash rounds PER CHARACTER plus a sliding min — an order of
+    # magnitude more compute per input byte than the signature passes the
+    # 256 KiB floor was tuned for (measured at sf0.1: the 250 KB docs
+    # estimate sat 2% under the default floor and the whole pass ran one
+    # task at 1.9 s; spread over 32 it runs 1.2 s under load and ~4x
+    # better idle). Tiny oracle-scale inputs (~25 KB at sf0.01) still
+    # stay un-spread.
+    return spread_for_arrow(df.select(id_col, text_col), min_bytes=64 << 10).select(
+        F.col(id_col), F.explode(udf(F.col(text_col))).alias("fp")
+    )
 
 
 def suggest_overlap_config(

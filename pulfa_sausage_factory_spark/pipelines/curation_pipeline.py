@@ -149,6 +149,12 @@ class CurationConfig:
     overlap_w: int = 8  # winnow window (k-gram hashes)
     overlap_sample_mod: int | str = 16
     overlap_fp_df_cap: int = 64  # fps in more docs than this are boilerplate
+    #: winnowing twin for the per-batch fingerprint pass (round 14):
+    #: ``"arrow"`` (scale default — one vectorized numpy pass per doc, no
+    #: per-char explode, no window exchanges) | ``"expr"`` (the
+    #: DuckDB-replayable relational plan). Pinned identical by
+    #: test; same convention as ``semdedup_impl``.
+    overlap_impl: str = "arrow"
     #: opt-in ADAPTIVE evidence floor for short batch docs (round 10): a
     #: short doc wholesale-copied out of an admitted doc carries too few
     #: sampled fps to reach overlap_min_shared (a 150-char body has ~2
@@ -1516,7 +1522,7 @@ def _ingest_batch_body(
             overlap_mod = _resolve_overlap_mod(spark, fps_dir, cfg)
             bfps = text.winnow_fingerprints_df(
                 batch_d, text_col=tcol, id_col=icol,
-                k=cfg.overlap_k, w=cfg.overlap_w,
+                k=cfg.overlap_k, w=cfg.overlap_w, impl=cfg.overlap_impl,
             ).filter(
                 F.col("fp") % overlap_mod == 0
             ).localCheckpoint()  # winnowing is window-heavy; 4 consumers below

@@ -800,3 +800,52 @@ def test_suggest_overlap_config_arithmetic():
         suggest_overlap_config(10)
     with pytest.raises(ValueError, match="needs total_chars"):
         suggest_overlap_config(600, target_state_rows=10)
+
+
+def test_winnow_fingerprints_twins_identical(spark, sf_dir):
+    """Hot-path-twin pin (round 14): ``winnow_fingerprints_df`` expr ≡
+    arrow — same (id, fp) sets at both documented operating points
+    (x4d's k=5/w=4 and the overlap ledger's k=16/w=8) over real corpus
+    text PLUS the edge shapes: doc exactly at the k+w-1 visibility
+    bound, one below it (emits nothing), NULL text, empty text, a
+    repeated-window doc (distinct-fp collapse), and BMP unicode."""
+    import pytest
+
+    from pulfa_sausage_factory_spark.functions.text import (
+        winnow_fingerprints_df,
+    )
+    from pulfa_sausage_factory_spark.io import load_table
+
+    crafted = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "x" * 22),  # repeated window → heavy distinct collapse
+            (4, "abcdefghij klmnopqrst uvwxyz 0123456789"),
+            (5, "café naïve — 中文 text body"),
+            (6, "abcdefghijklmnopqrstuvw"),  # exactly k+w-1 at k=16,w=8
+            (7, "abcdefghijklmnopqrstuv"),  # one char short → no rows
+        ],
+        ["doc_id", "text"],
+    )
+    docs = load_table(spark, sf_dir, "documents").unionByName(
+        crafted.withColumn("doc_id", F.col("doc_id") + 1_000_000),
+        allowMissingColumns=True,
+    ).select("doc_id", "text")
+    for k, w in ((5, 4), (16, 8)):
+        a = winnow_fingerprints_df(docs, "text", "doc_id", k=k, w=w)
+        b = winnow_fingerprints_df(
+            docs, "text", "doc_id", k=k, w=w, impl="arrow"
+        )
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, (
+            f"expr/arrow winnow twins diverge at k={k} w={w}"
+        )
+    # the below-bound doc emits nothing in BOTH impls (visibility contract)
+    for impl in ("expr", "arrow"):
+        assert (
+            winnow_fingerprints_df(
+                crafted, "text", "doc_id", k=16, w=8, impl=impl
+            ).filter(F.col("doc_id").isin(1, 2, 7)).count() == 0
+        ), impl
+    with pytest.raises(ValueError, match="impl"):
+        winnow_fingerprints_df(docs, "text", "doc_id", impl="nope")
