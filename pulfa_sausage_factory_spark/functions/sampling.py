@@ -341,6 +341,17 @@ def dsir_log_ratio(
     range join below is driver-cheap and the result broadcasts into scoring."""
     assert 0 < lam < 1, "lam must be in (0,1) (uniform-mixture weight)"
     spark = target_counts.sparkSession
+    # Materialize both count tables ONCE (each is bucket-bounded, <= dim
+    # rows) before anything consumes them: the corpus-sized hash+aggregate
+    # feeding each would otherwise execute for the normalizer collect below
+    # AND re-execute when the ratio join's broadcast builds inside the
+    # consumer's plan — measured at sf0.1 the raw corpus was hashed 3x per
+    # dsir_resample action (normalizer, ratio broadcast, importance
+    # features); with the checkpoint it is hashed twice, the remaining
+    # passes being the two genuinely distinct computations (bucket counts,
+    # per-doc features).
+    target_counts = target_counts.localCheckpoint()
+    raw_counts = raw_counts.localCheckpoint()
     nt = max(1.0, float(target_counts.agg(F.sum("cnt")).collect()[0][0] or 0))
     nr = max(1.0, float(raw_counts.agg(F.sum("cnt")).collect()[0][0] or 0))
     u = lam / dim

@@ -528,6 +528,12 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
+        # pre-partition by the per-round join key ONCE: LogicalRDD
+        # preserves the checkpointed plan's output partitioning, so every
+        # round's edges⨝labels join reuses it instead of re-exchanging the
+        # (static) edge set each iteration (round 14, guide §2.4 — the
+        # distinct's (src,dst) partitioning satisfied nothing downstream)
+        .repartition("dst")
         .localCheckpoint()
     )
     labels = (
@@ -538,25 +544,27 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     )
     for _ in range(max_iterations):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
+            edges.join(labels.select("id", "lbl"), edges.dst == F.col("id"))
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # the changed flag rides the label update itself (labels only ever
+        # decrease, so "changed" ≡ "decreased"): the old per-round
+        # new⨝old comparison join — a second full shuffle join per
+        # iteration — collapses to a filter over the round's already
+        # checkpointed blocks (round 14, guide §2.4)
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            labels.select("id", "lbl")
+            .join(neighbor_min, F.col("id") == neighbor_min.src, "left")
             .select(
                 "id",
-                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("nl"),
+                (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("chg"),
             )
+            .withColumnRenamed("nl", "lbl")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.filter("chg").limit(1).count()
         _release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
@@ -636,6 +644,73 @@ def simhash_neardup_pairs(
     )
 
 
+def _distinct_shingle_hash_udf(n: int, seed: int = 7):
+    """Arrow-batched pandas UDF: text → ``array<struct<h1,h2>>`` of each
+    document's DISTINCT lowercased word-``n``-gram shingle hashes — the
+    vectorized twin of ``word_shingles``'s (lower → split → slice →
+    array_join → array_distinct) chain, whose interpreted HOF lambdas
+    re-build every shingle STRING per window.
+
+    Same numpy shape as ``_window_hash_udf`` (two independent 64-bit
+    rolling lanes over per-token hashes → effective 128-bit shingle key;
+    no per-window string ever built) with two deliberate differences:
+    tokens are lowercased first (``word_shingles`` semantics), and token
+    hashes take md5's low 64 bits, not 32 — a token-level collision
+    aliases two different shingles GLOBALLY, and at a realistic vocabulary
+    a 32-bit space expects whole collisions while 64 bits expects ~0.
+    Per-doc ``np.unique`` over the (h1, h2) pairs replicates the
+    ``array_distinct``."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    lanes = []
+    for lane_seed in (seed, seed + 104729):
+        state = lane_seed
+        mults = np.empty(n, dtype=np.uint64)
+        for i in range(n):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            mults[i] = (state >> 3) | 1
+        lanes.append(mults)
+    md5 = hashlib.md5
+
+    def sh_hashes(text):
+        out = []
+        tok_cache: dict[str, int] = {}
+        cached = tok_cache.get
+        for t in text:
+            if t is None:
+                out.append(None)
+                continue
+            toks = t.lower().split(" ")
+            L = len(toks)
+            if L < n:
+                out.append([])
+                continue
+            tc = np.empty(L, dtype=np.uint64)
+            for j, tok in enumerate(toks):
+                v = cached(tok)
+                if v is None:
+                    v = int.from_bytes(md5(tok.encode("utf-8")).digest()[:8], "big")
+                    tok_cache[tok] = v
+                tc[j] = v
+            n_win = L - n + 1
+            hs = []
+            for mults in lanes:
+                h = tc[:n_win] * mults[0]
+                for i in range(1, n):
+                    h = h + tc[i : n_win + i] * mults[i]  # uint64 wraparound
+                hs.append((h >> np.uint64(1)).astype(np.int64))
+            pairs = np.stack(hs, axis=1)
+            pairs = np.unique(pairs, axis=0)
+            out.append([{"h1": int(a), "h2": int(b)} for a, b in pairs])
+        return pd.Series(out)
+
+    sh_hashes.__annotations__ = {"text": pd.Series, "return": pd.Series}
+    return F.pandas_udf(sh_hashes, "array<struct<h1: long, h2: long>>")
+
+
 def contamination_pairs(
     train: DataFrame,
     bench: DataFrame,
@@ -643,6 +718,7 @@ def contamination_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     min_shared: int = 5,
+    impl: str = "expr",
 ) -> DataFrame:
     """Benchmark-contamination check: (train_id, bench_id, shared) for every
     train document sharing >= ``min_shared`` distinct n-gram shingles with a
@@ -652,7 +728,32 @@ def contamination_pairs(
     Scale shape: the benchmark side is small by construction (eval sets are
     thousands of docs, not billions), so its shingle index BROADCASTS and
     the train corpus streams through a map-side hash join — no shuffle of
-    the train shingles, output bounded by true overlaps."""
+    the train shingles, output bounded by true overlaps.
+
+    ``impl`` follows the hot-path-twin convention (round 4): ``"expr"``
+    (default — the oracle mode x2e keeps) builds shingle strings via the
+    relational chain; ``"arrow"`` joins on 128-bit shingle hashes computed
+    in one numpy pass per side (``_distinct_shingle_hash_udf``) — no
+    interpreted per-window ``array_join``, and the broadcast index carries
+    16-byte keys instead of shingle text. Decisions pinned identical by
+    test (a cross-impl divergence needs a 2⁻¹²⁸-scale hash collision)."""
+    if impl == "arrow":
+        hu = _distinct_shingle_hash_udf(n)
+        sh_t = train.select(
+            F.col(id_col).alias("id"), F.explode(hu(F.col(text_col))).alias("_s")
+        ).select("id", "_s.h1", "_s.h2")
+        sh_b = bench.select(
+            F.col(id_col).alias("bench_id"),
+            F.explode(hu(F.col(text_col))).alias("_s"),
+        ).select("bench_id", "_s.h1", "_s.h2")
+        return (
+            sh_t.join(F.broadcast(sh_b), ["h1", "h2"])
+            .groupBy(F.col("id").alias("train_id"), "bench_id")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= min_shared)
+        )
+    if impl != "expr":
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
     sh_t = word_shingles(train, text_col, id_col, n)
     sh_b = (
         word_shingles(bench, text_col, id_col, n)

@@ -155,6 +155,11 @@ class CurationConfig:
     #: DuckDB-replayable relational plan). Pinned identical by
     #: test; same convention as ``semdedup_impl``.
     overlap_impl: str = "arrow"
+    #: decontamination twin (round 14): ``"arrow"`` (scale default —
+    #: 128-bit shingle hashes in one numpy pass per side, no interpreted
+    #: per-window string builds) | ``"expr"`` (the oracle-replayable
+    #: shingle-string chain x2e keeps). Pinned identical by test.
+    contamination_impl: str = "arrow"
     #: opt-in ADAPTIVE evidence floor for short batch docs (round 10): a
     #: short doc wholesale-copied out of an admitted doc carries too few
     #: sampled fps to reach overlap_min_shared (a 150-char body has ~2
@@ -577,6 +582,7 @@ def run_curation(
             dedup.contamination_pairs(
                 cur, bench, text_col=tcol, id_col=icol,
                 min_shared=cfg.contamination_min_shared,
+                impl=cfg.contamination_impl,
             )
             .select(F.col("train_id").alias(icol))
             .distinct()

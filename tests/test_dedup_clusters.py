@@ -286,3 +286,38 @@ def test_spread_for_arrow_guard_semantics(spark):
         _spread_for_arrow(lim_join, min_bytes=0).rdd.getNumPartitions()
         == target
     )
+
+
+def test_contamination_twins_identical(spark, sf_dir):
+    """Hot-path-twin pin (round 14): ``contamination_pairs`` expr ≡ arrow
+    — identical (train_id, bench_id, shared) rows over real corpus text
+    plus edge shapes (below-n docs emit nothing, NULL text, case folding,
+    repeated shingles collapse via the per-doc distinct)."""
+    import pytest
+
+    from pulfa_sausage_factory_spark.io import load_table
+    from pulfa_sausage_factory_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    crafted = spark.createDataFrame(
+        [
+            (1_000_001, None),
+            (1_000_002, ""),
+            (1_000_003, "one two"),  # below n=3 tokens → no shingles
+            (1_000_004, "One TWO three one two THREE one two three"),
+            (1_000_005, "one two three one two three"),  # distinct collapse
+        ],
+        ["doc_id", "text"],
+    )
+    train = docs.unionByName(crafted)
+    bench = train.limit(200).unionByName(crafted)
+    for min_shared in (1, 5):
+        a = dedup.contamination_pairs(train, bench, min_shared=min_shared)
+        b = dedup.contamination_pairs(
+            train, bench, min_shared=min_shared, impl="arrow"
+        )
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, (
+            f"expr/arrow contamination twins diverge at min_shared={min_shared}"
+        )
+    with pytest.raises(ValueError, match="impl"):
+        dedup.contamination_pairs(train, bench, impl="nope")
