@@ -83,7 +83,7 @@ def ensure_bucketed_facts(
         n_buckets,
         "l_orderkey",
     )
-    spark.createDataFrame([(marker,)], "marker string").write.mode(
+    spark.createDataFrame([(marker,)], "marker string").coalesce(1).write.mode(
         "overwrite"
     ).saveAsTable(f"default.{MARKER_TABLE}")
     return True

@@ -311,6 +311,123 @@ def _hashed_ngram_ids(col: Column | str, dim: int, impl: str = "arrow") -> Colum
     return F.pandas_udf(ids, "array<bigint>")(c)
 
 
+def _hashed_ngram_count_rows(
+    df: DataFrame, text_col: str, id_col: str, dim: int
+) -> DataFrame:
+    """``mapInPandas``: (id, text) → ``(id, feature_id, cnt)`` — one row
+    per distinct hashed unigram/bigram feature per document, with its
+    in-document instance count. Identical feature ids to
+    ``_hashed_ngram_ids`` (md5 hex-prefix → int → mod chain, pinned by
+    test); the per-(doc, feature) counts make ``explode`` + both
+    downstream aggregations (corpus bucket counts, per-doc importance
+    sums) derivable from ONE hashing pass (round 14, guide §4 —
+    ``dsir_resample`` previously ran the full arrow UDF over the raw
+    corpus twice, once per consumer).
+
+    Vectorization shape: ``pd.factorize`` maps tokens to codes at C
+    speed; md5 runs once per distinct TOKEN (unigrams) and once per
+    distinct adjacent CODE PAIR (bigrams — the ``"a b"`` string is built
+    only per distinct pair, not per instance); instance counting is one
+    ``np.unique(return_counts=True)`` over (doc, feature) keys."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    md5 = hashlib.md5
+
+    def gen(batches):
+        for pdf in batches:
+            texts = pdf[text_col]
+            ids_np = pdf[id_col].to_numpy()
+            kept: list[int] = []
+            toks_per_doc: list = []
+            for i in range(len(pdf)):
+                toks = (texts.iat[i] or "").lower().split()
+                if not toks:
+                    continue
+                kept.append(i)
+                toks_per_doc.append(np.asarray(toks, dtype=object))
+            if not kept:
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].iloc[0:0],
+                        "feature_id": np.empty(0, np.int64),
+                        "cnt": np.empty(0, np.int64),
+                    }
+                )
+                continue
+            lens = np.fromiter(
+                (len(x) for x in toks_per_doc), dtype=np.int64,
+                count=len(toks_per_doc),
+            )
+            flat = np.concatenate(toks_per_doc)
+            codes, uniques = pd.factorize(flat)
+            uh = np.fromiter(
+                (
+                    int.from_bytes(md5(t.encode("utf-8")).digest()[:4], "big")
+                    % dim
+                    for t in uniques
+                ),
+                dtype=np.int64,
+                count=len(uniques),
+            )
+            uni_ids = uh[codes]
+            doc_uni = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            # bigram windows: adjacent code pairs that do not cross a doc
+            # boundary (same index arithmetic as the shingle twins)
+            wpd = np.maximum(lens - 1, 0)
+            n_bi = int(wpd.sum())
+            if n_bi:
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                doc_bi = np.repeat(np.arange(len(lens), dtype=np.int64), wpd)
+                csum = np.cumsum(wpd)
+                offs = np.arange(n_bi, dtype=np.int64) - np.repeat(
+                    csum - wpd, wpd
+                )
+                widx = np.repeat(starts, wpd) + offs
+                pa = codes[widx].astype(np.int64)
+                pb = codes[widx + 1].astype(np.int64)
+                pair_key = pa * np.int64(len(uniques)) + pb
+                upairs, pinv = np.unique(pair_key, return_inverse=True)
+                nu = np.int64(len(uniques))
+                bh = np.fromiter(
+                    (
+                        int.from_bytes(
+                            md5(
+                                (uniques[int(pk // nu)] + " " + uniques[int(pk % nu)])
+                                .encode("utf-8")
+                            ).digest()[:4],
+                            "big",
+                        )
+                        % dim
+                        for pk in upairs
+                    ),
+                    dtype=np.int64,
+                    count=len(upairs),
+                )
+                bi_ids = bh[pinv]
+                d_all = np.concatenate([doc_uni, doc_bi])
+                f_all = np.concatenate([uni_ids, bi_ids])
+            else:
+                d_all, f_all = doc_uni, uni_ids
+            key = d_all * np.int64(dim) + f_all
+            uk, cnts = np.unique(key, return_counts=True)
+            out_ids = ids_np[np.asarray(kept, dtype=np.int64)][uk // dim]
+            yield pd.DataFrame(
+                {
+                    id_col: out_ids,
+                    "feature_id": uk % dim,
+                    "cnt": cnts.astype(np.int64),
+                }
+            )
+
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"`{id_col}` {id_ddl}, feature_id long, cnt long"
+    )
+
+
 def dsir_feature_counts(
     df: DataFrame, dim: int, text_col: str = "text", impl: str = "arrow"
 ) -> DataFrame:
@@ -428,6 +545,68 @@ def dsir_resample(
     Returns the selected raw rows (all original columns) plus ``log_w``
     and the selection key ``gumbel_key``; ordered by key descending.
     """
+    u = (_hash_bucket_fine(F.col(id_col)) + F.lit(0.5)) / F.lit(float(FINE_BUCKETS))
+    if impl == "arrow":
+        # one hashing pass over the raw corpus (round 14, guide §4): the
+        # per-(doc, feature) count rows serve BOTH consumers — the corpus
+        # bucket histogram (groupBy feature) and the per-doc importance
+        # sums (join ratio, groupBy doc). Arithmetic is exactly the
+        # per-instance form's: Σ_instances lr ≡ Σ_f cnt_f·lr with lr at
+        # decimal scale 12 (integer multiply and sum are exact), so the
+        # selected sample is bit-identical. The k-row result is
+        # checkpointed so the corpus-sized feature table can be released
+        # before return instead of leaking a checkpoint per call.
+        from ..session import release_local_checkpoint
+
+        feats = _hashed_ngram_count_rows(raw, text_col, id_col, dim).localCheckpoint()
+        try:
+            raw_counts = feats.groupBy("feature_id").agg(
+                F.sum("cnt").alias("cnt")
+            )
+            ratio = dsir_log_ratio(
+                dsir_feature_counts(target, dim, text_col, impl),
+                raw_counts,
+                dim,
+                lam,
+            )
+            scored = (
+                feats.join(F.broadcast(ratio), "feature_id", "left")
+                .groupBy(id_col)
+                .agg(
+                    F.sum("cnt").alias("n_features"),
+                    F.sum(
+                        F.coalesce("lr", F.lit(0.0)).cast("decimal(18,12)")
+                        * F.col("cnt").cast("decimal(10,0)")
+                    ).alias("lw"),
+                )
+            )
+            imp = (
+                raw.select(id_col)
+                .distinct()
+                .join(scored, id_col, "left")
+                .select(
+                    id_col,
+                    F.coalesce("n_features", F.lit(0)).alias("n_features"),
+                    F.coalesce(F.col("lw").cast("double"), F.lit(0.0)).alias(
+                        "log_w"
+                    ),
+                )
+            )
+            keyed = imp.select(
+                id_col,
+                "log_w",
+                (F.col("log_w") - F.log(-F.log(u))).alias("gumbel_key"),
+            )
+            top = (
+                keyed.orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+                .limit(k)
+                .localCheckpoint()
+            )
+        finally:
+            release_local_checkpoint(feats)
+        return raw.join(top, id_col).orderBy(
+            F.col("gumbel_key").desc(), F.col(id_col)
+        )
     ratio = dsir_log_ratio(
         dsir_feature_counts(target, dim, text_col, impl),
         dsir_feature_counts(raw, dim, text_col, impl),
@@ -435,7 +614,6 @@ def dsir_resample(
         lam,
     )
     imp = dsir_importance(raw, ratio, dim, text_col, id_col, impl)
-    u = (_hash_bucket_fine(F.col(id_col)) + F.lit(0.5)) / F.lit(float(FINE_BUCKETS))
     keyed = imp.select(
         id_col,
         "log_w",

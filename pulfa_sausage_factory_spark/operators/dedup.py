@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..session import release_local_checkpoint as _release_local_checkpoint
 
@@ -493,6 +494,20 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+#: directed-edge count at or below which ``dedup_clusters`` solves the
+#: component labels with a driver-local union-find instead of the
+#: distributed propagation loop (round 14, guide §2.4/§5): each loop
+#: round costs a shuffle join + localCheckpoint + count — pure scheduling
+#: overhead when the edge set is thousands of rows (near-dup pair sets
+#: are output-sensitive and tiny relative to the corpus; the 100× stress
+#: corpus yields 25.6k pairs). The gate is a COUNT over the already
+#: materialized edge checkpoint, so the collect is provably bounded
+#: (≤ ~16 MB of id pairs) — this is the GraphFrames-style small-graph
+#: fast path, not an unbounded driver loop; above the gate the
+#: distributed loop runs unchanged.
+_CC_LOCAL_MAX_EDGES = 500_000
+
+
 def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """X1/X2 follow-through — connected-component clustering of near-dup
     pairs: every document in a component maps to the component's minimum id
@@ -536,6 +551,54 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .repartition("dst")
         .localCheckpoint()
     )
+    # small-graph fast path: the count reads the checkpoint's cached
+    # blocks (no recompute); converged labels are identical to the loop's
+    # fixed point (min id per connected component), pinned by test with
+    # the gate monkeypatched both ways
+    n_edges = edges.count()
+    if n_edges <= _CC_LOCAL_MAX_EDGES:
+        rows = edges.collect()
+        spark = pairs.sparkSession
+        id_type = edges.schema["src"].dataType
+        _release_local_checkpoint(edges)
+        parent: dict = {}
+
+        def _find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = r[0], r[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                # union-by-min keeps every root the component minimum —
+                # path compression keeps the forest shallow regardless
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = [(v, _find(v)) for v in parent]
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", id_type, False),
+                T.StructField("canonical_id", id_type, False),
+            ]
+        )
+        # the parallelized result has no catalyst size estimate (RDD-backed
+        # scans default to a huge sizeInBytes), so downstream joins would
+        # plan SMJ against a frame this path PROVES is ≤ the gate (~16 MB):
+        # hint the broadcast and right-size the slices so tiny label sets
+        # don't fan into defaultParallelism single-row tasks
+        n_slices = max(1, min(32, len(out) // 50_000 + 1))
+        rdd = spark.sparkContext.parallelize(out, n_slices)
+        return spark.createDataFrame(rdd, schema).hint("broadcast")
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -644,22 +707,27 @@ def simhash_neardup_pairs(
     )
 
 
-def _distinct_shingle_hash_udf(n: int, seed: int = 7):
-    """Arrow-batched pandas UDF: text → ``array<struct<h1,h2>>`` of each
-    document's DISTINCT lowercased word-``n``-gram shingle hashes — the
-    vectorized twin of ``word_shingles``'s (lower → split → slice →
-    array_join → array_distinct) chain, whose interpreted HOF lambdas
-    re-build every shingle STRING per window.
+def _distinct_shingle_hash_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int, out_id: str, seed: int = 7
+) -> DataFrame:
+    """``mapInPandas``: (id, text) → one row per DISTINCT lowercased
+    word-``n``-gram shingle hash, ``(out_id, h1, h2)`` — the vectorized
+    twin of ``word_shingles``'s (lower → split → slice → array_join →
+    array_distinct) chain, whose interpreted HOF lambdas re-build every
+    shingle STRING per window.
 
-    Same numpy shape as ``_window_hash_udf`` (two independent 64-bit
-    rolling lanes over per-token hashes → effective 128-bit shingle key;
-    no per-window string ever built) with two deliberate differences:
-    tokens are lowercased first (``word_shingles`` semantics), and token
-    hashes take md5's low 64 bits, not 32 — a token-level collision
-    aliases two different shingles GLOBALLY, and at a realistic vocabulary
-    a 32-bit space expects whole collisions while 64 bits expects ~0.
-    Per-doc ``np.unique`` over the (h1, h2) pairs replicates the
-    ``array_distinct``."""
+    Round-14 shape: rows come straight out of numpy arrays (no
+    array<struct> return + explode — building a Python dict per window
+    dominated the earlier pandas-UDF form), and the per-token md5 runs
+    only over the batch VOCABULARY (``pd.factorize`` maps tokens to
+    codes at C speed; the rolling lanes then run once over the whole
+    batch's concatenated token stream, windows crossing document
+    boundaries discarded by index arithmetic). Token hashes take md5's
+    low 64 bits — two independent 64-bit rolling lanes make an effective
+    128-bit shingle key, so a cross-impl divergence needs a 2⁻¹²⁸-scale
+    collision. Per-(doc, h1, h2) ``np.unique`` replicates the
+    ``array_distinct``; docs with NULL text or fewer than ``n`` tokens
+    emit nothing (what an empty/NULL array explodes to)."""
     import hashlib
 
     import numpy as np
@@ -675,40 +743,68 @@ def _distinct_shingle_hash_udf(n: int, seed: int = 7):
         lanes.append(mults)
     md5 = hashlib.md5
 
-    def sh_hashes(text):
-        out = []
-        tok_cache: dict[str, int] = {}
-        cached = tok_cache.get
-        for t in text:
-            if t is None:
-                out.append(None)
+    def gen(batches):
+        for pdf in batches:
+            texts = pdf[text_col]
+            ids_np = pdf[id_col].to_numpy()
+            kept: list[int] = []
+            toks_per_doc: list = []
+            for i in range(len(pdf)):
+                t = texts.iat[i]
+                if t is None:
+                    continue
+                toks = t.lower().split(" ")
+                if len(toks) < n:
+                    continue
+                kept.append(i)
+                toks_per_doc.append(np.asarray(toks, dtype=object))
+            if not kept:
+                yield pd.DataFrame(
+                    {
+                        out_id: pdf[id_col].iloc[0:0],
+                        "h1": np.empty(0, np.int64),
+                        "h2": np.empty(0, np.int64),
+                    }
+                )
                 continue
-            toks = t.lower().split(" ")
-            L = len(toks)
-            if L < n:
-                out.append([])
-                continue
-            tc = np.empty(L, dtype=np.uint64)
-            for j, tok in enumerate(toks):
-                v = cached(tok)
-                if v is None:
-                    v = int.from_bytes(md5(tok.encode("utf-8")).digest()[:8], "big")
-                    tok_cache[tok] = v
-                tc[j] = v
-            n_win = L - n + 1
-            hs = []
+            lens = np.fromiter(
+                (len(x) for x in toks_per_doc), dtype=np.int64,
+                count=len(toks_per_doc),
+            )
+            flat = np.concatenate(toks_per_doc)
+            codes, uniques = pd.factorize(flat)
+            uh = np.empty(len(uniques), dtype=np.uint64)
+            for j, tok in enumerate(uniques):
+                uh[j] = int.from_bytes(md5(tok.encode("utf-8")).digest()[:8], "big")
+            tc = uh[codes]
+            n_all = tc.shape[0] - n + 1
+            lane_h = []
             for mults in lanes:
-                h = tc[:n_win] * mults[0]
+                h = tc[:n_all] * mults[0]
                 for i in range(1, n):
-                    h = h + tc[i : n_win + i] * mults[i]  # uint64 wraparound
-                hs.append((h >> np.uint64(1)).astype(np.int64))
-            pairs = np.stack(hs, axis=1)
-            pairs = np.unique(pairs, axis=0)
-            out.append([{"h1": int(a), "h2": int(b)} for a, b in pairs])
-        return pd.Series(out)
+                    h = h + tc[i : n_all + i] * mults[i]  # uint64 wraparound
+                lane_h.append((h >> np.uint64(1)).astype(np.int64))
+            wpd = lens - n + 1  # >= 1 for every kept doc
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), wpd)
+            csum = np.cumsum(wpd)
+            offs = np.arange(int(csum[-1]), dtype=np.int64) - np.repeat(
+                csum - wpd, wpd
+            )
+            widx = np.repeat(starts, wpd) + offs
+            trip = np.stack(
+                [doc_of, lane_h[0][widx], lane_h[1][widx]], axis=1
+            )
+            trip = np.unique(trip, axis=0)
+            out_ids = ids_np[np.asarray(kept, dtype=np.int64)][trip[:, 0]]
+            yield pd.DataFrame(
+                {out_id: out_ids, "h1": trip[:, 1], "h2": trip[:, 2]}
+            )
 
-    sh_hashes.__annotations__ = {"text": pd.Series, "return": pd.Series}
-    return F.pandas_udf(sh_hashes, "array<struct<h1: long, h2: long>>")
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"`{out_id}` {id_ddl}, h1 long, h2 long"
+    )
 
 
 def contamination_pairs(
@@ -733,19 +829,15 @@ def contamination_pairs(
     ``impl`` follows the hot-path-twin convention (round 4): ``"expr"``
     (default — the oracle mode x2e keeps) builds shingle strings via the
     relational chain; ``"arrow"`` joins on 128-bit shingle hashes computed
-    in one numpy pass per side (``_distinct_shingle_hash_udf``) — no
+    in one numpy pass per side (``_distinct_shingle_hash_rows``) — no
     interpreted per-window ``array_join``, and the broadcast index carries
     16-byte keys instead of shingle text. Decisions pinned identical by
     test (a cross-impl divergence needs a 2⁻¹²⁸-scale hash collision)."""
     if impl == "arrow":
-        hu = _distinct_shingle_hash_udf(n)
-        sh_t = train.select(
-            F.col(id_col).alias("id"), F.explode(hu(F.col(text_col))).alias("_s")
-        ).select("id", "_s.h1", "_s.h2")
-        sh_b = bench.select(
-            F.col(id_col).alias("bench_id"),
-            F.explode(hu(F.col(text_col))).alias("_s"),
-        ).select("bench_id", "_s.h1", "_s.h2")
+        sh_t = _distinct_shingle_hash_rows(train, text_col, id_col, n, "id")
+        sh_b = _distinct_shingle_hash_rows(
+            bench, text_col, id_col, n, "bench_id"
+        )
         return (
             sh_t.join(F.broadcast(sh_b), ["h1", "h2"])
             .groupBy(F.col("id").alias("train_id"), "bench_id")

@@ -28,6 +28,15 @@ def write_bucketed(
     """Persist ``df`` as a bucketed (optionally sort-bucketed) managed
     table. Sorting within buckets lets the sort-merge join skip its sort."""
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    # pre-shuffle into bucket-aligned partitions (repartition's murmur3
+    # pmod IS the bucket-id expression, so each task holds exactly one
+    # bucket): without it every input task writes up to n_buckets files
+    # (task_count × n_buckets small files at scale), and an unsplittable
+    # single-file source — the local parquet inputs — degrades to ONE
+    # task sorting and writing every bucket serially (measured 2.7 s
+    # single-core for lineitem at sf0.1 → 0.6 s 8-way). One Exchange at
+    # ingest is the cost bucketing exists to pay once (round 14, guide §6).
+    df = df.repartition(n_buckets, *cols)
     writer = df.write.mode(mode).bucketBy(n_buckets, *cols)
     if sort_cols:
         scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)

@@ -86,10 +86,15 @@ def test_ngram_jaccard_df_cap_preserves_result(spark, sf_dir):
     assert dfreq.mx > 4
 
 
-def test_cluster_loop_releases_superseded_checkpoints(spark):
+def test_cluster_loop_releases_superseded_checkpoints(spark, monkeypatch):
     # each round localCheckpoints a fresh label table; superseded rounds'
     # blocks must be freed eagerly or a long loop pins every round's full
-    # snapshot until driver GC (unbounded storage growth at scale)
+    # snapshot until driver GC (unbounded storage growth at scale).
+    # Gate forced to 0 so the DISTRIBUTED loop (the path this test pins)
+    # runs despite the tiny fixture (round 14: small graphs solve locally)
+    from pulfa_sausage_factory_spark.operators import dedup as _dedup
+
+    monkeypatch.setattr(_dedup, "_CC_LOCAL_MAX_EDGES", 0)
     edges = [(2, 1), (2, 3), (3, 4), (4, 5), (5, 6)]  # chain: several rounds
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     jsc = spark.sparkContext._jsc.sc()
@@ -321,3 +326,39 @@ def test_contamination_twins_identical(spark, sf_dir):
         )
     with pytest.raises(ValueError, match="impl"):
         dedup.contamination_pairs(train, bench, impl="nope")
+
+
+def test_cc_local_fast_path_matches_distributed(spark, monkeypatch):
+    """Round-14 fast-path pin: the driver-local union-find (edge count at
+    or below ``_CC_LOCAL_MAX_EDGES``) and the distributed propagation loop
+    produce identical (doc_id, canonical_id) labelings — chains past the
+    broadcast of one round, cycles, self-loops, duplicate/reversed edges,
+    and a pseudo-random component mix."""
+    import random
+
+    from pulfa_sausage_factory_spark.operators import dedup as _dedup
+
+    rng = random.Random(14)
+    edges = [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10),
+             (20, 21), (21, 20), (30, 30)]
+    # pseudo-random extra components with long chains
+    base = 100
+    for comp in range(20):
+        ids = [base + comp * 50 + i for i in range(rng.randint(2, 30))]
+        rng.shuffle(ids)
+        edges += list(zip(ids, ids[1:]))
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    local = {(r.doc_id, r.canonical_id) for r in _dedup.dedup_clusters(pairs).collect()}
+    monkeypatch.setattr(_dedup, "_CC_LOCAL_MAX_EDGES", 0)
+    dist = {(r.doc_id, r.canonical_id) for r in
+            _dedup.dedup_clusters(pairs, max_iterations=60).collect()}
+    assert local == dist and local
+
+    # string ids: Python and Spark must agree on the min ordering
+    spairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    monkeypatch.setattr(_dedup, "_CC_LOCAL_MAX_EDGES", 500_000)
+    got = {r.doc_id: r.canonical_id for r in _dedup.dedup_clusters(spairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

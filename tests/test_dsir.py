@@ -163,3 +163,23 @@ def test_dsir_feature_impls_agree(spark, sf_dir):
     import pytest as pt
     with pt.raises(ValueError, match="impl"):
         sampling._hashed_ngram_ids("text", 512, "numpy")
+
+
+def test_dsir_resample_impls_agree(spark, sf_dir):
+    """Round-14 pin: the restructured one-hash arrow resample (count rows
+    + Σ cnt·lr decimal arithmetic) selects EXACTLY the docs the
+    oracle-replayable expr form does, in the same order — the decimal
+    scale-12 products/sums are exact, so the gumbel keys are bit-equal."""
+    from pulfa_sausage_factory_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(300)
+    target = docs.limit(40)
+    a = [
+        (r.doc_id, r.log_w, r.gumbel_key)
+        for r in sampling.dsir_resample(docs, target, k=50, dim=2048, impl="arrow").collect()
+    ]
+    b = [
+        (r.doc_id, r.log_w, r.gumbel_key)
+        for r in sampling.dsir_resample(docs, target, k=50, dim=2048, impl="expr").collect()
+    ]
+    assert a == b and len(a) == 50
