@@ -108,6 +108,15 @@ def bpe_tokens(col: Column | str) -> Column:
     return F.regexp_extract_all(F.lower(c), F.lit(BPE_PATTERN), 0)
 
 
+def bpe_token_count(col: Column | str) -> Column:
+    """``size(bpe_tokens(c))`` without materializing the token-string
+    array (round 14, guide §2.3 — the packing path only needs the COUNT;
+    ``regexp_count`` runs the same regex scan but allocates no matches).
+    Pinned ≡ ``size(bpe_tokens(c))`` by test."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.lower(c), F.lit(BPE_PATTERN))
+
+
 def quality_score(col: Column | str) -> Column:
     """X4 — composite document quality in [0,1]: length band + low
     punctuation density + word-length sanity. Deterministic closed form

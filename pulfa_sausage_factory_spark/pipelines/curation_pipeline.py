@@ -663,7 +663,7 @@ def run_curation(
 
     # 7. sequence packing on BPE-ish token counts (per-shard window pass)
     packed = (
-        cur.withColumn("n_tokens", F.size(text.bpe_tokens(F.col(tcol))))
+        cur.withColumn("n_tokens", text.bpe_token_count(F.col(tcol)))
         .withColumn("shard", sampling.hash_bucket(icol) % cfg.pack_shards)
     )
     packed = sampling.pack_greedy(

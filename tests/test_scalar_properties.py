@@ -164,3 +164,32 @@ def test_quality_score_bounded(spark, sf_dir):
         F.max(quality_score("text")).alias("hi"),
     ).first()
     assert 0.0 <= mm.lo <= mm.hi <= 1.0
+
+
+def test_bpe_token_count_matches_size_of_tokens(spark, sf_dir):
+    """Round-14 pin: ``bpe_token_count`` (regexp_count, no array
+    materialization) ≡ ``size(bpe_tokens)`` on real corpus text plus
+    NULL/empty/whitespace edges — the packing stage budgets by it."""
+    from pyspark.sql import functions as F
+
+    from pulfa_sausage_factory_spark.functions.text import (
+        bpe_token_count,
+        bpe_tokens,
+    )
+    from pulfa_sausage_factory_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("text").limit(500)
+    crafted = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("Hello, world! 42x",), (None,)],
+        "text string",
+    )
+    df = docs.unionByName(crafted)
+    bad = df.filter(
+        ~(
+            F.size(bpe_tokens("text")).eqNullSafe(bpe_token_count("text"))
+            # size(NULL array) is -1 under the session default; the count
+            # twin returns NULL — both feed post-clean non-null text only
+            | (F.col("text").isNull())
+        )
+    ).count()
+    assert bad == 0
