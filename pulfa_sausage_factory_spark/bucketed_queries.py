@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .io import load_table
+from .io import load_table, tiny_df
 from .sinks import bucketed
 
 #: managed-table names for the bucketed fact twins (+ a one-row marker
@@ -69,21 +69,49 @@ def ensure_bucketed_facts(
     # would error forever. DROP TABLE only removes cataloged tables;
     # physically delete any leftover dirs too.
     _clear_orphan_dirs(spark)
-    bucketed.write_bucketed(
-        load_table(spark, sf_dir, "orders"),
-        f"default.{ORDERS_TABLE}",
-        "o_orderkey",
-        n_buckets,
-        "o_orderkey",
-    )
-    bucketed.write_bucketed(
-        load_table(spark, sf_dir, "lineitem"),
-        f"default.{LINEITEM_TABLE}",
-        "l_orderkey",
-        n_buckets,
-        "l_orderkey",
-    )
-    spark.createDataFrame([(marker,)], "marker string").coalesce(1).write.mode(
+    # resolve BOTH sources on this thread first: io.load_table temporarily
+    # flips a session conf around schema inference (nanosAsLong set →
+    # read → restore), so two concurrent load_table calls could interleave
+    # the set/restore and read the wrong value
+    orders_src = load_table(spark, sf_dir, "orders")
+    li_src = load_table(spark, sf_dir, "lineitem")
+    # run the two table writes CONCURRENTLY (round 14, guide §2.4): each
+    # write is exactly n_buckets tasks (the bucket-aligned pre-shuffle in
+    # write_bucketed), so at the bench's n_buckets=8 the sequential form
+    # left 24 of 32 cores idle per write. Spark supports concurrent job
+    # submission from multiple driver threads; the two saveAsTable targets
+    # are distinct tables. Measured interleaved A/B at sf0.1 (5 reps,
+    # alternating): write pair seq min 1.415 / med 1.52 → par min 0.952 /
+    # med 1.257. At cluster scale each write already saturates the
+    # executors and the overlap simply pipelines scan/sort/commit phases.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(
+                bucketed.write_bucketed,
+                orders_src,
+                f"default.{ORDERS_TABLE}",
+                "o_orderkey",
+                n_buckets,
+                "o_orderkey",
+            ),
+            pool.submit(
+                bucketed.write_bucketed,
+                li_src,
+                f"default.{LINEITEM_TABLE}",
+                "l_orderkey",
+                n_buckets,
+                "l_orderkey",
+            ),
+        ]
+        for f in futs:
+            f.result()  # re-raise either write's failure
+    # one-slice tiny frame (round 14): the old createDataFrame(...)
+    # .coalesce(1) made ONE task drain 32 python-worker partitions
+    # serially — measured 5.4-7.0 s for this one-row marker write, the
+    # dominant cost of every force rebuild (io.tiny_df docstring)
+    tiny_df(spark, [(marker,)], "marker string").write.mode(
         "overwrite"
     ).saveAsTable(f"default.{MARKER_TABLE}")
     return True

@@ -129,3 +129,21 @@ def read_parquet_state(
         if "PATH_NOT_FOUND" in cls or "UNABLE_TO_INFER_SCHEMA" in cls:
             return None
         raise
+
+
+def tiny_df(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """A driver-local few-row DataFrame in ONE partition — for writing
+    small sidecar artifacts (markers, config metas, id reservations).
+
+    ``spark.createDataFrame(rows, schema)`` parallelizes into
+    ``defaultParallelism`` partitions (31 of them empty for a 1-row
+    frame), and each partition's compute is a PYTHON worker round-trip.
+    The classic "one tidy file" follow-up ``.coalesce(1)`` then makes a
+    SINGLE task iterate all 32 parent partitions SERIALLY — ~32 × ~170 ms
+    of worker round-trips ≈ 5.5 s measured for a one-row marker write
+    (round 14; the dominant cost of the bench's bucketize extra before
+    the fix). One slice from the start is one task, one round-trip, one
+    output file: ~0.4 s warm."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )

@@ -38,6 +38,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pulfa_sausage_factory_spark.io import tiny_df
 from pulfa_sausage_factory_spark.operators.similarity import (
     _centroid_signature,
     _codebook_config,
@@ -279,8 +280,8 @@ def save_pq_index(index: PQIndex, path: str) -> None:
     index.codes.write.mode("overwrite").parquet(f"{base}/codes")
     if index.centroids is not None:
         index.centroids.write.mode("overwrite").parquet(f"{base}/centroids")
-    spark.createDataFrame(
-        [(json.dumps(index.meta),)], "meta_json string"
+    tiny_df(
+        spark, [(json.dumps(index.meta),)], "meta_json string"
     ).write.mode("overwrite").parquet(f"{base}/meta")
 
 
@@ -1034,8 +1035,8 @@ def retrain_pq_index(
             # rename marker dance write_snapshot does on a LIVE dir is
             # replace_dir's job here
             idx.codes.write.mode("overwrite").parquet(codes_dst)
-            spark.createDataFrame(
-                [(json.dumps(idx.meta),)], "meta_json string"
+            tiny_df(
+                spark, [(json.dumps(idx.meta),)], "meta_json string"
             ).write.mode("overwrite").parquet(f"{tmp}/meta")
             # the index-dir LEASE RECORD lives inside the dir being
             # swapped — carry a copy (same token + nonce, fresh mtime)

@@ -377,6 +377,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     storage_level: "StorageLevel | None" = None,
     spread: bool = True,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """X2 — MinHash + banded LSH near-dup candidates, verified by estimated
     Jaccard (signature agreement rate).
@@ -394,12 +395,20 @@ def minhash_lsh_pairs(
     ~8·num_hashes bytes/doc, and at 100 TB the set can exceed executor
     memory — degrading to local disk beats silent eviction + recompute of
     the Arrow-batched signature UDF.
+
+    ``sigs`` reuses a prebuilt :func:`minhash_signatures` frame (same
+    ``num_hashes``/``n`` as requested here — the caller owns that
+    contract) so a pipeline that ALSO needs the signatures as a stage
+    artifact (the incremental ingest writes them to its ``sigs/`` ledger)
+    tokenizes and hashes each document ONCE instead of twice (round 14,
+    guide §4: pay the Python boundary once per datum).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(
-        df, text_col=text_col, id_col=id_col, n=n, num_hashes=num_hashes,
-        storage_level=storage_level, spread=spread,
-    )
+    if sigs is None:
+        sigs = minhash_signatures(
+            df, text_col=text_col, id_col=id_col, n=n, num_hashes=num_hashes,
+            storage_level=storage_level, spread=spread,
+        )
     # bucket key = hash of (band, band-slice of the signature). The signature
     # rides along through the explode: ~bands × 8·num_hashes bytes per doc of
     # extra shuffle, which buys back two join-backs + a distinct (4 shuffles

@@ -499,9 +499,21 @@ def run_curation(
     # per config) → connected components → keep each component's canonical
     # (minimum-id) member. The corpus side exits via one anti-join against
     # the non-canonical decision table.
+    dag_sigs = None  # released after the neardup stage materializes
     if cfg.neardup_method == "minhash":
+        # own the signature cache (round 14): minhash_lsh_pairs' internal
+        # persist has a per-call lineage (this DAG's checkpointed corpus),
+        # so repeated run_curation calls each pinned a fresh
+        # InMemoryRelation until session GC. Building it here (same plan,
+        # same eager count — the round-6 load-bearing stats fill) lets the
+        # DAG unpersist it once the neardup stage's checkpoint holds the
+        # survivors.
+        dag_sigs = dedup.minhash_signatures(
+            cur, text_col=tcol, id_col=icol
+        )
         pairs = dedup.minhash_lsh_pairs(
-            cur, text_col=tcol, id_col=icol, threshold=cfg.neardup_threshold
+            cur, text_col=tcol, id_col=icol, threshold=cfg.neardup_threshold,
+            sigs=dag_sigs,
         ).select("id_a", "id_b")
     elif cfg.neardup_method == "simhash":
         pairs = dedup.simhash_neardup_pairs(
@@ -574,6 +586,11 @@ def run_curation(
             .select(F.col("doc_id").alias(icol))
         )
         cur = stage("neardup_dedup", cur.join(losers, icol, "left_anti"))
+    if dag_sigs is not None:
+        # the stage checkpoint above (and dedup_clusters' eager edge
+        # materialization) are the last readers — drop the signature
+        # blocks now instead of pinning one corpus-sized cache per call
+        dag_sigs.unpersist()
 
     # 5. benchmark decontamination (eval-leakage gate): broadcast bench
     # shingle index, anti-join the contaminated train ids out
@@ -1037,7 +1054,7 @@ def _resolve_overlap_mod(spark: SparkSession, fps_dir: str, cfg) -> int:
     those dirs were written at the then-only default, and refusing them
     would brick every existing deployment on upgrade."""
     from ..functions.text import suggest_overlap_config
-    from ..io import read_parquet_state
+    from ..io import read_parquet_state, tiny_df
 
     meta_dir = fps_dir.rstrip("/") + "_meta"
     meta = read_parquet_state(spark, meta_dir)
@@ -1106,11 +1123,14 @@ def _resolve_overlap_mod(spark: SparkSession, fps_dir: str, cfg) -> int:
             )
     # one tiny row, overwrite-idempotent (a replayed first batch rewrites
     # identical content); written BEFORE the batch's fps so a crash after
-    # any fps landed can never leave sampled state without its meta
-    spark.createDataFrame(
+    # any fps landed can never leave sampled state without its meta.
+    # tiny_df, not createDataFrame().coalesce(1) — the coalesce made one
+    # task drain 32 python partitions serially (io.tiny_df docstring)
+    tiny_df(
+        spark,
         [(cfg.overlap_k, cfg.overlap_w, mod)],
         "k int, w int, sample_mod int",
-    ).coalesce(1).write.mode("overwrite").parquet(meta_dir)
+    ).write.mode("overwrite").parquet(meta_dir)
     return mod
 
 
@@ -1135,7 +1155,6 @@ def _ingest_batch(
 
     from pyspark.sql import types as T
 
-    from ..operators.dedup import _minhash_sig_udf
     from ..sources.jsonl import CORRUPT_COL
 
     if cfg.serve_index_append and not cfg.semantic_ledger:
@@ -1220,7 +1239,6 @@ def _ingest_batch(
             statedir.recover_partition_swaps(spark, d)
         num_hashes, n_bands = 32, 8
         rows_per_band = num_hashes // n_bands
-        sig_udf = _minhash_sig_udf(num_hashes=num_hashes, n=3)
 
         def _band_keys(sig_col):
             return F.array(
@@ -1250,7 +1268,7 @@ def _ingest_batch(
             return _ingest_batch_body(
                 spark, parsed, batch_id, cfg, sch,
                 ledger_dir, corpus_dir, sigs_dir, bands_dir,
-                sig_udf, _band_keys, _part, num_hashes,
+                _band_keys, _part, num_hashes,
                 semvecs_dir, sem_centroids, idxmap_dir, fps_dir,
                 retracted_dir, overlap_drops_dir, n_bands=n_bands,
             )
@@ -1261,7 +1279,7 @@ def _ingest_batch(
 def _ingest_batch_body(
     spark, parsed, batch_id, cfg, sch,
     ledger_dir, corpus_dir, sigs_dir, bands_dir,
-    sig_udf, _band_keys, _part, num_hashes,
+    _band_keys, _part, num_hashes,
     semvecs_dir=None, sem_centroids=None, idxmap_dir=None, fps_dir=None,
     retracted_dir=None, overlap_drops_dir=None, n_bands=8,
 ) -> dict:
@@ -1442,7 +1460,23 @@ def _ingest_batch_body(
                     "left_anti",
                 )
         batch_d = _st("exact_dedup", batch_d)
+        sigs_b = None  # released in the end-of-batch finally
         if cfg.neardup_ledger:
+            # ONE signature pass per batch (round 14, guide §4): the
+            # within-batch pair generation AND the cross-run leg / sigs-
+            # ledger write used to each run the signature UDF over the
+            # batch text — compute the cached signature frame once, feed
+            # it to minhash_lsh_pairs, and attach ``_sig`` by a left join
+            # (null for docs too short to sign, exactly the old
+            # withColumn semantics; batch ids are unique by the ingest
+            # contract, so the join cannot fan out)
+            sigs_b = dedup.minhash_signatures(
+                batch_d, text_col=tcol, id_col=icol, num_hashes=num_hashes,
+                # micro-batches are small and latency-sensitive: one Arrow
+                # batch beats the under-partitioned-input re-spread's shuffle
+                # + 32-task fan-out (the guard would fire on every trigger)
+                spread=False,
+            )
             # within-batch near-dups first — the SAME connected-components
             # canonical rule as the batch DAG (per-pair greatest-id removal
             # would admit a different survivor set from identical input:
@@ -1451,18 +1485,18 @@ def _ingest_batch_body(
             pairs = dedup.minhash_lsh_pairs(
                 batch_d, text_col=tcol, id_col=icol,
                 threshold=cfg.neardup_threshold,
-                # micro-batches are small and latency-sensitive: one Arrow
-                # batch beats the under-partitioned-input re-spread's shuffle
-                # + 32-task fan-out (the guard would fire on every trigger)
-                spread=False,
+                spread=False, sigs=sigs_b,
             ).select("id_a", "id_b")
             losers = (
                 dedup.dedup_clusters(pairs)
                 .filter(F.col("doc_id") != F.col("canonical_id"))
                 .select(F.col("doc_id").alias(icol))
             )
-            batch_d = batch_d.join(losers, icol, "left_anti").withColumn(
-                "_sig", sig_udf(F.col(tcol))
+            batch_d = batch_d.join(losers, icol, "left_anti").join(
+                sigs_b.select(
+                    F.col("id").alias(icol), F.col("sig").alias("_sig")
+                ),
+                icol, "left",
             )
             # ... then cross-batch/run: band-bucket candidates vs the
             # ledger, confirmed by signature-agreement est-Jaccard
@@ -1806,6 +1840,11 @@ def _ingest_batch_body(
                 release_local_checkpoint(sem_emb_ckpt)
             if fps_ckpt is not None:
                 release_local_checkpoint(fps_ckpt)
+            if sigs_b is not None:
+                # the shared signature cache's last readers (`_sig` rides
+                # the admitted checkpoint) are materialized by now — drop
+                # the persist instead of pinning one per batch to GC
+                sigs_b.unpersist()
         rep = {
             "batch_id": batch_id,
             "corrupt_lines": n_corrupt,
@@ -2016,7 +2055,7 @@ def _append_serve_index(spark, admitted, cfg, icol, batch_id,
     import os
 
     from .. import fsutil
-    from ..io import read_parquet_state
+    from ..io import read_parquet_state, tiny_df
     from ..operators.ann_index import (
         _codes_horizon,
         append_to_pq_index,
@@ -2050,7 +2089,8 @@ def _append_serve_index(spark, admitted, cfg, icol, batch_id,
         _sweep_orphan_reservations(spark, base, mapping)
         reserved = next_log_id(spark, base)
         fsutil.mkdirs(spark, f"{base}/codes_append/batch={reserved}")
-        spark.createDataFrame(
+        tiny_df(
+            spark,
             [(int(batch_id), int(reserved))],
             "ingest_batch_id long, index_batch_id long",
         ).write.mode("overwrite").parquet(
@@ -3034,7 +3074,7 @@ def _coarsen_overlap_mod_body(
     lease,
 ) -> dict:
     from .. import statedir
-    from ..io import read_parquet_state
+    from ..io import read_parquet_state, tiny_df
 
     base = state_dir.rstrip("/")
     fps_dir, meta_dir = f"{base}/fps", f"{base}/fps_meta"
@@ -3057,10 +3097,11 @@ def _coarsen_overlap_mod_body(
                 "probes; a finer mod needs fps that were never persisted "
                 "(use a fresh state dir)"
             )
-        spark.createDataFrame(
+        tiny_df(
+            spark,
             [(int(row.k), int(row.w), new_mod)],
             "k int, w int, sample_mod int",
-        ).coalesce(1).write.mode("overwrite").parquet(meta_dir)
+        ).write.mode("overwrite").parquet(meta_dir)
 
     statedir.recover_replaced_dir(spark, fps_dir)
     # complete a retraction killed mid swap_partitions before the shrink

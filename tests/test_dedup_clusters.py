@@ -362,3 +362,29 @@ def test_cc_local_fast_path_matches_distributed(spark, monkeypatch):
     monkeypatch.setattr(_dedup, "_CC_LOCAL_MAX_EDGES", 500_000)
     got = {r.doc_id: r.canonical_id for r in _dedup.dedup_clusters(spairs).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_minhash_lsh_pairs_prebuilt_sigs_identical(spark, sf_dir):
+    """The ``sigs=`` reuse path (round 14: the ingest computes ONE
+    signature pass and shares it between pair generation and the sigs/
+    ledger write) must emit exactly the pairs the self-building path
+    emits — same ids, same est_jaccard."""
+    from pulfa_sausage_factory_spark.io import load_table
+    from pulfa_sausage_factory_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.2).collect()
+    }
+    sigs = minhash_signatures(docs)
+    reused = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.2, sigs=sigs).collect()
+    }
+    sigs.unpersist()
+    assert base, "fixture must contain candidate pairs"
+    assert reused == base
