@@ -114,13 +114,13 @@ def build_stdout_payload(full: dict) -> dict:
 
 
 # One-time cache builds that a query's FIRST run otherwise pays inline
-# (round-7, VERDICT item 2): the minhash signature materialization is
-# deliberate and scale-load-bearing (see minhash_signatures — removing it
-# baited a corpus-sized broadcast at 100×), so it must not masquerade as
-# query latency. The hook runs the SAME library call the query path uses
-# (plan-identical persist → CacheManager serves the query's persist from
-# it), its cost is reported under cache_build_queries, and cold_queries
-# then measures the query's true first run against a filled cache.
+# (round-7, VERDICT item 2). Round 15: minhash_lsh_pairs no longer
+# persists internally (it picks its join strategy from a count-gate
+# instead of cache stats), but the build stays: the persisted signature
+# subtree is PLAN-IDENTICAL to the one inside the query, so the
+# CacheManager still substitutes it into both sides of the banded
+# self-join — keeping x2b's cold/warm measurement semantics exactly what
+# every prior round measured (extras-key stability rule).
 def _x2b_build(spark, sf_dir):
     dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
 
@@ -501,6 +501,13 @@ def main() -> None:
             shutil.rmtree(work, ignore_errors=True)
 
     extras: dict[str, float | None] = {}
+    # Extras-key contract (round 15, VERDICT item 8): a key's MEASURED
+    # IMPLEMENTATION is part of its meaning. Keys may be added, never
+    # removed or renamed in place — and if what a key measures flips
+    # (the r14 overlap_fps expr→arrow switch), either RENAME the key or
+    # emit both paths for one transition round with the old baseline
+    # recorded in OPTIMIZATION_r*.md; never silently change the measured
+    # path under a stable key.
     # the one-time ingest cost the bucketed twins amortize — reported so
     # the trade is honest: twin_time × query_count + bucketize ≷ plain
     extras["bucketize_facts_ingest"] = bucketize_sec
@@ -586,7 +593,19 @@ def main() -> None:
         # at both ends — a future cross-round headline delta divides out
         # the session instead of costing a manual judge rerun. Bounded
         # scalar keys; stable vocabulary.
-        "env": _env_context(env_start),
+        "env": dict(
+            _env_context(env_start),
+            # self-describing scaling caveat (round 15, VERDICT item 7):
+            # every sf0.1 headline query is sub-second over single-row-
+            # group (unsplittable) parquet, so the headline measures a
+            # task-scheduling floor — core-count ratios ≈1 here are
+            # expected, not a parallelism bug; scaling evidence lives in
+            # the 100× stress figures (stress_r*.json)
+            sched_floor_note=(
+                "sf0.1 is scheduler-bound; "
+                "core scaling in stress 100x"
+            ),
+        ),
         "sf": sf,
         "calib_ref_ms": CALIB_REF_MS,
         "stats_file": "BENCH_STATS.json",

@@ -37,9 +37,13 @@ def char_count(col: Column | str) -> Column:
 
 
 def punct_count(col: Column | str) -> Column:
-    """X4 quality signal — count of non-alphanumeric, non-space chars."""
+    """X4 quality signal — count of non-alphanumeric, non-space chars.
+    Count-only form (round 15): every ``[^a-zA-Z0-9\\s]`` match is one
+    char, so the match count equals the chars the old
+    ``length - length(regexp_replace(.., ""))`` pair removed — identical
+    value, one regex pass, no rebuilt string."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.length(c) - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9\s]", ""))
+    return F.regexp_count(c, F.lit(r"[^a-zA-Z0-9\s]"))
 
 
 def distinct_token_ratio(col: Column | str) -> Column:
@@ -124,7 +128,12 @@ def quality_score(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     n_chars = F.length(c)
     n_words = F.size(F.split(F.trim(c), r"\s+"))
-    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    # count-only twin of `n_chars - length(regexp_replace(c, pat, ""))`
+    # (round 15, guide §2.3 / the r14 bpe_token_count pattern): every
+    # match is exactly one char, so the match COUNT equals the chars the
+    # replace would have removed — identical value, no rebuilt string
+    # per row. The DuckDB oracle keeps the replace form; values agree.
+    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
     len_factor = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     punct_factor = F.lit(1.0) - F.least(
         n_punct.cast("double") / F.greatest(n_words, F.lit(1)).cast("double"),
@@ -718,8 +727,10 @@ def gopher_rules(
     n_words = F.size(toks)
     safe_words = F.greatest(n_words, F.lit(1)).cast("double")
     # total non-whitespace chars / words — whole-stage-codegen form of the
-    # per-token length fold (no HOF re-evaluation)
-    n_chars_in_words = F.length(F.regexp_replace(c, r"\s", ""))
+    # per-token length fold (no HOF re-evaluation); count-only form
+    # (round 15): chars-minus-whitespace-count ≡ length of the stripped
+    # string, without materializing it per row
+    n_chars_in_words = F.length(c) - F.regexp_count(c, F.lit(r"\s"))
     mean_word_len = n_chars_in_words.cast("double") / safe_words
     n_symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), 0))
     lines = F.split(c, "\n")

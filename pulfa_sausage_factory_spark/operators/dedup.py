@@ -320,6 +320,38 @@ def spread_for_arrow(
 _spread_for_arrow = spread_for_arrow
 
 
+def _minhash_sig_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    spread: bool,
+    carry: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """The un-materialized MinHash signature frame ``(id, *carry, sig)`` —
+    the shared plan both :func:`minhash_signatures` (which persists it)
+    and :func:`minhash_lsh_pairs`'s internal path (which does not) build,
+    so the two stay plan-identical and the CacheManager can serve one's
+    persist to the other. ``carry`` columns ride through the projection
+    untouched (the ingest attaches ``_sig`` by digest, a key that is
+    unique post-exact-dedup where the doc id is not guaranteed to be)."""
+    sig_udf = _minhash_sig_udf(num_hashes=num_hashes, n=n)
+    # ``spread=False`` opts latency-sensitive small inputs (streaming
+    # micro-batches) out of the under-partitioned-input re-spread: for a
+    # few hundred rows, one Arrow batch beats a shuffle + 32-task fan-out
+    src_df = spread_for_arrow(df) if spread else df
+    return (
+        src_df
+        .select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in carry],
+            sig_udf(text_col).alias("sig"),
+        )
+        .filter(F.col("sig").isNotNull())
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -328,43 +360,42 @@ def minhash_signatures(
     num_hashes: int = 32,
     storage_level: "StorageLevel | None" = None,
     spread: bool = True,
+    carry: "tuple[str, ...]" = (),
 ) -> DataFrame:
-    """The materialized MinHash signature cache ``(id, sig)`` that
-    ``minhash_lsh_pairs`` self-joins — public so a serving/bench process
-    can pay the one-time build explicitly (and so repeated
-    ``minhash_lsh_pairs`` calls hit the same plan-identical
-    InMemoryRelation via the CacheManager).
+    """The materialized MinHash signature cache ``(id, *carry, sig)`` for
+    callers that consume the signatures MORE THAN ONCE outside a single
+    self-join (the incremental ingest feeds pairs + the ``_sig`` attach +
+    the sigs ledger from one frame; bench's cache build pre-fills the
+    plan-identical persist the x2b query then hits via the CacheManager).
 
-    The eager count() is LOAD-BEARING (round-6 lesson): it fills the
-    cache before the self-join is planned, so the planner sees the
-    signatures' REAL size — small corpus → broadcast join (fast at test
-    scale), big corpus → sort-merge (safe at stress scale). Removing it
-    saved ~0.3 s of cold latency (AQE exchange reuse computes the UDF
-    once either way) but left an UNFILLED InMemoryRelation whose
-    optimistic size estimate baited the planner into building a
-    corpus-sized broadcast — the 4 GiB stress run died in
-    notEnoughMemoryToBuildAndBroadcastTable. A merge hint fixes scale
-    but forbids the broadcast that is genuinely right at small scale
-    (2× warm regression measured), and Catalyst's explode estimates are
-    unusable for gating (an amplified 100× frame estimates SMALLER than
-    its base). Accurate stats via the pre-count is the only variant
-    that picks the right join on both ends.
+    The eager count() fills the cache before any consumer is planned, so
+    the planner sees the signatures' REAL size — small corpus → broadcast
+    join, big corpus → sort-merge (round-6 lesson: an UNFILLED
+    InMemoryRelation's optimistic size estimate baited a corpus-sized
+    broadcast; the 4 GiB stress run died in
+    notEnoughMemoryToBuildAndBroadcastTable). Single-shot pair generation
+    no longer needs this materialization: ``minhash_lsh_pairs`` with
+    ``sigs=None`` picks its join strategy explicitly from a row count
+    (round-15, the payload-aware count-gate convention) instead of
+    baiting AQE with cache stats.
     """
     from pyspark import StorageLevel
 
-    sig_udf = _minhash_sig_udf(num_hashes=num_hashes, n=n)
-    # ``spread=False`` opts latency-sensitive small inputs (streaming
-    # micro-batches) out of the under-partitioned-input re-spread: for a
-    # few hundred rows, one Arrow batch beats a shuffle + 32-task fan-out
-    src_df = spread_for_arrow(df) if spread else df
-    sigs = (
-        src_df
-        .select(F.col(id_col).alias("id"), sig_udf(text_col).alias("sig"))
-        .filter(F.col("sig").isNotNull())
-        .persist(storage_level or StorageLevel.MEMORY_AND_DISK)
-    )
+    sigs = _minhash_sig_frame(
+        df, text_col, id_col, n, num_hashes, spread, carry
+    ).persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     sigs.count()
     return sigs
+
+
+#: payload-aware broadcast gate for ``minhash_lsh_pairs``'s banded
+#: self-join (1 unit ≈ 8 B): the broadcast side carries ``bands`` rows per
+#: doc of (id, num_hashes-long sig, bucket), so units =
+#: n_docs × bands × (num_hashes + 2) — ≤ 8M units ≈ 64 MB built relation.
+#: Same convention as the ingest's _SCAN_STATE_BCAST_MAX_UNITS: the gate
+#: decides off a MATERIALIZED count, never Catalyst's explode estimates
+#: (round-6: an amplified 100× frame estimated SMALLER than its base).
+_LSH_BCAST_MAX_UNITS = 8_000_000
 
 
 def minhash_lsh_pairs(
@@ -378,6 +409,7 @@ def minhash_lsh_pairs(
     storage_level: "StorageLevel | None" = None,
     spread: bool = True,
     sigs: DataFrame | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """X2 — MinHash + banded LSH near-dup candidates, verified by estimated
     Jaccard (signature agreement rate).
@@ -402,12 +434,36 @@ def minhash_lsh_pairs(
     artifact (the incremental ingest writes them to its ``sigs/`` ledger)
     tokenizes and hashes each document ONCE instead of twice (round 14,
     guide §4: pay the Python boundary once per datum).
+
+    With ``sigs=None`` (round-15): the signature frame is NOT persisted —
+    the join strategy is chosen explicitly from a materialized row count
+    instead of filling a cache so AQE sees real stats (the round-6
+    stats-fill, obsoleted by the payload-aware count-gate convention).
+    ``n_rows`` is that count when the caller already holds one (e.g.
+    run_curation's per-stage report counts); otherwise one column-pruned
+    ``df.count()`` pays for it. Below :data:`_LSH_BCAST_MAX_UNITS` the
+    banded build side broadcasts (zero Exchange; the probe side
+    re-evaluates the signature UDF — cheap exactly where the gate admits
+    it); above, an explicit merge hint keeps the sort-merge join whose
+    single exchange both sides share via reuse (one UDF pass at scale) —
+    explicit because Catalyst's explode estimates would otherwise bait a
+    corpus-sized broadcast (round-6 OOM class).
     """
     rows_per_band = num_hashes // bands
+    lsh_broadcast: bool | None = None
     if sigs is None:
-        sigs = minhash_signatures(
-            df, text_col=text_col, id_col=id_col, n=n, num_hashes=num_hashes,
-            storage_level=storage_level, spread=spread,
+        if n_rows is None:
+            # column-pruned count — never evaluates the signature UDF
+            n_rows = df.count()
+        sigs = _minhash_sig_frame(
+            df, text_col, id_col, n, num_hashes, spread
+        )
+    if n_rows is not None:
+        # explicit strategy whenever the caller's (or our) materialized
+        # count is available; a prebuilt persisted+counted ``sigs`` with
+        # no ``n_rows`` keeps the accurate-stats planner choice instead
+        lsh_broadcast = (
+            n_rows * bands * (num_hashes + 2) <= _LSH_BCAST_MAX_UNITS
         )
     # bucket key = hash of (band, band-slice of the signature). The signature
     # rides along through the explode: ~bands × 8·num_hashes bytes per doc of
@@ -434,9 +490,14 @@ def minhash_lsh_pairs(
             lambda v: v == 1,
         )
     ).cast("double") / F.lit(float(num_hashes))
+    build = banded.alias("b")
+    if lsh_broadcast is True:
+        build = F.broadcast(build)
+    elif lsh_broadcast is False:
+        build = build.hint("merge")
     return (
         banded.alias("a")
-        .join(banded.alias("b"), "bucket")
+        .join(build, "bucket")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),

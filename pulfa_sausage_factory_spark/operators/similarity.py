@@ -541,6 +541,163 @@ def _adc_score(m: int) -> "F.Column":
     )
 
 
+#: query-row cap for the PQ serve path's DRIVER-built decision tables
+#: (round 15, guide §1.3/§5 bounded-driver rule): at or below it the
+#: query-side probe map / qc constants / ADC LUTs are computed on the
+#: driver from the collected query vectors and shipped as one-slice
+#: literal frames — replacing, per serve, ~6 tiny broadcast-build jobs
+#: plus the 20-row distinct/groupBy/window shuffles that fed them (each
+#: a full job of pure scheduling; the round-14 x3s decomposition). The
+#: collect is bounded: cap × (dim + m × n_codes) doubles ≈ single-digit
+#: MB at any documented config. Above the cap the distributed query-side
+#: plan stands unchanged — query batches are corpus-sized only in bulk
+#: re-scoring jobs, which is exactly the regime the distributed path
+#: exists for.
+_QUERY_DRIVER_MAX_ROWS = 1024
+
+#: sentinel a composing caller (knn_pq_rerank) passes as ``_q_rows`` when
+#: it already probed the query set and found it over the cap — the inner
+#: call must take the distributed path without re-collecting the probe
+_DISTRIBUTED_QUERY_PATH = object()
+
+
+def _py_dot(a, b) -> float:
+    """Bit-equal python replica of ``vectors.dot``: sequential
+    left-to-right fold in doubles (python floats ARE IEEE doubles; one
+    fp multiply + add per element in the same order)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _py_cosine(a, b) -> float:
+    """Bit-equal python replica of ``vectors.cosine``:
+    dot / (norm(a) * norm(b)), each norm one sequential square fold
+    under one sqrt — same operation order as the expression form."""
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for y in b:
+        nb += y * y
+    return _py_dot(a, b) / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _collect_query_vectors(
+    queries: DataFrame, id_col: str, vec_col: str
+) -> "list[tuple] | None":
+    """Gate + fetch for the driver fast path: the query ids and
+    (double-cast) vectors, or ``None`` when the set exceeds
+    :data:`_QUERY_DRIVER_MAX_ROWS` or carries duplicate ids (duplicate
+    query ids produce join fan-out whose exact shape the distributed
+    plan owns — the fast path refuses rather than reproduce it)."""
+    rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("qv"),
+        )
+        .limit(_QUERY_DRIVER_MAX_ROWS + 1)
+        .collect()
+    )
+    if len(rows) > _QUERY_DRIVER_MAX_ROWS:
+        return None
+    out = [(r.query_id, list(r.qv)) for r in rows]
+    if len({qid for qid, _ in out}) != len(out):
+        return None
+    return out
+
+
+def _driver_probe_lut(
+    q_rows: list,
+    cent_rows: list,
+    cb_rows: list,
+    m: int,
+    sublen: int,
+    n_probe: int,
+    is_res: bool,
+) -> "tuple[list, list]":
+    """Driver-side replica of the query-side serve tables: per query the
+    ``n_probe`` nearest cells by cosine (ties to the lower cell id —
+    exactly ``_assign_cells``'s window order, including Spark's
+    NaN-greatest double ordering), the per-probe ⟨q, centroid⟩ constant
+    (residual only), and the m × n_codes ADC LUT (``_query_luts``'s
+    ``lut[sub][code] = ⟨q_sub, cent⟩`` with the identical slice bounds).
+    All arithmetic goes through the ``_py_*`` fold replicas, so every
+    value is bit-identical to the expression plan's."""
+    cents = sorted(
+        (int(r.cell_id), list(r.cent)) for r in cent_rows
+    )
+    cb = {(int(r.sub), int(r.code)): list(r.cent) for r in cb_rows}
+    n_codes = 1 + max(code for _sub, code in cb)
+    probe_rows: list = []
+    lut_rows: list = []
+    for qid, v in q_rows:
+        scored = [(cid, _py_cosine(v, cent)) for cid, cent in cents]
+        # Spark orders NaN as greater than every double, so cell_cos
+        # DESC puts NaN cells first; ties break ascending on cell_id
+        ranked = sorted(
+            scored,
+            key=lambda t: (
+                0 if math.isnan(t[1]) else 1,
+                0.0 if math.isnan(t[1]) else -t[1],
+                t[0],
+            ),
+        )[:n_probe]
+        cent_by_id = dict(cents)
+        for cid, _cos in ranked:
+            qc = _py_dot(v, cent_by_id[cid]) if is_res else 0.0
+            probe_rows.append((qid, cid, qc))
+        lut_rows.append((
+            qid,
+            [
+                [
+                    _py_dot(v[s * sublen:(s + 1) * sublen], cb[(s, c)])
+                    for c in range(n_codes)
+                ]
+                for s in range(m)
+            ],
+        ))
+    return probe_rows, lut_rows
+
+
+def _tiny_query_frames(
+    spark, queries: DataFrame, id_col: str, centroids: DataFrame | None,
+    probe_rows: list, lut_rows: list,
+):
+    """The driver-built probe/LUT tables as one-slice literal frames with
+    the SAME column types the distributed plan would produce (query_id
+    from the queries frame, cell_id from the centroids frame), so the
+    downstream equi-joins plan identically."""
+    from pyspark.sql import types as T
+
+    from ..io import tiny_df
+
+    qid_t = queries.select(F.col(id_col).alias("query_id")).schema[0].dataType
+    probe = lut = None
+    if probe_rows is not None:
+        cell_t = centroids.schema["cell_id"].dataType
+        probe = tiny_df(
+            spark, probe_rows,
+            T.StructType([
+                T.StructField("query_id", qid_t),
+                T.StructField("cell_id", cell_t),
+                T.StructField("qc", T.DoubleType()),
+            ]),
+        )
+    if lut_rows is not None:
+        lut = tiny_df(
+            spark, lut_rows,
+            T.StructType([
+                T.StructField("query_id", qid_t),
+                T.StructField(
+                    "lut", T.ArrayType(T.ArrayType(T.DoubleType()))
+                ),
+            ]),
+        )
+    return probe, lut
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1045,6 +1202,7 @@ def knn_pq_adc(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _q_rows=None,
 ) -> DataFrame:
     """ADC top-k by inner product: per query, precompute the ``m × n_codes``
     lookup table ``lut[sub][code] = ⟨q_sub, cent⟩`` (a tiny broadcast
@@ -1091,12 +1249,29 @@ def knn_pq_adc(
             "subspace"
         )
     sublen = len(cb_rows[0].cent)
-    lut = _query_luts(
-        queries.select(
-            F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-        ),
-        codebooks, m, sublen,
-    )
+    if _q_rows is _DISTRIBUTED_QUERY_PATH:
+        q_rows = None
+    elif _q_rows is not None:
+        q_rows = _q_rows
+    else:
+        q_rows = _collect_query_vectors(queries, id_col, vec_col)
+    if q_rows is not None:
+        # driver fast path (round 15) — see knn_ivf_pq; raw ADC has no
+        # probe map, only the per-query LUT
+        _probe_rows, lut_rows = _driver_probe_lut(
+            q_rows, [], cb_rows, m, sublen, 0, False
+        )
+        _unused, lut = _tiny_query_frames(
+            queries.sparkSession, queries, id_col, None, None, lut_rows
+        )
+    else:
+        lut = _query_luts(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                as_double_array(vec_col).alias("qv"),
+            ),
+            codebooks, m, sublen,
+        )
     scored = (
         codes_df.crossJoin(F.broadcast(lut))
         .filter(F.col("query_id") != F.col("id"))
@@ -1126,6 +1301,7 @@ def knn_ivf_pq(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     codes_df: DataFrame | None = None,
+    _q_rows=None,
 ) -> DataFrame:
     """The composed IVF-PQ serving plan (Jégou et al. 2011): coarse cells
     prune the corpus (only ``n_probe`` cells per query are touched), PQ
@@ -1167,11 +1343,21 @@ def knn_ivf_pq(
             "codebook was trained on (fingerprint mismatch) — pass the "
             "training centroids"
         )
-    centroids = centroids.select("cell_id", "cent")
-
     cb_rows = _small_rows(codebooks)
     m = 1 + max(r.sub for r in cb_rows)
     sublen = len(cb_rows[0].cent)
+    # driver fast-path gate BEFORE the column-pruning select: the
+    # _small_rows memo rides the ORIGINAL centroid handle (a .select()
+    # creates a new object and drops it — round-14 gotcha)
+    if _q_rows is _DISTRIBUTED_QUERY_PATH:
+        q_rows = None
+    elif _q_rows is not None:
+        q_rows = _q_rows
+    else:
+        q_rows = _collect_query_vectors(queries, id_col, vec_col)
+    cent_rows = _small_rows(centroids) if q_rows is not None else None
+    cent_handle = centroids
+    centroids = centroids.select("cell_id", "cent")
     if is_res:
         if codes_df is None:
             codes_df = pq_encode(
@@ -1196,23 +1382,44 @@ def knn_ivf_pq(
         coded = _assign_cells(
             corpus, centroids, "id", 1, id_col, vec_col
         ).drop("v").join(codes_df.select("id", "codes"), "id")
-    q = _assign_cells(queries, centroids, "query_id", n_probe, id_col, vec_col)
-    # the LUT is independent of the probed cell: build it ONCE per query,
-    # then replicate onto the (query, cell) probe map — n_probe× less dot
-    # work and a broadcast with one LUT copy per probe row, not per build
-    lut = _query_luts(
-        q.select("query_id", F.col("v").alias("qv")).distinct(), codebooks, m, sublen
-    )
-    if is_res:
-        # per-probe constant ⟨q, centroid(cell)⟩ rides the probe map — one
-        # dot per (query, probed cell), n_probe × n_queries of them total
-        probe = (
-            q.join(F.broadcast(centroids), "cell_id")
-            .withColumn("qc", dot(F.col("v"), F.col("cent")))
-            .select("query_id", "cell_id", "qc")
+    if q_rows is not None:
+        # driver fast path (round 15): the probe map and per-query LUTs
+        # computed on the driver from the collected query vectors (the
+        # _py_* folds are bit-equal replicas of the expression math) and
+        # shipped as one-slice literal frames — replacing the 20-row
+        # _assign_cells window, the LUT distinct + double groupBy, and
+        # their broadcast-build jobs with two 1-task builds
+        probe_rows, lut_rows = _driver_probe_lut(
+            q_rows, cent_rows, cb_rows, m, sublen, n_probe, is_res
+        )
+        probe, lut = _tiny_query_frames(
+            queries.sparkSession, queries, id_col, cent_handle,
+            probe_rows, lut_rows,
         )
     else:
-        probe = q.select("query_id", "cell_id").withColumn("qc", F.lit(0.0))
+        q = _assign_cells(
+            queries, centroids, "query_id", n_probe, id_col, vec_col
+        )
+        # the LUT is independent of the probed cell: build it ONCE per
+        # query, then replicate onto the (query, cell) probe map —
+        # n_probe× less dot work and a broadcast with one LUT copy per
+        # probe row, not per build
+        lut = _query_luts(
+            q.select("query_id", F.col("v").alias("qv")).distinct(),
+            codebooks, m, sublen,
+        )
+        if is_res:
+            # per-probe constant ⟨q, centroid(cell)⟩ rides the probe map —
+            # one dot per (query, probed cell), n_probe × n_queries total
+            probe = (
+                q.join(F.broadcast(centroids), "cell_id")
+                .withColumn("qc", dot(F.col("v"), F.col("cent")))
+                .select("query_id", "cell_id", "qc")
+            )
+        else:
+            probe = q.select("query_id", "cell_id").withColumn(
+                "qc", F.lit(0.0)
+            )
     # TWO small broadcasts, not one pre-joined big one (round-7): the
     # probe map is (query, cell, scalar) — tiny at any n_probe — while
     # the LUT is m × n_codes doubles PER QUERY; pre-joining them
@@ -1292,6 +1499,11 @@ def knn_pq_rerank(
             "shortlist below k silently returns fewer than k neighbors"
         )
     is_res, _ = _codebook_config(codebooks)
+    # ONE query collect feeds the shortlist stage's driver-built
+    # probe/LUT tables AND the rerank's qv broadcast (round 15); above
+    # the cap the sentinel stops the inner call re-probing
+    q_rows = _collect_query_vectors(queries, id_col, vec_col)
+    q_rows_arg = q_rows if q_rows is not None else _DISTRIBUTED_QUERY_PATH
     if is_res:
         if centroids is None:
             raise ValueError(
@@ -1301,7 +1513,7 @@ def knn_pq_rerank(
         cand = knn_ivf_pq(
             corpus, queries, codebooks, k=shortlist, n_probe=n_probe,
             id_col=id_col, vec_col=vec_col, centroids=centroids,
-            codes_df=codes_df,
+            codes_df=codes_df, _q_rows=q_rows_arg,
         ).select("query_id", "neighbor_id")
     else:
         if codes_df is None:
@@ -1310,7 +1522,7 @@ def knn_pq_rerank(
             )
         cand = knn_pq_adc(
             codes_df, queries, codebooks, k=shortlist, id_col=id_col,
-            vec_col=vec_col,
+            vec_col=vec_col, _q_rows=q_rows_arg,
         ).select("query_id", "neighbor_id")
     if check_corpus:
         missing = (
@@ -1331,9 +1543,28 @@ def knn_pq_rerank(
                 "with the build-time corpus?); their rows would "
                 "silently drop out of the top-k"
             )
-    qv = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-    )
+    if q_rows is not None:
+        # same collected vectors the shortlist tables were built from —
+        # as_double_array already ran in the collect, values bit-equal
+        from pyspark.sql import types as T
+
+        from ..io import tiny_df
+
+        qid_t = queries.select(
+            F.col(id_col).alias("query_id")
+        ).schema[0].dataType
+        qv = tiny_df(
+            queries.sparkSession, q_rows,
+            T.StructType([
+                T.StructField("query_id", qid_t),
+                T.StructField("qv", T.ArrayType(T.DoubleType())),
+            ]),
+        )
+    else:
+        qv = queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("qv"),
+        )
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
     )

@@ -499,22 +499,39 @@ def run_curation(
     # per config) → connected components → keep each component's canonical
     # (minimum-id) member. The corpus side exits via one anti-join against
     # the non-canonical decision table.
-    dag_sigs = None  # released after the neardup stage materializes
     if cfg.neardup_method == "minhash":
-        # own the signature cache (round 14): minhash_lsh_pairs' internal
-        # persist has a per-call lineage (this DAG's checkpointed corpus),
-        # so repeated run_curation calls each pinned a fresh
-        # InMemoryRelation until session GC. Building it here (same plan,
-        # same eager count — the round-6 load-bearing stats fill) lets the
-        # DAG unpersist it once the neardup stage's checkpoint holds the
-        # survivors.
-        dag_sigs = dedup.minhash_signatures(
-            cur, text_col=tcol, id_col=icol
-        )
-        pairs = dedup.minhash_lsh_pairs(
-            cur, text_col=tcol, id_col=icol, threshold=cfg.neardup_threshold,
-            sigs=dag_sigs,
-        ).select("id_a", "id_b")
+        # no signature PERSIST (round 15, VERDICT item 2): the round-6
+        # eager stats-fill (persist + count, whose only purpose was
+        # giving AQE accurate sizes) is replaced by minhash_lsh_pairs'
+        # count-gated explicit join choice, fed by the PREVIOUS stage's
+        # already-materialized row count (small → broadcast hint,
+        # 100× → merge — zero extra jobs for the gate). The signature
+        # frame is localCheckpointed so the UDF still runs exactly once
+        # (a bare BHJ would evaluate it on both self-join sides —
+        # measured +0.6 s at sf0.1) and released right after the stage
+        # materializes — no per-call pinned InMemoryRelation and no
+        # exception-path leak (round-14 ADVICE: the release is in a
+        # finally).
+        dag_sigs = dedup._minhash_sig_frame(
+            cur, tcol, icol, 3, 32, True
+        ).localCheckpoint()
+        try:
+            pairs = dedup.minhash_lsh_pairs(
+                cur, text_col=tcol, id_col=icol,
+                threshold=cfg.neardup_threshold,
+                sigs=dag_sigs, n_rows=prev_rows,
+            ).select("id_a", "id_b")
+            losers = (
+                dedup.dedup_clusters(pairs)
+                .filter(F.col("doc_id") != F.col("canonical_id"))
+                .select(F.col("doc_id").alias(icol))
+            )
+            cur = stage(
+                "neardup_dedup", cur.join(losers, icol, "left_anti")
+            )
+        finally:
+            release_local_checkpoint(dag_sigs)
+        pairs = None  # stage handled inside the checkpoint's scope
     elif cfg.neardup_method == "simhash":
         pairs = dedup.simhash_neardup_pairs(
             cur, text_col=tcol, id_col=icol, max_hamming=cfg.neardup_max_hamming
@@ -586,11 +603,6 @@ def run_curation(
             .select(F.col("doc_id").alias(icol))
         )
         cur = stage("neardup_dedup", cur.join(losers, icol, "left_anti"))
-    if dag_sigs is not None:
-        # the stage checkpoint above (and dedup_clusters' eager edge
-        # materialization) are the last readers — drop the signature
-        # blocks now instead of pinning one corpus-sized cache per call
-        dag_sigs.unpersist()
 
     # 5. benchmark decontamination (eval-leakage gate): broadcast bench
     # shingle index, anti-join the contaminated train ids out
@@ -603,20 +615,20 @@ def run_curation(
             )
             .select(F.col("train_id").alias(icol))
             .distinct()
-            # materialize the ids-only decision table once so the count
-            # below gates a broadcast (round 14, guide §3): AQE converts
-            # the anti-join to BHJ only AFTER both sides' shuffles have
-            # executed — the explicit hint removes the corpus-side
-            # Exchange entirely (measured 4.4 → 2.2 s at sf0.1); above
-            # the gate (adversarial everything-contaminated regimes) the
-            # shuffled anti-join stands
-            .localCheckpoint()
         )
-        dirty_ckpt = dirty
-        if dirty_ckpt.count() <= _SCAN_STATE_BCAST_MAX_ROWS:
-            dirty = F.broadcast(dirty_ckpt)
+        # gate the broadcast on the PREVIOUS stage's materialized count
+        # (round 15, VERDICT item 3): dirty ids ⊆ surviving train ids, so
+        # prev_rows is a sound upper bound on the built relation — the
+        # round-14 localCheckpoint + count jobs (the dirty-ids compute
+        # materialized inside them, ~1.4 s at sf0.1) fold into the stage
+        # job itself: below the gate contamination_pairs executes once
+        # inside the broadcast build (the hint, not AQE, removes the
+        # corpus-side Exchange — AQE converts SMJ→BHJ only after both
+        # shuffles ran); above it (adversarial everything-contaminated
+        # regimes) the plain shuffled anti-join stands
+        if prev_rows <= _SCAN_STATE_BCAST_MAX_ROWS:
+            dirty = F.broadcast(dirty)
         cur = stage("decontaminate", cur.join(dirty, icol, "left_anti"))
-        release_local_checkpoint(dirty_ckpt)
 
     # 5b. exact substring dedup (Lee et al. ExactSubstr): duplicated
     # k-token spans removed everywhere but their first corpus occurrence;
@@ -1480,10 +1492,17 @@ def _ingest_batch_body(
             # batch text — compute the cached signature frame once, feed
             # it to minhash_lsh_pairs, and attach ``_sig`` by a left join
             # (null for docs too short to sign, exactly the old
-            # withColumn semantics; batch ids are unique by the ingest
-            # contract, so the join cannot fan out)
+            # withColumn semantics). The attach keys on ``_digest``, not
+            # the doc id (round-14 ADVICE): nothing upstream enforces
+            # id-uniqueness within a batch — duplicate ids with DIFFERING
+            # text both survive the digest-keyed exact dedup, and an
+            # id-keyed join would fan their rows out — while the digest
+            # IS unique post-exact-dedup, and the signature is a pure
+            # function of the text the digest hashes, so the digest-keyed
+            # attach reproduces the per-row withColumn exactly.
             sigs_b = dedup.minhash_signatures(
                 batch_d, text_col=tcol, id_col=icol, num_hashes=num_hashes,
+                carry=("_digest",),
                 # micro-batches are small and latency-sensitive: one Arrow
                 # batch beats the under-partitioned-input re-spread's shuffle
                 # + 32-task fan-out (the guard would fire on every trigger)
@@ -1504,12 +1523,19 @@ def _ingest_batch_body(
                 .filter(F.col("doc_id") != F.col("canonical_id"))
                 .select(F.col("doc_id").alias(icol))
             )
-            batch_d = batch_d.join(losers, icol, "left_anti").join(
+            survivors = batch_d.join(losers, icol, "left_anti")
+            batch_d = survivors.join(
+                # dropDuplicates is belt-and-braces (digests are unique
+                # post-exact-dedup) and value-deterministic either way:
+                # equal digests hash equal text, which signs identically
                 sigs_b.select(
-                    F.col("id").alias(icol), F.col("sig").alias("_sig")
-                ),
-                icol, "left",
-            )
+                    "_digest", F.col("sig").alias("_sig")
+                ).dropDuplicates(["_digest"]),
+                "_digest", "left",
+                # re-project to the pre-join column order: a USING join
+                # moves the key first, and the corpus/ledger writes below
+                # keep a stable cross-batch parquet layout
+            ).select(*survivors.columns, "_sig")
             # ... then cross-batch/run: band-bucket candidates vs the
             # ledger, confirmed by signature-agreement est-Jaccard
             old_bands = _read_state(spark, bands_dir, batch_id)

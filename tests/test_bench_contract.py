@@ -59,6 +59,12 @@ def _worst_case_full() -> dict:
             "wall_sec": wide,
             "host_busy_pct": 100.0,
             "steal_pct": 100.0,
+            # round-15 scaling caveat (VERDICT r14 item 7) — fixed string,
+            # worst case IS the real value
+            "sched_floor_note": (
+                "sf0.1 is scheduler-bound; "
+                "core scaling in stress 100x"
+            ),
         },
         "sf": 0.1,
         "stats_file": "BENCH_STATS.json",

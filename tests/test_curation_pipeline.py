@@ -3599,3 +3599,50 @@ def test_scan_state_flip_fallback_equality(spark, tmp_path, monkeypatch):
     # fresh doc; the semantic batch dropped the near-copy only
     assert fast_ids == {1, 2, 13}
     assert fast_bids == {1, 2, 21}
+
+
+def test_ingest_duplicate_ids_with_distinct_text_do_not_fan_out(spark, tmp_path):
+    """Round-14 ADVICE item 1: nothing upstream enforces id-uniqueness in
+    a batch — two docs sharing an id with DIFFERENT text both survive the
+    digest-keyed exact dedup, and the round-14 id-keyed `_sig` attach
+    join would have fanned their rows out (duplicated admitted
+    corpus/ledger rows). The attach now keys on the digest (unique
+    post-exact-dedup), so the admitted row count is invariant and each
+    row carries the signature of ITS OWN text."""
+    import json
+
+    from pulfa_sausage_factory_spark.pipelines.curation_pipeline import (
+        run_incremental_curation,
+    )
+
+    in_dir = tmp_path / "landing"
+    in_dir.mkdir()
+    state = str(tmp_path / "state")
+    cfg = CurationConfig(min_quality=0.0, neardup_ledger=True)
+    texts = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india",
+        "papa quebec romeo sierra tango uniform victor whiskey xray",
+    ]
+    (in_dir / "b1.jsonl").write_text(
+        "\n".join(json.dumps({"doc_id": 7, "text": t}) for t in texts)
+        + "\n" + json.dumps({"doc_id": 8, "text": "yankee zulu one two three"})
+    )
+    rep = run_incremental_curation(spark, str(in_dir), state, cfg)
+    assert rep["total_admitted"] == 3  # both id-7 rows + id-8: no fan-out
+    corpus = spark.read.parquet(rep["corpus_dir"])
+    assert corpus.count() == 3
+    assert corpus.filter(F.col("doc_id") == 7).count() == 2
+    # each admitted row signed its own text: recompute signatures from the
+    # stored text and compare with the sigs ledger by digest
+    from pulfa_sausage_factory_spark.operators import dedup as _dedup
+
+    sigs_dir = f"{state}/sigs"
+    stored = spark.read.parquet(sigs_dir).select("id", "old_sig")
+    recomputed = _dedup.minhash_signatures(
+        corpus, text_col="text", id_col="doc_id", spread=False
+    )
+    # ids are non-unique, so compare as multisets of (id, sig) pairs
+    want = sorted((r.id, tuple(r.sig)) for r in recomputed.collect())
+    got = sorted((r.id, tuple(r.old_sig)) for r in stored.collect())
+    assert got == want
+    recomputed.unpersist()

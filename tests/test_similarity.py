@@ -642,3 +642,44 @@ def test_documented_ann_configs_reach_recall_floor(spark):
         ann_index.knn_from_index(idx_auto, corpus, queries, k=10,
                                  shortlist=200)
     ) >= 0.9
+
+
+def test_driver_query_fast_path_matches_distributed(spark, sf_dir, monkeypatch):
+    """Round 15: the PQ serve path's driver-built probe/LUT/qv tables
+    (`_collect_query_vectors` + `_driver_probe_lut`, below
+    `_QUERY_DRIVER_MAX_ROWS`) must be BIT-IDENTICAL to the distributed
+    query-side plan — the _py_* folds replicate the expression math's
+    exact operation order, so full result tuples (scores included)
+    compare equal. Pinned the twin-equality way: run once on the fast
+    path, monkeypatch the cap to 0 to force the distributed path, and
+    compare sorted collected rows for all three serve entry points."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.train_pq_codebooks(
+        emb, m=4, n_codes=8, iters=1, sample_fraction=1.0
+    )
+    cb = cb.localCheckpoint()
+    cents = similarity.train_ivf_centroids(emb, n_cells=4, iters=1)
+    res_cb = similarity.train_pq_codebooks(
+        emb, m=4, n_codes=8, iters=1, sample_fraction=1.0, centroids=cents
+    ).localCheckpoint()
+    # re-stamp memo lost by localCheckpoint? _small_rows collects lazily —
+    # fine either way (one job per handle).
+    queries = emb.limit(7)
+    codes_raw = similarity.pq_encode(emb, cb)
+    calls = [
+        lambda: similarity.knn_pq_adc(codes_raw, queries, cb, k=5),
+        lambda: similarity.knn_pq_rerank(emb, queries, cb, k=5, shortlist=20),
+        lambda: similarity.knn_ivf_pq(
+            emb, queries, res_cb, k=5, n_probe=2, centroids=cents
+        ),
+        lambda: similarity.knn_pq_rerank(
+            emb, queries, res_cb, k=5, shortlist=20, centroids=cents,
+            n_probe=2,
+        ),
+    ]
+    fast = [sorted(tuple(r) for r in fn().collect()) for fn in calls]
+    monkeypatch.setattr(similarity, "_QUERY_DRIVER_MAX_ROWS", 0)
+    slow = [sorted(tuple(r) for r in fn().collect()) for fn in calls]
+    for i, (f, s) in enumerate(zip(fast, slow)):
+        assert f == s, f"serve call {i}: fast path diverged from distributed"
+        assert len(f) > 0
