@@ -621,13 +621,16 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .repartition("dst")
         .localCheckpoint()
     )
-    # small-graph fast path: the count reads the checkpoint's cached
-    # blocks (no recompute); converged labels are identical to the loop's
-    # fixed point (min id per connected component), pinned by test with
-    # the gate monkeypatched both ways
-    n_edges = edges.count()
-    if n_edges <= _CC_LOCAL_MAX_EDGES:
-        rows = edges.collect()
+    # small-graph fast path: gate and fetch in ONE job (round 15 — the
+    # separate count was a second pass over the checkpoint's blocks):
+    # limit(gate+1).collect() returns every edge when the graph is under
+    # the gate, and over it proves "too big" with a bounded (~16 MB)
+    # overshoot while the checkpoint stays intact for the distributed
+    # loop. Converged labels are identical to the loop's fixed point
+    # (min id per connected component), pinned by test with the gate
+    # monkeypatched both ways.
+    rows = edges.limit(_CC_LOCAL_MAX_EDGES + 1).collect()
+    if len(rows) <= _CC_LOCAL_MAX_EDGES:
         spark = pairs.sparkSession
         id_type = edges.schema["src"].dataType
         _release_local_checkpoint(edges)

@@ -602,6 +602,10 @@ def _collect_query_vectors(
     )
     if len(rows) > _QUERY_DRIVER_MAX_ROWS:
         return None
+    if any(r.qv is None for r in rows):
+        # a NULL query vector null-propagates through the expression
+        # plan; the distributed path owns that (degenerate) semantics
+        return None
     out = [(r.query_id, list(r.qv)) for r in rows]
     if len({qid for qid, _ in out}) != len(out):
         return None

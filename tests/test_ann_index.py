@@ -824,6 +824,9 @@ def test_abandon_log_entry(spark, vecs, tmp_path):
     assert ann_index.compact_pq_index(spark, path)["pending"] == []
 
 
+@pytest.mark.characterization  # RECALL.md floor re-measurement
+# (round 15: opt-in tier — see pytest.ini; regenerate the figures
+# with recall.py; the default driver-window run excludes this)
 def test_append_staleness_recall_floor(spark):
     # RECALL.md §append, floor-pinned (round 11): appends encode against
     # quantizers FROZEN at build. In-distribution growth holds the ≥0.9

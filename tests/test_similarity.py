@@ -511,6 +511,9 @@ def test_pq_codebook_grid_validation(spark, sf_dir):
     ).count() > 0
 
 
+@pytest.mark.characterization  # RECALL.md floor re-measurement
+# (round 15: opt-in tier — see pytest.ini; regenerate the figures
+# with recall.py; the default driver-window run excludes this)
 def test_documented_ann_configs_reach_recall_floor(spark):
     # RECALL.md's documented >=0.9 configurations, pinned. The corpus is
     # the text-embedding one (sf0.1 documents via hashed_text_embedding —
