@@ -286,7 +286,8 @@ def save_pq_index(index: PQIndex, path: str) -> None:
 
 
 def load_pq_index(
-    spark: SparkSession, path: str, up_to_entry: int | None = None
+    spark: SparkSession, path: str, up_to_entry: int | None = None,
+    artifacts_only: bool = False,
 ) -> PQIndex:
     """Load + cross-validate a saved index. Refuses to return one whose
     pieces disagree — manifest vs actual codebook grid, manifest vs the
@@ -298,7 +299,17 @@ def load_pq_index(
     ``up_to_entry`` (internal — ``compact_pq_index`` uses it) bounds the
     assembly to log entries with id ≤ the bound: the index state as of
     that WAL position, which is exactly what a capped compaction must
-    snapshot when later entries cannot be folded yet."""
+    snapshot when later entries cannot be folded yet.
+
+    ``artifacts_only=True`` (round 15) skips the CODES assembly — no
+    codes scan, no per-append-batch union/stamp analysis, no tombstone
+    anti-join; ``index.codes`` is ``None``. For callers that only need
+    the validated meta/codebooks/centroids (``append_to_pq_index``
+    encodes NEW rows against them and never reads existing codes): the
+    assembly's cost grows O(live appends) and was paid per ingest batch
+    under ``serve_index_append``. Meta↔codebook↔centroid
+    cross-validation runs unchanged; the codes-stamp tripwire is part of
+    the assembly and is deferred to the next full load."""
     base = path.rstrip("/")
     from pulfa_sausage_factory_spark.io import read_parquet_state
 
@@ -315,15 +326,17 @@ def load_pq_index(
             f"supported {_FORMAT} — rebuild the index with this version"
         )
     codebooks = spark.read.parquet(f"{base}/codebooks")
-    # the codes base: the latest committed compaction snapshot when one
-    # exists (compact_pq_index folded base + appends − tombstones into
-    # it and deleted what it superseded), else the original build codes
-    horizon = _codes_horizon(spark, base)
-    codes_src = (
-        f"{base}/codes_head/upto={horizon}" if horizon >= 0
-        else f"{base}/codes"
-    )
-    codes = spark.read.parquet(codes_src)
+    codes = codes_src = None
+    if not artifacts_only:
+        # the codes base: the latest committed compaction snapshot when
+        # one exists (compact_pq_index folded base + appends − tombstones
+        # into it and deleted what it superseded), else the build codes
+        horizon = _codes_horizon(spark, base)
+        codes_src = (
+            f"{base}/codes_head/upto={horizon}" if horizon >= 0
+            else f"{base}/codes"
+        )
+        codes = spark.read.parquet(codes_src)
 
     # grid + carried-config validation from ONE full collect — the
     # codebook table is m × n_codes rows (KBs) and serve-session load
@@ -370,6 +383,20 @@ def load_pq_index(
                 f"are not the ones the manifest was written for "
                 f"({want_cb}) — mixed artifacts"
             )
+    if artifacts_only:
+        centroids = None
+        if meta["residual"]:
+            centroids = spark.read.parquet(f"{base}/centroids")
+            got = _centroid_signature(centroids)
+            if got != meta["cent_sig"]:
+                raise ValueError(
+                    f"load_pq_index: centroids on disk (sig {got}) are "
+                    f"not the ones the codebooks were trained on (sig "
+                    f"{meta['cent_sig']}) — residual codes are "
+                    "meaningless against other centroids"
+                )
+        return PQIndex(codebooks, None, centroids, meta)
+
     _check_batch_stamp(codes, want_cb, codes_src)
 
     # incremental append batches (append_to_pq_index): each lives in its
@@ -665,7 +692,11 @@ def append_to_pq_index(
     base = path.rstrip("/")
     with statedir.lease_scope(spark, base, "append_to_pq_index",
                               lease=lease):
-        index = load_pq_index(spark, path)
+        # artifacts only (round 15): the append encodes NEW rows against
+        # the validated codebooks/centroids and never reads existing
+        # codes — assembling them cost O(live appends) PER BATCH under
+        # serve_index_append
+        index = load_pq_index(spark, path, artifacts_only=True)
         id_col = id_col or index.meta.get("id_col", "vec_id")
         vec_col = vec_col or index.meta.get("vec_col", "embedding")
         dim = index.meta.get("dim")

@@ -1786,9 +1786,28 @@ def _ingest_batch_body(
             # index's cell sizing (√n cells at the auto config), never a
             # scan of all admitted vectors.
             from ..functions.vectors import cosine, hashed_text_embedding
-            from ..operators.similarity import _assign_cells, semdedup
+            from ..operators.similarity import (
+                _assign_cells,
+                _small_rows,
+                semdedup,
+            )
 
-            dim = len(sem_centroids.limit(1).collect()[0].cent)
+            # dim via the _small_rows memo (round 15): sem_centroids is
+            # ONE run-scoped checkpointed handle, so the first batch pays
+            # one collect and every later batch reads the memo — the old
+            # limit(1).collect() was a fresh job per micro-batch
+            dim = len(_small_rows(sem_centroids)[0].cent)
+            # truncate the lineage the semantic leg's several actions
+            # (embed checkpoint, verdicts, cell assignment, cross-run
+            # broadcast builds) would otherwise re-execute — by here
+            # batch_d carries the minhash and overlap legs' joins on top
+            # of the exact-leg checkpoint (round 15; same rationale).
+            # Skipped when no other ledger ran: batch_d IS the exact-leg
+            # checkpoint then, and a second checkpoint buys nothing.
+            sem_in_ckpt = None
+            if cfg.neardup_ledger or cfg.overlap_ledger:
+                batch_d = batch_d.localCheckpoint()
+                sem_in_ckpt = batch_d
             emb = batch_d.select(
                 F.col(icol).alias("vec_id"),
                 hashed_text_embedding(F.col(tcol), dim=dim).alias("embedding"),
@@ -1802,14 +1821,18 @@ def _ingest_batch_body(
                 icol, "left_anti",
             )
             # survivors' cells + vectors: reused for the cross-run check and
-            # persisted for future batches by _write_admitted
+            # persisted for future batches by _write_admitted — checkpoint
+            # the batch-bounded assignment once (round 15) instead of
+            # re-running the crossJoin+window per consumer (the cross-run
+            # broadcast build AND the _semcell/_semvec attach)
             cur = _assign_cells(
                 emb.join(
                     batch_d.select(F.col(icol).alias("vec_id")),
                     "vec_id", "left_semi",
                 ),
                 sem_centroids, "vec_id", 1, "vec_id", "embedding",
-            )
+            ).localCheckpoint()
+            sem_cur_ckpt = cur
             old_vecs = _read_state(spark, semvecs_dir, batch_id)
             if old_vecs is not None:
                 if (n_in <= _SCAN_STATE_BCAST_MAX_ROWS
@@ -1851,6 +1874,7 @@ def _ingest_batch_body(
             )
             sem_emb_ckpt = emb  # released only after admitted materializes
         else:
+            sem_in_ckpt = sem_cur_ckpt = None
             sem_emb_ckpt = None
         admitted = batch_d.localCheckpoint()  # read once, write 2-5x below
         idx_rep = None
@@ -1888,6 +1912,10 @@ def _ingest_batch_body(
                 # the eager checkpoint above is the last reader of the
                 # embedding blocks — release them now, not at driver GC
                 release_local_checkpoint(sem_emb_ckpt)
+            if sem_in_ckpt is not None:
+                release_local_checkpoint(sem_in_ckpt)
+            if sem_cur_ckpt is not None:
+                release_local_checkpoint(sem_cur_ckpt)
             if fps_ckpt is not None:
                 release_local_checkpoint(fps_ckpt)
             # the post-exact-leg lineage-truncation checkpoint: the
